@@ -1,0 +1,114 @@
+"""Native Catalyst scalar expressions replacing the reference's in-UDF
+Python string/math operations (SURVEY.md §2.7, F1-F12).
+
+Every function here returns a Column, stays inside whole-stage codegen,
+and is oracle-checkable in ANSI SQL. None of them touch Python at run
+time — the reference computed all of these row-at-a-time inside pickled
+UDFs (/root/reference/src/etl_vol_transfers/main.py:89-132).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Cardano shelley era start: unix_time = slot + 1591566291
+# (reference: src/cardano_streamer/app.properties:14, README.md:34)
+SLOT_EPOCH_OFFSET = 1591566291
+
+# 1 ADA = 10^6 lovelace (reference: src/etl_vol_transfers/main.py:124)
+LOVELACE_PER_ADA = 1_000_000
+
+
+def unit_of(policy: Column | str, name_hex: Column | str) -> Column:
+    """Asset unit = policy_hex(56) || asset_name_hex, with the special
+    case ``'ada'+'lovelace' → 'lovelace'``.
+
+    Reference: src/etl_vol_transfers/main.py:89-90 (string concat then
+    conditional rewrite inside a Python UDF).
+    """
+    raw = F.concat(F.col(policy) if isinstance(policy, str) else policy,
+                   F.col(name_hex) if isinstance(name_hex, str) else name_hex)
+    return F.when(raw == F.lit("adalovelace"), F.lit("lovelace")).otherwise(raw)
+
+
+def normalize_unit(unit: Column | str) -> Column:
+    """Rewrite the ``adalovelace`` sentinel to ``lovelace`` (F3)."""
+    c = F.col(unit) if isinstance(unit, str) else unit
+    return F.when(c == F.lit("adalovelace"), F.lit("lovelace")).otherwise(c)
+
+
+def lovelace_to_ada(value: Column | str) -> Column:
+    """Integer lovelace → ADA double (F5; reference main.py:124)."""
+    c = F.col(value) if isinstance(value, str) else value
+    return c.cast("double") / F.lit(float(LOVELACE_PER_ADA))
+
+
+def decimal_scaled(value: Column | str, decimals: Column | str) -> Column:
+    """``value / 10**decimals`` with null/zero decimals ⇒ unscaled.
+
+    Reference: get_adjusted_price branches at
+    src/etl_vol_transfers/main.py:128-131.
+    """
+    v = (F.col(value) if isinstance(value, str) else value).cast("double")
+    d = F.col(decimals) if isinstance(decimals, str) else decimals
+    return F.when(d.isNotNull() & (d > 0), v / F.pow(F.lit(10.0), d.cast("double"))).otherwise(v)
+
+
+def hex_decode_utf8(hex_col: Column | str) -> Column:
+    """Decode a hex string to UTF-8 text (F6).
+
+    Reference: ``bytes.fromhex(x[56:]).decode('utf-8')`` in
+    src/jupyter/volume_stack_plot.ipynb cell 2.
+    """
+    c = F.col(hex_col) if isinstance(hex_col, str) else hex_col
+    return F.decode(F.unhex(c), "UTF-8")
+
+
+def asset_display_name(unit: Column | str) -> Column:
+    """Hex-decode the asset-name suffix of a unit (chars 57+), with the
+    ADA special case passing through unchanged (F6 + F3)."""
+    c = F.col(unit) if isinstance(unit, str) else unit
+    return F.when(c == F.lit("lovelace"), F.lit("ADA")).otherwise(
+        hex_decode_utf8(F.substring(c, 57, 2048))
+    )
+
+
+def short_label(s: Column | str, head: int = 5, tail: int = 5) -> Column:
+    """``x[:5] + '...' + x[-5:]`` label shortening (F7).
+
+    Reference: volume_stack_plot.ipynb cell 2 / transaction_network_plot
+    .ipynb cell 1.
+    """
+    c = F.col(s) if isinstance(s, str) else s
+    return F.when(F.length(c) <= head + tail, c).otherwise(
+        F.concat(F.substring(c, 1, head), F.lit("..."),
+                 F.substring(c, -tail, tail))
+    )
+
+
+def slot_to_timestamp(slot: Column | str) -> Column:
+    """Cardano slot → event timestamp (F12):
+    ``timestamp_seconds(slot + 1591566291)``."""
+    c = F.col(slot) if isinstance(slot, str) else slot
+    return F.timestamp_seconds(c + F.lit(SLOT_EPOCH_OFFSET))
+
+
+def abs_value(value: Column | str) -> Column:
+    """``abs(value)`` for sender legs (F4; reference main.py:163)."""
+    c = F.col(value) if isinstance(value, str) else value
+    return F.abs(c)
+
+
+def deterministic_id(*cols: Column | str) -> Column:
+    """Deterministic surrogate key: sha2 over the natural-key columns.
+
+    Replaces the reference's ``expr("uuid()")`` surrogate keys
+    (src/etl_blockchain/main.py:36,46,54,62), which are re-evaluated per
+    action and corrupt parent/child FKs across the reference's multiple
+    write actions (SURVEY §4.3 H1). A content hash is stable across
+    recomputation, retries, and restarts — required for exactly-once
+    sinks at scale.
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.sha2(F.concat_ws("\x1f", *[c.cast("string") for c in cs]), 256)

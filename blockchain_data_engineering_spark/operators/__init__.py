@@ -1,0 +1,3 @@
+"""Operator library — SURVEY.md §2.2-2.8 relational/analytic building
+blocks plus the LLM-data-pipeline extension operators (dedup, similarity,
+text analysis, multimodal)."""

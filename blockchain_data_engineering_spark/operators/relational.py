@@ -1,0 +1,224 @@
+"""Relational & analytic operators (SURVEY.md §2.2-2.6).
+
+Each function is a composable DataFrame→DataFrame transform implementing
+one reference operator natively (no Python on the hot path). Scale notes
+are inline: every op states its shuffle behavior and the 100 TB strategy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk(df: DataFrame, order_col: str, k: int, ascending: bool = False) -> DataFrame:
+    """Global top-k (W1/O3; reference volume_stack_plot.ipynb cell 0:
+    ``ORDER BY value_adj DESC LIMIT 10``).
+
+    Physical plan: TakeOrderedAndProject — each partition keeps a local
+    k-heap, driver merges k×partitions rows. No full sort, no full
+    shuffle; safe at any scale for small k.
+    """
+    c = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    return df.orderBy(c).limit(k)
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+) -> DataFrame:
+    """Per-group top-k via ``row_number() <= k`` (W1 per-group variant).
+
+    One shuffle on the partition keys; with AQE skew handling a hot group
+    splits across tasks for the rank computation.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def cumulative_moving_average(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "cma",
+) -> DataFrame:
+    """Expanding (cumulative) mean per group (W2).
+
+    Reference computed this in pandas: ``groupby('unit')['value_adj']
+    .expanding().mean()`` (src/jupyter/volume_stack_plot.ipynb cell 1).
+    Native: one shuffle on the partition key, then a running frame.
+    Order columns must form a deterministic total order within group —
+    the pandas original silently depended on frame row order.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.avg(F.col(value_col)).over(w))
+
+
+def ratio_to_report(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "share",
+    scale: float = 100.0,
+) -> DataFrame:
+    """Per-partition proportional share: ``value / sum(value) over
+    (partition) * scale`` (W3; reference volume_stack_plot.ipynb cell 1
+    proportional stack chart).
+
+    Single shuffle on the partition key; the unbounded-frame sum is
+    computed in one pass per group.
+    """
+    w = Window.partitionBy(*partition_cols)
+    return df.withColumn(
+        out_col, F.col(value_col) / F.sum(value_col).over(w) * F.lit(scale)
+    )
+
+
+def zero_fill_spine(
+    df: DataFrame,
+    group_col: str,
+    spine_col: str,
+    value_col: str,
+    step: Column | None = None,
+) -> DataFrame:
+    """Densify a per-group series: every (group, spine-point) pair in the
+    global [min, max] range appears, missing values coalesced to 0 (J8).
+
+    Reference: per-unit ``combine_first(zeros_df)`` against an
+    ``np.arange`` height spine (volume_stack_plot.ipynb cell 1).
+
+    Native: ``sequence(min,max)`` built from a 1-row aggregate (cheap),
+    exploded, cross-joined with distinct groups (broadcast — group count
+    is small by construction in a charting context), then a left join of
+    facts. At 100 TB the facts side stays partitioned; only the spine is
+    broadcast.
+    """
+    bounds = df.agg(
+        F.min(spine_col).alias("__lo"), F.max(spine_col).alias("__hi")
+    )
+    seq = F.sequence(F.col("__lo"), F.col("__hi"), step) if step is not None else F.sequence(
+        F.col("__lo"), F.col("__hi")
+    )
+    spine = bounds.select(F.explode(seq).alias(spine_col))
+    groups = df.select(group_col).distinct()
+    dense = groups.crossJoin(F.broadcast(spine))
+    return (
+        dense.join(df, [group_col, spine_col], "left")
+        .withColumn(value_col, F.coalesce(F.col(value_col), F.lit(0.0)))
+    )
+
+
+def dedup_keep_last(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[Column],
+) -> DataFrame:
+    """Deduplicate keeping the last row per key under an explicit order
+    (A9, fixing hazard H6).
+
+    The reference's ``drop_duplicates(keep='last')``
+    (airflow/archive/dags/etl_pagerank_dag.py:70-71) depends on pandas
+    frame order; Spark's ``dropDuplicates`` keeps an *arbitrary* row.
+    Parity requires an explicit ordering: ``row_number()=1`` over the
+    keys ordered descending by the tie-break columns.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def net_flow(
+    inflows: DataFrame,
+    outflows: DataFrame,
+    key_cols: Sequence[str],
+    in_value: str = "in_value",
+    out_value: str = "out_value",
+    diff_col: str = "diff",
+) -> DataFrame:
+    """Net-flow kernel: full-outer align inflow vs outflow per key,
+    missing side = 0, keep nonzero diffs (J2 + A4 — the heart of the
+    reference's U2 UDF, src/etl_vol_transfers/main.py:96-105:
+    ``pd.merge(how='outer').fillna(0)``, ``diff = value_y - value_x``,
+    drop ``diff == 0``).
+
+    Both inputs should already be pre-aggregated per key (map-side
+    partial agg upstream); the join is a shuffle hash/sort-merge on the
+    composite key — co-partitioned if both sides were grouped on the
+    same keys, in which case AQE elides the second exchange.
+    """
+    keys = list(key_cols)
+    joined = inflows.join(outflows, keys, "full_outer")
+    return (
+        joined.select(
+            *keys,
+            F.coalesce(F.col(in_value), F.lit(0)).alias(in_value),
+            F.coalesce(F.col(out_value), F.lit(0)).alias(out_value),
+        )
+        .withColumn(diff_col, F.col(out_value) - F.col(in_value))
+        .where(F.col(diff_col) != 0)
+    )
+
+
+def per_group_cross_join(
+    left: DataFrame,
+    right: DataFrame,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Cross join within each group: every left row pairs with every
+    right row sharing the group key (J3).
+
+    Reference: per-unit receivers × senders transfer-edge construction
+    (src/etl_vol_transfers/main.py:161-167, ``merge(how='cross')`` inside
+    a groupby-apply). Natively this is just an equi-join on the group
+    key — Catalyst executes it as a hash join whose per-key fanout is
+    |L_g|×|R_g|.
+
+    Scale hazard (SURVEY §7.4): a hot group produces quadratic edges.
+    AQE skew-join splits oversized partitions; for pathological keys,
+    cap or salt upstream (see ``salted``).
+    """
+    keys = list(group_cols)
+    return left.join(right, keys, "inner")
+
+
+def salted(df: DataFrame, key_col: str, buckets: int, salt_col: str = "__salt") -> DataFrame:
+    """Add a deterministic salt (hash of the whole row modulo buckets) to
+    split a skewed key across ``buckets`` shuffle partitions. Join the
+    salted fact against a dimension exploded ×buckets. At 100 TB this is
+    the manual fallback when AQE skew splitting isn't enough (e.g. one
+    token unit dominating the transfer graph)."""
+    return df.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets)),
+    )
+
+
+def rollup_sets(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Hierarchical rollup in one pass (A6 + A7 fused).
+
+    The reference computes vol_by_block and vol_all_time as two separate
+    pandas groupbys fed by two Airflow tasks
+    (airflow/archive/dags/etl_vol_dag.py:59-86); ``rollup`` computes the
+    whole hierarchy with one shuffle and partial aggregation.
+    """
+    return df.rollup(*group_cols).agg(*aggs)
