@@ -1,0 +1,223 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY §7.2
+M5 / BASELINE.json north star): exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+Design for 100 TB:
+
+- Exact dedup is a fingerprint groupBy — one shuffle on the md5 key.
+- MinHash+LSH: shingle explode (narrow) → per-doc signature (one
+  shuffle on doc_id) → banding → candidate pairs via a *bucket
+  self-join* (shuffle on band value — only colliding docs ever meet,
+  never the quadratic all-pairs) → exact Jaccard verification on the
+  candidate set only. This is the textbook scale path: the all-pairs
+  comparison is O(n²); LSH makes it O(collisions).
+- SimHash: one explode + one groupBy; the 32-bit signature packs into
+  a string; Hamming-neighbor search is a bucket join on signature
+  prefixes.
+- Determinism: all hashes are md5 hex strings (identical in every
+  engine); "minimum hash" is lexicographic VARCHAR min; all counts are
+  integers — so results are bit-reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from blockchain_data_engineering_spark.operators.text import char_shingles, fingerprint
+
+# ---------------------------------------------------------------- exact ---
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(fp, n_docs, canonical_id): hash-groupBy exact dedup; the
+    canonical representative is the minimum id (deterministic)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+# -------------------------------------------------------------- minhash ---
+
+
+def shingle_set(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the Jaccard ground set."""
+    return char_shingles(df, text_col, id_col, k).distinct()
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 6, id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per doc with columns mh0..mh{n-1}.
+
+    The j-th permutation is simulated by md5(j ‖ ':' ‖ shingle); the
+    signature component is the lexicographic minimum — identical in any
+    engine, no RNG needed.
+    """
+    seeds = F.explode(F.array(*[F.lit(j) for j in range(n_hashes)])).alias("j")
+    hashed = shingles.select(
+        id_col, seeds, F.col("shingle")
+    ).select(
+        id_col,
+        "j",
+        F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("shingle"))).alias(
+            "h"
+        ),
+    )
+    aggs = [
+        F.min(F.when(F.col("j") == j, F.col("h"))).alias(f"mh{j}")
+        for j in range(n_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    signatures: DataFrame, n_hashes: int = 6, band_size: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band_idx, band_val): hash each band of the signature."""
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + i}") for i in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*cols)).alias("band_val"))
+        )
+    return signatures.select(
+        id_col, F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_val")
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one band bucket —
+    the ONLY pairs that ever get compared (the scale trick)."""
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, shingles: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for each candidate pair: |A∩B| / |A|+|B|−|A∩B|.
+    Integer counts, one final division — bit-deterministic."""
+    counts = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        candidates.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        candidates.join(inter, ["id_a", "id_b"], "left")
+        .join(counts.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(counts.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+            "n_a",
+            "n_b",
+            (
+                F.coalesce("n_inter", F.lit(0)).cast("double")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    n_hashes: int = 6,
+    band_size: int = 2,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dedup pipeline: shingle → minhash → band → candidate
+    pairs → exact-Jaccard verify → pairs ≥ threshold."""
+    sh = shingle_set(df, text_col, id_col, k)
+    sig = minhash_signatures(sh, n_hashes, id_col)
+    cand = lsh_candidate_pairs(lsh_bands(sig, n_hashes, band_size, id_col), id_col)
+    verified = jaccard_verify(cand, sh, id_col)
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+# -------------------------------------------------------------- simhash ---
+
+# hex digit → which digits have each bit set (bit value → digit set)
+_HEX_BITS = {
+    8: "89abcdef",
+    4: "4567cdef",
+    2: "2367abef",
+    1: "13579bdf",
+}
+
+
+def simhash_bit_exprs(hash_col: str = "h", n_hex: int = 8) -> list[str]:
+    """±1 contribution expressions for each of the 4·n_hex signature
+    bits, as engine-portable SQL (identical text runs in Spark and
+    DuckDB — md5/substr/IN only)."""
+    exprs = []
+    for p in range(1, n_hex + 1):
+        for v in (8, 4, 2, 1):
+            digits = ", ".join(f"'{d}'" for d in _HEX_BITS[v])
+            exprs.append(
+                f"CASE WHEN substr({hash_col}, {p}, 1) IN ({digits}) THEN 1 ELSE -1 END"
+            )
+    return exprs
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_hex: int = 8
+) -> DataFrame:
+    """(id, simhash): 4·n_hex-bit SimHash over whitespace tokens
+    (token hash = md5; bit b of the signature = sign of the sum of
+    ±1 token contributions). One explode + one groupBy."""
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).withColumn("h", F.md5(F.col("token")))
+    bit_terms = simhash_bit_exprs("h", n_hex)
+    aggs = [F.expr(f"sum({t})").alias(f"s{i}") for i, t in enumerate(bit_terms)]
+    summed = toks.groupBy(id_col).agg(*aggs)
+    bits = [
+        F.when(F.col(f"s{i}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(len(bit_terms))
+    ]
+    return summed.select(id_col, F.concat(*bits).alias("simhash"))
+
+
+# --------------------------------------------------------- ngram jaccard ---
+
+
+def word_ngrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-grams per doc (space-joined token windows)."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.explode(F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))))
+    out = df.select(F.col(id_col), toks.alias("toks"), idx.alias("i"))
+    gram = F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), n))
+    return out.select(id_col, gram.alias("shingle")).distinct()

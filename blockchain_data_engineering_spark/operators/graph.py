@@ -1,0 +1,158 @@
+"""Graph operators over edge-list DataFrames (SURVEY §2.8 G1-G4).
+
+The reference keeps its wallet transfer graph in Neo4j and runs
+PageRank inside the database via GDS
+(airflow/archive/dags/etl_pagerank_dag.py:43-48:
+``CALL gds.pageRank.stream('txGraph')``). The engine's graph is just
+two DataFrames — vertices and edges — so algorithms are join/agg loops
+that scale with the cluster instead of a single graph-DB instance.
+
+PageRank here comes in two flavors:
+
+- :func:`pagerank` — standard double-precision damped PageRank
+  (damping 0.85 like the GDS default), the production path.
+- :func:`pagerank_quantized` — the same iteration in fixed-point
+  integer arithmetic (pr scaled by 10^12, integer division). Every op
+  is exact integer math, so results are bit-reproducible across
+  engines, runs, and partitionings — used for oracle verification and
+  wherever reproducibility trumps the ~1e-12 quantization error.
+
+Scale notes: each iteration is one shuffle (contributions groupBy dst)
+plus one join back to the vertex set. Both inputs are re-used every
+iteration → cache() them; at 100 TB pre-partition edges by src so the
+contribution join is co-located, and checkpoint the rank DataFrame
+every ~5 iterations to truncate lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, out_degree, in_degree)."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def vertices_of(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    return (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Damped PageRank, double precision. Dangling nodes (no out-edges)
+    keep receiving rank but don't redistribute (their mass leaks, as in
+    the simplest formulation)."""
+    nodes = vertices_of(edges, src, dst).cache()
+    n = nodes.count()
+    deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    e = edges.select(F.col(src).alias("src_node"), F.col(dst).alias("node_dst")).cache()
+
+    pr = nodes.withColumn("score", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr.withColumnRenamed("node", "src_node"), "src_node")
+            .join(deg.withColumnRenamed("node", "src_node"), "src_node")
+            .select(
+                F.col("node_dst").alias("node"),
+                (F.col("score") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias(
+                "score"
+            ),
+        )
+    return pr
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-point PageRank: rank carried as ``pr_q = score·10^12`` in
+    BIGINT, contributions via integer division ``pr_q div outdeg``,
+    damping via ``(sum·85) div 100``. Exact integer math end-to-end ⇒
+    bit-reproducible across engines and partitionings.
+    """
+    nodes = vertices_of(edges, src, dst).cache()
+    n = nodes.count()
+    deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    e = edges.select(F.col(src).alias("src_node"), F.col(dst).alias("node_dst")).cache()
+
+    base_q = (PR_SCALE * (100 - damping_pct)) // 100 // n
+    pr = nodes.withColumn("pr_q", F.lit(PR_SCALE // n).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr.withColumnRenamed("node", "src_node"), "src_node")
+            .join(deg.withColumnRenamed("node", "src_node"), "src_node")
+            .select(
+                F.col("node_dst").alias("node"),
+                F.expr("pr_q div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base_q)
+                + F.expr(f"(coalesce(s, 0) * {damping_pct}) div 100")
+            ).cast("long").alias("pr_q"),
+        )
+    return pr.select(
+        "node", (F.col("pr_q").cast("double") / F.lit(float(PR_SCALE))).alias("score")
+    )
+
+
+def neighborhood(
+    edges: DataFrame, node: str, depth: int = 1, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Edges reachable from ``node`` within ``depth`` hops (the
+    notebook's MATCH (s)-[t:SENT_TO]->(r) sample, G4 — but anchored and
+    deterministic instead of LIMIT 50)."""
+    frontier = edges.where(F.col(src) == node)
+    result = frontier
+    for _ in range(depth - 1):
+        nxt = edges.join(
+            frontier.select(F.col(dst).alias(src)).distinct(), src, "inner"
+        )
+        result = result.unionByName(nxt).distinct()
+        frontier = nxt
+    return result

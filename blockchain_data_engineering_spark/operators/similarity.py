@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (SURVEY §7.2 M5 /
+BASELINE.json north star): brute-force cosine top-k as the correctness
+baseline, sign-random-projection LSH bucketing as the scale path.
+
+Exactness contract: dot products and norms are computed as sums of
+integer *quanta* (each per-position product floored at 10^-12) — sums
+of BIGINTs are order-independent, so cosine values are bit-identical
+across engines, partitionings, and runs. The quantization error
+(≤ 6.4e-11 for 64 dims) is far below any meaningful similarity
+threshold.
+
+Scale notes: brute force is O(Q·N·d) — fine for small query sets or
+reranking; the LSH path buckets vectors by an 8-bit sign signature so
+the candidate join only compares colliding buckets (≈ N²/256 pairs for
+uniform data, tunable by signature width). For a production ANN at
+100 TB you'd add multi-probe + IVF coarse quantization on top; the
+bucket-join skeleton is the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANTA_DIGITS = 12
+_SCALE = float(10**QUANTA_DIGITS)
+
+
+def _q(x: Column) -> Column:
+    """Integer quanta of a double (see plans.parity)."""
+    return F.floor(x * F.lit(_SCALE) + F.lit(0.5)).cast("long")
+
+
+def dot_quanta(a: Column, b: Column) -> Column:
+    """Exact-integer dot product of two float vectors (BIGINT)."""
+    prods = F.zip_with(
+        a, b, lambda x, y: _q(x.cast("double") * y.cast("double"))
+    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def norm_quanta(a: Column) -> Column:
+    """Exact-integer squared norm (BIGINT quanta)."""
+    prods = F.transform(a, lambda x: _q(x.cast("double") * x.cast("double")))
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def cosine_from_quanta(dot_q: Column, norm_a_q: Column, norm_b_q: Column) -> Column:
+    """cosine = dot / (|a|·|b|) from integer quanta — one division of
+    deterministic doubles."""
+    return (dot_q.cast("double") / F.lit(_SCALE)) / (
+        F.sqrt(norm_a_q.cast("double") / F.lit(_SCALE))
+        * F.sqrt(norm_b_q.cast("double") / F.lit(_SCALE))
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("norm_q", norm_quanta(F.col(vec_col)))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    candidate scan, rank per query. Candidates never shuffle until the
+    final per-query rank (one shuffle on query_id)."""
+    q = with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        "q_vec",
+    ).withColumnRenamed("norm_q", "q_norm_q")
+    c = with_norm(
+        candidates.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_vec",
+    ).withColumnRenamed("norm_q", "c_norm_q")
+
+    pairs = F.broadcast(q).crossJoin(c).where(F.col("query_id") != F.col("cand_id"))
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        cosine_from_quanta(
+            dot_quanta(F.col("q_vec"), F.col("c_vec")),
+            F.col("q_norm_q"),
+            F.col("c_norm_q"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def sign_lsh_bucket(
+    vec: Column, n_planes: int = 8, dim: int = 64
+) -> Column:
+    """Sign-random-projection LSH bucket id as a bit string.
+
+    Hyperplane j is a Rademacher (±1) vector whose sign at position i
+    is derived from md5(f"{j}_{i}") — deterministic, engine-portable,
+    and a valid LSH family for cosine similarity. The projection is an
+    exact integer sum of per-position quanta.
+    """
+    bits = []
+    for j in range(n_planes):
+        terms = F.array(
+            *[
+                (F.lit(1) if _plane_sign(j, i) > 0 else F.lit(-1))
+                * _q(F.element_at(vec, i + 1).cast("double"))
+                for i in range(dim)
+            ]
+        )
+        proj = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _plane_sign(j: int, i: int) -> int:
+    """+1/−1 from the first hex digit of md5(f"{j}_{i}") — computed in
+    Python here and by the same md5 rule in the SQL oracle."""
+    import hashlib
+
+    d = hashlib.md5(f"{j}_{i}".encode()).hexdigest()[0]
+    return 1 if d in "89abcdef" else -1
+
+
+def plane_signs(n_planes: int = 8, dim: int = 64) -> list[list[int]]:
+    return [[_plane_sign(j, i) for i in range(dim)] for j in range(n_planes)]
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k neighbors: bucket by sign-LSH signature, exact
+    cosine *within* buckets only (the scale path: the join is on the
+    bucket key, never all-pairs)."""
+    bucketed = with_norm(vectors, vec_col).withColumn(
+        "bucket", sign_lsh_bucket(F.col(vec_col), n_planes, dim)
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("norm_q").alias("q_norm_q"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("norm_q").alias("c_norm_q"),
+        "bucket",
+    )
+    pairs = a.join(b, "bucket").where(F.col("query_id") != F.col("cand_id"))
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        cosine_from_quanta(
+            dot_quanta(F.col("q_vec"), F.col("c_vec")),
+            F.col("q_norm_q"),
+            F.col("c_norm_q"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

@@ -1,0 +1,156 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY §7.2
+M5 / BASELINE.json north star): language ID, quality scoring, token
+counting, document fingerprinting.
+
+All hot-path logic is native Catalyst expressions (split/regexp/
+aggregate) — no Python per row. Each op is engineered to be
+cross-engine deterministic: counts are integers, ratios are single
+divisions of exact integers.
+
+At 100 TB these run as a single narrow projection over the documents
+scan (no shuffle at all until a downstream groupBy), so throughput is
+bounded by parquet decode speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists for the n-gram/stopword
+# language-ID heuristic. Deliberately small and public-knowledge — the
+# point is the *operator shape* (argmax over per-language hit counts).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "es": ("el", "la", "que", "de", "es"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (exact parity with standard SQL
+    string_split semantics on single-space text)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: alnum runs + individual punctuation
+    marks, via one regexp pass (``regexp_count`` stays JVM-side)."""
+    return F.regexp_count(text, F.lit(TOKEN_PATTERN))
+
+
+def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """Total occurrences of the marker words as standalone tokens —
+    exact token-equality filter over the whitespace tokens (no regex
+    overlap ambiguity, deterministic across engines)."""
+    toks = tokens(text)
+    expr = None
+    for w in words:
+        c = F.size(F.filter(toks, lambda t: t == F.lit(w)))
+        expr = c if expr is None else expr + c
+    return expr
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language over marker-word hit counts; 'und' when no
+    marker hits at all. Deterministic tie-break: language code order."""
+    hits = {lang: stopword_hits(text, ws) for lang, ws in sorted(LANG_MARKERS.items())}
+    total = None
+    for c in hits.values():
+        total = c if total is None else total + c
+    best = None
+    best_lang = None
+    for lang, c in hits.items():
+        if best is None:
+            best, best_lang = c, F.lit(lang)
+        else:
+            is_better = c > best
+            best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+            best = F.when(is_better, c).otherwise(best)
+    return F.when(total > 0, best_lang).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard quality-score feature set:
+
+    - n_chars, n_tokens, mean token length
+    - punctuation ratio (punct chars / chars)
+    - stopword ratio (english marker hits / tokens)
+    - uppercase ratio
+
+    All ratios are divisions of exact integer counts → bit-stable.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+    n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_stop = stopword_hits(t, LANG_MARKERS["en"])
+    return (
+        df.withColumn("n_chars_m", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "mean_token_len",
+            (n_chars - (n_tokens - 1)).cast("double") / n_tokens.cast("double"),
+        )
+        .withColumn("punct_ratio", n_punct.cast("double") / n_chars.cast("double"))
+        .withColumn("upper_ratio", n_upper.cast("double") / n_chars.cast("double"))
+        .withColumn("stop_ratio", n_stop.cast("double") / n_tokens.cast("double"))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0-100 quality score from integer-exact features.
+
+    score = 100 · sigmoid-ish blend: length in a sane band, some
+    stopwords present, punctuation not dominating. The blend uses only
+    +,·,/ of already-deterministic doubles.
+    """
+    feats = quality_features(df, text_col)
+    length_ok = F.when(
+        (F.col("n_chars_m") >= 50) & (F.col("n_chars_m") <= 10000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.lit(40.0) * length_ok
+        + F.lit(40.0) * F.least(F.col("stop_ratio") * 4, F.lit(1.0))
+        + F.lit(20.0) * (F.lit(1.0) - F.least(F.col("punct_ratio") * 10, F.lit(1.0)))
+    )
+    return feats.withColumn("quality_score", score)
+
+
+def fingerprint(text: Column, normalize: bool = True) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercase, whitespace collapsed). The exact-dedup key."""
+    t = text
+    if normalize:
+        t = F.regexp_replace(F.lower(t), r"\s+", " ")
+        t = F.trim(t)
+    return F.md5(t)
+
+
+def char_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Explode each document into its k-character shingles (the MinHash
+    input). One narrow explode — no shuffle. Documents shorter than k
+    contribute their whole text as a single shingle."""
+    n = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
+    return (
+        df.select(
+            id_col,
+            F.col(text_col),
+            F.explode(F.sequence(F.lit(1), n)).alias("i"),
+        )
+        .select(
+            id_col,
+            F.col(text_col).substr(F.col("i"), F.lit(k)).alias("shingle"),
+        )
+    )

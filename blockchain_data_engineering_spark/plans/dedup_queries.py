@@ -1,1 +1,269 @@
-"""dedup_queries — filled in incrementally."""
+"""Deduplication queries over ``documents``/``embeddings`` (SURVEY
+§7.2 M5 / north-star LLM-data operators): exact, MinHash+LSH, SimHash,
+word-n-gram Jaccard, embedding-cosine near-dup.
+
+Every oracle reproduces the *entire* pipeline in SQL — including the
+MinHash banding — because all hash primitives are md5 hex strings and
+all similarity arithmetic is exact-integer quanta (see operators
+``dedup``/``similarity`` for the determinism contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blockchain_data_engineering_spark.catalog import load_table
+from blockchain_data_engineering_spark.operators import dedup as D
+from blockchain_data_engineering_spark.operators import similarity as SIM
+from blockchain_data_engineering_spark.plans.parity import quanta_sql
+from blockchain_data_engineering_spark.plans.registry import query
+
+N_HASHES = 6
+BAND_SIZE = 2
+SHINGLE_K = 5
+
+# Distinct character-5-gram shingles per doc (select-list unnest works
+# around DuckDB's no-lateral-column generate_series).
+_SH_SQL = f"""
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, substr(text, CAST(i AS INTEGER), {SHINGLE_K}) AS shingle
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - {SHINGLE_K - 1}, 1))) AS i
+      FROM documents
+    )
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on the normalized-text fingerprint.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           count(*) AS n_docs,
+           min(doc_id) AS canonical_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup: shingle → 6 minhashes (lexicographic min of
+# seeded md5) → 3 bands of 2 → bucket-join candidates → exact-Jaccard
+# verification. The oracle replays the identical pipeline in SQL.
+# ---------------------------------------------------------------------------
+def _minhash_oracle() -> str:
+    mh_cols = ",\n             ".join(
+        f"min(CASE WHEN j = {j} THEN h END) AS mh{j}" for j in range(N_HASHES)
+    )
+    n_bands = N_HASHES // BAND_SIZE
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(mh{b * BAND_SIZE} || mh{b * BAND_SIZE + 1}) AS band_val FROM sig"
+        for b in range(n_bands)
+    )
+    seeds = ", ".join(str(j) for j in range(N_HASHES))
+    return f"""
+    WITH sh AS ({_SH_SQL}),
+    hashed AS (
+      SELECT doc_id, j, md5(CAST(j AS VARCHAR) || ':' || shingle) AS h
+      FROM sh CROSS JOIN (SELECT unnest([{seeds}]) AS j)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mh_cols}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           coalesce(i.n_inter, 0) AS n_inter,
+           ca.n AS n_a, cb.n AS n_b,
+           CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / CAST(ca.n + cb.n - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN cnt ca ON ca.doc_id = c.id_a
+    JOIN cnt cb ON cb.doc_id = c.id_b
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_set(docs, k=SHINGLE_K)
+    sig = D.minhash_signatures(sh, N_HASHES)
+    cand = D.lsh_candidate_pairs(D.lsh_bands(sig, N_HASHES, BAND_SIZE))
+    return D.jaccard_verify(cand, sh)
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 32-bit signature over whitespace tokens; identical ±1 bit
+# expressions run in both engines (md5/substr/IN only).
+# ---------------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    terms = D.simhash_bit_exprs("h")
+    sums = ",\n             ".join(
+        f"sum({t}) AS s{i}" for i, t in enumerate(terms)
+    )
+    bits = " || ".join(
+        f"(CASE WHEN s{i} >= 0 THEN '1' ELSE '0' END)" for i in range(len(terms))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, md5(token) AS h
+      FROM documents, unnest(string_split(text, ' ')) AS t(token)
+    ),
+    s AS (
+      SELECT doc_id,
+             {sums}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {bits} AS simhash FROM s
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs)
+
+
+# ---------------------------------------------------------------------------
+# Word-3-gram Jaccard with source-blocking: candidates are same-source
+# pairs (the blocking key a real pipeline would use — e.g. same crawl
+# domain), similarity on distinct word trigrams.
+# ---------------------------------------------------------------------------
+_NG_SQL = """
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           array_to_string(tk[CAST(i AS INTEGER):CAST(i AS INTEGER) + 2], ' ')
+             AS shingle
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS tk,
+             unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i
+      FROM documents
+    )
+  )
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH g AS ({_NG_SQL}),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM documents a JOIN documents b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.id_a
+      JOIN g gb ON gb.doc_id = c.id_b AND gb.shingle = ga.shingle
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           coalesce(i.n_inter, 0) AS n_inter,
+           ca.n AS n_a, cb.n AS n_b,
+           CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / CAST(ca.n + cb.n - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN cnt ca ON ca.doc_id = c.id_a
+    JOIN cnt cb ON cb.doc_id = c.id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = D.word_ngrams(docs, n=3)
+    a = docs.select(F.col("doc_id").alias("id_a"), "source")
+    b = docs.select(F.col("doc_id").alias("id_b"), "source")
+    cand = (
+        a.join(b, "source").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    )
+    return D.jaccard_verify(cand, grams)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup with label blocking: exact integer-quanta
+# cosine within same-label pairs, near-dup threshold 0.25 (the synthetic embeddings' intra-label cosine tops out near 0.47).
+# ---------------------------------------------------------------------------
+def _emb_cos_oracle() -> str:
+    q_sq = quanta_sql(
+        "CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)", 12
+    )
+    q_ab = quanta_sql(
+        "CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)", 12
+    )
+    return f"""
+    WITH n AS (
+      SELECT vec_id, CAST(sum({q_sq}) AS BIGINT) AS norm_q
+      FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(sum({q_ab}) AS BIGINT) AS dot_q
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+           generate_series(1, 64) AS t(i)
+      GROUP BY 1, 2
+    )
+    SELECT d.id_a, d.id_b,
+           (CAST(dot_q AS DOUBLE) / 1000000000000)
+             / (sqrt(CAST(na.norm_q AS DOUBLE) / 1000000000000)
+                * sqrt(CAST(nb.norm_q AS DOUBLE) / 1000000000000)) AS cosine
+    FROM dots d
+    JOIN n na ON na.vec_id = d.id_a
+    JOIN n nb ON nb.vec_id = d.id_b
+    WHERE (CAST(dot_q AS DOUBLE) / 1000000000000)
+             / (sqrt(CAST(na.norm_q AS DOUBLE) / 1000000000000)
+                * sqrt(CAST(nb.norm_q AS DOUBLE) / 1000000000000)) >= 0.25
+    """
+
+
+@query("dedup_embedding_cosine", oracle=_emb_cos_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    withn = SIM.with_norm(emb)
+    a = withn.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"),
+        F.col("norm_q").alias("n_a"), "label",
+    )
+    b = withn.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"),
+        F.col("norm_q").alias("n_b"), "label",
+    )
+    pairs = a.join(b, "label").where(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        SIM.cosine_from_quanta(
+            SIM.dot_quanta(F.col("e_a"), F.col("e_b")), F.col("n_a"), F.col("n_b")
+        ).alias("cosine"),
+    )
+    return scored.where(F.col("cosine") >= 0.25)

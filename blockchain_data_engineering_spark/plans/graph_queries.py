@@ -1,1 +1,167 @@
-"""graph_queries — filled in incrementally."""
+"""Graph queries (SURVEY §2.8) over the driver tables. The wallet
+graph maps to customer↔supplier edges per FIXTURES.md §9: customers
+send to suppliers (kept lineitems), suppliers "send back" returns
+(l_returnflag='R'), giving a cyclic bipartite-ish graph that exercises
+real PageRank dynamics.
+
+The PageRank oracle is the exact same fixed-point iteration unrolled
+into a SQL CTE chain — integer arithmetic end-to-end, so Spark and
+DuckDB agree bit-for-bit (see operators.graph.pagerank_quantized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blockchain_data_engineering_spark.catalog import load_table
+from blockchain_data_engineering_spark.operators import graph as G
+from blockchain_data_engineering_spark.plans.registry import query
+
+PR_ITERS = 5
+
+_EDGES_SQL = """
+    SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                    's' || CAST(l_suppkey AS VARCHAR) AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag <> 'R'
+    UNION
+    SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                    'c' || CAST(o_custkey AS VARCHAR) AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R'
+"""
+
+
+def _edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey, "inner")
+    fwd = (
+        j.where(F.col("l_returnflag") != "R")
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    back = (
+        j.where(F.col("l_returnflag") == "R")
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return fwd.union(back).distinct()
+
+
+def _pagerank_oracle_sql(iters: int) -> str:
+    """Unroll the fixed-point PageRank iteration as a CTE chain.
+
+    DuckDB can't aggregate inside a recursive CTE, so the loop is
+    generated — same integer ops as pagerank_quantized: BIGINT ranks
+    scaled by 10^12, ``//`` division, 85/100 damping.
+    """
+    scale = G.PR_SCALE
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "meta AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1)",
+        f"pr0 AS (SELECT node, {scale} // (SELECT n FROM meta) AS pr_q FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"pr{i - 1}"
+        ctes.append(
+            f"""pr{i} AS (
+      SELECT n.node,
+             (({scale} * 15) // 100) // (SELECT n FROM meta)
+               + (coalesce(c.s, 0) * 85) // 100 AS pr_q
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(p.pr_q // d.outdeg) AS BIGINT) AS s
+        FROM edges e
+        JOIN {prev} p ON e.src = p.node
+        JOIN deg d ON e.src = d.node
+        GROUP BY 1
+      ) c ON c.node = n.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(pr_q AS DOUBLE) / {scale} AS score FROM pr{iters}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# G3: PageRank — native iterative DataFrame loop replacing Neo4j GDS
+# (airflow/archive/dags/etl_pagerank_dag.py:43-48). Fixed-point variant
+# for exact oracle verification; operators.graph.pagerank is the
+# float production path (damping 0.85 = the GDS default).
+# ---------------------------------------------------------------------------
+@query("graph_pagerank", oracle=_pagerank_oracle_sql(PR_ITERS))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges_df(spark, sf_dir)
+    return G.pagerank_quantized(edges, iterations=PR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# G1: edge construction + degree profile of the transfer graph — the
+# shape queried by the notebook's network plot
+# (transaction_network_plot.ipynb).
+# ---------------------------------------------------------------------------
+@query(
+    "graph_degrees",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    o AS (SELECT src AS node, count(*) AS out_degree FROM edges GROUP BY 1),
+    i AS (SELECT dst AS node, count(*) AS in_degree FROM edges GROUP BY 1)
+    SELECT coalesce(o.node, i.node) AS node,
+           coalesce(o.out_degree, 0) AS out_degree,
+           coalesce(i.in_degree, 0)  AS in_degree
+    FROM o FULL OUTER JOIN i ON o.node = i.node
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.degrees(_edges_df(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# G4: anchored neighborhood sample — deterministic restatement of the
+# notebook's ``MATCH (s)-[t:SENT_TO]->(r) LIMIT 50`` (the LIMIT was
+# arbitrary row selection, hazard H3): 2-hop out-neighborhood of the
+# highest-out-degree node.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_neighborhood",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    anchor AS (
+      SELECT src AS node FROM edges GROUP BY 1
+      ORDER BY count(*) DESC, src LIMIT 1
+    ),
+    hop1 AS (SELECT * FROM edges WHERE src = (SELECT node FROM anchor)),
+    hop2 AS (
+      SELECT e.* FROM edges e
+      WHERE e.src IN (SELECT DISTINCT dst FROM hop1)
+    )
+    SELECT DISTINCT * FROM (
+      SELECT src, dst FROM hop1 UNION ALL SELECT src, dst FROM hop2
+    )
+    """,
+)
+def graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges_df(spark, sf_dir).cache()
+    anchor = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.col("d").desc(), F.col("src"))
+        .limit(1)
+        .collect()[0]["src"]
+    )
+    hop1 = edges.where(F.col("src") == anchor)
+    hop2 = edges.join(
+        hop1.select(F.col("dst").alias("src")).distinct(), "src", "inner"
+    )
+    return hop1.unionByName(hop2).distinct()

@@ -1,1 +1,141 @@
-"""similarity_queries — filled in incrementally."""
+"""Similarity-search queries over ``embeddings`` (SURVEY §7.2 M5):
+brute-force cosine top-k (the exact baseline) and sign-LSH bucketed ANN
+(the scale path). Cosines are exact integer-quanta arithmetic, so both
+ranking and values match the oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blockchain_data_engineering_spark.catalog import load_table
+from blockchain_data_engineering_spark.operators import similarity as SIM
+from blockchain_data_engineering_spark.plans.parity import quanta_sql
+from blockchain_data_engineering_spark.plans.registry import query
+
+N_QUERIES = 10
+TOPK = 5
+N_PLANES = 8
+DIM = 64
+
+_NORM_Q = quanta_sql("CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)", 12)
+_DOT_Q = quanta_sql("CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)", 12)
+_SCALE = 10**12
+
+
+# ---------------------------------------------------------------------------
+# Brute-force exact top-k: query set (vec_id < 10) broadcast against the
+# full candidate scan; per-query rank with deterministic tie-break.
+# ---------------------------------------------------------------------------
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, CAST(sum({_NORM_Q}) AS BIGINT) AS norm_q
+      FROM embeddings, generate_series(1, {DIM}) AS t(i) GROUP BY 1
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             CAST(sum({_DOT_Q}) AS BIGINT) AS dot_q
+      FROM embeddings q
+      JOIN embeddings c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id,
+           generate_series(1, {DIM}) AS t(i)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, cand_id,
+             (CAST(dot_q AS DOUBLE) / {_SCALE})
+               / (sqrt(CAST(nq.norm_q AS DOUBLE) / {_SCALE})
+                  * sqrt(CAST(nc.norm_q AS DOUBLE) / {_SCALE})) AS cosine
+      FROM dots
+      JOIN n nq ON nq.vec_id = query_id
+      JOIN n nc ON nc.vec_id = cand_id
+    )
+    SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {TOPK}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return SIM.brute_force_topk(queries, emb, k=TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH ANN: bucket every vector by an 8-bit random-hyperplane sign
+# signature (Rademacher planes derived from md5 — reproducible in SQL),
+# exact cosine only WITHIN buckets, top-3 per vector. The bucket join
+# is the 100 TB trick: candidates scale with collisions, not N².
+# ---------------------------------------------------------------------------
+def _lsh_oracle() -> str:
+    k = 3
+    q_emb = quanta_sql("CAST(embedding[i] AS DOUBLE)", 12)
+    sign = (
+        "CASE WHEN substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 1)"
+        " IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END"
+    )
+    bit_cols = " || ".join(
+        f"max(CASE WHEN j = {j} THEN bit END)" for j in range(N_PLANES)
+    )
+    dot_q = quanta_sql(
+        "CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)", 12
+    )
+    return f"""
+    WITH comps AS (
+      SELECT vec_id, i, {q_emb} AS q
+      FROM embeddings, generate_series(1, {DIM}) AS t(i)
+    ),
+    proj AS (
+      SELECT vec_id, j,
+             sum(CASE WHEN {sign} = 1 THEN q ELSE -q END) AS p
+      FROM comps, generate_series(0, {N_PLANES - 1}) AS pl(j)
+      GROUP BY 1, 2
+    ),
+    bits AS (
+      SELECT vec_id, j, CASE WHEN p >= 0 THEN '1' ELSE '0' END AS bit FROM proj
+    ),
+    buckets AS (
+      SELECT vec_id, {bit_cols} AS bucket FROM bits GROUP BY vec_id
+    ),
+    n AS (
+      SELECT vec_id, CAST(sum({_NORM_Q}) AS BIGINT) AS norm_q
+      FROM embeddings, generate_series(1, {DIM}) AS t(i) GROUP BY 1
+    ),
+    pairs AS (
+      SELECT ba.vec_id AS query_id, bb.vec_id AS cand_id
+      FROM buckets ba JOIN buckets bb
+        ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id
+    ),
+    dots AS (
+      SELECT p.query_id, p.cand_id, CAST(sum({dot_q}) AS BIGINT) AS dot_q
+      FROM pairs p
+      JOIN embeddings a ON a.vec_id = p.query_id
+      JOIN embeddings b ON b.vec_id = p.cand_id,
+           generate_series(1, {DIM}) AS t(i)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, cand_id,
+             (CAST(dot_q AS DOUBLE) / {_SCALE})
+               / (sqrt(CAST(nq.norm_q AS DOUBLE) / {_SCALE})
+                  * sqrt(CAST(nc.norm_q AS DOUBLE) / {_SCALE})) AS cosine
+      FROM dots
+      JOIN n nq ON nq.vec_id = query_id
+      JOIN n nc ON nc.vec_id = cand_id
+    )
+    SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+@query("sim_lsh_ann", oracle=_lsh_oracle())
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_ann_topk(emb, k=3, n_planes=N_PLANES, dim=DIM)

@@ -1,1 +1,163 @@
-"""streaming_queries — filled in incrementally."""
+"""Event-time windowing queries (SURVEY §2.9 gap-closing operators) —
+verified in batch via the driver's oracle gate (Spark's window
+functions are mode-agnostic; tests/test_streaming.py exercises the
+same operators as real checkpointed streams).
+
+Window starts are exposed as epoch-millisecond BIGINTs: Spark's
+``window()`` aligns tumbling/sliding windows to the 1970 epoch in the
+session timezone (UTC here), which the oracle reproduces with integer
+division — exact, no timestamp-type coercion ambiguity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blockchain_data_engineering_spark.catalog import load_table
+from blockchain_data_engineering_spark.plans.parity import dsum, dsum_sql
+from blockchain_data_engineering_spark.plans.registry import query
+from blockchain_data_engineering_spark.streaming import windows as W
+
+TUMBLE_MS = 10 * 60 * 1000
+SLIDE_MS = 15 * 60 * 1000
+SLIDE_WIDTH_MS = 60 * 60 * 1000
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+# ---------------------------------------------------------------------------
+# Tumbling windows (10 min) per event_type.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT (epoch_ms(ts) // {TUMBLE_MS}) * {TUMBLE_MS} AS window_start_ms,
+           event_type,
+           count(*) AS n_events,
+           {dsum_sql('value', 4)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = W.tumbling_counts(
+        ev,
+        "ts",
+        width="10 minutes",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 4).alias("sum_value"),
+        ],
+    )
+    return out.select(
+        F.unix_millis(F.col("window_start")).alias("window_start_ms"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows (1 h wide, 15 min slide): every event lands in
+# exactly width/slide = 4 windows; the oracle materializes them with a
+# 0..3 offset cross join.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_sliding_window",
+    oracle=f"""
+    SELECT ((epoch_ms(ts) // {SLIDE_MS}) - k) * {SLIDE_MS} AS window_start_ms,
+           event_type,
+           count(*) AS n_events
+    FROM events, generate_series(0, {SLIDE_WIDTH_MS // SLIDE_MS - 1}) AS o(k)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = W.sliding_counts(
+        ev, "ts", width="1 hour", slide="15 minutes", keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    return out.select(
+        F.unix_millis(F.col("window_start")).alias("window_start_ms"),
+        "event_type",
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session windows (30 min gap) per user — Spark's session_window vs the
+# classic gaps-and-islands SQL: a new session starts when the gap to
+# the previous event is >= the gap duration (session end is exclusive);
+# session_end = last event + gap.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_session_window",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, value, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    m AS (
+      SELECT *, CASE WHEN prev IS NULL
+                      OR epoch_ms(ts) - epoch_ms(prev) >= {SESSION_GAP_MS}
+                     THEN 1 ELSE 0 END AS brk
+      FROM o
+    ),
+    i AS (
+      SELECT *, sum(brk) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM m
+    )
+    SELECT user_id,
+           epoch_ms(min(ts)) AS session_start_ms,
+           epoch_ms(max(ts)) + {SESSION_GAP_MS} AS session_end_ms,
+           count(*) AS n_events,
+           {dsum_sql('value', 4)} AS sum_value
+    FROM i GROUP BY user_id, grp
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = W.session_aggregate(
+        ev, "ts", gap="30 minutes", keys=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 4).alias("sum_value"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.unix_millis(F.col("session_start")).alias("session_start_ms"),
+        F.unix_millis(F.col("session_end")).alias("session_end_ms"),
+        "n_events",
+        "sum_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-touch dedup: the batch semantics of
+# dropDuplicatesWithinWatermark — keep the earliest event per
+# (user_id, event_type) under a deterministic order.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_dedup_first_touch",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+    """,
+)
+def stream_dedup_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )

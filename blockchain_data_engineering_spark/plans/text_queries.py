@@ -1,1 +1,153 @@
-"""text_queries — filled in incrementally."""
+"""Text-analysis queries over the ``documents`` table (SURVEY §7.2 M5 /
+north-star LLM-data operators): token counting, quality scoring,
+language ID, fingerprinting.
+
+All counts are exact integers; every ratio is one division of exact
+integers — bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blockchain_data_engineering_spark.catalog import load_table
+from blockchain_data_engineering_spark.operators import text as TX
+from blockchain_data_engineering_spark.plans.registry import query
+
+_BPE_PAT = TX.TOKEN_PATTERN
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + a BPE-ish regex token estimate —
+# the unit of measure for every LLM-pipeline budget decision.
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           length(text)                                       AS n_chars_m,
+           len(string_split(text, ' '))                       AS n_tokens,
+           len(regexp_extract_all(text, '{_BPE_PAT}'))        AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), 0)).alias(
+            "n_tokens_bpe"
+        ),
+    )
+
+
+def _stop_hits_sql(words: tuple[str, ...]) -> str:
+    terms = " + ".join(
+        f"len(list_filter(string_split(text, ' '), t -> t = '{w}'))" for w in words
+    )
+    return f"({terms})"
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length band + stopword presence + punctuation
+# pressure → composite 0-100 score. The standard cheap pre-filter
+# before expensive dedup/classification stages.
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars_m,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS n_punct,
+             {_stop_hits_sql(TX.LANG_MARKERS["en"])} AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars_m, n_tokens,
+           CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE) AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)   AS stop_ratio,
+           40.0 * (CASE WHEN n_chars_m >= 50 AND n_chars_m <= 10000
+                        THEN 1.0 ELSE 0.0 END)
+           + 40.0 * least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4, 1.0)
+           + 20.0 * (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE) * 10, 1.0))
+             AS quality_score
+    FROM feats
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = TX.quality_score(docs)
+    return scored.select(
+        "doc_id", "n_chars_m", "n_tokens", "punct_ratio", "stop_ratio",
+        "quality_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: argmax over per-language marker-token hit counts with a
+# deterministic first-wins tie-break (sorted language code order);
+# 'und' when nothing hits.
+# ---------------------------------------------------------------------------
+def _langid_oracle() -> str:
+    langs = sorted(TX.LANG_MARKERS)
+    hit_cols = ",\n             ".join(
+        f"{_stop_hits_sql(TX.LANG_MARKERS[lang])} AS h_{lang}" for lang in langs
+    )
+    # mirror the Spark fold: start with the first language, strictly
+    # greater wins
+    pred = f"'{langs[0]}'"
+    best = f"h_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN h_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN h_{lang} > {best} THEN h_{lang} ELSE {best} END"
+    total = " + ".join(f"h_{lang}" for lang in langs)
+    return f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             {hit_cols}
+      FROM documents
+    )
+    SELECT doc_id, lang AS lang_declared,
+           CASE WHEN {total} > 0 THEN {pred} ELSE 'und' END AS lang_pred
+    FROM hits
+    """
+
+
+@query("text_lang_id", oracle=_langid_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting: md5 of normalized text — the exact-dedup key — plus
+# per-fingerprint group size (window count).
+# ---------------------------------------------------------------------------
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           count(*) OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           ) AS n_same
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_fp = docs.select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fp")
+    )
+    return with_fp.withColumn(
+        "n_same", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )

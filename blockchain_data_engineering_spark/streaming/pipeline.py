@@ -1,0 +1,95 @@
+"""Checkpointed multi-sink streaming pipeline (SURVEY §2.9 T1-T4,
+fixing hazards H1/H4).
+
+The reference's foreachBatch body runs TWO separate sink actions off
+one unpersisted lineage (volumes → Postgres, transfers → Neo4j;
+src/etl_vol_transfers/main.py:211-222) — every action replays the
+whole plan including uuid() keys and per-row REST calls. Here each
+micro-batch is persisted ONCE, every sink writes from the same
+materialized rows, ids are content hashes, and the query runs under a
+checkpoint — restart-safe, idempotent, exactly-once into
+transactional/MERGE sinks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from blockchain_data_engineering_spark.domain import blocks as B
+from blockchain_data_engineering_spark.domain import netflow as N
+from blockchain_data_engineering_spark.domain import transfers as TR
+from blockchain_data_engineering_spark.domain import utxo as U
+from blockchain_data_engineering_spark.domain import volumes as V
+
+Sink = Callable[[DataFrame, int], Any]
+
+
+def parquet_append_sink(path: str) -> Sink:
+    """Append micro-batch output to parquet. With deterministic
+    content-hash keys a replayed batch writes identical rows, so a
+    downstream MERGE (or read-side dropDuplicates on the key) gives
+    exactly-once semantics without transactional storage."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        df.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(path)
+
+    return write
+
+
+def run_vol_transfers_pipeline(
+    block_lines: DataFrame,
+    dim: DataFrame,
+    utxo_outputs: DataFrame,
+    vol_sink: Sink,
+    transfer_sink: Sink,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The flagship reference pipeline (E1) as a checkpointed stream.
+
+    block_lines:  streaming NDJSON lines.
+    dim:          price×decimals dimension (static or re-read per batch
+                  — H5 fix).
+    utxo_outputs: historical outputs table for input resolution
+                  (stream-static join replacing per-row REST, J5).
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        parsed = B.parse_block_lines(batch_df)
+        outputs_b = B.tx_outputs_table(parsed)
+        inputs_b = B.tx_inputs_table(parsed)
+        # resolve against history + the batch's own outputs (intra-batch
+        # spends are legal: a tx may consume an output created earlier
+        # in the same micro-batch). Outputs are keyed by
+        # (tx_hash, output_index); dedup makes the union safe whether or
+        # not the history table already includes this batch.
+        all_outputs = utxo_outputs.unionByName(outputs_b).dropDuplicates(
+            ["tx_hash", "output_index"]
+        )
+        transacted = N.transacted(
+            U.input_units(U.resolve_inputs(inputs_b, all_outputs)),
+            B.output_units(outputs_b).drop("output_index"),
+        )
+        # ONE materialization, N sinks (H1 fix)
+        transacted.persist()
+        try:
+            coords = parsed.select(
+                F.explode("transactions.id").alias("hash"), "height", "slot"
+            )
+            vol_sink(V.volumes(transacted, dim, blocks_coords=coords), batch_id)
+            transfer_sink(TR.transfer_edges(transacted, dim), batch_id)
+        finally:
+            transacted.unpersist()
+
+    writer = (
+        block_lines.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

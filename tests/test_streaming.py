@@ -1,0 +1,209 @@
+"""Structured Streaming tests (SURVEY §7.2 M4): NDJSON file replay of
+the flagship volumes+transfers pipeline, checkpoint-restart
+idempotence (H4 fix), and watermark-bounded streaming dedup — all with
+``trigger(availableNow=True)`` so they run deterministically to
+completion.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchain_data_engineering_spark.domain import blocks as B
+from blockchain_data_engineering_spark.domain import netflow as N
+from blockchain_data_engineering_spark.domain import utxo as U
+from blockchain_data_engineering_spark.domain import volumes as V
+from blockchain_data_engineering_spark.domain.schema import DECIMALS_SCHEMA, PRICE_SCHEMA
+from blockchain_data_engineering_spark.domain.synthetic import generate_chain
+from blockchain_data_engineering_spark.streaming import sources as SRC
+from blockchain_data_engineering_spark.streaming import windows as W
+from blockchain_data_engineering_spark.streaming.pipeline import (
+    parquet_append_sink,
+    run_vol_transfers_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def chain():
+    return generate_chain(n_blocks=30, seed=7)
+
+
+@pytest.fixture(scope="module")
+def replay_dir(tmp_path_factory, chain):
+    d = str(tmp_path_factory.mktemp("ndjson"))
+    SRC.write_ndjson_replay(chain.lines, d, n_files=4)
+    return d
+
+
+def _dim(spark, chain):
+    prices = spark.createDataFrame(chain.prices, PRICE_SCHEMA)
+    decimals = spark.createDataFrame(chain.decimals, DECIMALS_SCHEMA)
+    return V.price_dim(prices, decimals)
+
+
+def _batch_volumes(spark, chain):
+    lines = spark.createDataFrame([(line,) for line in chain.lines], ["value"])
+    parsed = B.parse_block_lines(lines)
+    outputs = B.tx_outputs_table(parsed)
+    t = N.transacted(
+        U.input_units(U.resolve_inputs(B.tx_inputs_table(parsed), outputs)),
+        B.output_units(outputs).drop("output_index"),
+    )
+    coords = parsed.select(
+        F.explode("transactions.id").alias("hash"), "height", "slot"
+    )
+    return V.volumes(t, _dim(spark, chain), blocks_coords=coords)
+
+
+def test_stream_replay_matches_batch(spark, chain, replay_dir, tmp_path):
+    """Micro-batched replay through foreachBatch == one batch run
+    (deterministic keys + per-batch persist make the stream's union of
+    batches exactly the batch result)."""
+    vol_path = str(tmp_path / "vol")
+    tr_path = str(tmp_path / "transfers")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = SRC.ndjson_file_stream(spark, replay_dir, max_files_per_trigger=1)
+    # history for cross-batch spends: all outputs (static side of the
+    # stream-static resolution join)
+    lines = spark.createDataFrame([(line,) for line in chain.lines], ["value"])
+    history = B.tx_outputs_table(B.parse_block_lines(lines))
+
+    q = run_vol_transfers_pipeline(
+        stream,
+        _dim(spark, chain),
+        history,
+        parquet_append_sink(vol_path),
+        parquet_append_sink(tr_path),
+        ckpt,
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r.hash, r.unit): r.value_adj
+        for r in spark.read.parquet(vol_path).collect()
+    }
+    batch = {
+        (r.hash, r.unit): r.value_adj for r in _batch_volumes(spark, chain).collect()
+    }
+    # identical keys; values equal up to float summation order (the
+    # per-(hash, unit) sum of double value_adj legs is partitioning-
+    # dependent in the last bits)
+    assert set(streamed) == set(batch)
+    for k, v in batch.items():
+        assert streamed[k] == pytest.approx(v, rel=1e-12), k
+    assert spark.read.parquet(tr_path).count() > 0
+
+
+def test_checkpoint_restart_is_idempotent(spark, chain, replay_dir, tmp_path):
+    """Restarting a completed availableNow query from its checkpoint
+    must not re-append anything (H4 fix)."""
+    vol_path = str(tmp_path / "vol")
+    tr_path = str(tmp_path / "transfers")
+    ckpt = str(tmp_path / "ckpt")
+    lines = spark.createDataFrame([(line,) for line in chain.lines], ["value"])
+    history = B.tx_outputs_table(B.parse_block_lines(lines))
+
+    def run():
+        q = run_vol_transfers_pipeline(
+            SRC.ndjson_file_stream(spark, replay_dir, max_files_per_trigger=1),
+            _dim(spark, chain),
+            history,
+            parquet_append_sink(vol_path),
+            parquet_append_sink(tr_path),
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    run()
+    n1 = spark.read.parquet(vol_path).count()
+    run()  # same checkpoint, no new files → zero new batches
+    n2 = spark.read.parquet(vol_path).count()
+    assert n1 == n2 > 0
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    """dropDuplicatesWithinWatermark drops late duplicates arriving in
+    later micro-batches within the watermark horizon."""
+    import json
+
+    rows = [
+        {"event_id": i % 5, "ts": f"2024-01-01T00:{10 + i % 5:02d}:00", "v": i % 5}
+        for i in range(20)  # 5 distinct events, each duplicated 4×
+    ]
+    src_dir = tmp_path / "events"
+    src_dir.mkdir()
+    for fi in range(4):  # duplicates spread across micro-batches
+        with open(src_dir / f"f{fi}.ndjson", "w") as f:
+            for r in rows[fi * 5 : (fi + 1) * 5]:
+                f.write(json.dumps(r) + "\n")
+
+    schema = "event_id LONG, ts STRING, v LONG"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    deduped = W.dedup_within_watermark(stream, ["event_id"], "ts", "2 hours")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 5
+    assert out.select("event_id").distinct().count() == 5
+
+
+def test_streaming_tumbling_window_complete_mode(spark, chain, tmp_path):
+    """Windowed aggregation over a replayed stream (complete mode) ==
+    the batch aggregation of the same data."""
+    import json
+
+    rows = [
+        {"ts": f"2024-01-01T{h:02d}:{m:02d}:00", "k": "a" if m % 2 else "b"}
+        for h in range(3)
+        for m in (1, 16, 31, 46)
+    ]
+    src_dir = tmp_path / "ev"
+    src_dir.mkdir()
+    with open(src_dir / "f.ndjson", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    schema = "ts STRING, k STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(src_dir))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    agg = W.tumbling_counts(
+        W.with_watermark(stream, "ts", "1 hour"), "ts", "15 minutes", keys=["k"]
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.isoformat(), r.k): r.n_events
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(r["ts"], r["k"]) for r in rows], "ts STRING, k STRING"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = {
+        (r.window_start.isoformat(), r.k): r.n_events
+        for r in W.tumbling_counts(batch_df, "ts", "15 minutes", keys=["k"]).collect()
+    }
+    assert got == want
