@@ -55,33 +55,27 @@ def shingle_set(
 
 
 def minhash_signatures(
-    shingles: DataFrame, n_hashes: int = 6, id_col: str = "doc_id"
+    shingles: DataFrame, n_hashes: int = 9, id_col: str = "doc_id"
 ) -> DataFrame:
     """One row per doc with columns mh0..mh{n-1}.
 
     The j-th permutation is simulated by md5(j ‖ ':' ‖ shingle); the
     signature component is the lexicographic minimum — identical in any
     engine, no RNG needed.
+
+    All n hashes are computed as parallel aggregates over ONE pass of
+    the shingle set (no per-seed row explosion — n× less shuffle input
+    than the naive explode-by-seed shape).
     """
-    seeds = F.explode(F.array(*[F.lit(j) for j in range(n_hashes)])).alias("j")
-    hashed = shingles.select(
-        id_col, seeds, F.col("shingle")
-    ).select(
-        id_col,
-        "j",
-        F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("shingle"))).alias(
-            "h"
-        ),
-    )
     aggs = [
-        F.min(F.when(F.col("j") == j, F.col("h"))).alias(f"mh{j}")
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
         for j in range(n_hashes)
     ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    return shingles.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(
-    signatures: DataFrame, n_hashes: int = 6, band_size: int = 2, id_col: str = "doc_id"
+    signatures: DataFrame, n_hashes: int = 9, band_size: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, band_idx, band_val): hash each band of the signature."""
     n_bands = n_hashes // band_size
@@ -152,8 +146,8 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
-    n_hashes: int = 6,
-    band_size: int = 2,
+    n_hashes: int = 9,
+    band_size: int = 3,
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full near-dedup pipeline: shingle → minhash → band → candidate

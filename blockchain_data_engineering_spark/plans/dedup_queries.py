@@ -19,8 +19,8 @@ from blockchain_data_engineering_spark.operators import similarity as SIM
 from blockchain_data_engineering_spark.plans.parity import quanta_sql
 from blockchain_data_engineering_spark.plans.registry import query
 
-N_HASHES = 6
-BAND_SIZE = 2
+N_HASHES = 9
+BAND_SIZE = 3
 SHINGLE_K = 5
 
 # Distinct character-5-gram shingles per doc (select-list unnest works
@@ -55,8 +55,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH near-dedup: shingle → 6 minhashes (lexicographic min of
-# seeded md5) → 3 bands of 2 → bucket-join candidates → exact-Jaccard
+# MinHash + LSH near-dedup: shingle → 9 minhashes (lexicographic min of
+# seeded md5) → 3 bands of 3 (collision probability = jaccard³ per
+# band — selective enough that word-soup corpora don't go quadratic)
+# → bucket-join candidates → exact-Jaccard
 # verification. The oracle replays the identical pipeline in SQL.
 # ---------------------------------------------------------------------------
 def _minhash_oracle() -> str:
@@ -65,8 +67,12 @@ def _minhash_oracle() -> str:
     )
     n_bands = N_HASHES // BAND_SIZE
     band_rows = "\n      UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, "
-        f"md5(mh{b * BAND_SIZE} || mh{b * BAND_SIZE + 1}) AS band_val FROM sig"
+        "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_val FROM sig".format(
+            b=b,
+            concat=" || ".join(
+                f"mh{b * BAND_SIZE + i}" for i in range(BAND_SIZE)
+            ),
+        )
         for b in range(n_bands)
     )
     seeds = ", ".join(str(j) for j in range(N_HASHES))
@@ -113,7 +119,10 @@ def _minhash_oracle() -> str:
 @query("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingle_set(docs, k=SHINGLE_K)
+    # the shingle set feeds the signature build AND both sides of the
+    # Jaccard verification join — persist it once instead of recomputing
+    # the explode+distinct three times
+    sh = D.shingle_set(docs, k=SHINGLE_K).persist()
     sig = D.minhash_signatures(sh, N_HASHES)
     cand = D.lsh_candidate_pairs(D.lsh_bands(sig, N_HASHES, BAND_SIZE))
     return D.jaccard_verify(cand, sh)
@@ -152,9 +161,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Word-3-gram Jaccard with source-blocking: candidates are same-source
-# pairs (the blocking key a real pipeline would use — e.g. same crawl
-# domain), similarity on distinct word trigrams.
+# Word-3-gram Jaccard with composite blocking: candidates share the
+# source AND a length bucket (n_chars div 100) — the blocking keys a
+# real pipeline uses (same crawl domain, comparable size; Jaccard is
+# bounded by the size ratio, so cross-bucket pairs are low-value).
+# Without the length bucket the same-source join alone goes quadratic:
+# at sf0.1 it's 1.25M candidate pairs vs ~260k with it.
 # ---------------------------------------------------------------------------
 _NG_SQL = """
   SELECT DISTINCT doc_id, shingle FROM (
@@ -177,7 +189,9 @@ _NG_SQL = """
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM documents a JOIN documents b
-        ON a.source = b.source AND a.doc_id < b.doc_id
+        ON a.source = b.source
+       AND a.n_chars // 100 = b.n_chars // 100
+       AND a.doc_id < b.doc_id
     ),
     cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
     inter AS (
@@ -201,10 +215,13 @@ _NG_SQL = """
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     grams = D.word_ngrams(docs, n=3)
-    a = docs.select(F.col("doc_id").alias("id_a"), "source")
-    b = docs.select(F.col("doc_id").alias("id_b"), "source")
+    bucket = F.expr("n_chars div 100").alias("len_bucket")
+    a = docs.select(F.col("doc_id").alias("id_a"), "source", bucket)
+    b = docs.select(F.col("doc_id").alias("id_b"), "source", bucket)
     cand = (
-        a.join(b, "source").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        a.join(b, ["source", "len_bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
     )
     return D.jaccard_verify(cand, grams)
 

@@ -66,13 +66,19 @@ def domain_value_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("address"),
         F.from_json(value_json, VALUE_MAP_TYPE).alias("value"),
     )
+    # explode_outer, not explode: plain explode makes Catalyst inject a
+    # `size(value) > 0 AND isnotnull(value)` pre-filter that re-evaluates
+    # the (interpreted, expensive) from_json once per conjunct — 3×
+    # total per row. The maps are never empty here, so explode_outer is
+    # semantically identical and parses each row exactly once
+    # (verified with .explain("formatted"): the Filter node disappears).
     return (
         parsed.select(
-            "l_orderkey", "address", F.explode("value").alias("policy", "assets")
+            "l_orderkey", "address", F.explode_outer("value").alias("policy", "assets")
         )
         .select(
             "l_orderkey", "address", "policy",
-            F.explode("assets").alias("name_hex", "q"),
+            F.explode_outer("assets").alias("name_hex", "q"),
         )
         .select(
             "l_orderkey",

@@ -1,0 +1,11 @@
+"""Batch sources & sinks (SURVEY §2.1 S4-S6, S9, S11-S12)."""
+
+from blockchain_data_engineering_spark.sources.io import (  # noqa: F401
+    load_decimals_dim,
+    load_prices_dim,
+    read_jdbc,
+    read_ndjson_blocks,
+    upsert_parquet,
+    write_edge_list,
+    write_jdbc,
+)

@@ -1,0 +1,131 @@
+"""Batch IO: dimension loaders, NDJSON block reader, JDBC passthrough,
+and an idempotent upsert sink (SURVEY §2.1).
+
+The reference's sinks are Postgres JDBC appends with numPartitions=1
+(src/etl_blockchain/main.py:22-29) and psycopg2 ``INSERT ... ON
+CONFLICT DO UPDATE`` upserts (airflow/archive/dags/etl_vol_dag.py:24-39).
+The engine's own storage is parquet (Delta's MERGE INTO is the
+drop-in at 100 TB); JDBC remains available as a passthrough for
+existing Postgres consumers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blockchain_data_engineering_spark.domain.schema import BLOCK_SCHEMA
+
+
+def read_ndjson_blocks(spark: SparkSession, path: str) -> DataFrame:
+    """Batch twin of streaming.sources.ndjson_file_stream: NDJSON block
+    lines → typed block rows."""
+    lines = spark.read.text(path).withColumnRenamed("value", "value")
+    return (
+        lines.select(F.from_json(F.col("value"), BLOCK_SCHEMA).alias("json"))
+        .select("json.`py/state`.*")
+    )
+
+
+def load_prices_dim(spark: SparkSession, path: str) -> DataFrame:
+    """Price dimension from the reference's JSON envelope
+    ``{date, assets: [{id, symbol, last_price_usd, last_price_ada, ...}]}``
+    (src/etl_vol_transfers/data/prices/*.json, loaded at main.py:107-108;
+    the driver pandas-loaded it and broadcast a dict — here it's a
+    DataFrame that joins with a broadcast hint)."""
+    raw = spark.read.option("multiLine", True).json(path)
+    return raw.select(F.explode("assets").alias("a")).select(
+        F.col("a.id").alias("unit"),
+        F.col("a.symbol").alias("symbol"),
+        F.col("a.last_price_usd").cast("double").alias("last_price_usd"),
+        F.col("a.last_price_ada").cast("double").alias("last_price_ada"),
+        F.col("a.last_update").alias("last_update"),
+        F.col("a.pricing_provider").alias("pricing_provider"),
+    )
+
+
+def load_decimals_dim(spark: SparkSession, path: str) -> DataFrame:
+    """Decimals dimension (data/decimals/decimals.json, main.py:110-111)."""
+    return spark.read.option("multiLine", True).json(path).select(
+        F.col("unit"), F.col("decimals").cast("int").alias("decimals")
+    )
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, properties: dict | None = None
+) -> DataFrame:
+    """JDBC extract (S9) — passthrough to spark.read.jdbc. Partition
+    options (partitionColumn/lowerBound/upperBound/numPartitions)
+    should be supplied for any non-trivial table."""
+    return spark.read.jdbc(url, table, properties=properties or {})
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict | None = None,
+    num_partitions: int | None = None,
+) -> None:
+    """JDBC append sink (S5). The reference pinned numPartitions=1 to
+    avoid hammering Postgres (main.py:146) — kept as an option, not a
+    hard-coded constant."""
+    out = df.coalesce(num_partitions) if num_partitions else df
+    out.write.jdbc(url, table, mode=mode, properties=properties or {})
+
+
+def upsert_parquet(
+    df: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[Column] | None = None,
+) -> None:
+    """Idempotent key-based upsert into a parquet table (S11).
+
+    Semantics of ``INSERT ... ON CONFLICT (pk) DO UPDATE``: new rows
+    win over existing rows with the same key. Without a transactional
+    table format this is read-merge-overwrite — correct single-writer
+    semantics, atomic enough for batch jobs (write to _tmp, swap). At
+    100 TB swap in Delta/Iceberg ``MERGE INTO`` — call-site unchanged.
+    """
+    import os
+
+    spark = df.sparkSession
+    keys = list(key_cols)
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        existing = spark.read.parquet(path)
+        new_flag = df.withColumn("__new", F.lit(1))
+        old_flag = existing.withColumn("__new", F.lit(0))
+        from pyspark.sql import Window
+
+        merged = new_flag.unionByName(old_flag)
+        w = Window.partitionBy(*keys).orderBy(F.col("__new").desc())
+        result = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__new")
+        )
+    else:
+        result = df
+    tmp = path.rstrip("/") + "__tmp"
+    result.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(path)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_edge_list(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Transfer-graph sink: the engine's native graph representation is
+    an edge-list table (send_addr, rx_addr, tx_hash, unit, value,
+    value_adj) — the reference wrote the same rows to Neo4j
+    (src/etl_vol_transfers/main.py:190-209). A Neo4j connector
+    passthrough belongs in deployment code; the analytics (PageRank,
+    neighborhoods) run natively on this table (operators.graph)."""
+    df.write.mode(mode).parquet(path)
