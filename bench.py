@@ -39,6 +39,68 @@ HEADLINE = [
 ]
 
 
+def bench_domain_pipeline(spark, n_blocks: int = 4000) -> dict:
+    """Apples-to-apples with the reference's flagship run: blocks/sec
+    through the full volumes+transfers pipeline (parse → UTxO join →
+    net flows → priced volumes + transfer edges).
+
+    The reference processed 1,128 blocks in its 200 s hard-coded run
+    (≈5.6 blocks/s), REST-bound at ≤10 tx/micro-batch (BASELINE.md).
+    Here the same semantics run as one join-based plan.
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from blockchain_data_engineering_spark.domain import blocks as B
+    from blockchain_data_engineering_spark.domain import netflow as N
+    from blockchain_data_engineering_spark.domain import transfers as TR
+    from blockchain_data_engineering_spark.domain import utxo as U
+    from blockchain_data_engineering_spark.domain import volumes as V
+    from blockchain_data_engineering_spark.domain.schema import (
+        DECIMALS_SCHEMA,
+        PRICE_SCHEMA,
+    )
+    from blockchain_data_engineering_spark.domain.synthetic import generate_chain
+
+    chain = generate_chain(n_blocks=n_blocks, seed=42)
+    lines = spark.createDataFrame([(line,) for line in chain.lines], ["value"])
+    lines = lines.repartition(32).cache()
+    n_lines = lines.count()  # materialize input outside the timed region
+
+    dim = V.price_dim(
+        spark.createDataFrame(chain.prices, PRICE_SCHEMA),
+        spark.createDataFrame(chain.decimals, DECIMALS_SCHEMA),
+    )
+
+    t0 = _t.perf_counter()
+    parsed = B.parse_block_lines(lines).persist()
+    outputs = B.tx_outputs_table(parsed)
+    transacted = N.transacted(
+        U.input_units(U.resolve_inputs(B.tx_inputs_table(parsed), outputs)),
+        B.output_units(outputs).drop("output_index"),
+    ).persist()
+    coords = parsed.select(
+        F.explode("transactions.id").alias("hash"), "height", "slot"
+    )
+    V.volumes(transacted, dim, blocks_coords=coords).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    TR.transfer_edges(transacted, dim).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    wall = _t.perf_counter() - t0
+    transacted.unpersist()
+    parsed.unpersist()
+    lines.unpersist()
+    return {
+        "n_blocks": n_lines,
+        "wall_sec": round(wall, 3),
+        "blocks_per_sec": round(n_lines / wall, 1),
+        "reference_blocks_per_sec": 5.6,
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="bde-spark-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -67,6 +129,8 @@ def main() -> None:
         if dt == dt:
             total += dt
 
+    domain = bench_domain_pipeline(spark)
+
     print(
         json.dumps(
             {
@@ -75,6 +139,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "domain_pipeline": domain,
             }
         )
     )

@@ -13,7 +13,13 @@ from blockchain_data_engineering_spark.functions.scalar import SLOT_EPOCH_OFFSET
 from blockchain_data_engineering_spark.operators.pandas_escape import (
     grouped_demean_scaled,
 )
-from blockchain_data_engineering_spark.plans.parity import quanta, quanta_sql
+from blockchain_data_engineering_spark.plans.parity import (
+    dsum_sql,
+    quanta,
+    quanta_sql,
+)
+
+_REV_SQL = "l_extendedprice * (1 - l_discount)"
 from blockchain_data_engineering_spark.plans.registry import query
 
 
@@ -94,3 +100,146 @@ def scalar_slot_to_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "block_time"
         ),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# E3 flagship: the full volume_stack_plot.ipynb analytics chain as ONE
+# lazy plan — top-10 all-time units (W1/J6) → per-(unit, month) volume
+# → dense month spine with zero fill (J8/F10) → cumulative moving
+# average (W2) → per-month proportional share (W3). The reference did
+# this across two Airflow tasks, two psycopg2 extracts, and three
+# pandas cells; here it is one DataFrame with two Window specs and a
+# broadcast spine, collectable straight into a chart.
+# ---------------------------------------------------------------------------
+@query(
+    "flagship_volume_stack",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey AS unit,
+             date_trunc('month', l_shipdate) AS height,
+             {dsum_sql(_REV_SQL, 4)} AS value_adj
+      FROM lineitem GROUP BY 1, 2
+    ),
+    top10 AS (
+      SELECT unit FROM (
+        SELECT l_partkey AS unit, {dsum_sql(_REV_SQL, 4)} AS rev
+        FROM lineitem GROUP BY 1
+        ORDER BY rev DESC, unit LIMIT 10
+      )
+    ),
+    facts AS (
+      SELECT r.* FROM rev r JOIN top10 USING (unit)
+    ),
+    b AS (SELECT min(height) AS lo, max(height) AS hi FROM facts),
+    months AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS height FROM b
+    ),
+    dense AS (
+      SELECT t.unit, m.height,
+             coalesce(f.value_adj, 0.0) AS value_adj
+      FROM top10 t CROSS JOIN months m
+      LEFT JOIN facts f ON f.unit = t.unit AND f.height = m.height
+    ),
+    q AS (
+      SELECT unit, height, value_adj,
+             {quanta_sql('value_adj', 4)} AS vq
+      FROM dense
+    )
+    SELECT unit, height, value_adj,
+           CAST(sum(vq) OVER (PARTITION BY unit ORDER BY height
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE)
+             / (CAST(count(*) OVER (PARTITION BY unit ORDER BY height
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) * 10000) AS cma,
+           CASE WHEN sum(vq) OVER (PARTITION BY height) = 0 THEN 0.0
+                ELSE CAST(vq AS DOUBLE)
+                     / CAST(sum(vq) OVER (PARTITION BY height) AS DOUBLE) * 100
+           END AS share
+    FROM q
+    """,
+)
+def flagship_volume_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from blockchain_data_engineering_spark.operators import relational as R
+    from blockchain_data_engineering_spark.plans.parity import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_col = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    facts = li.groupBy(
+        F.col("l_partkey").alias("unit"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("height"),
+    ).agg(dsum(rev_col, 4).alias("value_adj"))
+    top10 = (
+        li.groupBy(F.col("l_partkey").alias("unit"))
+        .agg(dsum(rev_col, 4).alias("rev"))
+        .orderBy(F.col("rev").desc(), F.col("unit"))
+        .limit(10)
+        .select("unit")
+    )
+    filtered = facts.join(F.broadcast(top10), "unit", "left_semi")
+    dense = R.zero_fill_spine(
+        filtered, "unit", "height", "value_adj", step=F.expr("interval 1 month")
+    )
+    q = dense.withColumn("vq", quanta(F.col("value_adj"), 4))
+    w_cma = (
+        Window.partitionBy("unit")
+        .orderBy("height")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_share = Window.partitionBy("height")
+    cma = F.sum("vq").over(w_cma).cast("double") / (
+        F.count(F.lit(1)).over(w_cma).cast("double") * F.lit(10000.0)
+    )
+    share = F.when(F.sum("vq").over(w_share) == 0, F.lit(0.0)).otherwise(
+        F.col("vq").cast("double") / F.sum("vq").over(w_share).cast("double") * 100
+    )
+    return q.select(
+        "unit", "height", "value_adj", cma.alias("cma"), share.alias("share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# H7: decimal-safe raw-quantity arithmetic — token quantities arrive as
+# strings, can exceed float precision, and must sum exactly. Carried as
+# DECIMAL(38,0); compared as strings (exact, engine-independent).
+# ---------------------------------------------------------------------------
+@query(
+    "decimal_quantity_sum",
+    oracle="""
+    SELECT l_partkey AS unit,
+           CAST(sum(CAST(CAST(l_quantity AS BIGINT) * 1000000007 AS DECIMAL(38, 0)))
+                AS VARCHAR) AS total_raw
+    FROM lineitem GROUP BY 1
+    """,
+)
+def decimal_quantity_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = (F.col("l_quantity").cast("long") * F.lit(1000000007)).cast("decimal(38,0)")
+    return li.groupBy(F.col("l_partkey").alias("unit")).agg(
+        F.sum(raw).cast("string").alias("total_raw")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation (the one agg family the reference never uses,
+# SURVEY §2.4 note): exact count-distinct + multi-distinct in one pass.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_units,
+           count(DISTINCT l_suppkey) AS n_addresses,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_units"),
+        F.countDistinct("l_suppkey").alias("n_addresses"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -60,7 +60,12 @@ def run_vol_transfers_pipeline(
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        parsed = B.parse_block_lines(batch_df)
+        # Persist the parsed batch FIRST: everything downstream (outputs,
+        # inputs, coords, both sinks) reads it, and without the persist
+        # each action re-scans the micro-batch source — the observe()
+        # counter showed 4 scans per batch before this line (the same
+        # recompute-per-action shape as reference hazard H1).
+        parsed = B.parse_block_lines(batch_df).persist()
         outputs_b = B.tx_outputs_table(parsed)
         inputs_b = B.tx_inputs_table(parsed)
         # resolve against history + the batch's own outputs (intra-batch
@@ -85,9 +90,18 @@ def run_vol_transfers_pipeline(
             transfer_sink(TR.transfer_edges(transacted, dim), batch_id)
         finally:
             transacted.unpersist()
+            parsed.unpersist()
 
+    # A8/observe: per-micro-batch row counts surface in
+    # StreamingQueryProgress.observedMetrics["source"] — the native
+    # replacement for the reference's df.count() diagnostic
+    # (src/etl_blockchain/main.py:32), costing one accumulator instead
+    # of a second job.
+    observed = block_lines.observe(
+        "source", F.count(F.lit(1)).alias("n_lines")
+    )
     writer = (
-        block_lines.writeStream.foreachBatch(process_batch)
+        observed.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

@@ -207,3 +207,92 @@ def test_streaming_tumbling_window_complete_mode(spark, chain, tmp_path):
         for r in W.tumbling_counts(batch_df, "ts", "15 minutes", keys=["k"]).collect()
     }
     assert got == want
+
+
+def test_stream_stream_utxo_join(spark, tmp_path):
+    """The fully-streaming UTxO resolution: watermarked stream-stream
+    join between an inputs stream and an outputs stream — the complete
+    replacement for the reference's per-row REST lookup when both sides
+    arrive as streams."""
+    import json
+
+    out_rows = [
+        {"tx_hash": f"t{i}", "output_index": 0, "address": f"a{i}",
+         "ots": f"2024-01-01T00:{i:02d}:00"}
+        for i in range(10)
+    ]
+    in_rows = [
+        {"spender": f"s{i}", "spent_tx_hash": f"t{i}", "spent_output_index": 0,
+         "its": f"2024-01-01T00:{i + 2:02d}:00"}
+        for i in range(8)
+    ]
+    (tmp_path / "outs").mkdir()
+    (tmp_path / "ins").mkdir()
+    with open(tmp_path / "outs" / "f.ndjson", "w") as f:
+        for r in out_rows:
+            f.write(json.dumps(r) + "\n")
+    with open(tmp_path / "ins" / "f.ndjson", "w") as f:
+        for r in in_rows:
+            f.write(json.dumps(r) + "\n")
+
+    outs = (
+        spark.readStream.schema(
+            "tx_hash STRING, output_index LONG, address STRING, ots STRING"
+        )
+        .json(str(tmp_path / "outs"))
+        .withColumn("ots", F.to_timestamp("ots"))
+        .withWatermark("ots", "1 hour")
+    )
+    ins = (
+        spark.readStream.schema(
+            "spender STRING, spent_tx_hash STRING, spent_output_index LONG, its STRING"
+        )
+        .json(str(tmp_path / "ins"))
+        .withColumn("its", F.to_timestamp("its"))
+        .withWatermark("its", "1 hour")
+    )
+    resolved = ins.join(
+        outs,
+        (F.col("spent_tx_hash") == F.col("tx_hash"))
+        & (F.col("spent_output_index") == F.col("output_index"))
+        & (F.col("its") >= F.col("ots"))
+        & (F.col("its") <= F.col("ots") + F.expr("interval 2 hours")),
+        "inner",
+    )
+    q = (
+        resolved.writeStream.format("parquet")
+        .option("path", str(tmp_path / "resolved"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "resolved"))
+    assert got.count() == 8
+    assert {r.address for r in got.collect()} == {f"a{i}" for i in range(8)}
+
+
+def test_observe_metrics_surface(spark, chain, replay_dir, tmp_path):
+    """The pipeline's observe() metric reports per-batch source rows in
+    the streaming progress events (A8 without a second job)."""
+    from blockchain_data_engineering_spark.domain import blocks as B
+
+    lines = spark.createDataFrame([(line,) for line in chain.lines], ["value"])
+    history = B.tx_outputs_table(B.parse_block_lines(lines))
+    q = run_vol_transfers_pipeline(
+        SRC.ndjson_file_stream(spark, replay_dir, max_files_per_trigger=2),
+        _dim(spark, chain),
+        history,
+        parquet_append_sink(str(tmp_path / "vol")),
+        parquet_append_sink(str(tmp_path / "tr")),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    # progress events carry the metric; entries can repeat per batch →
+    # key by batchId
+    per_batch: dict[int, int] = {}
+    for prog in q.recentProgress:
+        om = prog.get("observedMetrics")
+        if om and "source" in om:
+            per_batch[prog["batchId"]] = om["source"]["n_lines"]
+    assert sum(per_batch.values()) == len(chain.lines)
