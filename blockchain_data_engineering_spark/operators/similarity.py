@@ -182,3 +182,92 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroid_every: int = 47,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (exact-quanta cosine, deterministic tie-break).
+
+    Centroids here are a deterministic id-stride sample of the corpus
+    (``vec_id % centroid_every == 0``) — in production k-means centroids
+    drop in without changing the assignment join shape. The assignment
+    is a broadcast join against the (small) centroid set, so the corpus
+    never shuffles.
+    """
+    v = with_norm(vectors.select(id_col, vec_col), vec_col)
+    cents = (
+        v.where(F.col(id_col) % centroid_every == 0)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col("norm_q").alias("c_norm_q"),
+        )
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "centroid_id",
+        cosine_from_quanta(
+            dot_quanta(F.col(vec_col), F.col("c_vec")),
+            F.col("norm_q"),
+            F.col("c_norm_q"),
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("c_cos").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "centroid_id")
+    )
+
+
+def ivf_ann_topk(
+    vectors: DataFrame,
+    k: int = 3,
+    centroid_every: int = 47,
+    n_queries: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN (nprobe=1): exact cosine only within each query's own
+    cluster. The candidate join is on centroid_id — candidates scale
+    with cluster size, never N². The recall/latency dial is nprobe
+    (probe the q nearest centroids); 1 keeps the oracle simple."""
+    assign = ivf_assign(vectors, centroid_every, vec_col, id_col)
+    v = with_norm(vectors.select(id_col, vec_col), vec_col).join(assign, id_col)
+    q = v.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("norm_q").alias("q_norm_q"),
+        "centroid_id",
+    )
+    c = v.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("norm_q").alias("c_norm_q"),
+        "centroid_id",
+    )
+    pairs = q.join(c, "centroid_id").where(F.col("query_id") != F.col("cand_id"))
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        cosine_from_quanta(
+            dot_quanta(F.col("q_vec"), F.col("c_vec")),
+            F.col("q_norm_q"),
+            F.col("c_norm_q"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

@@ -243,3 +243,92 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_addresses"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The SQL API surface: the engine is DataFrame-first, but Spark's own
+# parser makes every operator reachable as SQL for free (SURVEY §3
+# conclusion). One dialect-common statement is BOTH the Spark query
+# (spark.sql over registered views) and the DuckDB oracle — zero
+# translation.
+# ---------------------------------------------------------------------------
+_SQL_API_STMT = f"""
+    SELECT c_mktsegment, n_name,
+           {dsum_sql(_REV_SQL, 4)} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY c_mktsegment, n_name
+"""
+
+
+@query("sql_api_revenue", oracle=_SQL_API_STMT)
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_API_STMT)
+
+
+# ---------------------------------------------------------------------------
+# North-star composition: the training-corpus filter pipeline — quality
+# gate → exact near-dup removal (canonical = lowest doc_id per
+# fingerprint) in one plan. This is the shape every LLM data pipeline
+# runs before tokenization.
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_corpus_filter",
+    oracle=rf"""
+    WITH feats AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars_m,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS n_punct,
+             (len(list_filter(string_split(text, ' '), t -> t = 'the'))
+              + len(list_filter(string_split(text, ' '), t -> t = 'and'))
+              + len(list_filter(string_split(text, ' '), t -> t = 'of'))
+              + len(list_filter(string_split(text, ' '), t -> t = 'to'))
+              + len(list_filter(string_split(text, ' '), t -> t = 'is'))) AS n_stop
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, n_tokens,
+             40.0 * (CASE WHEN n_chars_m >= 50 AND n_chars_m <= 10000
+                          THEN 1.0 ELSE 0.0 END)
+             + 40.0 * least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4, 1.0)
+             + 20.0 * (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE) * 10, 1.0))
+               AS quality_score
+      FROM feats
+    ),
+    kept AS (SELECT * FROM scored WHERE quality_score >= 60.0),
+    fp AS (
+      SELECT doc_id, n_tokens, quality_score,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM kept
+    )
+    SELECT doc_id, fp, n_tokens, quality_score
+    FROM fp
+    QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    """,
+)
+def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from blockchain_data_engineering_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = TX.quality_score(docs)
+    kept = scored.where(F.col("quality_score") >= 60.0)
+    with_fp = kept.select(
+        "doc_id", "n_tokens", "quality_score",
+        TX.fingerprint(F.col("text")).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        with_fp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "fp", "n_tokens", "quality_score")
+    )

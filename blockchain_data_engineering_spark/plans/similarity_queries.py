@@ -139,3 +139,73 @@ def _lsh_oracle() -> str:
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.lsh_ann_topk(emb, k=3, n_planes=N_PLANES, dim=DIM)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (nprobe=1): deterministic id-stride centroids → nearest-
+# centroid assignment (broadcast join, corpus never shuffles) → exact
+# cosine within the query's own cluster. The other scale path next to
+# sign-LSH: candidates bounded by cluster size, recall dialed by
+# nprobe. Oracle replays assignment + probe in SQL.
+# ---------------------------------------------------------------------------
+def _ivf_oracle() -> str:
+    k, every = 3, 47
+    q_vc = quanta_sql("CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)", 12)
+    q_ab = quanta_sql("CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)", 12)
+    return f"""
+    WITH n AS (
+      SELECT vec_id, CAST(sum({_NORM_Q}) AS BIGINT) AS norm_q
+      FROM embeddings, generate_series(1, {DIM}) AS t(i) GROUP BY 1
+    ),
+    ad AS (
+      SELECT v.vec_id, c.vec_id AS centroid_id, CAST(sum({q_vc}) AS BIGINT) AS dot_q
+      FROM embeddings v JOIN embeddings c ON c.vec_id % {every} = 0,
+           generate_series(1, {DIM}) AS t(i)
+      GROUP BY 1, 2
+    ),
+    ascore AS (
+      SELECT ad.vec_id, ad.centroid_id,
+             (CAST(dot_q AS DOUBLE) / {_SCALE})
+               / (sqrt(CAST(nv.norm_q AS DOUBLE) / {_SCALE})
+                  * sqrt(CAST(nc.norm_q AS DOUBLE) / {_SCALE})) AS c_cos
+      FROM ad JOIN n nv ON nv.vec_id = ad.vec_id
+      JOIN n nc ON nc.vec_id = ad.centroid_id
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM ascore
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) = 1
+    ),
+    pairs AS (
+      SELECT qa.vec_id AS query_id, ca.vec_id AS cand_id
+      FROM assign qa JOIN assign ca ON qa.centroid_id = ca.centroid_id
+      WHERE qa.vec_id < {N_QUERIES} AND ca.vec_id <> qa.vec_id
+    ),
+    pd AS (
+      SELECT p.query_id, p.cand_id, CAST(sum({q_ab}) AS BIGINT) AS dot_q
+      FROM pairs p
+      JOIN embeddings a ON a.vec_id = p.query_id
+      JOIN embeddings b ON b.vec_id = p.cand_id,
+           generate_series(1, {DIM}) AS t(i)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, cand_id,
+             (CAST(dot_q AS DOUBLE) / {_SCALE})
+               / (sqrt(CAST(nq.norm_q AS DOUBLE) / {_SCALE})
+                  * sqrt(CAST(nc.norm_q AS DOUBLE) / {_SCALE})) AS cosine
+      FROM pd JOIN n nq ON nq.vec_id = query_id
+      JOIN n nc ON nc.vec_id = cand_id
+    )
+    SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+@query("sim_ivf_ann", oracle=_ivf_oracle())
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_ann_topk(emb, k=3, centroid_every=47, n_queries=N_QUERIES)
