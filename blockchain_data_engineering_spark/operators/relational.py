@@ -222,3 +222,54 @@ def rollup_sets(
     whole hierarchy with one shuffle and partial aggregation.
     """
     return df.rollup(*group_cols).agg(*aggs)
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    by_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of (backward) join: for every left row, attach the right row
+    with the greatest ``right_ts <= left_ts`` per key — the operator
+    Spark lacks natively (DuckDB/kdb call it ASOF JOIN).
+
+    Implementation is the union-sort trick, which is the scale-correct
+    shape: tag both sides, union, ONE shuffle on the key, and a
+    last-non-null window carry-forward — O(n log n) per key with no
+    range-join explosion. Right-side rows sort before left rows at
+    equal timestamps, so the match is inclusive.
+
+    At 100 TB this beats the naive range join (which Catalyst executes
+    as a broadcast-nested-loop or an exploding theta join); the union
+    carries both tables through a single exchange.
+
+    Right side should be unique per (by_cols, right_ts) — pre-dedup for
+    deterministic results.
+    """
+    keys = list(by_cols)
+    vals = list(right_vals)
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in vals],
+    ).withColumn("__side", F.lit(0))
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in vals:
+        u = u.withColumn(
+            f"{c}{suffix}",
+            F.last(
+                F.when(F.col("__side") == 0, F.col(f"{c}{suffix}")),
+                ignorenulls=True,
+            ).over(w),
+        )
+    return u.where(F.col("__side") == 1).drop("__side", "__ts")

@@ -332,3 +332,83 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .select("doc_id", "fp", "n_tokens", "quality_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of (backward) join — the custom operator Spark lacks: for every
+# click event, the user's most recent prior-or-simultaneous purchase.
+# Spark side: union-sort trick (one shuffle, no range-join explosion).
+# Oracle: DuckDB's native ASOF LEFT JOIN. Right side deduped to one
+# purchase per (user, ts) for determinism.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_join_clicks_purchases",
+    oracle="""
+    WITH r0 AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT l.event_id, l.user_id, l.ts, r0.value AS purchase_value_asof
+    FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND l.ts >= r0.ts
+    """,
+)
+def asof_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from blockchain_data_engineering_spark.operators import relational as R
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        purchases.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("purchase_value"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = R.asof_join_backward(
+        clicks, purchases, ["user_id"], "ts", "ts", ["purchase_value"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("purchase_value_asof").alias("purchase_value_asof"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O5+: set operations (absent from the reference — unionByName is used
+# throughout the engine; intersect/except complete the family).
+# ---------------------------------------------------------------------------
+@query(
+    "set_ops_units",
+    oracle="""
+    WITH returned AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+         kept     AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag <> 'R')
+    SELECT l_partkey, 'both' AS membership FROM (
+      SELECT l_partkey FROM returned INTERSECT SELECT l_partkey FROM kept)
+    UNION ALL
+    SELECT l_partkey, 'returned_only' FROM (
+      SELECT l_partkey FROM returned EXCEPT SELECT l_partkey FROM kept)
+    UNION ALL
+    SELECT l_partkey, 'kept_only' FROM (
+      SELECT l_partkey FROM kept EXCEPT SELECT l_partkey FROM returned)
+    """,
+)
+def set_ops_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_partkey").distinct()
+    kept = li.where(F.col("l_returnflag") != "R").select("l_partkey").distinct()
+    return (
+        returned.intersect(kept).withColumn("membership", F.lit("both"))
+        .unionByName(
+            returned.exceptAll(kept).withColumn("membership", F.lit("returned_only"))
+        )
+        .unionByName(
+            kept.exceptAll(returned).withColumn("membership", F.lit("kept_only"))
+        )
+    )
