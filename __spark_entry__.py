@@ -25,12 +25,13 @@ from blockchain_data_engineering_spark.session import configure_for_session
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: top-k token volume by
-    block with window analytics — scan → filter → broadcast dim join →
-    groupBy-sum → top-k semi join → ratio-to-report window → orderBy
-    (SURVEY.md §7.2 M0 slice)."""
+    """Flagship query on /root/testdata/sf0.001: the full chart
+    analytics chain (SURVEY §3 E3 / volume_stack_plot.ipynb) as ONE
+    plan — top-10 all-time units (W1/J6) → per-(unit, month) volumes →
+    dense month spine with zero fill (J8/F10) → cumulative moving
+    average (W2) → per-month proportional share (W3)."""
     configure_for_session(spark)
-    return QUERIES["topk_semi_join"](spark, "/root/testdata/sf0.001")
+    return QUERIES["flagship_volume_stack"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -26,6 +26,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # behavior matters most (shuffle-heavy joins/aggs, window analytics,
 # LLM-data extension ops).
 HEADLINE = [
+    "flagship_volume_stack",
     "pricing_summary",
     "explode_normalize",
     "netflow_supplier_part",

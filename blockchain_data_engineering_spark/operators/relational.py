@@ -273,3 +273,45 @@ def asof_join_backward(
             ).over(w),
         )
     return u.where(F.col("__side") == 1).drop("__side", "__ts")
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by_cols: Sequence[str],
+    left_ts: str,
+    range_start: str,
+    range_end: str,
+    bucket: Column | None = None,
+    bucket_ms: int = 7 * 24 * 3600 * 1000,
+) -> DataFrame:
+    """Range join (left_ts ∈ [range_start, range_end]) executed as an
+    equi-join on (key, time bucket) + residual filter.
+
+    A naive range predicate gives Catalyst nothing to hash on → it
+    plans a broadcast-nested-loop or an exploding theta join. Bucketing
+    the time axis (right intervals explode across the buckets they
+    overlap, bounded by interval_length/bucket + 1) restores a hash
+    join whose fanout is the overlap count — the standard interval-join
+    trick at scale. Pick ``bucket_ms`` ≈ the typical interval length.
+    """
+    keys = list(by_cols)
+    lb = F.floor(F.unix_millis(F.col(left_ts)) / F.lit(bucket_ms)).alias("__bucket")
+    l = left.withColumn("__bucket", lb)
+    r = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_millis(F.col(range_start)) / F.lit(bucket_ms)),
+                F.floor(F.unix_millis(F.col(range_end)) / F.lit(bucket_ms)),
+            )
+        ),
+    )
+    return (
+        l.join(r, keys + ["__bucket"], "inner")
+        .where(
+            (F.col(left_ts) >= F.col(range_start))
+            & (F.col(left_ts) <= F.col(range_end))
+        )
+        .drop("__bucket")
+    )

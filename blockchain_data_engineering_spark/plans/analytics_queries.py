@@ -412,3 +412,46 @@ def set_ops_units(spark: SparkSession, sf_dir: str) -> DataFrame:
             kept.exceptAll(returned).withColumn("membership", F.lit("kept_only"))
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join — clicks within 1 day after a purchase, per user. The
+# Spark side runs the bucketed interval-join (equi-join on
+# (key, time bucket) + residual filter) so Catalyst hash-joins instead
+# of falling back to a nested-loop theta join; the oracle states the
+# plain range predicate.
+# ---------------------------------------------------------------------------
+@query(
+    "range_join_click_attribution",
+    oracle="""
+    SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+           l.user_id, l.ts AS click_ts, r.ts AS purchase_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 1 DAY
+    """,
+)
+def range_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.relational import (
+        bucketed_range_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withColumn("range_end", F.col("purchase_ts") + F.expr("interval 1 day"))
+    )
+    out = bucketed_range_join(
+        clicks, purchases, ["user_id"], "click_ts", "purchase_ts", "range_end",
+        bucket_ms=24 * 3600 * 1000,
+    )
+    return out.select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")

@@ -165,3 +165,41 @@ def graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         hop1.select(F.col("dst").alias("src")).distinct(), "src", "inner"
     )
     return hop1.unionByName(hop2).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Connected components (wallet clustering — the address-entity analysis
+# the reference's Neo4j graph exists for, beyond its shipped PageRank):
+# min-label propagation, deterministic, oracle = the same iteration
+# unrolled in SQL.
+# ---------------------------------------------------------------------------
+CC_ITERS = 6
+
+
+def _cc_oracle_sql(iters: int) -> str:
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        "und AS (SELECT src AS a, dst AS b FROM edges"
+        " UNION SELECT dst, src FROM edges)",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"l{i - 1}"
+        ctes.append(
+            f"""l{i} AS (
+      SELECT l.node,
+             least(l.label, coalesce(m.nbr_label, l.label)) AS label
+      FROM {prev} l LEFT JOIN (
+        SELECT u.a AS node, min(p.label) AS nbr_label
+        FROM und u JOIN {prev} p ON u.b = p.node GROUP BY 1
+      ) m ON m.node = l.node
+    )"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, label FROM l{iters}"
+
+
+@query("graph_connected_components", oracle=_cc_oracle_sql(CC_ITERS))
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges_df(spark, sf_dir)
+    return G.connected_components(edges, iterations=CC_ITERS)
