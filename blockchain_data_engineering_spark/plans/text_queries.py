@@ -151,3 +151,74 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fp.withColumn(
         "n_same", F.count(F.lit(1)).over(Window.partitionBy("fp"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (the rolling-hash fingerprinting
+# scheme used by MOSS-style near-dup/plagiarism detection): hash every
+# k-gram, slide a window of w consecutive hashes, keep each window's
+# minimum — documents sharing content share selected fingerprints.
+# Guarantees: any match of length ≥ w+k-1 is caught. All hashes are
+# md5 (engine-portable); the window min is deterministic.
+# ---------------------------------------------------------------------------
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, i, md5(substr(text, CAST(i AS INTEGER), {WINNOW_K})) AS h
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - {WINNOW_K - 1}, 1))) AS i
+        FROM documents
+      )
+    ),
+    winmin AS (
+      SELECT doc_id,
+             min(h) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING
+             ) AS fp,
+             i,
+             max(i) OVER (PARTITION BY doc_id) AS max_i
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, fp
+    FROM winmin
+    WHERE i <= max_i - {WINNOW_W - 1}
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.greatest(F.length(F.col("text")) - (WINNOW_K - 1), F.lit(1))
+    grams = (
+        docs.select(
+            "doc_id",
+            F.col("text"),
+            F.explode(F.sequence(F.lit(1), n)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.col("text").substr(F.col("i"), F.lit(WINNOW_K))).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    winmin = grams.select(
+        "doc_id",
+        F.min("h").over(w).alias("fp"),
+        "i",
+        F.max("i").over(Window.partitionBy("doc_id")).alias("max_i"),
+    )
+    return (
+        winmin.where(F.col("i") <= F.col("max_i") - (WINNOW_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
