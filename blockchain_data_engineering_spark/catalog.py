@@ -37,7 +37,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     vectorized reader rejects; we read nanos as long (legacy conf) and
     truncate to microseconds — the same precision DuckDB uses for its
     TIMESTAMP type, so oracle comparisons stay exact.
+
+    The session timezone is pinned to UTC here (runtime-settable, also
+    done in session.get_spark) because the verify driver supplies its
+    own SparkSession: ``date_trunc``/windowing on TIMESTAMP columns is
+    session-TZ-sensitive and the DuckDB oracle runs in UTC.
     """
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

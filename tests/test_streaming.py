@@ -296,3 +296,28 @@ def test_observe_metrics_surface(spark, chain, replay_dir, tmp_path):
         if om and "source" in om:
             per_batch[prog["batchId"]] = om["source"]["n_lines"]
     assert sum(per_batch.values()) == len(chain.lines)
+
+
+def test_rate_stream_smoke(spark, tmp_path):
+    """Rate source delivers schema (timestamp, value) rows — the load
+    generator for throughput tests."""
+    q = (
+        SRC.rate_stream(spark, rows_per_second=100)
+        .writeStream.format("memory")
+        .queryName("rate_smoke")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM rate_smoke").collect()[0].c
+            if n > 0:
+                break
+            time.sleep(0.5)
+        assert n > 0
+    finally:
+        q.stop()
