@@ -45,6 +45,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # right-size shuffles for the host (the driver's session ships
+        # the 200 default — 6× the local core count in overhead at
+        # test scale); AQE coalescing makes this safe at any size
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
         pass
     if name == "events":
