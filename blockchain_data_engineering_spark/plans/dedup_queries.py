@@ -284,3 +284,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cosine"),
     )
     return scored.where(F.col("cosine") >= 0.25)
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming near-dup pairs: block on the 16-bit signature prefix
+# (near-dups almost always agree on a prefix — the classic simhash
+# table trick; production uses 4 rotated tables to guarantee recall for
+# distance ≤ 3), then exact Hamming distance over the 32-bit strings.
+# Integer everywhere — bit-exact in both engines.
+# ---------------------------------------------------------------------------
+HAMMING_MAX = 6
+_PREFIX_BITS = 16
+
+
+def _hamming_sql() -> str:
+    dist = " + ".join(
+        f"(CASE WHEN substr(a.simhash, {i}, 1) <> substr(b.simhash, {i}, 1) "
+        f"THEN 1 ELSE 0 END)"
+        for i in range(1, 33)
+    )
+    return f"""
+    WITH s AS ({_simhash_oracle()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({dist} AS BIGINT) AS hamming
+    FROM s a JOIN s b
+      ON substr(a.simhash, 1, {_PREFIX_BITS}) = substr(b.simhash, 1, {_PREFIX_BITS})
+     AND a.doc_id < b.doc_id
+    WHERE {dist} <= {HAMMING_MAX}
+    """
+
+
+@query("dedup_simhash_hamming", oracle=_hamming_sql())
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.simhash(docs).withColumn(
+        "prefix", F.substring(F.col("simhash"), 1, _PREFIX_BITS)
+    )
+    a = sig.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "prefix"
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "prefix"
+    )
+    pairs = a.join(b, "prefix").where(F.col("id_a") < F.col("id_b"))
+    dist = None
+    for i in range(1, 33):
+        term = F.when(
+            F.substring(F.col("sh_a"), i, 1) != F.substring(F.col("sh_b"), i, 1),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        dist = term if dist is None else dist + term
+    return (
+        pairs.withColumn("hamming", dist.cast("long"))
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .select("id_a", "id_b", "hamming")
+    )
