@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis) for the numeric-parity kernels and
+the net-flow invariants — the correctness machinery everything else
+stands on."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# ---------------------------------------------------------------- quanta ---
+# Python-side models of plans/parity.py recipes (same IEEE ops).
+
+
+def py_quanta(x: float, d: int) -> int:
+    return math.floor(x * float(10**d) + 0.5)
+
+
+def py_fround(x: float, d: int) -> float:
+    s = float(10**d)
+    return math.floor(x * s + 0.5) / s
+
+
+@given(
+    st.decimals(
+        min_value=-(10**9), max_value=10**9, places=2, allow_nan=False
+    ),
+)
+def test_quanta_recovers_two_decimal_values_exactly(dec):
+    """quanta(x, 2) of a double storing a 2-decimal value recovers the
+    exact scaled integer (the float noise is far below 0.5 quanta)."""
+    x = float(dec)
+    assert py_quanta(x, 2) == int(dec.scaleb(2))
+
+
+@given(
+    st.lists(
+        st.decimals(min_value=0, max_value=10**6, places=4, allow_nan=False),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_quanta_sum_is_order_independent(vals):
+    """Σ quanta is identical under any permutation — the property that
+    makes results partition- and engine-independent (plain float sums
+    are not)."""
+    xs = [float(v) for v in vals]
+    fwd = sum(py_quanta(x, 4) for x in xs)
+    rev = sum(py_quanta(x, 4) for x in reversed(xs))
+    assert fwd == rev
+    # and it equals the exact decimal sum scaled
+    assert fwd == int(sum(v.scaleb(4) for v in vals))
+
+
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+def test_fround_idempotent(x):
+    once = py_fround(x, 6)
+    assert py_fround(once, 6) == once
+
+
+# --------------------------------------------------------------- netflow ---
+
+
+@given(
+    st.dictionaries(
+        st.tuples(st.sampled_from("abcd"), st.sampled_from("xyz")),
+        st.tuples(
+            st.integers(min_value=0, max_value=10**12),
+            st.integers(min_value=0, max_value=10**12),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(deadline=None, max_examples=25)
+def test_netflow_invariants_python_model(flows):
+    """Model of domain/netflow.transacted semantics: net = produced −
+    consumed, zeros dropped. Invariants: (1) no zero rows; (2) value
+    conservation: Σnet = Σproduced − Σconsumed; (3) keys ⊆ union of
+    input keys."""
+    consumed = {k: v[0] for k, v in flows.items() if v[0] > 0}
+    produced = {k: v[1] for k, v in flows.items() if v[1] > 0}
+    net = {}
+    for k in set(consumed) | set(produced):
+        d = produced.get(k, 0) - consumed.get(k, 0)
+        if d != 0:
+            net[k] = d
+    assert all(v != 0 for v in net.values())
+    assert sum(net.values()) == sum(produced.values()) - sum(consumed.values())
+    assert set(net) <= set(consumed) | set(produced)
+
+
+def test_netflow_spark_matches_python_model(spark):
+    """One Spark execution of the same invariant check on generated
+    data (the pure model above runs hundreds of cases; Spark runs one
+    representative to pin the implementation to the model)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from blockchain_data_engineering_spark.domain.netflow import transacted
+
+    rng = random.Random(1)
+    rows_in, rows_out = [], []
+    for i in range(200):
+        tx, addr, unit = f"t{i % 7}", f"a{rng.randrange(5)}", f"u{rng.randrange(3)}"
+        if rng.random() < 0.7:
+            rows_in.append((tx, addr, unit, rng.randrange(0, 100)))
+        if rng.random() < 0.7:
+            rows_out.append((tx, addr, unit, rng.randrange(0, 100)))
+    schema = "tx_hash STRING, address STRING, unit STRING, quantity LONG"
+    iu = spark.createDataFrame(rows_in, schema)
+    ou = spark.createDataFrame(rows_out, schema)
+    got = transacted(iu, ou).collect()
+
+    consumed: dict = {}
+    produced: dict = {}
+    for t, a, u, q in rows_in:
+        consumed[(t, a, u)] = consumed.get((t, a, u), 0) + q
+    for t, a, u, q in rows_out:
+        produced[(t, a, u)] = produced.get((t, a, u), 0) + q
+    want = {}
+    for k in set(consumed) | set(produced):
+        d = produced.get(k, 0) - consumed.get(k, 0)
+        if d != 0:
+            want[k] = d
+    assert {(r.tx_hash, r.address, r.unit): r.value for r in got} == want
