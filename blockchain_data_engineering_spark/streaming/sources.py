@@ -29,7 +29,7 @@ def ndjson_file_stream(
     reader = spark.readStream.schema(LINE_SCHEMA).format("text")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.load(path).withColumnRenamed("value", "value")
+    return reader.load(path)
 
 
 def socket_stream(
