@@ -321,3 +321,61 @@ def test_rate_stream_smoke(spark, tmp_path):
         assert n > 0
     finally:
         q.stop()
+
+
+def test_stateful_running_balances(spark, tmp_path):
+    """applyInPandasWithState balance tracker: folding per-batch net
+    flows into persistent per-(address, unit) state equals the batch
+    aggregate over all data."""
+    import json
+
+    from blockchain_data_engineering_spark.streaming.stateful import (
+        running_balances,
+    )
+
+    rows = [
+        {"address": f"a{i % 3}", "unit": "lovelace" if i % 2 else "tokX",
+         "value": (i - 10) * 7}
+        for i in range(40)
+    ]
+    src = tmp_path / "flows"
+    src.mkdir()
+    for fi in range(4):  # 4 micro-batches
+        with open(src / f"f{fi}.ndjson", "w") as f:
+            for r in rows[fi * 10 : (fi + 1) * 10]:
+                f.write(json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema(
+        "address STRING, unit STRING, value LONG"
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+
+    q = (
+        running_balances(stream)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # the changelog's LAST emission per key must equal the batch sums;
+    # parquet sink appends every update, so reduce by max n_changes
+    out = spark.read.parquet(str(tmp_path / "out"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("address", "unit").orderBy(F.col("n_changes").desc())
+    final = (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .collect()
+    )
+    got = {(r.address, r.unit): (r.balance, r.n_changes) for r in final}
+
+    want: dict = {}
+    for r in rows:
+        k = (r["address"], r["unit"])
+        b, n = want.get(k, (0, 0))
+        want[k] = (b + r["value"], n + 1)
+    assert got == want
