@@ -130,6 +130,9 @@ def main() -> None:
         if dt == dt:
             total += dt
 
+    # drop cached data left by the query sweep so the domain-pipeline
+    # throughput number isn't distorted by eviction/GC pressure
+    spark.catalog.clearCache()
     domain = bench_domain_pipeline(spark)
 
     print(
