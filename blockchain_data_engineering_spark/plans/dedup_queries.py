@@ -119,9 +119,14 @@ def _minhash_oracle() -> str:
 @query("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # the shingle set feeds the signature build AND both sides of the
-    # Jaccard verification join — persist it once instead of recomputing
-    # the explode+distinct three times
+    # the exploded (doc_id, shingle) relation feeds the signature build
+    # AND both sides of the Jaccard verification join — persist it once.
+    # Measured 2-4x faster than the array-column variant
+    # (shingle_array + minhash_signatures_from_array): the 9-seed md5
+    # inside a higher-order transform() is interpreted per element,
+    # while explode + codegen'd hash-aggregate min() stays JVM-fast,
+    # and char-5-gram arrays are wide enough that carrying them through
+    # the candidate join costs more than the extra shuffle saves.
     sh = D.shingle_set(docs, k=SHINGLE_K).persist()
     sig = D.minhash_signatures(sh, N_HASHES)
     cand = D.lsh_candidate_pairs(D.lsh_bands(sig, N_HASHES, BAND_SIZE))
@@ -214,7 +219,7 @@ _NG_SQL = """
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    grams = D.word_ngrams(docs, n=3)
+    grams = D.word_ngram_array(docs, n=3)
     bucket = F.expr("n_chars div 100").alias("len_bucket")
     a = docs.select(F.col("doc_id").alias("id_a"), "source", bucket)
     b = docs.select(F.col("doc_id").alias("id_b"), "source", bucket)
@@ -223,7 +228,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    return D.jaccard_verify(cand, grams)
+    return D.jaccard_verify_arrays(cand, grams)
 
 
 # ---------------------------------------------------------------------------

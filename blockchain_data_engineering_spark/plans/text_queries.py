@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from blockchain_data_engineering_spark.catalog import load_table
 from blockchain_data_engineering_spark.operators import text as TX
+from blockchain_data_engineering_spark.plans.parity import dsum, dsum_sql
 from blockchain_data_engineering_spark.plans.registry import query
 
 _BPE_PAT = TX.TOKEN_PATTERN
@@ -221,4 +222,171 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         winmin.where(F.col("i") <= F.col("max_i") - (WINNOW_W - 1))
         .select("doc_id", "fp")
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25-ish ranked search over the corpus for a fixed query. The idf
+# uses the BM25 rational core (N − df + ½)/(df + ½) WITHOUT the log —
+# monotone-equivalent ranking, and a pure division of exact integers,
+# so scores are bit-identical across engines (libm log() is not).
+# Per-term scores are identical doubles in both engines (same IEEE op
+# order); the per-doc SUM is made order-independent by quantizing each
+# term score to 9 decimals (integer quanta) before summing — float
+# addition is not associative, so a raw sum(double) differs in the last
+# bits between engines.
+# ---------------------------------------------------------------------------
+SEARCH_TERMS = ("spark", "data", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, token
+      FROM documents, unnest(string_split(text, ' ')) AS t(token)
+    ),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    meta AS (
+      SELECT (SELECT count(*) FROM documents) AS n,
+             (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM doclen) AS avgdl
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks
+      WHERE token IN ({terms}) GROUP BY 1, 2
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             {dsum_sql(
+                 f"((CAST((SELECT n FROM meta) AS DOUBLE) - df.df + 0.5)"
+                 f"   / (df.df + 0.5))"
+                 f" * (tf.tf * ({BM25_K1} + 1.0))"
+                 f" / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}"
+                 f"     + {BM25_B} * dl / (SELECT avgdl FROM meta)))",
+                 9,
+             )} AS score
+      FROM tf JOIN df USING (token) JOIN doclen USING (doc_id)
+      GROUP BY 1
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 20
+    """
+
+
+@query("text_bm25_search", oracle=_bm25_oracle())
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n = docs.count()
+    avgdl = doclen.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    ).collect()[0]["avgdl"]
+    tf = (
+        toks.where(F.col("token").isin(*SEARCH_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = BM25_K1, BM25_B
+    term_score = (
+        ((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(doclen, "doc_id")
+        .groupBy("doc_id")
+        .agg(dsum(term_score, 9).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("doc_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: top-50 bigrams by frequency (deterministic
+# tie-break) — the n-gram count table every corpus analysis starts with.
+# ---------------------------------------------------------------------------
+@query(
+    "text_top_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    bigrams AS (
+      SELECT tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1] AS bigram
+      FROM (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, greatest(len(tk) - 1, 1))) AS i
+        FROM toks
+      )
+      WHERE CAST(i AS INTEGER) + 1 <= len(tk)
+    )
+    SELECT bigram, count(*) AS n
+    FROM bigrams GROUP BY 1
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    exploded = docs.select(
+        toks.alias("tk"),
+        F.explode(F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))).alias(
+            "i"
+        ),
+    ).where(F.col("i") + 1 <= F.size(F.col("tk")))
+    bigram = F.concat_ws(
+        " ", F.element_at(F.col("tk"), F.col("i")),
+        F.element_at(F.col("tk"), F.col("i") + 1),
+    )
+    return (
+        exploded.select(bigram.alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val split: assign each document to a split by an
+# md5 threshold over its id — reproducible across engines, runs, and
+# cluster sizes (the property rand()-based sampling lacks), and stable
+# under corpus growth (a doc never changes split).
+# ---------------------------------------------------------------------------
+@query(
+    "sample_train_val_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ('0', '1', '2') THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def sample_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h1 = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    return docs.select(
+        "doc_id",
+        F.when(h1.isin("0", "1", "2"), F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
     )
