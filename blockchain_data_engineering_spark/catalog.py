@@ -68,6 +68,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan to the session's default
+    parallelism — use right after :func:`load_table` when the NEXT
+    stage does heavy per-row compute (JSON parse, shingling,
+    higher-order functions, pandas UDFs).
+
+    Why: the test parquet files are written as a single row group, so
+    Spark's scan yields ONE non-empty partition no matter what
+    ``spark.sql.files.maxPartitionBytes`` says — a narrow CPU-bound
+    pipeline then runs on one core out of 32. A ~10 MB round-robin
+    shuffle buys full-width parallelism for everything downstream.
+
+    At cluster scale the table root has thousands of files/row groups
+    and the scan is already wide — drop the call (it would only add a
+    shuffle and defeat scan-level filter pushdown for later filters,
+    which is also why this is opt-in per query, not done inside
+    ``load_table``)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from blockchain_data_engineering_spark.catalog import load_table
+from blockchain_data_engineering_spark.catalog import load_table, spread
 from blockchain_data_engineering_spark.functions.scalar import SLOT_EPOCH_OFFSET
 from blockchain_data_engineering_spark.operators.pandas_escape import (
     grouped_demean_scaled,
@@ -73,7 +73,7 @@ def agg_any_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def applyinpandas_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = spread(load_table(spark, sf_dir, "events")).select(
         "user_id", quanta(F.col("value"), 4).alias("v")
     )
     return grouped_demean_scaled(ev, ["user_id"], "v")

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from blockchain_data_engineering_spark.catalog import load_table
+from blockchain_data_engineering_spark.catalog import load_table, spread
 from blockchain_data_engineering_spark.operators import dedup as D
 from blockchain_data_engineering_spark.operators import similarity as SIM
 from blockchain_data_engineering_spark.plans.parity import quanta_sql
@@ -50,7 +50,7 @@ _SH_SQL = f"""
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return D.exact_dedup_groups(docs)
 
 
@@ -118,7 +118,7 @@ def _minhash_oracle() -> str:
 
 @query("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # the exploded (doc_id, shingle) relation feeds the signature build
     # AND both sides of the Jaccard verification join — persist it once.
     # Measured 2-4x faster than the array-column variant
@@ -161,7 +161,7 @@ def _simhash_oracle() -> str:
 
 @query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return D.simhash(docs)
 
 
@@ -218,7 +218,7 @@ _NG_SQL = """
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     grams = D.word_ngram_array(docs, n=3)
     bucket = F.expr("n_chars div 100").alias("len_bucket")
     a = docs.select(F.col("doc_id").alias("id_a"), "source", bucket)
@@ -270,7 +270,7 @@ def _emb_cos_oracle() -> str:
 
 @query("dedup_embedding_cosine", oracle=_emb_cos_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     withn = SIM.with_norm(emb)
     a = withn.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"),
@@ -321,7 +321,7 @@ def _hamming_sql() -> str:
 
 @query("dedup_simhash_hamming", oracle=_hamming_sql())
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sig = D.simhash(docs).withColumn(
         "prefix", F.substring(F.col("simhash"), 1, _PREFIX_BITS)
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from blockchain_data_engineering_spark.catalog import load_table
+from blockchain_data_engineering_spark.catalog import load_table, spread
 from blockchain_data_engineering_spark.domain.schema import VALUE_MAP_TYPE
 from blockchain_data_engineering_spark.functions.scalar import (
     deterministic_id,
@@ -51,7 +51,7 @@ from blockchain_data_engineering_spark.plans.registry import query
     """,
 )
 def domain_value_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     value_json = F.concat(
         F.lit('{"ada":{"lovelace":'),
         F.col("l_quantity").cast("long").cast("string"),

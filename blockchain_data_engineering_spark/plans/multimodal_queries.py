@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from blockchain_data_engineering_spark.catalog import load_table
+from blockchain_data_engineering_spark.catalog import load_table, spread
 from blockchain_data_engineering_spark.operators import multimodal as MM
 from blockchain_data_engineering_spark.plans.registry import query
 
@@ -46,7 +46,7 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("multimodal_feature_extract")
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return MM.extract_features(MM.attach_binary(docs))
 
 
@@ -55,7 +55,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("multimodal_frame_sample")
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     frames = MM.sample_frames(MM.attach_binary(docs))
     # binary frames don't hash portably across the driver's compare —
     # expose deterministic projections

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from blockchain_data_engineering_spark.catalog import load_table
+from blockchain_data_engineering_spark.catalog import load_table, spread
 from blockchain_data_engineering_spark.operators import similarity as SIM
 from blockchain_data_engineering_spark.plans.parity import quanta_sql
 from blockchain_data_engineering_spark.plans.registry import query
@@ -60,7 +60,7 @@ _SCALE = 10**12
     """,
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return SIM.brute_force_topk(queries, emb, k=TOPK)
 
@@ -137,7 +137,7 @@ def _lsh_oracle() -> str:
 
 @query("sim_lsh_ann", oracle=_lsh_oracle())
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     return SIM.lsh_ann_topk(emb, k=3, n_planes=N_PLANES, dim=DIM)
 
 
@@ -207,5 +207,5 @@ def _ivf_oracle() -> str:
 
 @query("sim_ivf_ann", oracle=_ivf_oracle())
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     return SIM.ivf_ann_topk(emb, k=3, centroid_every=47, n_queries=N_QUERIES)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from blockchain_data_engineering_spark.catalog import load_table
+from blockchain_data_engineering_spark.catalog import load_table, spread
 from blockchain_data_engineering_spark.operators import text as TX
 from blockchain_data_engineering_spark.plans.parity import dsum, dsum_sql
 from blockchain_data_engineering_spark.plans.registry import query
@@ -34,7 +34,7 @@ _BPE_PAT = TX.TOKEN_PATTERN
     """,
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_m"),
@@ -81,7 +81,7 @@ def _stop_hits_sql(words: tuple[str, ...]) -> str:
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     scored = TX.quality_score(docs)
     return scored.select(
         "doc_id", "n_chars_m", "n_tokens", "punct_ratio", "stop_ratio",
@@ -121,7 +121,7 @@ def _langid_oracle() -> str:
 
 @query("text_lang_id", oracle=_langid_oracle())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.col("lang").alias("lang_declared"),
@@ -145,7 +145,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     with_fp = docs.select(
         "doc_id", TX.fingerprint(F.col("text")).alias("fp")
     )
@@ -193,7 +193,7 @@ WINNOW_W = 4
     """,
 )
 def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     n = F.greatest(F.length(F.col("text")) - (WINNOW_K - 1), F.lit(1))
     grams = (
         docs.select(
@@ -280,7 +280,7 @@ def _bm25_oracle() -> str:
 
 @query("text_bm25_search", oracle=_bm25_oracle())
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
@@ -343,7 +343,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     exploded = docs.select(
         toks.alias("tk"),
@@ -380,7 +380,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sample_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     h1 = F.substring(
         F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1
     )
