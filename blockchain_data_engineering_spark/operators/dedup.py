@@ -286,6 +286,57 @@ def simhash(
     return summed.select(id_col, F.concat(*bits).alias("simhash"))
 
 
+def simhash_block_pairs(
+    signatures: DataFrame,
+    n_blocks: int = 8,
+    sig_bits: int = 32,
+    t: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs agreeing on at least one
+    ``t``-block combination — Manku et al.'s multi-table scheme
+    (WWW'07, "Detecting Near-Duplicates for Web Crawling").
+
+    Pigeonhole guarantee: two signatures within Hamming distance d
+    differ in ≤ d of the ``n_blocks`` disjoint blocks, so whenever
+    ``d ≤ n_blocks − t`` they agree on ≥ t blocks and MUST share one of
+    the C(n_blocks, t) combinations — complete recall, unlike
+    single-prefix blocking, which silently misses pairs whose differing
+    bits land in the prefix. Raising ``t`` multiplies tables
+    (C(8,1)=8 → C(8,2)=28) but exponentially narrows each bucket
+    (4-bit → 8-bit keys): at 5k docs, t=2 cuts candidates ~5x for the
+    same d ≤ 6 guarantee. Bucket rows stay linear in N, never N².
+    """
+    from itertools import combinations
+
+    width = sig_bits // n_blocks
+    blk = [
+        F.substring(F.col("simhash"), i * width + 1, width)
+        for i in range(n_blocks)
+    ]
+    combos = list(combinations(range(n_blocks), t))
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("blk_idx"),
+                F.concat(*[blk[i] for i in c]).alias("blk_val"),
+            )
+            for ci, c in enumerate(combos)
+        ]
+    )
+    keyed = signatures.select(
+        id_col, F.explode(blocks).alias("b")
+    ).select(id_col, "b.blk_idx", "b.blk_val")
+    a = keyed.select(F.col(id_col).alias("id_a"), "blk_idx", "blk_val")
+    b = keyed.select(F.col(id_col).alias("id_b"), "blk_idx", "blk_val")
+    return (
+        a.join(b, ["blk_idx", "blk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 # --------------------------------------------------------- ngram jaccard ---
 
 

@@ -239,6 +239,24 @@ def ivf_assign(
     is a broadcast join against the (small) centroid set, so the corpus
     never shuffles.
     """
+    return ivf_probe(vectors, centroid_every, 1, vec_col, id_col).select(
+        id_col, "centroid_id"
+    )
+
+
+def ivf_probe(
+    vectors: DataFrame,
+    centroid_every: int = 47,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, centroid_id, probe_rank): each vector's ``nprobe`` nearest
+    centroids. ``nprobe=1`` is the coarse assignment; probing further
+    centroids for the *query* side is the recall dial — true neighbors
+    straddle cluster boundaries, and the second-closest centroid holds
+    most of what nprobe=1 misses. Broadcast centroid join: the corpus
+    never shuffles."""
     v = with_norm(vectors.select(id_col, vec_col), vec_col)
     cents = (
         v.where(F.col(id_col) % centroid_every == 0)
@@ -261,9 +279,9 @@ def ivf_assign(
         F.col("c_cos").desc(), F.col("centroid_id")
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(id_col, "centroid_id")
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .where(F.col("probe_rank") <= nprobe)
+        .select(id_col, "centroid_id", "probe_rank")
     )
 
 
@@ -272,22 +290,34 @@ def ivf_ann_topk(
     k: int = 3,
     centroid_every: int = 47,
     n_queries: int = 10,
+    nprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF ANN (nprobe=1): exact cosine only within each query's own
-    cluster. The candidate join is on centroid_id — candidates scale
-    with cluster size, never N². The recall/latency dial is nprobe
-    (probe the q nearest centroids); 1 keeps the oracle simple."""
-    assign = ivf_assign(vectors, centroid_every, vec_col, id_col)
-    v = with_norm(vectors.select(id_col, vec_col), vec_col).join(assign, id_col)
-    q = v.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.col("norm_q").alias("q_norm_q"),
-        "centroid_id",
+    """IVF ANN: exact cosine only within the query's ``nprobe`` nearest
+    clusters. The candidate join is on centroid_id — candidates scale
+    with nprobe × cluster size, never N². Corpus vectors keep their
+    single (nprobe=1) assignment; only the query side probes wider,
+    and each candidate appears once (one home cluster), so no dedup is
+    needed."""
+    # ONE ranked centroid pass serves both sides: rank-1 rows are the
+    # corpus assignment, rank ≤ nprobe rows restricted to the query ids
+    # are the probe set (centroids always come from the full corpus).
+    ranked = ivf_probe(vectors, centroid_every, nprobe, vec_col, id_col)
+    assign = ranked.where(F.col("probe_rank") == 1).select(id_col, "centroid_id")
+    probes = ranked.where(F.col(id_col) < n_queries).select(id_col, "centroid_id")
+    v = with_norm(vectors.select(id_col, vec_col), vec_col)
+    q = (
+        v.where(F.col(id_col) < n_queries)
+        .join(probes, id_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("norm_q").alias("q_norm_q"),
+            "centroid_id",
+        )
     )
-    c = v.select(
+    c = v.join(assign, id_col).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("c_vec"),
         F.col("norm_q").alias("c_norm_q"),

@@ -209,3 +209,77 @@ def _ivf_oracle() -> str:
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     return SIM.ivf_ann_topk(emb, k=3, centroid_every=47, n_queries=N_QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN with nprobe=2 — the recall dial: the query also searches its
+# second-nearest cluster, catching neighbors that straddle the cluster
+# boundary. Corpus assignment stays nprobe=1, so candidates appear once.
+# ---------------------------------------------------------------------------
+def _ivf_nprobe_oracle(nprobe: int = 2) -> str:
+    k, every = 3, 47
+    q_vc = quanta_sql("CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)", 12)
+    q_ab = quanta_sql("CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)", 12)
+    return f"""
+    WITH n AS (
+      SELECT vec_id, CAST(sum({_NORM_Q}) AS BIGINT) AS norm_q
+      FROM embeddings, generate_series(1, {DIM}) AS t(i) GROUP BY 1
+    ),
+    ad AS (
+      SELECT v.vec_id, c.vec_id AS centroid_id, CAST(sum({q_vc}) AS BIGINT) AS dot_q
+      FROM embeddings v JOIN embeddings c ON c.vec_id % {every} = 0,
+           generate_series(1, {DIM}) AS t(i)
+      GROUP BY 1, 2
+    ),
+    ascore AS (
+      SELECT ad.vec_id, ad.centroid_id,
+             (CAST(dot_q AS DOUBLE) / {_SCALE})
+               / (sqrt(CAST(nv.norm_q AS DOUBLE) / {_SCALE})
+                  * sqrt(CAST(nc.norm_q AS DOUBLE) / {_SCALE})) AS c_cos
+      FROM ad JOIN n nv ON nv.vec_id = ad.vec_id
+      JOIN n nc ON nc.vec_id = ad.centroid_id
+    ),
+    ranked AS (
+      SELECT vec_id, centroid_id,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) AS pr
+      FROM ascore
+    ),
+    assign AS (SELECT vec_id, centroid_id FROM ranked WHERE pr = 1),
+    probes AS (
+      SELECT vec_id, centroid_id FROM ranked
+      WHERE pr <= {nprobe} AND vec_id < {N_QUERIES}
+    ),
+    pairs AS (
+      SELECT qa.vec_id AS query_id, ca.vec_id AS cand_id
+      FROM probes qa JOIN assign ca ON qa.centroid_id = ca.centroid_id
+      WHERE ca.vec_id <> qa.vec_id
+    ),
+    pd AS (
+      SELECT p.query_id, p.cand_id, CAST(sum({q_ab}) AS BIGINT) AS dot_q
+      FROM pairs p
+      JOIN embeddings a ON a.vec_id = p.query_id
+      JOIN embeddings b ON b.vec_id = p.cand_id,
+           generate_series(1, {DIM}) AS t(i)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, cand_id,
+             (CAST(dot_q AS DOUBLE) / {_SCALE})
+               / (sqrt(CAST(nq.norm_q AS DOUBLE) / {_SCALE})
+                  * sqrt(CAST(nc.norm_q AS DOUBLE) / {_SCALE})) AS cosine
+      FROM pd JOIN n nq ON nq.vec_id = query_id
+      JOIN n nc ON nc.vec_id = cand_id
+    )
+    SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+@query("sim_ivf_ann_nprobe2", oracle=_ivf_nprobe_oracle(2))
+def sim_ivf_ann_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return SIM.ivf_ann_topk(emb, k=3, centroid_every=47, n_queries=N_QUERIES, nprobe=2)

@@ -379,3 +379,72 @@ def test_stateful_running_balances(spark, tmp_path):
         b, n = want.get(k, (0, 0))
         want[k] = (b + r["value"], n + 1)
     assert got == want
+
+
+def test_kafka_replay_matches_ndjson_source(spark, chain, tmp_path):
+    """The Kafka-record-shaped replay decodes to the same line set the
+    NDJSON source delivers, with broker invariants intact: unique
+    (topic, partition, offset) keys and per-partition monotone offsets."""
+    kdir = str(tmp_path / "kafka")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    SRC.write_kafka_replay(chain.lines, kdir, topic="blocks", n_partitions=3, n_files=4)
+
+    stream = SRC.decode_kafka_lines(
+        SRC.kafka_file_replay(spark, kdir, max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    rows = got.collect()
+    assert sorted(r.value for r in rows) == sorted(chain.lines)
+    keys = [(r.topic, r.partition, r.offset) for r in rows]
+    assert len(keys) == len(set(keys))
+    per_part = {}
+    for r in sorted(rows, key=lambda r: (r.partition, r.offset)):
+        per_part.setdefault(r.partition, []).append(r.offset)
+    for part, offs in per_part.items():
+        assert offs == list(range(len(offs))), f"partition {part} offsets not dense"
+
+
+def test_kafka_replay_drives_domain_pipeline(spark, chain, tmp_path):
+    """End-to-end: Kafka-shaped replay → decode → block parse → volumes
+    equals the batch pipeline (source swap changes nothing downstream)."""
+    kdir = str(tmp_path / "kafka")
+    vol_path = str(tmp_path / "vol")
+    tr_path = str(tmp_path / "transfers")
+    ckpt = str(tmp_path / "ckpt")
+    SRC.write_kafka_replay(chain.lines, kdir, n_partitions=2, n_files=3)
+
+    lines = spark.createDataFrame([(line,) for line in chain.lines], ["value"])
+    history = B.tx_outputs_table(B.parse_block_lines(lines))
+    stream = SRC.decode_kafka_lines(
+        SRC.kafka_file_replay(spark, kdir, max_files_per_trigger=1)
+    ).select("value")
+    q = run_vol_transfers_pipeline(
+        stream,
+        _dim(spark, chain),
+        history,
+        parquet_append_sink(vol_path),
+        parquet_append_sink(tr_path),
+        ckpt,
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r.hash, r.unit): r.value_adj
+        for r in spark.read.parquet(vol_path).collect()
+    }
+    batch = {
+        (r.hash, r.unit): r.value_adj for r in _batch_volumes(spark, chain).collect()
+    }
+    assert set(streamed) == set(batch)
+    for k, v in batch.items():
+        assert streamed[k] == pytest.approx(v, rel=1e-12), k
