@@ -79,7 +79,7 @@ def pagerank(
     base = (1.0 - damping) / n
     for _ in range(iterations):
         contrib = (
-            e.join(pr.withColumnRenamed("node", "src_node"), "src_node")
+            e.join(F.broadcast(pr.withColumnRenamed("node", "src_node")), "src_node")
             .join(deg.withColumnRenamed("node", "src_node"), "src_node")
             .select(
                 F.col("node_dst").alias("node"),
@@ -125,8 +125,11 @@ def pagerank_quantized(
     base_q = (PR_SCALE * (100 - damping_pct)) // 100 // n
     pr = nodes.withColumn("pr_q", F.lit(PR_SCALE // n).cast("long"))
     for _ in range(iterations):
+        # rank table is |V| rows vs |E| edge messages — broadcast it so
+        # the cached edge list is never reshuffled; at billion-node
+        # scale drop the hint and pre-partition e by src_node instead
         contrib = (
-            e.join(pr.withColumnRenamed("node", "src_node"), "src_node")
+            e.join(F.broadcast(pr.withColumnRenamed("node", "src_node")), "src_node")
             .select(
                 F.col("node_dst").alias("node"),
                 F.expr("pr_q div outdeg").alias("c"),

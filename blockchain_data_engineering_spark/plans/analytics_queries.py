@@ -455,3 +455,80 @@ def range_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_ms=24 * 3600 * 1000,
     )
     return out.select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide reshape): per-unit quantity totals by return-flag status —
+# the notebook chart shape (one column per series). Spark's pivot() is
+# conditional aggregation under the hood; the oracle spells that out.
+# Integer sums, NULL where a (unit, flag) group is absent in both.
+# ---------------------------------------------------------------------------
+@query(
+    "pivot_qty_by_flag",
+    oracle="""
+    SELECT l_partkey AS unit,
+           CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS A,
+           CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS N,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS R
+    FROM lineitem GROUP BY 1
+    """,
+)
+def pivot_qty_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").alias("unit"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("long")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group quantiles (discrete): the k-th smallest value with
+# k = ceil(p·n), pure integer selection — no interpolation arithmetic,
+# so values are engine-exact (percentile_cont would interpolate in
+# floating point and drift in the last bits). One window rank + one
+# conditional aggregation; at scale this is the standard two-shuffle
+# exact-quantile plan (approx_percentile is the one-pass alternative
+# when exactness can be traded away).
+# ---------------------------------------------------------------------------
+@query(
+    "events_value_quantiles",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, {quanta_sql('value', 4)} AS v FROM events
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM q
+    )
+    SELECT event_type,
+           CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS BIGINT) AS p50_q,
+           CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN v END) AS BIGINT) AS p90_q,
+           CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99_q
+    FROM ranked GROUP BY 1
+    """,
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", quanta(F.col("value"), 4).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p_num: int) -> F.Column:
+        k = F.expr(f"(n * {p_num} + 99) div 100")
+        return F.max(F.when(F.col("rn") == k, F.col("v"))).cast("long")
+
+    return ranked.groupBy("event_type").agg(
+        pick(50).alias("p50_q"), pick(90).alias("p90_q"), pick(99).alias("p99_q")
+    )

@@ -367,10 +367,21 @@ def _multiblock_sql() -> str:
     bits = " || ".join(
         f"(CASE WHEN s{i} >= 0 THEN '1' ELSE '0' END)" for i in range(len(terms))
     )
-    dist = " + ".join(
-        f"(CASE WHEN substr(sa.simhash, {i}, 1) <> substr(sb.simhash, {i}, 1) "
-        f"THEN 1 ELSE 0 END)"
-        for i in range(1, 65)
+    # pack the 64-char bit string into two BIGINTs per doc (5k rows),
+    # so the per-pair (848k rows at sf0.1) Hamming distance is two
+    # xor+bit_count integer ops instead of 64 substring comparisons
+    hi = " + ".join(
+        f"(CASE WHEN substr(simhash, {i + 1}, 1) = '1' THEN {1 << (31 - i)} "
+        f"ELSE 0 END)"
+        for i in range(32)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN substr(simhash, {i + 33}, 1) = '1' THEN {1 << (31 - i)} "
+        f"ELSE 0 END)"
+        for i in range(32)
+    )
+    dist = (
+        "bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo))"
     )
     return f"""
     WITH toks AS (
@@ -397,11 +408,15 @@ def _multiblock_sql() -> str:
       FROM blk a JOIN blk b
         ON a.blk_idx = b.blk_idx AND a.blk_val = b.blk_val
        AND a.doc_id < b.doc_id
+    ),
+    packed AS (
+      SELECT doc_id, CAST({hi} AS BIGINT) AS hi, CAST({lo} AS BIGINT) AS lo
+      FROM s
     )
     SELECT c.id_a, c.id_b, CAST({dist} AS BIGINT) AS hamming
     FROM cand c
-    JOIN s sa ON sa.doc_id = c.id_a
-    JOIN s sb ON sb.doc_id = c.id_b
+    JOIN packed pa ON pa.doc_id = c.id_a
+    JOIN packed pb ON pb.doc_id = c.id_b
     WHERE {dist} <= {HAMMING_MAX}
     """
 
@@ -411,16 +426,19 @@ def dedup_simhash_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     sig = D.simhash(docs, n_hex=SIMHASH64_HEX).persist()
     cand = D.simhash_block_pairs(sig, n_blocks=8, sig_bits=64, t=2)
-    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
-    pairs = cand.join(sa, "id_a").join(sb, "id_b")
-    dist = None
-    for i in range(1, 65):
-        term = F.when(
-            F.substring(F.col("sh_a"), i, 1) != F.substring(F.col("sh_b"), i, 1),
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        dist = term if dist is None else dist + term
+    packed = sig.select(
+        "doc_id",
+        F.expr("cast(conv(substr(simhash, 1, 32), 2, 10) as bigint)").alias("hi"),
+        F.expr("cast(conv(substr(simhash, 33, 32), 2, 10) as bigint)").alias("lo"),
+    )
+    pa = packed.select(
+        F.col("doc_id").alias("id_a"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a")
+    )
+    pb = packed.select(
+        F.col("doc_id").alias("id_b"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b")
+    )
+    pairs = cand.join(pa, "id_a").join(pb, "id_b")
+    dist = F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)")
     return (
         pairs.withColumn("hamming", dist.cast("long"))
         .where(F.col("hamming") <= HAMMING_MAX)
