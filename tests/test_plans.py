@@ -70,3 +70,52 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
             f"{name} fell off the JVM path"
         )
+
+
+def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
+    """Bucketed tables co-partitioned on the join key must sort-merge
+    join with ZERO shuffle exchanges — at 100 TB, pre-bucketing the fact
+    tables on their join keys is what turns the nightly big join from a
+    full-cluster shuffle into a local merge."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bkt_orders_{suffix}", f"bkt_lineitem_{suffix}"
+    a = spark.range(0, 10000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 97).alias("o_custkey")
+    )
+    b = spark.range(0, 30000).select(
+        (F.col("id") % 10000).alias("l_orderkey"),
+        (F.col("id") % 13).alias("l_quantity"),
+    )
+    try:
+        (
+            a.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", str(tmp_path / "a")).saveAsTable(ta)
+        )
+        (
+            b.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", str(tmp_path / "b")).saveAsTable(tb)
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(ta).join(
+            spark.table(tb),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # and the join actually runs correctly off the bucketed layout
+        assert joined.count() == 30000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
