@@ -120,17 +120,19 @@ def _minhash_oracle() -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     # the exploded (doc_id, shingle) relation feeds the signature build
-    # AND both sides of the Jaccard verification join — persist it once.
-    # Measured 2-4x faster than the array-column variant
-    # (shingle_array + minhash_signatures_from_array): the 9-seed md5
-    # inside a higher-order transform() is interpreted per element,
-    # while explode + codegen'd hash-aggregate min() stays JVM-fast,
-    # and char-5-gram arrays are wide enough that carrying them through
-    # the candidate join costs more than the extra shuffle saves.
+    # AND the Jaccard verification — persist it once. Signatures from
+    # explode + codegen'd hash-aggregate min() (the 9-seed md5 inside a
+    # higher-order transform() is interpreted per element, measured
+    # 2-4x slower); verification from per-doc ARRAYS re-packed off the
+    # persisted shingle set and broadcast to the candidate pairs
+    # (array_intersect row-locally, 3.4x faster than re-joining the
+    # exploded relation twice, whose intermediate is |pairs|x|shingles
+    # per doc| ~ 32M rows at sf0.1).
     sh = D.shingle_set(docs, k=SHINGLE_K).persist()
     sig = D.minhash_signatures(sh, N_HASHES)
     cand = D.lsh_candidate_pairs(D.lsh_bands(sig, N_HASHES, BAND_SIZE))
-    return D.jaccard_verify(cand, sh)
+    arr = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    return D.jaccard_verify_arrays(cand, arr, broadcast=True)
 
 
 # ---------------------------------------------------------------------------
@@ -443,4 +445,87 @@ def dedup_simhash_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("hamming", dist.cast("long"))
         .where(F.col("hamming") <= HAMMING_MAX)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus dedup — the full LLM-data kernel in one plan:
+# MinHash+LSH candidate pairs → exact-Jaccard ≥ 0.7 dup edges →
+# 3 rounds of min-label propagation over the dup graph (dup clusters
+# are near-cliques, diameter ~2) → every doc labeled with its
+# component's canonical (minimum) doc_id and a keep/drop verdict.
+# The oracle replays the ENTIRE pipeline, banding included.
+# ---------------------------------------------------------------------------
+DUP_THRESHOLD = 0.7
+CC_ROUNDS = 3
+
+
+def _corpus_dedup_sql() -> str:
+    ctes = [
+        f"mh AS ({_minhash_oracle()})",
+        f"e AS (SELECT id_a, id_b FROM mh WHERE jaccard >= {DUP_THRESHOLD})",
+        "und AS (SELECT id_a AS a, id_b AS b FROM e"
+        " UNION SELECT id_b, id_a FROM e)",
+        "l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)",
+    ]
+    for i in range(1, CC_ROUNDS + 1):
+        prev = f"l{i - 1}"
+        ctes.append(
+            f"""l{i} AS (
+      SELECT l.node,
+             least(l.label, coalesce(m.nbr_label, l.label)) AS label
+      FROM {prev} l LEFT JOIN (
+        SELECT u.a AS node, min(p.label) AS nbr_label
+        FROM und u JOIN {prev} p ON u.b = p.node GROUP BY 1
+      ) m ON m.node = l.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT node AS doc_id, label AS canonical_id,
+           node = label AS kept
+    FROM l{CC_ROUNDS}"""
+    )
+
+
+@query("pipeline_corpus_dedup", oracle=_corpus_dedup_sql())
+def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = D.shingle_set(docs, k=SHINGLE_K).persist()
+    sig = D.minhash_signatures(sh, N_HASHES)
+    cand = D.lsh_candidate_pairs(D.lsh_bands(sig, N_HASHES, BAND_SIZE))
+    arr = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    dup = D.jaccard_verify_arrays(cand, arr, broadcast=True).where(
+        F.col("jaccard") >= DUP_THRESHOLD
+    )
+    # min-label propagation over the dup graph with self-loops: the
+    # closed-neighborhood min needs ONE join + ONE groupBy per round,
+    # and crucially references the previous labels ONCE — a
+    # two-reference formulation (broadcast + left join back) doubles
+    # the uncached lineage per round, 2^k re-evaluations of the whole
+    # minhash pipeline (measured 16-27s; this shape ~7s). Self-loops
+    # also carry singleton docs through untouched (kept=true).
+    und = (
+        dup.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .union(dup.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .union(
+            docs.select(F.col("doc_id").alias("a"), F.col("doc_id").alias("b"))
+        )
+        .persist()
+    )
+    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
+    for _ in range(CC_ROUNDS):
+        labels = (
+            und.join(
+                F.broadcast(labels.select(F.col("node").alias("b"), "label")), "b"
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("label"))
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("canonical_id"),
+        (F.col("node") == F.col("label")).alias("kept"),
     )
