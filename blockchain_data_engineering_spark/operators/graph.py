@@ -209,3 +209,62 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
     return labels
+
+
+def connected_components_pointer_jump(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Connected components by propagate + pointer-jump rounds.
+
+    Each round first does one min-label propagation (as in
+    :func:`connected_components`), then replaces every label with its
+    label's label (``label ← label(label)``). Jumping compounds: the
+    radius a node's label can have traveled grows ~2× per round
+    (propagate adds 1 hop, jump doubles), so ``rounds`` rounds cover
+    components of diameter ~2^(rounds+1)-2 — vs ``iterations`` for pure
+    propagation. At sf0.1 the wallet graph is one giant component that
+    6 propagation rounds don't fully converge; 3 prop+jump rounds
+    reach strictly more converged labels with HALF the |E|-sized
+    shuffles (the jump join touches only the |V|-row label table).
+
+    Both steps are min/functional composition — order-independent and
+    engine-reproducible, so the whole thing is oracle-checkable as an
+    unrolled CTE chain.
+
+    Scale notes: the jump self-joins the label table, which references
+    the previous round's plan TWICE — left unchecked that doubles the
+    uncached lineage per round (2^k subtree re-evaluations, the same
+    hazard documented on pipeline_corpus_dedup). Each round therefore
+    persists its propagated labels before jumping. At billion-node
+    scale swap the broadcast hints for pre-partitioning on the join
+    key, and checkpoint instead of persist every few rounds to
+    truncate lineage.
+    """
+    nodes = vertices_of(edges, src, dst)
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .union(nodes.select(F.col("node").alias("a"), F.col("node").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = nodes.select(F.col("node"), F.col("node").alias("label"))
+    for _ in range(rounds):
+        prop = (
+            und.join(F.broadcast(labels.withColumnRenamed("node", "b")), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        # jump: label ← label(label). Labels are always node ids, and
+        # prop has a row for every node, so the inner join is total.
+        labels = prop.join(
+            F.broadcast(
+                prop.select(F.col("node").alias("label"), F.col("label").alias("ll"))
+            ),
+            "label",
+        ).select("node", F.col("ll").alias("label"))
+    return labels
