@@ -119,12 +119,16 @@ def tx_inputs_table(blocks: DataFrame) -> DataFrame:
     )
 
 
-def output_units(outputs: DataFrame) -> DataFrame:
+def output_units(outputs: DataFrame, quantity_type: str = "decimal(38,0)") -> DataFrame:
     """Flatten the value map to (tx_hash, address, unit, quantity).
 
     unit = policy || asset_name_hex with the ``adalovelace → lovelace``
     rewrite (src/etl_vol_transfers/main.py:89-90). This is the native
     A3 kernel: two map explodes + concat + rewrite, all codegen.
+
+    ``quantity_type`` defaults to DECIMAL(38,0) (SURVEY H7) so
+    downstream netflow sums survive single-token supplies past 2^63;
+    pass ``"long"`` only when totals provably fit 64 bits.
     """
     return (
         outputs.select(
@@ -145,6 +149,6 @@ def output_units(outputs: DataFrame) -> DataFrame:
             "output_index",
             "address",
             normalize_unit(F.concat(F.col("policy"), F.col("name_hex"))).alias("unit"),
-            F.col("quantity").cast("long").alias("quantity"),
+            F.col("quantity").cast(quantity_type).alias("quantity"),
         )
     )

@@ -8,9 +8,14 @@ Reference semantics (replicated exactly):
 - net      = produced − consumed via full-outer align, missing side 0
 - rows with net == 0 are dropped (e.g. change returning to the sender)
 
-Quantities are integers end-to-end (SURVEY H7: LongType here,
-DecimalType(38,0) at mainnet scale where single-token supplies can
-exceed 2^63 — swap the cast in one place).
+Quantities are integers end-to-end and DECIMAL(38,0) by default
+(SURVEY H7): mainnet single-token supplies can exceed 2^63, so the
+sums here must carry 128-bit precision. ``transacted`` is
+type-preserving — it sums whatever integer type ``quantity`` arrives
+as (``input_units`` / ``output_units`` own the cast, and accept
+``quantity_type="long"`` for corpora that provably fit 64 bits).
+The ``netflow_decimal`` gate query proves the no-overflow path with
+per-group totals past 2^63 against a DuckDB HUGEINT oracle.
 """
 
 from __future__ import annotations

@@ -47,10 +47,16 @@ def resolve_inputs(inputs: DataFrame, outputs: DataFrame, how: str = "inner") ->
     return inputs.join(out, ["spent_tx_hash", "spent_output_index"], how)
 
 
-def input_units(resolved: DataFrame) -> DataFrame:
+def input_units(resolved: DataFrame, quantity_type: str = "decimal(38,0)") -> DataFrame:
     """Flatten resolved inputs to (tx_hash, address, unit, quantity) —
     the native A2 kernel (reference sum_ip_vals_for_addr,
-    src/etl_vol_transfers/main.py:69-74, which looped in pandas)."""
+    src/etl_vol_transfers/main.py:69-74, which looped in pandas).
+
+    ``quantity_type`` defaults to DECIMAL(38,0) (SURVEY H7): mainnet
+    single-token supplies exceed 2^63, so the netflow sums must carry
+    128-bit precision — pass ``"long"`` only for corpora whose totals
+    provably fit 64 bits (cheaper codegen arithmetic).
+    """
     from blockchain_data_engineering_spark.functions.scalar import normalize_unit
 
     return (
@@ -65,6 +71,6 @@ def input_units(resolved: DataFrame) -> DataFrame:
             "tx_hash",
             "address",
             normalize_unit(F.concat(F.col("policy"), F.col("name_hex"))).alias("unit"),
-            F.col("quantity").cast("long").alias("quantity"),
+            F.col("quantity").cast(quantity_type).alias("quantity"),
         )
     )

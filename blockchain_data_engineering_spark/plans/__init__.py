@@ -1,13 +1,22 @@
 """Query registry backing ``__spark_entry__.py``.
 
-Importing this package registers every implemented query. Each query is
-a (spark, sf_dir) → DataFrame callable paired (where SQL-expressible)
-with a DuckDB oracle SQL string over the same parquet tables.
+Importing this package registers every implemented query, then splits
+the registry into the driver-gate set (``QUERIES``, exactly 50 — the
+round-1 gate recorded rows for registry slots 0-49 only) and the
+pytest-parity-only set (``EXTRA_QUERIES``). Near-duplicate variants of
+gate queries are demoted, never deleted: every demoted query keeps its
+DuckDB oracle and is hash-checked by tests/test_oracle_parity.py.
+
+Gate ordering: queries with NO green row in CORRECTNESS_r01.json come
+first, so even a row-capped gate reaches them this round.
 """
 
 from blockchain_data_engineering_spark.plans.registry import (  # noqa: F401
+    EXTRA_ORACLES,
+    EXTRA_QUERIES,
     ORACLES,
     QUERIES,
+    finalize_gate,
     query,
 )
 
@@ -21,3 +30,74 @@ from blockchain_data_engineering_spark.plans import dedup_queries  # noqa: F401,
 from blockchain_data_engineering_spark.plans import similarity_queries  # noqa: F401,E402
 from blockchain_data_engineering_spark.plans import streaming_queries  # noqa: F401,E402
 from blockchain_data_engineering_spark.plans import multimodal_queries  # noqa: F401,E402
+
+# The 50 gate queries. Section 1: unverified in round 1 (registry
+# slots 50-65 then; first here). Section 2: green in round 1.
+# Demoted near-duplicates (see EXTRA_QUERIES): explode_normalize,
+# netflow_supplier_part (superseded by netflow_decimal),
+# vol_rollup_by_block / _all_time (subsumed by vol_rollup_hierarchy),
+# transfer_edges_cross (domain_transfers_edges), scalar_slot_to_timestamp
+# (scalar_functions family), decimal_quantity_sum (netflow_decimal),
+# agg_count_distinct, pivot_qty_by_flag, events_value_quantiles,
+# graph_degrees (pagerank pre-join), graph_connected_components
+# (graph_cc_pointer_jump), text_fingerprint (text_winnowing_fingerprints),
+# dedup_simhash / dedup_simhash_hamming (dedup_simhash_multiblock),
+# sim_ivf_ann (sim_ivf_ann_nprobe2), stream_sliding_window
+# (stream_tumbling_window).
+GATE_ORDER = [
+    # -- unverified in round 1 --
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_simhash_multiblock",
+    "pipeline_corpus_dedup",
+    "sim_cosine_topk",
+    "sim_lsh_ann",
+    "sim_ivf_ann_nprobe2",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "stream_dedup_first_touch",
+    "multimodal_binary_metadata",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "netflow_decimal",
+    # -- green in round 1 --
+    "pricing_summary",
+    "dim_enrich_volumes",
+    "vol_rollup_hierarchy",
+    "topk_semi_join",
+    "events_cma",
+    "events_share_by_day",
+    "events_spine_zero_fill",
+    "dedup_keep_last",
+    "scalar_functions",
+    "topk_per_group",
+    "agg_any_value",
+    "applyinpandas_demean",
+    "sql_api_revenue",
+    "asof_join_clicks_purchases",
+    "range_join_click_attribution",
+    "set_ops_units",
+    "domain_value_map_roundtrip",
+    "domain_utxo_resolution",
+    "domain_netflow_tx",
+    "domain_volumes_priced",
+    "domain_transfers_edges",
+    "domain_block_normalize",
+    "flagship_volume_stack",
+    "graph_pagerank",
+    "graph_neighborhood",
+    "graph_cc_pointer_jump",
+    "text_token_count",
+    "text_quality",
+    "text_lang_id",
+    "text_winnowing_fingerprints",
+    "text_bm25_search",
+    "text_top_bigrams",
+    "sample_train_val_split",
+    "pipeline_corpus_filter",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+]
+
+assert len(GATE_ORDER) == 50, len(GATE_ORDER)
+finalize_gate(GATE_ORDER)

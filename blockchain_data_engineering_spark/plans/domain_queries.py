@@ -372,3 +372,61 @@ def domain_block_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_outputs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# H7: the DECIMAL(38,0) netflow path with per-group totals PAST 2^63.
+# Mainnet single-token supplies exceed 64 bits (SURVEY H7); this query
+# drives the real domain kernel (netflow.transacted, which sums
+# whatever integer type arrives) with quantities scaled by 10^18 so a
+# LongType sum would overflow, and proves bit-exact agreement with a
+# DuckDB HUGEINT oracle. Output values are serialized as strings: both
+# engines print integers identically, and the string survives the
+# driver's pandas round-trip without precision loss.
+# ---------------------------------------------------------------------------
+_DECIMAL_SCALE = 10**18  # per-row up to 5e19 > 2^63; fits DECIMAL(22,0)
+
+
+@query(
+    "netflow_decimal",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_suppkey AS address, l_partkey AS unit,
+             sum(CAST(l_quantity AS HUGEINT) * {_DECIMAL_SCALE}) AS consumed
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2
+    ), p AS (
+      SELECT l_suppkey AS address, l_partkey AS unit,
+             sum(CAST(l_quantity AS HUGEINT) * {_DECIMAL_SCALE}) AS produced
+      FROM lineitem WHERE l_returnflag <> 'R' GROUP BY 1, 2
+    )
+    SELECT coalesce(c.address, p.address) AS address,
+           coalesce(c.unit, p.unit)       AS unit,
+           CAST(coalesce(p.produced, 0) - coalesce(c.consumed, 0) AS VARCHAR)
+             AS net_raw
+    FROM c FULL OUTER JOIN p ON c.address = p.address AND c.unit = p.unit
+    WHERE coalesce(p.produced, 0) - coalesce(c.consumed, 0) <> 0
+    """,
+)
+def netflow_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.domain.netflow import transacted
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # decimal(2,0) * decimal(19,0) -> decimal(22,0): exact, no 64-bit cap
+    qty = (
+        F.col("l_quantity").cast("decimal(2,0)")
+        * F.lit(str(_DECIMAL_SCALE)).cast("decimal(19,0)")
+    ).alias("quantity")
+    flat = lambda pred: (  # noqa: E731
+        li.where(pred).select(
+            F.lit("t").alias("tx_hash"),
+            F.col("l_suppkey").alias("address"),
+            F.col("l_partkey").alias("unit"),
+            qty,
+        )
+    )
+    net = transacted(
+        flat(F.col("l_returnflag") == "R"), flat(F.col("l_returnflag") != "R")
+    )
+    return net.select(
+        "address", "unit", F.col("value").cast("string").alias("net_raw")
+    )

@@ -192,3 +192,20 @@ def test_transfer_edges_cross_join(spark, parsed, chain):
     for k, (v, va) in want.items():
         assert got[k][0] == v
         assert got[k][1] == pytest.approx(va, rel=1e-12)
+
+
+def test_netflow_decimal_survives_past_2_63(spark, sf_dir):
+    """H7 overflow proof: the registered netflow_decimal query drives
+    netflow.transacted with DECIMAL quantities whose per-group totals
+    exceed 2^63 — a LongType sum would wrap — and the output must
+    contain at least one such value, exactly (no drift)."""
+    from blockchain_data_engineering_spark.plans import QUERIES
+
+    rows = QUERIES["netflow_decimal"](spark, sf_dir).collect()
+    assert rows, "netflow_decimal returned no rows"
+    nets = [int(r.net_raw) for r in rows]
+    big = [n for n in nets if abs(n) > 2**63]
+    assert big, "no netflow total exceeded 2^63 — overflow path untested"
+    # and every value is an exact multiple of the 10^18 scale: integer
+    # arithmetic all the way down, no floating intermediate
+    assert all(n % 10**18 == 0 for n in nets)

@@ -13,7 +13,17 @@ import math
 import pandas as pd
 import pytest
 
-from blockchain_data_engineering_spark.plans import ORACLES, QUERIES
+from blockchain_data_engineering_spark.plans import (
+    EXTRA_ORACLES,
+    EXTRA_QUERIES,
+    ORACLES,
+    QUERIES,
+)
+
+# Gate queries AND demoted near-duplicates (EXTRA_*) are held to the
+# same DuckDB-parity bar; only gate queries get driver rows.
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
+ALL_ORACLES = {**ORACLES, **EXTRA_ORACLES}
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -32,14 +42,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_query_matches_oracle(name, spark, duck, sf_dir):
-    spark_df = QUERIES[name](spark, sf_dir).toPandas()
-    if name not in ORACLES:
+    spark_df = ALL_QUERIES[name](spark, sf_dir).toPandas()
+    if name not in ALL_ORACLES:
         # rows-only check (non-SQL-expressible op)
         assert spark_df is not None
         return
-    duck_df = duck.execute(ORACLES[name]).fetchdf()
+    duck_df = duck.execute(ALL_ORACLES[name]).fetchdf()
 
     assert sorted(spark_df.columns) == sorted(duck_df.columns), (
         f"{name}: column mismatch spark={sorted(spark_df.columns)} "
