@@ -1,11 +1,14 @@
-"""Benchmark runner: executes the headline queries at
+"""Benchmark runner: executes every registered gate query at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE COMPACT JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the total wall-clock over all benchmark queries (each
-executed to completion via a count-collecting action).
+``value`` is the total wall-clock over ALL gate queries;
+``queries`` holds only the headline subset so the line stays short
+enough for log captures that truncate (the round-1 record lost its
+tail to exactly that). Full per-query timings go to
+``bench_detail.json`` next to this script.
 """
 
 from __future__ import annotations
@@ -28,15 +31,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "flagship_volume_stack",
     "pricing_summary",
-    "explode_normalize",
-    "netflow_supplier_part",
+    "netflow_decimal",
     "dim_enrich_volumes",
-    "vol_rollup_by_block",
+    "vol_rollup_hierarchy",
     "topk_semi_join",
     "events_cma",
-    "events_share_by_day",
-    "transfer_edges_cross",
-    "dedup_keep_last",
+    "domain_transfers_edges",
+    "dedup_minhash_lsh",
+    "pipeline_corpus_dedup",
+    "sim_ivf_ann_nprobe2",
+    "graph_pagerank",
 ]
 
 
@@ -153,15 +157,29 @@ def main() -> None:
     spark.catalog.clearCache()
     domain = bench_domain_pipeline(spark)
 
+    # full per-query detail to a file; the stdout line stays compact so
+    # a truncating log capture still yields parseable JSON
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {"sf": sf, "queries": timings, "domain_pipeline": domain}, fh, indent=1
+        )
+
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "gate_queries_total_wall",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": {
+                    n: timings[n] for n in HEADLINE if n in timings
+                },
+                "n_queries": len(timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "domain_pipeline": domain,
+                "blocks_per_sec": domain["blocks_per_sec"],
+                "detail": "bench_detail.json",
             }
         )
     )

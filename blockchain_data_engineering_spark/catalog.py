@@ -30,24 +30,29 @@ TABLES = (
 DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one test table.
+# Sessions already tuned (keyed by Spark application id) — tuning is
+# one-time per session, not a side effect of every table load.
+_TUNED: set[str] = set()
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read nanos as long (legacy conf) and
-    truncate to microseconds — the same precision DuckDB uses for its
-    TIMESTAMP type, so oracle comparisons stay exact.
 
-    The session timezone is pinned to UTC here (runtime-settable, also
-    done in session.get_spark) because the verify driver supplies its
-    own SparkSession: ``date_trunc``/windowing on TIMESTAMP columns is
-    session-TZ-sensitive and the DuckDB oracle runs in UTC.
-    """
+def _tune_session(spark: SparkSession) -> None:
+    """Pin session TZ to UTC and right-size shuffles, once per session.
+
+    UTC because the verify driver supplies its own SparkSession and
+    ``date_trunc``/windowing on TIMESTAMP columns is session-TZ-
+    sensitive while the DuckDB oracle runs in UTC. Shuffle partitions
+    to the host's core count (the stock 200 default is 6× overhead at
+    test scale; AQE coalescing makes this safe at any size). Sessions
+    with immutable conf degrade gracefully (filters/windows then follow
+    that session's own settings)."""
+    try:
+        key = spark.sparkContext.applicationId
+    except Exception:
+        key = "unknown"
+    if key in _TUNED:
+        return
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        # right-size shuffles for the host (the driver's session ships
-        # the 200 default — 6× the local core count in overhead at
-        # test scale); AQE coalescing makes this safe at any size
         spark.conf.set(
             "spark.sql.shuffle.partitions",
             str(spark.sparkContext.defaultParallelism),
@@ -55,8 +60,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
         pass
+    _TUNED.add(key)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read nanos as long (legacy conf) and
+    truncate to microseconds — the same precision DuckDB uses for its
+    TIMESTAMP type, so oracle comparisons stay exact.
+    """
+    _tune_session(spark)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # immutable conf: the read below surfaces the real error
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F

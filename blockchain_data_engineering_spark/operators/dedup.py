@@ -99,7 +99,7 @@ def jaccard_verify_arrays(
     candidates: DataFrame,
     sh_arr: DataFrame,
     id_col: str = "doc_id",
-    broadcast: bool = False,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs from per-doc shingle ARRAYS:
     two hash joins bring the arrays to the pair, then
@@ -109,11 +109,14 @@ def jaccard_verify_arrays(
     measured 3.4x slower than this shape with broadcast at sf0.1).
     Integer counts, one final division — bit-deterministic.
 
-    ``broadcast=True`` ships the whole per-doc array table to every
-    task — right when the doc table fits executor memory (it's one row
-    per doc, not per shingle). At corpus scales where it doesn't, leave
-    it False: the candidate list shuffles by doc id instead, still
-    never materializing the exploded relation."""
+    ``broadcast`` is SIZE-ADAPTIVE by default (``None``/``False``): no
+    hint is planted, the static plan is a shuffle join (safe at any
+    corpus size — this is what the registered dedup plans use), and AQE
+    converts it to a broadcast join at runtime iff the materialized
+    array table actually fits under ``autoBroadcastJoinThreshold``.
+    ``True`` forces the broadcast regardless of size — only for corpora
+    *known* to fit executor memory (it's one row per doc, not per
+    shingle); at 100 TB a forced broadcast is an OOM."""
     a = sh_arr.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sa"))
     b = sh_arr.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sb"))
     if broadcast:

@@ -58,16 +58,28 @@ def vertices_of(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFra
     )
 
 
+def _hint(df: DataFrame, broadcast: bool) -> DataFrame:
+    """Iteration-loop join hint: the rank/label table is |V| rows vs
+    |E| edge messages, so broadcasting it keeps the cached edge list
+    unshuffled — right up until |V| itself outgrows executor memory.
+    Every iterative operator therefore takes ``broadcast: bool``; pass
+    False at billion-node scale (and pre-partition the edge list by the
+    join key) — the scale-safe plan is reachable without editing
+    library code."""
+    return F.broadcast(df) if broadcast else df
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     iterations: int = 20,
     src: str = "src",
     dst: str = "dst",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Damped PageRank, double precision. Dangling nodes (no out-edges)
     keep receiving rank but don't redistribute (their mass leaks, as in
-    the simplest formulation)."""
+    the simplest formulation). ``broadcast``: see :func:`_hint`."""
     nodes = vertices_of(edges, src, dst).cache()
     n = nodes.count()
     deg = edges.groupBy(F.col(src).alias("node")).agg(
@@ -79,7 +91,7 @@ def pagerank(
     base = (1.0 - damping) / n
     for _ in range(iterations):
         contrib = (
-            e.join(F.broadcast(pr.withColumnRenamed("node", "src_node")), "src_node")
+            e.join(_hint(pr.withColumnRenamed("node", "src_node"), broadcast), "src_node")
             .join(deg.withColumnRenamed("node", "src_node"), "src_node")
             .select(
                 F.col("node_dst").alias("node"),
@@ -103,6 +115,7 @@ def pagerank_quantized(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Fixed-point PageRank: rank carried as ``pr_q = score·10^12`` in
     BIGINT, contributions via integer division ``pr_q div outdeg``,
@@ -125,11 +138,8 @@ def pagerank_quantized(
     base_q = (PR_SCALE * (100 - damping_pct)) // 100 // n
     pr = nodes.withColumn("pr_q", F.lit(PR_SCALE // n).cast("long"))
     for _ in range(iterations):
-        # rank table is |V| rows vs |E| edge messages — broadcast it so
-        # the cached edge list is never reshuffled; at billion-node
-        # scale drop the hint and pre-partition e by src_node instead
         contrib = (
-            e.join(F.broadcast(pr.withColumnRenamed("node", "src_node")), "src_node")
+            e.join(_hint(pr.withColumnRenamed("node", "src_node"), broadcast), "src_node")
             .select(
                 F.col("node_dst").alias("node"),
                 F.expr("pr_q div outdeg").alias("c"),
@@ -171,6 +181,7 @@ def connected_components(
     iterations: int = 6,
     src: str = "src",
     dst: str = "dst",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Connected components by min-label propagation: every node starts
     labeled with itself; each round every node adopts the minimum label
@@ -200,11 +211,8 @@ def connected_components(
     )
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
     for _ in range(iterations):
-        # labels is |V| rows vs |E| edges — broadcast it; at
-        # billion-node scale drop the hint and pre-partition both sides
-        # by the join key instead
         labels = (
-            und.join(F.broadcast(labels.withColumnRenamed("node", "b")), "b")
+            und.join(_hint(labels.withColumnRenamed("node", "b"), broadcast), "b")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("label"))
         )
@@ -216,6 +224,7 @@ def connected_components_pointer_jump(
     rounds: int = 3,
     src: str = "src",
     dst: str = "dst",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Connected components by propagate + pointer-jump rounds.
 
@@ -239,9 +248,9 @@ def connected_components_pointer_jump(
     uncached lineage per round (2^k subtree re-evaluations, the same
     hazard documented on pipeline_corpus_dedup). Each round therefore
     persists its propagated labels before jumping. At billion-node
-    scale swap the broadcast hints for pre-partitioning on the join
-    key, and checkpoint instead of persist every few rounds to
-    truncate lineage.
+    scale pass ``broadcast=False`` (pre-partitioning the edge list on
+    the join key), and checkpoint instead of persist every few rounds
+    to truncate lineage.
     """
     nodes = vertices_of(edges, src, dst)
     und = (
@@ -254,7 +263,7 @@ def connected_components_pointer_jump(
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
     for _ in range(rounds):
         prop = (
-            und.join(F.broadcast(labels.withColumnRenamed("node", "b")), "b")
+            und.join(_hint(labels.withColumnRenamed("node", "b"), broadcast), "b")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("label"))
             .persist()
@@ -262,8 +271,9 @@ def connected_components_pointer_jump(
         # jump: label ← label(label). Labels are always node ids, and
         # prop has a row for every node, so the inner join is total.
         labels = prop.join(
-            F.broadcast(
-                prop.select(F.col("node").alias("label"), F.col("label").alias("ll"))
+            _hint(
+                prop.select(F.col("node").alias("label"), F.col("label").alias("ll")),
+                broadcast,
             ),
             "label",
         ).select("node", F.col("ll").alias("label"))

@@ -106,7 +106,12 @@ def extract_features(df: DataFrame, n_buckets: int = 16) -> DataFrame:
                 buf = np.frombuffer(
                     decode_stub(payload, meta["mime"], strict=False), dtype=np.uint8
                 )
-                hist = np.bincount(buf // (256 // n_buckets), minlength=n_buckets)
+                # clip: for n_buckets not dividing 256 (e.g. 10), bytes
+                # >= (256//n)*n would otherwise land in a phantom bucket n
+                hist = np.bincount(
+                    np.minimum(buf // (256 // n_buckets), n_buckets - 1),
+                    minlength=n_buckets,
+                )
                 out.append(
                     {
                         "doc_id": doc_id,

@@ -226,40 +226,50 @@ def lsh_ann_topk(
 
 def ivf_assign(
     vectors: DataFrame,
-    centroid_every: int = 47,
+    n_centroids: int = 32,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid (exact-quanta cosine, deterministic tie-break).
 
-    Centroids here are a deterministic id-stride sample of the corpus
-    (``vec_id % centroid_every == 0``) — in production k-means centroids
-    drop in without changing the assignment join shape. The assignment
-    is a broadcast join against the (small) centroid set, so the corpus
-    never shuffles.
+    Centroids are a FIXED-SIZE deterministic sample: the ``n_centroids``
+    vectors with the smallest ``md5(id)`` — a uniform hash-order pick,
+    reproducible in any engine, and crucially **independent of corpus
+    size** (selection is a TakeOrderedAndProject: O(N) scan, O(k)
+    result, no shuffle). Assignment is then a broadcast join of O(k)
+    centroids against the corpus scan — O(N·k) work total, so the plan
+    survives a 100× corpus unchanged, unlike any scheme whose centroid
+    count grows with N (which degrades toward O(N²)). In production,
+    k-means centroids drop in without changing the join shape; for
+    large k, two-level coarse quantization (assign to √k superclusters
+    first) keeps the broadcast bounded.
     """
-    return ivf_probe(vectors, centroid_every, 1, vec_col, id_col).select(
+    return ivf_probe(vectors, n_centroids, 1, vec_col, id_col).select(
         id_col, "centroid_id"
     )
 
 
 def ivf_probe(
     vectors: DataFrame,
-    centroid_every: int = 47,
+    n_centroids: int = 32,
     nprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, centroid_id, probe_rank): each vector's ``nprobe`` nearest
-    centroids. ``nprobe=1`` is the coarse assignment; probing further
-    centroids for the *query* side is the recall dial — true neighbors
-    straddle cluster boundaries, and the second-closest centroid holds
-    most of what nprobe=1 misses. Broadcast centroid join: the corpus
-    never shuffles."""
+    centroids among the fixed-k hash-sampled centroid set (see
+    :func:`ivf_assign` for why k must not scale with N). ``nprobe=1``
+    is the coarse assignment; probing further centroids for the *query*
+    side is the recall dial — true neighbors straddle cluster
+    boundaries, and the second-closest centroid holds most of what
+    nprobe=1 misses. Broadcast centroid join: the corpus never
+    shuffles."""
     v = with_norm(vectors.select(id_col, vec_col), vec_col)
     cents = (
-        v.where(F.col(id_col) % centroid_every == 0)
+        # exactly k rows regardless of N: k-smallest md5(id), id tie-break
+        v.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
         .select(
             F.col(id_col).alias("centroid_id"),
             F.col(vec_col).alias("c_vec"),
@@ -288,7 +298,7 @@ def ivf_probe(
 def ivf_ann_topk(
     vectors: DataFrame,
     k: int = 3,
-    centroid_every: int = 47,
+    n_centroids: int = 32,
     n_queries: int = 10,
     nprobe: int = 1,
     vec_col: str = "embedding",
@@ -303,7 +313,7 @@ def ivf_ann_topk(
     # ONE ranked centroid pass serves both sides: rank-1 rows are the
     # corpus assignment, rank ≤ nprobe rows restricted to the query ids
     # are the probe set (centroids always come from the full corpus).
-    ranked = ivf_probe(vectors, centroid_every, nprobe, vec_col, id_col)
+    ranked = ivf_probe(vectors, n_centroids, nprobe, vec_col, id_col)
     assign = ranked.where(F.col("probe_rank") == 1).select(id_col, "centroid_id")
     probes = ranked.where(F.col(id_col) < n_queries).select(id_col, "centroid_id")
     v = with_norm(vectors.select(id_col, vec_col), vec_col)

@@ -124,15 +124,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode + codegen'd hash-aggregate min() (the 9-seed md5 inside a
     # higher-order transform() is interpreted per element, measured
     # 2-4x slower); verification from per-doc ARRAYS re-packed off the
-    # persisted shingle set and broadcast to the candidate pairs
-    # (array_intersect row-locally, 3.4x faster than re-joining the
-    # exploded relation twice, whose intermediate is |pairs|x|shingles
-    # per doc| ~ 32M rows at sf0.1).
+    # persisted shingle set (array_intersect row-locally, 3.4x faster
+    # than re-joining the exploded relation twice, whose intermediate
+    # is |pairs|x|shingles per doc| ~ 32M rows at sf0.1). The verify
+    # join is UNHINTED: statically a shuffle join (no OOM at any corpus
+    # size), AQE broadcasts it at runtime iff the array table measures
+    # small — the size-adaptive path, not a baked-in broadcast.
     sh = D.shingle_set(docs, k=SHINGLE_K).persist()
     sig = D.minhash_signatures(sh, N_HASHES)
     cand = D.lsh_candidate_pairs(D.lsh_bands(sig, N_HASHES, BAND_SIZE))
     arr = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
-    return D.jaccard_verify_arrays(cand, arr, broadcast=True)
+    return D.jaccard_verify_arrays(cand, arr)
 
 
 # ---------------------------------------------------------------------------
@@ -497,7 +499,9 @@ def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.minhash_signatures(sh, N_HASHES)
     cand = D.lsh_candidate_pairs(D.lsh_bands(sig, N_HASHES, BAND_SIZE))
     arr = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
-    dup = D.jaccard_verify_arrays(cand, arr, broadcast=True).where(
+    # unhinted verify join: shuffle statically, AQE-broadcast at
+    # runtime when the array table is actually small (size-adaptive)
+    dup = D.jaccard_verify_arrays(cand, arr).where(
         F.col("jaccard") >= DUP_THRESHOLD
     )
     # min-label propagation over the dup graph with self-loops: the

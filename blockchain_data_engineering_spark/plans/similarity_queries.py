@@ -142,14 +142,19 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF ANN (nprobe=1): deterministic id-stride centroids → nearest-
-# centroid assignment (broadcast join, corpus never shuffles) → exact
-# cosine within the query's own cluster. The other scale path next to
-# sign-LSH: candidates bounded by cluster size, recall dialed by
-# nprobe. Oracle replays assignment + probe in SQL.
+# IVF ANN: FIXED-k hash-sampled centroids (k independent of corpus
+# size — the k vectors with smallest md5(id); selection is a top-k
+# scan, assignment a broadcast join of O(k) rows, O(N·k) total work) →
+# nearest-centroid assignment → exact cosine within the query's nprobe
+# nearest clusters. The other scale path next to sign-LSH: candidates
+# bounded by nprobe × cluster size, recall dialed by nprobe. Oracle
+# replays centroid pick + assignment + probe in SQL.
 # ---------------------------------------------------------------------------
-def _ivf_oracle() -> str:
-    k, every = 3, 47
+N_CENTROIDS = 32
+
+
+def _ivf_oracle(nprobe: int = 1) -> str:
+    k = 3
     q_vc = quanta_sql("CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)", 12)
     q_ab = quanta_sql("CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)", 12)
     return f"""
@@ -157,77 +162,13 @@ def _ivf_oracle() -> str:
       SELECT vec_id, CAST(sum({_NORM_Q}) AS BIGINT) AS norm_q
       FROM embeddings, generate_series(1, {DIM}) AS t(i) GROUP BY 1
     ),
-    ad AS (
-      SELECT v.vec_id, c.vec_id AS centroid_id, CAST(sum({q_vc}) AS BIGINT) AS dot_q
-      FROM embeddings v JOIN embeddings c ON c.vec_id % {every} = 0,
-           generate_series(1, {DIM}) AS t(i)
-      GROUP BY 1, 2
-    ),
-    ascore AS (
-      SELECT ad.vec_id, ad.centroid_id,
-             (CAST(dot_q AS DOUBLE) / {_SCALE})
-               / (sqrt(CAST(nv.norm_q AS DOUBLE) / {_SCALE})
-                  * sqrt(CAST(nc.norm_q AS DOUBLE) / {_SCALE})) AS c_cos
-      FROM ad JOIN n nv ON nv.vec_id = ad.vec_id
-      JOIN n nc ON nc.vec_id = ad.centroid_id
-    ),
-    assign AS (
-      SELECT vec_id, centroid_id FROM ascore
-      QUALIFY row_number() OVER (
-        PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) = 1
-    ),
-    pairs AS (
-      SELECT qa.vec_id AS query_id, ca.vec_id AS cand_id
-      FROM assign qa JOIN assign ca ON qa.centroid_id = ca.centroid_id
-      WHERE qa.vec_id < {N_QUERIES} AND ca.vec_id <> qa.vec_id
-    ),
-    pd AS (
-      SELECT p.query_id, p.cand_id, CAST(sum({q_ab}) AS BIGINT) AS dot_q
-      FROM pairs p
-      JOIN embeddings a ON a.vec_id = p.query_id
-      JOIN embeddings b ON b.vec_id = p.cand_id,
-           generate_series(1, {DIM}) AS t(i)
-      GROUP BY 1, 2
-    ),
-    scored AS (
-      SELECT query_id, cand_id,
-             (CAST(dot_q AS DOUBLE) / {_SCALE})
-               / (sqrt(CAST(nq.norm_q AS DOUBLE) / {_SCALE})
-                  * sqrt(CAST(nc.norm_q AS DOUBLE) / {_SCALE})) AS cosine
-      FROM pd JOIN n nq ON nq.vec_id = query_id
-      JOIN n nc ON nc.vec_id = cand_id
-    )
-    SELECT query_id, cand_id, cosine,
-           CAST(row_number() OVER (
-             PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
-    FROM scored
-    QUALIFY rank <= {k}
-    """
-
-
-@query("sim_ivf_ann", oracle=_ivf_oracle())
-def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    return SIM.ivf_ann_topk(emb, k=3, centroid_every=47, n_queries=N_QUERIES)
-
-
-# ---------------------------------------------------------------------------
-# IVF ANN with nprobe=2 — the recall dial: the query also searches its
-# second-nearest cluster, catching neighbors that straddle the cluster
-# boundary. Corpus assignment stays nprobe=1, so candidates appear once.
-# ---------------------------------------------------------------------------
-def _ivf_nprobe_oracle(nprobe: int = 2) -> str:
-    k, every = 3, 47
-    q_vc = quanta_sql("CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)", 12)
-    q_ab = quanta_sql("CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)", 12)
-    return f"""
-    WITH n AS (
-      SELECT vec_id, CAST(sum({_NORM_Q}) AS BIGINT) AS norm_q
-      FROM embeddings, generate_series(1, {DIM}) AS t(i) GROUP BY 1
+    cent AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_CENTROIDS}
     ),
     ad AS (
       SELECT v.vec_id, c.vec_id AS centroid_id, CAST(sum({q_vc}) AS BIGINT) AS dot_q
-      FROM embeddings v JOIN embeddings c ON c.vec_id % {every} = 0,
+      FROM embeddings v JOIN embeddings c ON c.vec_id IN (SELECT vec_id FROM cent),
            generate_series(1, {DIM}) AS t(i)
       GROUP BY 1, 2
     ),
@@ -279,7 +220,18 @@ def _ivf_nprobe_oracle(nprobe: int = 2) -> str:
     """
 
 
-@query("sim_ivf_ann_nprobe2", oracle=_ivf_nprobe_oracle(2))
+@query("sim_ivf_ann", oracle=_ivf_oracle(1))
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return SIM.ivf_ann_topk(emb, k=3, n_centroids=N_CENTROIDS, n_queries=N_QUERIES)
+
+
+# nprobe=2 — the recall dial: the query also searches its second-
+# nearest cluster, catching neighbors that straddle the boundary.
+# Corpus assignment stays nprobe=1, so candidates appear once.
+@query("sim_ivf_ann_nprobe2", oracle=_ivf_oracle(2))
 def sim_ivf_ann_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    return SIM.ivf_ann_topk(emb, k=3, centroid_every=47, n_queries=N_QUERIES, nprobe=2)
+    return SIM.ivf_ann_topk(
+        emb, k=3, n_centroids=N_CENTROIDS, n_queries=N_QUERIES, nprobe=2
+    )

@@ -86,25 +86,39 @@ def upsert_parquet(
     """Idempotent key-based upsert into a parquet table (S11).
 
     Semantics of ``INSERT ... ON CONFLICT (pk) DO UPDATE``: new rows
-    win over existing rows with the same key. Without a transactional
-    table format this is read-merge-overwrite — correct single-writer
-    semantics, atomic enough for batch jobs (write to _tmp, swap). At
-    100 TB swap in Delta/Iceberg ``MERGE INTO`` — call-site unchanged.
+    win over existing rows with the same key; duplicate keys *within*
+    the incoming ``df`` are resolved by ``order_cols`` (first wins
+    after ``__new`` desc) — pass e.g. ``[F.col("ts").desc()]`` for
+    latest-wins; without it the intra-batch winner is unspecified.
+
+    Durability: the merged table is written to ``<path>__tmp`` and then
+    swapped in with two directory renames (old table preserved at
+    ``<path>__old`` until the swap completes). A crash can leave the
+    table under ``__old`` but never destroys data; this is interim
+    single-writer machinery — at 100 TB swap in Delta/Iceberg
+    ``MERGE INTO``, call-site unchanged. Note the merge rewrites the
+    whole table per batch (read-merge-overwrite); partition the table
+    and restrict the merge to touched partitions, or use a
+    transactional format, before using this at scale.
     """
     import os
+    import shutil
 
     spark = df.sparkSession
     keys = list(key_cols)
-    if os.path.isdir(path) and any(
+    exists = os.path.isdir(path) and any(
         f.endswith(".parquet") for f in os.listdir(path)
-    ):
+    )
+    if exists:
         existing = spark.read.parquet(path)
         new_flag = df.withColumn("__new", F.lit(1))
         old_flag = existing.withColumn("__new", F.lit(0))
         from pyspark.sql import Window
 
         merged = new_flag.unionByName(old_flag)
-        w = Window.partitionBy(*keys).orderBy(F.col("__new").desc())
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("__new").desc(), *list(order_cols or [])
+        )
         result = (
             merged.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
@@ -113,12 +127,13 @@ def upsert_parquet(
     else:
         result = df
     tmp = path.rstrip("/") + "__tmp"
-    result.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(path)
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    old = path.rstrip("/") + "__old"
+    result.write.mode("overwrite").parquet(tmp)  # reads <path> lazily here
+    shutil.rmtree(old, ignore_errors=True)
+    if exists:
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def write_edge_list(df: DataFrame, path: str, mode: str = "overwrite") -> None:

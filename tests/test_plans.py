@@ -119,3 +119,109 @@ def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_dedup_verify_join_is_size_adaptive(spark, sf_dir):
+    """The registered minhash verify join must NOT bake in a broadcast:
+    the static plan is a shuffle join (safe when the per-doc array
+    table exceeds executor memory at corpus scale); AQE may convert it
+    at runtime when the input measures small. broadcast=True remains an
+    explicit opt-in that plants the hint."""
+    from pyspark.sql import functions as F
+
+    from blockchain_data_engineering_spark.catalog import load_table
+    from blockchain_data_engineering_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_set(docs, k=5)
+    sig = D.minhash_signatures(sh, 9)
+    cand = D.lsh_candidate_pairs(D.lsh_bands(sig, 9, 3))
+    arr = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+
+    # threshold=-1 simulates "array table measures too big": with no
+    # baked-in hint the planner MUST fall back to a shuffle join...
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            D.jaccard_verify_arrays(cand, arr).explain("formatted")
+        unhinted = buf.getvalue()
+        assert "BroadcastHashJoin" not in unhinted, unhinted
+        assert "SortMergeJoin" in unhinted or "ShuffledHashJoin" in unhinted
+
+        # ...while the explicit opt-in still plants the hint
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            D.jaccard_verify_arrays(cand, arr, broadcast=True).explain("formatted")
+        assert "BroadcastHashJoin" in buf.getvalue()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_ivf_centroid_set_is_fixed_k(spark, sf_dir):
+    """IVF centroid count must be independent of corpus size: doubling
+    the corpus (shifted ids) yields the SAME number of centroids, and
+    the assignment join broadcasts the O(k) centroid side."""
+    from pyspark.sql import functions as F
+
+    from blockchain_data_engineering_spark.catalog import load_table
+    from blockchain_data_engineering_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k = 8
+    n1 = (
+        SIM.ivf_assign(emb, n_centroids=k)
+        .select("centroid_id").distinct().count()
+    )
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    n2 = (
+        SIM.ivf_assign(doubled, n_centroids=k)
+        .select("centroid_id").distinct().count()
+    )
+    assert n1 <= k and n2 <= k, (n1, n2)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        SIM.ivf_assign(emb, n_centroids=k).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_graph_broadcast_hint_is_parameterized(spark, sf_dir):
+    """The scale-safe plan must be reachable without editing library
+    code: broadcast=False on the iterative graph ops plants NO
+    BroadcastExchange (threshold disabled), and both modes produce
+    identical labels/ranks (integer math — exact equality)."""
+    from pyspark.sql import functions as F
+
+    from blockchain_data_engineering_spark.operators import graph as G
+
+    # synthetic edge list with no construction-time joins, so every
+    # BroadcastExchange in the plan comes from the iteration loop
+    edges = spark.range(0, 500).select(
+        (F.col("id") % 83).alias("src"), (F.col("id") % 97).alias("dst")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            G.pagerank_quantized(edges, iterations=2, broadcast=False).explain(
+                "formatted"
+            )
+        assert "BroadcastExchange" not in buf.getvalue()
+
+        hinted = G.pagerank_quantized(edges, iterations=2, broadcast=True)
+        unhinted = G.pagerank_quantized(edges, iterations=2, broadcast=False)
+        assert sorted(map(tuple, hinted.collect())) == sorted(
+            map(tuple, unhinted.collect())
+        )
+
+        cc_h = G.connected_components_pointer_jump(edges, rounds=2, broadcast=True)
+        cc_u = G.connected_components_pointer_jump(edges, rounds=2, broadcast=False)
+        assert sorted(map(tuple, cc_h.collect())) == sorted(
+            map(tuple, cc_u.collect())
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
