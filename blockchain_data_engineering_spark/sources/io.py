@@ -77,6 +77,68 @@ def write_jdbc(
     out.write.jdbc(url, table, mode=mode, properties=properties or {})
 
 
+def upsert_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_cols: Sequence[str],
+    properties: dict | None = None,
+    staging_table: str | None = None,
+) -> None:
+    """JDBC upsert: the reference's ``INSERT ... ON CONFLICT (pk) DO
+    UPDATE`` (airflow/archive/dags/etl_vol_dag.py:24-39) as
+    staging-table + ANSI ``MERGE`` — the shape a foreachBatch sink uses
+    per micro-batch against Postgres/Derby/any MERGE-capable store.
+
+    The batch lands in ``staging_table`` via a parallel JDBC append,
+    then ONE set-based MERGE runs inside the database (driver-side JDBC
+    connection, no per-row round-trips). Duplicate keys within ``df``
+    must be pre-resolved (``dedup_keep_last``) — MERGE requires a
+    unique source per key, same contract as the reference's upsert.
+    """
+    props = dict(properties or {})
+    staging = staging_table or f"{table}_staging"
+    cols = df.columns
+    keys = list(key_cols)
+    write_jdbc(df, url, staging, mode="overwrite", properties=props)
+
+    # Spark's JDBC writer quotes COLUMN identifiers (case-preserving)
+    # but passes table names through verbatim — the MERGE must match
+    # both conventions or unquoted references fold to uppercase and miss
+    q = lambda ident: '"' + ident.replace('"', '""') + '"'  # noqa: E731
+    # string columns may land as CLOB (Derby), which isn't comparable
+    # in a join predicate — CAST string keys to VARCHAR on both sides
+    str_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "string"}
+
+    def _key_eq(k: str) -> str:
+        if k in str_cols:
+            return (
+                f"CAST(t.{q(k)} AS VARCHAR(32672)) = "
+                f"CAST(s.{q(k)} AS VARCHAR(32672))"
+            )
+        return f"t.{q(k)} = s.{q(k)}"
+
+    on = " AND ".join(_key_eq(k) for k in keys)
+    sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in cols if c not in keys)
+    ins_cols = ", ".join(q(c) for c in cols)
+    ins_vals = ", ".join(f"s.{q(c)}" for c in cols)
+    merge = (
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+    jvm = df.sparkSession._jvm
+    if "driver" in props:
+        jvm.Class.forName(props["driver"])
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.execute(merge)
+        st.close()
+    finally:
+        conn.close()
+
+
 def upsert_parquet(
     df: DataFrame,
     path: str,

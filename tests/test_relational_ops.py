@@ -67,3 +67,93 @@ def test_asof_join_boundary_semantics(spark):
     out = R.asof_join_backward(left, right, ["k"], "t", "t", ["p"])
     got = {r.event_id: r.p_asof for r in out.collect()}
     assert got == {1: 1.0, 2: 2.0, 3: None}  # inclusive @100; none before 50
+
+
+def test_airdrop_hot_key_skew_split_and_salted_equivalence(spark):
+    """SURVEY §7.4 #2 — the transfer-edge cross join under an
+    airdrop-shaped hot key (ONE (tx, unit) with thousands of receivers
+    × dozens of senders, dwarfing every other group):
+
+    1. AQE skew-join splits the oversized partition at runtime
+       (``skew=true`` in the final adaptive plan) with no code change;
+    2. the manual ``salted`` fallback produces exactly the same edge
+       set while bounding every (key, salt) task to ~1/buckets of the
+       hot key — the knob for keys so pathological that splitting one
+       partition isn't enough.
+    """
+    from blockchain_data_engineering_spark.operators import relational as R
+
+    # hot key: 4000 receivers × 50 senders in one (tx, unit) = 200k
+    # edges; background: 200 normal txs with 2×2
+    hot_rx = spark.range(4000).select(
+        F.lit("tx_hot").alias("tx_hash"), F.lit("unitX").alias("unit"),
+        F.concat(F.lit("r"), F.col("id")).alias("rx_addr"),
+        (F.col("id") + 1).alias("value"),
+    )
+    hot_tx = spark.range(50).select(
+        F.lit("tx_hot").alias("tx_hash"), F.lit("unitX").alias("unit"),
+        F.concat(F.lit("s"), F.col("id")).alias("send_addr"),
+    )
+    bg_rx = spark.range(400).select(
+        F.concat(F.lit("tx"), (F.col("id") % 200)).alias("tx_hash"),
+        F.lit("unitY").alias("unit"),
+        F.concat(F.lit("br"), F.col("id")).alias("rx_addr"),
+        F.lit(1).alias("value"),
+    )
+    bg_tx = spark.range(400).select(
+        F.concat(F.lit("tx"), (F.col("id") % 200)).alias("tx_hash"),
+        F.lit("unitY").alias("unit"),
+        F.concat(F.lit("bs"), F.col("id")).alias("send_addr"),
+    )
+    receivers = hot_rx.unionByName(bg_rx)
+    senders = hot_tx.unionByName(bg_tx)
+    keys = ["tx_hash", "unit"]
+
+    # -- 1. AQE skew split: force a sort-merge join and thresholds low
+    # enough that the hot partition trips the detector
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        edges = R.per_group_cross_join(receivers, senders, keys)
+        # collect() executes THIS DataFrame's QueryExecution, finalizing
+        # its AdaptiveSparkPlan (count()/noop-write build a separate one)
+        n = len(edges.collect())
+        assert n == 4000 * 50 + 200 * 2 * 2
+        final_plan = edges._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan, final_plan[-2000:]
+    finally:
+        for k, v in old.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+    # -- 2. salted fallback: bit-identical edge set, bounded tasks
+    buckets = 16
+    salted_rx = R.salted(receivers, "tx_hash", buckets)
+    senders_exploded = senders.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    via_salt = salted_rx.join(senders_exploded, keys + ["__salt"]).select(
+        *keys, "rx_addr", "send_addr", "value"
+    )
+    plain = receivers.join(senders, keys).select(
+        *keys, "rx_addr", "send_addr", "value"
+    )
+    assert sorted(map(tuple, via_salt.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the hot key's receiver rows really fan out across salt buckets:
+    # max per-(key, salt) receiver count ~ 4000/buckets, not 4000
+    per_bucket = (
+        salted_rx.where(F.col("tx_hash") == "tx_hot")
+        .groupBy("__salt").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert per_bucket < 4000 / buckets * 2
