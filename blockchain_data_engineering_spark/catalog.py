@@ -66,10 +66,15 @@ def _tune_session(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read nanos as long (legacy conf) and
-    truncate to microseconds — the same precision DuckDB uses for its
-    TIMESTAMP type, so oracle comparisons stay exact.
+    ``events.ts`` has been generated two ways across fixture versions:
+    parquet TIMESTAMP(NANOS) (read as long via the legacy conf, then
+    truncated to micros) and plain ``timestamp[us]`` with no timezone
+    (read as TIMESTAMP_NTZ). Both are normalized to session-local
+    TIMESTAMP here: the session TZ is pinned to UTC by
+    ``_tune_session``, so the NTZ→LTZ cast is value-preserving and
+    matches the DuckDB oracle's UTC TIMESTAMP semantics, while
+    downstream ``unix_millis``/window expressions get the TIMESTAMP
+    input they require.
     """
     _tune_session(spark)
     if name == "events":
@@ -84,8 +89,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        return _ntz_to_utc(df)
+    return _ntz_to_utc(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _ntz_to_utc(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to session-local TIMESTAMP.
+
+    Fixture parquet written as ``timestamp[us]`` with no timezone reads
+    as NTZ; with the session TZ pinned to UTC the cast is
+    value-preserving and gives downstream ``unix_millis``/window/
+    ``date_trunc`` expressions the TIMESTAMP input they require, with
+    the same UTC wall-clock semantics the DuckDB oracle uses.
+    """
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz_cols:
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql import functions as F
+
+    return df.withColumns(
+        {c: F.col(c).cast("timestamp") for c in ntz_cols}
+    )
 
 
 def spread(df: DataFrame) -> DataFrame:
