@@ -235,3 +235,34 @@ def sim_ivf_ann_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_ann_topk(
         emb, k=3, n_centroids=N_CENTROIDS, n_queries=N_QUERIES, nprobe=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids: element-wise mean of every vector in a
+# label class — the E-step aggregate of distributed k-means and the
+# building block for real (trained-centroid) IVF indexes. posexplode →
+# groupBy (label, dim) is fully map-side-combinable: each partition
+# pre-sums locally and only |labels|·|dims| rows ever shuffle,
+# regardless of corpus size. Integer-quanta mean, bit-exact vs the
+# oracle.
+# ---------------------------------------------------------------------------
+from blockchain_data_engineering_spark.plans.parity import davg, davg_sql  # noqa: E402
+
+
+@query(
+    "emb_label_centroids",
+    oracle=f"""
+    SELECT label,
+           CAST(i - 1 AS INTEGER) AS dim,
+           {davg_sql('CAST(embedding[i] AS DOUBLE)', 9)} AS centroid
+    FROM embeddings, generate_series(1, {DIM}) AS t(i)
+    GROUP BY 1, 2
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", F.col("dim").cast("int").alias("dim"))
+        .agg(davg(F.col("v").cast("double"), 9).alias("centroid"))
+    )

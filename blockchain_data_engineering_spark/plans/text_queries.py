@@ -390,3 +390,151 @@ def sample_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition: fraction of all word bigrams taken by the
+# single most frequent bigram (the Gopher-rules "top n-gram fraction"
+# quality signal — heavily repeated docs are boilerplate/spam). One
+# shuffle on (doc_id, bigram); per-key cardinality is bounded by doc
+# length, so no skew risk at corpus scale. Integer counts, one final
+# division — bit-deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1] AS bigram
+      FROM (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, greatest(len(tk) - 1, 1))) AS i
+        FROM toks
+      )
+      WHERE CAST(i AS INTEGER) + 1 <= len(tk)
+    ),
+    per AS (
+      SELECT doc_id, bigram, count(*) AS n
+      FROM bigrams GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           CAST(max(n) AS BIGINT) AS top_bigram_n,
+           CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS rep_ratio
+    FROM per GROUP BY 1
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tk = F.split(F.col("text"), " ")
+    exploded = docs.select(
+        "doc_id",
+        tk.alias("tk"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1)))
+        ).alias("i"),
+    ).where(F.col("i") + 1 <= F.size(F.col("tk")))
+    bigram = F.concat_ws(
+        " ",
+        F.element_at(F.col("tk"), F.col("i")),
+        F.element_at(F.col("tk"), F.col("i") + 1),
+    )
+    per = (
+        exploded.select("doc_id", bigram.alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.max("n").cast("long").alias("top_bigram_n"),
+        (F.max("n").cast("double") / F.sum("n").cast("double")).alias("rep_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: deterministic cap of STRAT_CAP documents per
+# (lang, source) stratum, ordered by an md5 hash of the doc id — the
+# standard way to build a balanced eval slice from a skewed corpus.
+# Reproducible across engines/runs/cluster sizes (unlike rand()), and a
+# doc's selection never changes as other strata grow. One shuffle on
+# the stratum key; rank is a bounded per-stratum window.
+# ---------------------------------------------------------------------------
+STRAT_CAP = 20
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source, rk
+    FROM (
+      SELECT doc_id, lang, source,
+             CAST(row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS INTEGER) AS rk
+      FROM documents
+    )
+    WHERE rk <= {STRAT_CAP}
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang", "source").orderBy(h, F.col("doc_id"))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= STRAT_CAP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-length bucketing for batch packing: assign each doc to a
+# fixed-width token-count bucket (64-token stride, top bucket open) and
+# report per-bucket doc/token totals — the histogram a training-data
+# loader uses to pack fixed-token-budget batches without padding blowup.
+# Pure integer arithmetic; partial aggregation (map-side combine) means
+# only n_buckets rows ever shuffle.
+# ---------------------------------------------------------------------------
+PACK_STRIDE = 64
+PACK_MAX_BUCKET = 15
+
+
+@query(
+    "pack_length_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT CAST(least(n_tokens // {PACK_STRIDE}, {PACK_MAX_BUCKET}) AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM t GROUP BY 1
+    """,
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = TX.token_count(F.col("text"))
+    bucket = F.least(
+        F.floor(n_tokens / PACK_STRIDE), F.lit(PACK_MAX_BUCKET)
+    ).cast("long")
+    return (
+        docs.select(bucket.alias("bucket"), n_tokens.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )
