@@ -6,6 +6,7 @@ from blockchain_data_engineering_spark.sources.io import (  # noqa: F401
     read_jdbc,
     read_ndjson_blocks,
     upsert_parquet,
+    upsert_parquet_bucketed,
     write_edge_list,
     write_jdbc,
 )

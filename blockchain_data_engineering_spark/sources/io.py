@@ -161,7 +161,8 @@ def upsert_parquet(
     ``MERGE INTO``, call-site unchanged. Note the merge rewrites the
     whole table per batch (read-merge-overwrite); partition the table
     and restrict the merge to touched partitions, or use a
-    transactional format, before using this at scale.
+    transactional format, before using this at scale — see
+    :func:`upsert_parquet_bucketed` for exactly that partitioned merge.
     """
     import os
     import shutil
@@ -196,6 +197,93 @@ def upsert_parquet(
         os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def upsert_parquet_bucketed(
+    df: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    n_buckets: int = 64,
+    order_cols: Sequence[Column] | None = None,
+) -> None:
+    """Partition-pruned upsert: the scale path for S11 (reference
+    src/etl_blockchain/main.py:22-29 ON CONFLICT semantics).
+
+    The table is laid out as parquet partitioned by
+    ``__bucket = pmod(xxhash64(keys), n_buckets)``. An incoming batch
+    only touches the buckets its keys hash to, so the merge reads and
+    rewrites ONLY those partition directories (Spark's dynamic
+    partition overwrite); untouched buckets are never opened. Per-batch
+    work is O(batch + touched-bucket rows), independent of total table
+    size — unlike :func:`upsert_parquet`, which rewrites everything.
+
+    At 100 TB: choose ``n_buckets`` so one bucket ≈ a few GB (e.g.
+    65536 for ~100 TB), and swap in Delta/Iceberg ``MERGE INTO`` for
+    multi-writer transactionality — the bucketed layout carries over
+    (Delta Z-ORDER / Iceberg bucket transform play the same role).
+
+    Conflict semantics match :func:`upsert_parquet`: incoming beats
+    existing on the same key; intra-batch duplicates resolved by
+    ``order_cols`` (first wins), unspecified without it.
+    """
+    import os
+
+    spark = df.sparkSession
+    keys = list(key_cols)
+    bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
+        "int"
+    )
+    incoming = df.withColumn("__bucket", bucket)
+    exists = os.path.isdir(path) and any(
+        f.startswith("__bucket=") or f.endswith(".parquet")
+        for f in os.listdir(path)
+    )
+    if not exists:
+        incoming.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+        return
+    # touched buckets: bounded by n_buckets, so the collect is a small
+    # driver-side list (it parameterizes partition pruning, not data)
+    touched = [
+        r["__bucket"]
+        for r in incoming.select("__bucket").distinct().collect()
+    ]
+    existing = (
+        spark.read.parquet(path).where(F.col("__bucket").isin(touched))
+    )
+    from pyspark.sql import Window
+
+    merged = incoming.withColumn("__new", F.lit(1)).unionByName(
+        existing.withColumn("__new", F.lit(0))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__new").desc(), *list(order_cols or [])
+    )
+    result = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__new")
+    )
+    # Spark (correctly) refuses to overwrite a path that is also one of
+    # the write plan's inputs, so stage the merged touched-bucket rows
+    # first (volume = touched buckets only, not the table), then
+    # dynamic-overwrite from the staged copy: dynamic mode replaces
+    # ONLY the partition dirs present in the staged data — exactly the
+    # touched buckets. A crash before the final write leaves the table
+    # intact (stage dir is garbage, not state).
+    import shutil
+
+    stage = path.rstrip("/") + "__stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    result.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.read.parquet(stage).write.mode("overwrite").partitionBy(
+            "__bucket"
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def write_edge_list(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -125,3 +125,68 @@ def test_neo4j_cypher_script_sink(spark, tmp_path):
     N4.write_cypher_script(edges, out2, batch_size=2)
     text2 = "".join(open(f).read() for f in sorted(glob.glob(out2 + "/*.cypher")))
     assert text2 == text
+
+
+def test_upsert_parquet_bucketed_only_rewrites_touched_buckets(spark, tmp_path):
+    import glob
+    import os
+
+    from blockchain_data_engineering_spark.sources import upsert_parquet_bucketed
+
+    path = str(tmp_path / "bucketed")
+    v1 = spark.createDataFrame(
+        [(k, float(k)) for k in range(200)], "k LONG, v DOUBLE"
+    )
+    upsert_parquet_bucketed(v1, path, ["k"], n_buckets=8)
+    assert len(glob.glob(f"{path}/__bucket=*")) >= 2
+
+    # snapshot per-file mtimes before the second batch
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/__bucket=*/*.parquet")
+    }
+
+    # batch touching few keys: update k=0, insert k=1000
+    v2 = spark.createDataFrame([(0, 99.0), (1000, 1.0)], "k LONG, v DOUBLE")
+    upsert_parquet_bucketed(v2, path, ["k"], n_buckets=8)
+
+    got = {
+        r["k"]: r["v"]
+        for r in spark.read.parquet(path).select("k", "v").collect()
+    }
+    assert len(got) == 201
+    assert got[0] == 99.0 and got[1000] == 1.0 and got[7] == 7.0
+
+    # buckets not hashed by k∈{0,1000} must be byte-identical files
+    touched = {
+        r["__b"]
+        for r in spark.createDataFrame([(0,), (1000,)], "k LONG")
+        .select(F.pmod(F.xxhash64("k"), F.lit(8)).cast("int").alias("__b"))
+        .collect()
+    }
+    untouched_files = [
+        f
+        for f in before
+        if int(f.split("__bucket=")[1].split("/")[0]) not in touched
+    ]
+    assert untouched_files, "test needs at least one untouched bucket"
+    for f in untouched_files:
+        assert os.path.exists(f), f"untouched bucket file was rewritten: {f}"
+        assert os.path.getmtime(f) == before[f]
+
+
+def test_upsert_parquet_bucketed_order_cols_resolve_batch_dups(spark, tmp_path):
+    from blockchain_data_engineering_spark.sources import upsert_parquet_bucketed
+
+    path = str(tmp_path / "bucketed_dups")
+    base = spark.createDataFrame([(1, "old", 0)], "k LONG, v STRING, ts LONG")
+    upsert_parquet_bucketed(base, path, ["k"], n_buckets=4)
+    dups = spark.createDataFrame(
+        [(1, "stale", 5), (1, "latest", 9)], "k LONG, v STRING, ts LONG"
+    )
+    upsert_parquet_bucketed(
+        dups, path, ["k"], n_buckets=4, order_cols=[F.col("ts").desc()]
+    )
+    rows = spark.read.parquet(path).select("k", "v", "ts").collect()
+    assert len(rows) == 1
+    assert rows[0]["v"] == "latest" and rows[0]["ts"] == 9
