@@ -266,3 +266,95 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", F.col("dim").cast("int").alias("dim"))
         .agg(davg(F.col("v").cast("double"), 9).alias("centroid"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-table sign-LSH ANN: union of candidates from L independent
+# m-bit hash tables, dedup, exact cosine — the E2LSH recall
+# amplification (single-table 8-bit recall@3 is 0.02 on the fixture;
+# L=16 × m=4 measures 0.92 — tests/test_similarity_recall.py pins the
+# floor). One (tbl, bucket) join; candidates scale with collisions,
+# not N²; m grows with log N at scale, L dials recall linearly in cost.
+# ---------------------------------------------------------------------------
+LSH_TABLES = 16
+LSH_TABLE_PLANES = 4
+
+
+def _lsh_multitable_oracle() -> str:
+    k = 3
+    total = LSH_TABLES * LSH_TABLE_PLANES
+    q_emb = quanta_sql("CAST(embedding[i] AS DOUBLE)", 12)
+    sign = (
+        "CASE WHEN substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 1)"
+        " IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END"
+    )
+    table_rows = "\n      UNION ALL ".join(
+        "SELECT vec_id, {t} AS tbl, {expr} AS bucket FROM bits GROUP BY vec_id".format(
+            t=t,
+            expr=" || ".join(
+                f"max(CASE WHEN j = {t * LSH_TABLE_PLANES + j} THEN bit END)"
+                for j in range(LSH_TABLE_PLANES)
+            ),
+        )
+        for t in range(LSH_TABLES)
+    )
+    dot_q = quanta_sql(
+        "CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)", 12
+    )
+    return f"""
+    WITH comps AS (
+      SELECT vec_id, i, {q_emb} AS q
+      FROM embeddings, generate_series(1, {DIM}) AS t(i)
+    ),
+    proj AS (
+      SELECT vec_id, j,
+             sum(CASE WHEN {sign} = 1 THEN q ELSE -q END) AS p
+      FROM comps, generate_series(0, {total - 1}) AS pl(j)
+      GROUP BY 1, 2
+    ),
+    bits AS (
+      SELECT vec_id, j, CASE WHEN p >= 0 THEN '1' ELSE '0' END AS bit FROM proj
+    ),
+    buckets AS (
+      {table_rows}
+    ),
+    n AS (
+      SELECT vec_id, CAST(sum({_NORM_Q}) AS BIGINT) AS norm_q
+      FROM embeddings, generate_series(1, {DIM}) AS t(i) GROUP BY 1
+    ),
+    pairs AS (
+      SELECT DISTINCT ba.vec_id AS query_id, bb.vec_id AS cand_id
+      FROM buckets ba JOIN buckets bb
+        ON ba.tbl = bb.tbl AND ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id
+    ),
+    dots AS (
+      SELECT p.query_id, p.cand_id, CAST(sum({dot_q}) AS BIGINT) AS dot_q
+      FROM pairs p
+      JOIN embeddings a ON a.vec_id = p.query_id
+      JOIN embeddings b ON b.vec_id = p.cand_id,
+           generate_series(1, {DIM}) AS t(i)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, cand_id,
+             (CAST(dot_q AS DOUBLE) / {_SCALE})
+               / (sqrt(CAST(nq.norm_q AS DOUBLE) / {_SCALE})
+                  * sqrt(CAST(nc.norm_q AS DOUBLE) / {_SCALE})) AS cosine
+      FROM dots
+      JOIN n nq ON nq.vec_id = query_id
+      JOIN n nc ON nc.vec_id = cand_id
+    )
+    SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+@query("sim_lsh_ann_multitable", oracle=_lsh_multitable_oracle())
+def sim_lsh_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return SIM.lsh_ann_topk_multitable(
+        emb, k=3, n_tables=LSH_TABLES, n_planes=LSH_TABLE_PLANES, dim=DIM
+    )

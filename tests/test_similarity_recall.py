@@ -1,0 +1,78 @@
+"""Recall measurement for the approximate-similarity scale paths vs the
+exact brute-force baseline (the number an ANN index is FOR — a bucket
+join that returns the wrong neighbors isn't an index). Floors are
+pinned ~5-10 points under measured values on the deterministic
+sf0.001 fixture (500 vectors, 64-dim), so they fail on real recall
+regressions, not on noise (everything here is deterministic)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchain_data_engineering_spark.catalog import load_table
+from blockchain_data_engineering_spark.operators import similarity as SIM
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = load_table(spark, SF_DIR, "embeddings").persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def exact3(spark, emb):
+    df = SIM.brute_force_topk(emb, emb, k=3).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _recall(approx, exact) -> float:
+    a = approx.select("query_id", "cand_id")
+    e = exact.select("query_id", "cand_id")
+    return e.join(a, ["query_id", "cand_id"]).count() / e.count()
+
+
+def test_multitable_lsh_recall_floor(emb, exact3):
+    # measured 0.9247 at L=16, m=4 (gate params)
+    approx = SIM.lsh_ann_topk_multitable(emb, k=3, n_tables=16, n_planes=4)
+    assert _recall(approx, exact3) >= 0.85
+
+
+def test_multitable_beats_single_table(emb, exact3):
+    # the single 8-bit table measures 0.022 — the multitable union is
+    # the difference between "an index" and "a hash partitioner"
+    single = _recall(SIM.lsh_ann_topk(emb, k=3, n_planes=8), exact3)
+    multi = _recall(
+        SIM.lsh_ann_topk_multitable(emb, k=3, n_tables=16, n_planes=4), exact3
+    )
+    assert multi > single + 0.5
+
+
+def test_more_tables_more_recall(emb, exact3):
+    # L is the recall dial: monotone in measured recall (0.70 -> 0.92)
+    r8 = _recall(SIM.lsh_ann_topk_multitable(emb, k=3, n_tables=8, n_planes=4), exact3)
+    r16 = _recall(SIM.lsh_ann_topk_multitable(emb, k=3, n_tables=16, n_planes=4), exact3)
+    assert r16 > r8 >= 0.60
+
+
+def test_ivf_nprobe_dial(spark, emb):
+    # probing 2 of 32 clusters must beat probing 1 (measured 0.23 vs
+    # 0.17 — low in absolute terms on *uniform random* fixture vectors,
+    # where neighbors barely cluster; the dial, not the absolute, is
+    # the contract)
+    q = emb.where(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(q, emb, k=3).persist()
+    exact.count()
+    try:
+        r1 = _recall(SIM.ivf_ann_topk(emb, k=3, n_centroids=32, n_queries=10, nprobe=1), exact)
+        r2 = _recall(SIM.ivf_ann_topk(emb, k=3, n_centroids=32, n_queries=10, nprobe=2), exact)
+    finally:
+        exact.unpersist()
+    assert r2 >= r1
+    assert r2 >= 0.15
