@@ -1,0 +1,62 @@
+"""Recall + efficiency proof for MinHash-LSH near-dedup: the banding
+must find the true near-duplicate pairs (recall vs exhaustive exact
+Jaccard) while generating far fewer candidates than all-pairs (the
+reason LSH exists). Measured on the deterministic sf0.001 fixture:
+28 true pairs at J >= 0.7 (all of them J >= 0.9 — synthetic dups are
+near-copies), 3 bands x 3 rows catches 28/28 from ~1.7k candidates vs
+124,750 all-pairs. Theory note: at the J = 0.7 boundary 3x3 banding has
+P[candidate] = 1-(1-0.7^3)^3 = 0.72 — for a corpus with many borderline
+pairs, widen to 8 bands x 2 rows (P = 0.99); the banding params are
+plan arguments, not constants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchain_data_engineering_spark.catalog import load_table, spread
+from blockchain_data_engineering_spark.operators import dedup as D
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def arr(spark):
+    docs = spread(load_table(spark, SF_DIR, "documents"))
+    df = D.shingle_array(docs, k=5).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def truth(spark, arr):
+    a = arr.selectExpr("doc_id as id_a", "shingles as sa")
+    b = arr.selectExpr("doc_id as id_b", "shingles as sb")
+    pairs = a.crossJoin(b).where("id_a < id_b")
+    ni = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = ni.cast("double") / (F.size("sa") + F.size("sb") - ni).cast("double")
+    df = pairs.select("id_a", "id_b", jac.alias("j")).where("j >= 0.7").persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_lsh_banding_finds_every_true_near_dup(arr, truth):
+    n_true = truth.count()
+    assert n_true > 0, "fixture should contain synthetic near-dups"
+    sh = arr.select("doc_id", F.explode("shingles").alias("shingle"))
+    sig = D.minhash_signatures(sh, 9)
+    cand = (
+        D.lsh_candidate_pairs(D.lsh_bands(sig, 9, 3))
+        .selectExpr("least(id_a, id_b) as id_a", "greatest(id_a, id_b) as id_b")
+        .distinct()
+    )
+    hits = truth.join(cand, ["id_a", "id_b"]).count()
+    assert hits == n_true  # measured 28/28
+
+    # the efficiency claim: candidates must be a small fraction of
+    # all-pairs, or the "LSH" is an all-pairs join in disguise
+    n_docs = arr.count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+    assert cand.count() < all_pairs * 0.05  # measured ~1.7k vs 124,750
