@@ -42,8 +42,10 @@ from blockchain_data_engineering_spark.plans import multimodal_queries  # noqa: 
 # graph_degrees (pagerank pre-join), graph_connected_components
 # (graph_cc_pointer_jump), text_fingerprint (text_winnowing_fingerprints),
 # dedup_simhash / dedup_simhash_hamming (dedup_simhash_multiblock),
-# sim_ivf_ann (sim_ivf_ann_nprobe2), stream_sliding_window
-# (stream_tumbling_window).
+# sim_ivf_ann (sim_ivf_ann_nprobe2), sim_lsh_ann (single-table form —
+# superseded in the gate by sim_lsh_ann_multitable, the high-recall
+# production shape; see tests/test_similarity_recall.py),
+# stream_sliding_window (stream_tumbling_window).
 GATE_ORDER = [
     # -- unverified in round 1 --
     "dedup_ngram_jaccard",
@@ -51,7 +53,7 @@ GATE_ORDER = [
     "dedup_simhash_multiblock",
     "pipeline_corpus_dedup",
     "sim_cosine_topk",
-    "sim_lsh_ann",
+    "sim_lsh_ann_multitable",
     "sim_ivf_ann_nprobe2",
     "stream_tumbling_window",
     "stream_session_window",
