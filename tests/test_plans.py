@@ -225,3 +225,43 @@ def test_graph_broadcast_hint_is_parameterized(spark, sf_dir):
         )
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_multitable_lsh_plans_no_cartesian(spark, sf_dir):
+    """Multi-table LSH must be a (tbl, bucket) equi-join pipeline: any
+    CartesianProduct / nested-loop in the plan means the candidate
+    generation degenerated to all-pairs — the thing LSH exists to
+    avoid."""
+    from blockchain_data_engineering_spark.catalog import load_table
+    from blockchain_data_engineering_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = SIM.lsh_ann_topk_multitable(emb, k=3, n_tables=4, n_planes=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_label_centroids_partial_aggregation(spark, sf_dir):
+    """The centroid aggregate must pre-sum map-side (partial
+    HashAggregate before the Exchange): only |labels|x|dims| rows may
+    shuffle, or the op won't survive a wide corpus."""
+    from blockchain_data_engineering_spark.plans.similarity_queries import (
+        emb_label_centroids,
+    )
+
+    import re
+
+    df = emb_label_centroids(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # "(n) Node" detail headers appear once per physical node
+    aggs = re.findall(r"\(\d+\) HashAggregate", plan)
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(aggs) >= 2, plan  # partial + final
+    assert len(exchanges) == 1, plan
