@@ -1,0 +1,179 @@
+"""End-to-end demo: a training-data curation pipeline over the
+``documents`` + ``embeddings`` tables — the LLM-corpus shape this
+engine adds beyond the reference's blockchain surface:
+
+  1. quality gate (length / stopword / punctuation scoring)
+  2. intra-doc repetition filter (Gopher top-bigram fraction)
+  3. exact dedup (normalized-text fingerprint, keep lowest doc_id)
+  4. near-dedup (MinHash + LSH banding -> exact Jaccard verify
+     -> connected components -> canonical election)
+  5. language filter (n-gram heuristic language ID)
+  6. embedding near-dup sweep (label-blocked exact cosine)
+  7. deterministic stratified train/val split + length buckets
+     for batch packing
+
+Every stage is a lazy DataFrame plan (one driver program, zero
+driver-side loops); the same composition runs unchanged on a cluster
+against a real lake.
+
+    python examples/run_training_data_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from blockchain_data_engineering_spark.catalog import load_table, spread
+from blockchain_data_engineering_spark.operators import dedup as D
+from blockchain_data_engineering_spark.operators import similarity as SIM
+from blockchain_data_engineering_spark.operators import text as TX
+from blockchain_data_engineering_spark.session import get_spark
+
+
+def main(sf_dir: str) -> None:
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n0 = docs.count()
+
+    # One narrow feature pass over the scan computes EVERY per-doc
+    # signal up front (quality score, predicted language, content
+    # fingerprint) — the wide-expression columns are evaluated exactly
+    # once, on the cheapest possible plan. Evaluating lang_id/quality
+    # later, on top of joins and windows, re-inlines those big CASE
+    # trees into deep plans (measured 198 s vs <2 s for this shape).
+    feats = TX.quality_score(docs).select(
+        "doc_id", "text", "lang", "source", "n_tokens", "quality_score",
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+    )
+
+    # 2. repetition signal: top-bigram fraction per doc
+    tk = F.split(F.col("text"), " ")
+    ex = docs.select(
+        "doc_id",
+        tk.alias("tk"),
+        F.explode(F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1)))).alias(
+            "i"
+        ),
+    ).where(F.col("i") + 1 <= F.size(F.col("tk")))
+    bigram = F.concat_ws(
+        " ", F.element_at("tk", F.col("i")), F.element_at("tk", F.col("i") + 1)
+    )
+    rep = (
+        ex.select("doc_id", bigram.alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg((F.max("count") / F.sum("count")).alias("rep_ratio"))
+    )
+
+    # 1+2+5. the filter gates are now trivial column predicates
+    kept = (
+        feats.join(rep, "doc_id")
+        .where(
+            (F.col("quality_score") >= 60.0)
+            & (F.col("rep_ratio") <= 0.2)
+            & (F.col("lang_pred") == F.col("lang"))
+        )
+    )
+
+    # 3. exact dedup on the normalized-text fingerprint
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    # persisted: step 4 (shingles) and the final merge both re-read it
+    uniq = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "fp", "rep_ratio", "lang_pred", "quality_score")
+        .persist()
+    )
+
+    # 4. near-dedup: LSH candidates -> exact Jaccard >= 0.7 -> CC ->
+    # keep each cluster's lowest doc_id
+    sh = D.shingle_set(uniq, k=5).persist()
+    sig = D.minhash_signatures(sh, 9)
+    cand = D.lsh_candidate_pairs(D.lsh_bands(sig, 9, 3))
+    arr = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    dup_pairs = (
+        D.jaccard_verify_arrays(cand, arr)
+        .where(F.col("jaccard") >= 0.7)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .persist()
+    )
+    from blockchain_data_engineering_spark.operators import graph as G
+
+    # near-dup clusters have tiny diameter (they're near-cliques), so
+    # plain min-label propagation converges in a few iterations — the
+    # pointer-jump variant's extra per-round jobs only pay off on
+    # long-chain graphs like wallet clustering
+    labels = G.connected_components(dup_pairs, iterations=3).persist()
+    canonical = labels.groupBy("label").agg(F.min("node").alias("keep"))
+    drop = labels.join(canonical, "label").where(F.col("node") != F.col("keep"))
+    lang_ok = uniq.join(
+        drop.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+    )
+
+    # 6. embedding near-dup sweep (label-blocked exact cosine — the
+    # dedup_embedding_cosine query shape)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    withn = SIM.with_norm(emb)
+    ea = withn.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"),
+        F.col("norm_q").alias("n_a"), "label",
+    )
+    eb = withn.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"),
+        F.col("norm_q").alias("n_b"), "label",
+    )
+    n_emb_dups = (
+        ea.join(eb, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            SIM.cosine_from_quanta(
+                SIM.dot_quanta(F.col("e_a"), F.col("e_b")),
+                F.col("n_a"),
+                F.col("n_b"),
+            ).alias("cosine")
+        )
+        .where(F.col("cosine") >= 0.995)
+        .count()
+    )
+
+    # 7. split + pack
+    h1 = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    final = lang_ok.select(
+        "doc_id", "lang", "source", "n_tokens",
+        F.when(h1.isin("0", "1", "2"), "val").otherwise("train").alias("split"),
+        F.least(F.floor(F.col("n_tokens") / 64), F.lit(15)).alias("bucket"),
+    ).persist()
+
+    n_final = final.count()
+    packing = (
+        final.groupBy("split", "bucket")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tokens"))
+        .orderBy("split", "bucket")
+    )
+
+    print(f"documents in:           {n0}")
+    print(f"after curation:         {n_final}  ({n_final / n0:.1%} kept)")
+    print(f"embedding near-dup prs: {n_emb_dups}")
+    print("packing histogram (split, bucket, n_docs, tokens):")
+    for r in packing.collect():
+        print(f"  {r['split']:5s} b{int(r['bucket']):2d}  {r['n_docs']:5d}  {int(r['tokens']):8d}")
+    print(f"wall: {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
