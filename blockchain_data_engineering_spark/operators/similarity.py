@@ -475,3 +475,93 @@ def lsh_ann_topk_multitable(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+# ------------------------------------------------------------- k-means ---
+
+KMEANS_DIGITS = 6
+_KM_SCALE = 10**KMEANS_DIGITS
+_KM_OFF = 10**KMEANS_DIGITS  # >= |vq| for unit-ish embeddings
+
+
+def kmeans_centroids_quantized(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means over embeddings as an iterative DataFrame loop,
+    bit-exact across engines — the trained-centroid path the IVF index
+    docstrings point at (vs the hash-sampled seeds of
+    :func:`ivf_probe`).
+
+    Everything is integer arithmetic on 10^6-quanta components:
+    squared-L2 distances are BIGINT sums (max |vq| ~ 1.1e6 → diff² ×
+    64 dims ≤ 8e13, far under 2^63), the mean update is round-half-up
+    computed as ``floor((2·Σ(vq+OFF) + n) / (2n)) − OFF`` in exact
+    integer form (offset keeps the numerator positive so floor ==
+    truncation in every engine), and argmin ties break on centroid id.
+    Deterministic seeds: the k vectors with smallest ``md5(id)``,
+    numbered in that order.
+
+    Scale shape per iteration: ONE broadcast join of the (k × dim)-row
+    centroid table against the exploded vector components (assignment),
+    ONE partial-aggregated shuffle keyed (cid, dim) for the update —
+    O(N·k·dim) work, O(k·dim) broadcast, independent of corpus size.
+    Returns long-format (cid, dim0, cq) integer-quanta centroids;
+    empty clusters drop out (inner joins), matching the SQL oracle.
+    """
+    q6 = F.floor(
+        F.col("x").cast("double") * F.lit(float(_KM_SCALE)) + F.lit(0.5)
+    ).cast("long")
+    v = vectors.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim0", "x")
+    ).select(id_col, "dim0", q6.alias("vq"))
+
+    h = F.md5(F.col(id_col).cast("string"))
+    seeds = (
+        vectors.select(id_col)
+        .orderBy(h, F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            F.row_number()
+            .over(Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)))
+            .cast("int")
+            .alias("cid"),
+        )
+    )
+    cent = v.join(seeds, id_col).select("cid", "dim0", F.col("vq").alias("cq"))
+
+    for _ in range(iterations):
+        diff = F.col("vq") - F.col("cq")
+        d2 = (
+            v.join(F.broadcast(cent), "dim0")
+            .groupBy(id_col, "cid")
+            .agg(F.sum(diff * diff).alias("d2"))
+        )
+        w = Window.partitionBy(id_col).orderBy("d2", "cid")
+        assign = (
+            d2.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(id_col, "cid")
+        )
+        num = F.lit(2) * F.sum(F.col("vq") + F.lit(_KM_OFF)) + F.count(F.lit(1))
+        den = F.lit(2) * F.count(F.lit(1))
+        cent = (
+            v.join(assign, id_col)
+            .groupBy("cid", "dim0")
+            .agg(
+                (
+                    F.floor(num.cast("double") / den.cast("double")).cast("long")
+                    - F.lit(_KM_OFF)
+                ).alias("cq")
+            )
+        )
+        # persist per round: the next assignment references `cent`
+        # once, but the update lineage would otherwise re-run the
+        # whole previous round twice (same 2^k hazard as the graph
+        # loops)
+        cent = cent.persist()
+    return cent

@@ -358,3 +358,70 @@ def sim_lsh_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_ann_topk_multitable(
         emb, k=3, n_tables=LSH_TABLES, n_planes=LSH_TABLE_PLANES, dim=DIM
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means centroid training (Lloyd, 2 unrolled iterations) — iterative
+# ML as DataFrame plans with a bit-exact SQL oracle: integer-quanta
+# squared-L2 assignment (argmin, cid tie-break) and round-half-up
+# integer mean updates, so Spark and DuckDB agree cell-for-cell. The
+# trained centroids are what a production IVF uses in place of the
+# hash-sampled seeds (drop-in: same join shape, better recall).
+# ---------------------------------------------------------------------------
+KM_K = 8
+KM_ITERS = 2
+_KM_SCALE = 10**6
+_KM_OFF = 10**6
+
+
+def _kmeans_oracle() -> str:
+    vq = (
+        f"CAST(floor(CAST(embedding[i] AS DOUBLE) * {_KM_SCALE} + 0.5) AS BIGINT)"
+    )
+    mean_cq = (
+        f"CAST(floor(CAST(2 * sum(v.vq + {_KM_OFF}) + count(*) AS DOUBLE)"
+        f" / CAST(2 * count(*) AS DOUBLE)) AS BIGINT) - {_KM_OFF}"
+    )
+    iters = []
+    prev = "c0"
+    for it in range(1, KM_ITERS + 1):
+        iters.append(f"""
+    d{it} AS (
+      SELECT v.vec_id, c.cid, sum((v.vq - c.cq) * (v.vq - c.cq)) AS d2
+      FROM v JOIN {prev} c USING (dim0) GROUP BY 1, 2
+    ),
+    a{it} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d{it}
+      ) WHERE rn = 1
+    ),
+    c{it} AS (
+      SELECT a.cid, v.dim0, {mean_cq} AS cq
+      FROM v JOIN a{it} a USING (vec_id) GROUP BY 1, 2
+    )""")
+        prev = f"c{it}"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim0, {vq} AS vq
+      FROM embeddings, generate_series(1, {DIM}) AS t(i)
+    ),
+    seeds AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS cid
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {KM_K}
+    ),
+    c0 AS (
+      SELECT s.cid, v.dim0, v.vq AS cq FROM v JOIN seeds s USING (vec_id)
+    ),{",".join(iters)}
+    SELECT cid, dim0, cq FROM {prev}
+    """
+
+
+@query("emb_kmeans_centroids", oracle=_kmeans_oracle())
+def emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return SIM.kmeans_centroids_quantized(emb, k=KM_K, iterations=KM_ITERS)

@@ -76,3 +76,35 @@ def test_ivf_nprobe_dial(spark, emb):
         exact.unpersist()
     assert r2 >= r1
     assert r2 >= 0.15
+
+
+def test_kmeans_inertia_monotone(spark, emb):
+    """Lloyd's guarantee: total within-cluster squared distance
+    (inertia) must not increase with more iterations — the
+    integer-quanta formulation must preserve it."""
+    def inertia(iters: int) -> int:
+        cent = SIM.kmeans_centroids_quantized(emb, k=8, iterations=iters)
+        v = emb.select(
+            "vec_id", F.posexplode("embedding").alias("dim0", "x")
+        ).select(
+            "vec_id",
+            "dim0",
+            F.floor(F.col("x").cast("double") * 1_000_000 + 0.5)
+            .cast("long")
+            .alias("vq"),
+        )
+        diff = F.col("vq") - F.col("cq")
+        d2 = (
+            v.join(cent, "dim0")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(diff * diff).alias("d2"))
+        )
+        return (
+            d2.groupBy("vec_id")
+            .agg(F.min("d2").alias("best"))
+            .agg(F.sum("best"))
+            .collect()[0][0]
+        )
+
+    i1, i2 = inertia(1), inertia(2)
+    assert i2 <= i1
