@@ -565,3 +565,99 @@ def kmeans_centroids_quantized(
         # loops)
         cent = cent.persist()
     return cent
+
+
+def ivf_ann_topk_trained(
+    vectors: DataFrame,
+    centroids_long: DataFrame,
+    k: int = 3,
+    n_queries: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN over TRAINED centroids — the drop-in the k-means
+    docstrings promise: same broadcast-assignment join shape as
+    :func:`ivf_probe`, but the coarse quantizer is the
+    ``kmeans_centroids_quantized`` output (long-format (cid, dim0, cq)
+    10^6-quanta rows) instead of hash-sampled corpus vectors.
+
+    Coarse scoring is exact integer arithmetic at the 10^6 scale
+    (dot ≤ 64·1.2e12 ≪ 2^63), ties broken by cid; the fine scoring
+    within probed clusters is the engine-wide 10^12-quanta cosine.
+    Scale: centroid table is O(k·dim) rows, broadcast; assignment is
+    one O(N·k) aggregate; candidates bounded by nprobe × cluster size.
+    """
+    q6 = F.floor(
+        F.col("x").cast("double") * F.lit(float(_KM_SCALE)) + F.lit(0.5)
+    ).cast("long")
+    v = vectors.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim0", "x")
+    ).select(id_col, "dim0", q6.alias("vq"))
+    vnorm = v.groupBy(id_col).agg(F.sum(F.col("vq") * F.col("vq")).alias("vn"))
+    cnorm = centroids_long.groupBy("cid").agg(
+        F.sum(F.col("cq") * F.col("cq")).alias("cn")
+    )
+    dots = (
+        v.join(F.broadcast(centroids_long), "dim0")
+        .groupBy(id_col, "cid")
+        .agg(F.sum(F.col("vq") * F.col("cq")).alias("dot6"))
+    )
+    ccos = (
+        dots.join(vnorm, id_col)
+        .join(F.broadcast(cnorm), "cid")
+        .select(
+            id_col,
+            "cid",
+            (
+                F.col("dot6").cast("double")
+                / (
+                    F.sqrt(F.col("vn").cast("double"))
+                    * F.sqrt(F.col("cn").cast("double"))
+                )
+            ).alias("ccos"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
+    ranked = ccos.withColumn("pr", F.row_number().over(w))
+    assign = ranked.where(F.col("pr") == 1).select(id_col, "cid")
+    probes = ranked.where(
+        (F.col("pr") <= nprobe) & (F.col(id_col) < n_queries)
+    ).select(F.col(id_col).alias("query_id"), "cid")
+
+    cand = probes.join(
+        assign.select(F.col(id_col).alias("cand_id"), "cid"), "cid"
+    ).where(F.col("query_id") != F.col("cand_id")).select("query_id", "cand_id")
+
+    withn = with_norm(vectors.select(id_col, vec_col), vec_col)
+    qside = withn.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("norm_q").alias("q_norm_q"),
+    )
+    cside = withn.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("norm_q").alias("c_norm_q"),
+    )
+    scored = (
+        cand.join(F.broadcast(qside), "query_id")
+        .join(cside, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_from_quanta(
+                dot_quanta(F.col("q_vec"), F.col("c_vec")),
+                F.col("q_norm_q"),
+                F.col("c_norm_q"),
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

@@ -425,3 +425,85 @@ def _kmeans_oracle() -> str:
 def emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     return SIM.kmeans_centroids_quantized(emb, k=KM_K, iterations=KM_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# IVF over the TRAINED centroids: the full production ANN story in one
+# oracle-paired query — train the coarse quantizer (2 Lloyd
+# iterations, bit-exact), assign the corpus, probe the query's nprobe
+# nearest clusters, exact-cosine rerank within candidates. The oracle
+# replays every stage (k-means CTEs + integer coarse scoring + 10^12
+# fine scoring) in SQL.
+# ---------------------------------------------------------------------------
+def _ivf_trained_oracle(nprobe: int = 2, k: int = 3) -> str:
+    km = _kmeans_oracle().strip()
+    assert km.startswith("WITH "), km[:20]
+    km_body = km[len("WITH "):]
+    # strip the kmeans final SELECT, keep its CTE chain
+    km_ctes = km_body.rsplit("SELECT cid, dim0, cq FROM", 1)[0].rstrip().rstrip(",")
+    dot12 = quanta_sql(
+        "CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)", 12
+    )
+    return f"""
+    WITH {km_ctes},
+    cn AS (SELECT cid, sum(cq * cq) AS cnorm FROM c{KM_ITERS} GROUP BY 1),
+    vn AS (SELECT vec_id, sum(vq * vq) AS vnorm FROM v GROUP BY 1),
+    vc AS (
+      SELECT v.vec_id, c.cid, sum(v.vq * c.cq) AS dot6
+      FROM v JOIN c{KM_ITERS} c USING (dim0) GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT vc.vec_id, vc.cid,
+             row_number() OVER (
+               PARTITION BY vc.vec_id
+               ORDER BY CAST(dot6 AS DOUBLE)
+                          / (sqrt(CAST(vnorm AS DOUBLE))
+                             * sqrt(CAST(cnorm AS DOUBLE))) DESC,
+                        vc.cid) AS pr
+      FROM vc JOIN vn USING (vec_id) JOIN cn USING (cid)
+    ),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE pr = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM ranked
+      WHERE pr <= {nprobe} AND vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS cand_id
+      FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+    ),
+    n12 AS (
+      SELECT vec_id, CAST(sum({_NORM_Q}) AS BIGINT) AS norm_q
+      FROM embeddings, generate_series(1, {DIM}) AS t(i) GROUP BY 1
+    ),
+    dots AS (
+      SELECT cd.query_id, cd.cand_id, CAST(sum({dot12}) AS BIGINT) AS dot_q
+      FROM cand cd
+      JOIN embeddings a ON a.vec_id = cd.query_id
+      JOIN embeddings b ON b.vec_id = cd.cand_id,
+           generate_series(1, {DIM}) AS t(i)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, cand_id,
+             (CAST(dot_q AS DOUBLE) / {_SCALE})
+               / (sqrt(CAST(nq.norm_q AS DOUBLE) / {_SCALE})
+                  * sqrt(CAST(nc.norm_q AS DOUBLE) / {_SCALE})) AS cosine
+      FROM dots
+      JOIN n12 nq ON nq.vec_id = query_id
+      JOIN n12 nc ON nc.vec_id = cand_id
+    )
+    SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+@query("sim_ivf_ann_trained", oracle=_ivf_trained_oracle())
+def sim_ivf_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cent = SIM.kmeans_centroids_quantized(emb, k=KM_K, iterations=KM_ITERS)
+    return SIM.ivf_ann_topk_trained(
+        emb, cent, k=3, n_queries=N_QUERIES, nprobe=2
+    )
