@@ -538,3 +538,68 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("long").alias("max_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking: split each document into overlapping
+# fixed-token windows (128-token chunks, 32-token overlap → stride 96)
+# — the step between curation and tokenization in every LLM data
+# pipeline. Narrow explode per doc (no shuffle at all: chunk count and
+# slices derive from the row); counts are exact integers, chunk text a
+# deterministic join. Spark `slice` and DuckDB list slicing both clamp
+# at the array end, so boundary chunks agree.
+# ---------------------------------------------------------------------------
+CHUNK_SIZE = 128
+CHUNK_OVERLAP = 32
+CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, tk, n_tokens,
+             CAST(unnest(generate_series(0,
+               greatest((n_tokens - {CHUNK_OVERLAP} + {CHUNK_STRIDE} - 1)
+                          // {CHUNK_STRIDE}, 1) - 1)) AS INTEGER) AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(tk[chunk_id * {CHUNK_STRIDE} + 1 :
+                     chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}]) AS BIGINT)
+             AS chunk_tokens,
+           array_to_string(tk[chunk_id * {CHUNK_STRIDE} + 1 :
+                              chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tk = F.split(F.col("text"), " ")
+    n = F.size(tk)
+    n_chunks = F.greatest(
+        F.floor(
+            (n - F.lit(CHUNK_OVERLAP) + F.lit(CHUNK_STRIDE - 1))
+            / F.lit(CHUNK_STRIDE)
+        ).cast("int"),
+        F.lit(1),
+    )
+    chunked = docs.select(
+        "doc_id",
+        tk.alias("tk"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE + 1
+    window = F.slice(F.col("tk"), start, F.lit(CHUNK_SIZE))
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(window).cast("long").alias("chunk_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )
