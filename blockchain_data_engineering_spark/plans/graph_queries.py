@@ -244,3 +244,57 @@ def _cc_pj_oracle_sql(rounds: int) -> str:
 def graph_cc_pointer_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges_df(spark, sf_dir)
     return G.connected_components_pointer_jump(edges, rounds=CC_PJ_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the supplier co-occurrence graph (suppliers
+# sharing an order — the customer↔supplier wallet graph is bipartite
+# and trivially triangle-free). Degree-ordered orientation counts each
+# triangle once with wedge fan-out bounded by the low-degree endpoint;
+# the oracle replays orientation + wedge close in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH und AS (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY 1
+    ),
+    oriented AS (
+      SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+                  THEN und.a ELSE und.b END AS u,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+                  THEN und.b ELSE und.a END AS v,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+                  THEN db.d ELSE da.d END AS dv
+      FROM und
+      JOIN deg da ON da.node = und.a
+      JOIN deg db ON db.node = und.b
+    ),
+    wedges AS (
+      SELECT e1.v AS u, e2.v AS v
+      FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u
+      WHERE (e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM wedges w
+    WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.u = w.u AND o.v = w.v)
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.withColumnRenamed("l_suppkey", "src")
+    b = li.withColumnRenamed("l_suppkey", "dst")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return G.triangle_count(edges)
