@@ -535,6 +535,7 @@ def kmeans_centroids_quantized(
     cent = v.join(seeds, id_col).select("cid", "dim0", F.col("vq").alias("cq"))
 
     for _ in range(iterations):
+        prev = cent if cent.is_cached else None
         diff = F.col("vq") - F.col("cq")
         d2 = (
             v.join(F.broadcast(cent), "dim0")
@@ -562,8 +563,13 @@ def kmeans_centroids_quantized(
         # persist per round: the next assignment references `cent`
         # once, but the update lineage would otherwise re-run the
         # whole previous round twice (same 2^k hazard as the graph
-        # loops)
+        # loops). Materialize eagerly (k·dim rows — trivial) so the
+        # previous round's cache can be released immediately instead
+        # of accumulating one pinned table per iteration.
         cent = cent.persist()
+        cent.count()
+        if prev is not None:
+            prev.unpersist()
     return cent
 
 
