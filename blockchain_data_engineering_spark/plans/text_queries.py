@@ -603,3 +603,168 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(window).cast("long").alias("chunk_tokens"),
         F.array_join(window, " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus documents sharing winnowing
+# fingerprints with a held-out benchmark set (source 'src0' stands in
+# for the eval suite) — the n-gram-overlap check every training corpus
+# runs before release. Reuses the winnowing scheme (any shared
+# substring of length >= w+k-1 = 11 chars is caught); the fingerprint
+# equi-join touches only colliding hashes, never doc x doc.
+# ---------------------------------------------------------------------------
+DECON_BENCH_SOURCE = "src0"
+
+
+def _winnow_fps_sql() -> str:
+    return f"""
+      SELECT doc_id, source, fp FROM (
+        SELECT doc_id, source,
+               min(h) OVER (
+                 PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING
+               ) AS fp,
+               i,
+               max(i) OVER (PARTITION BY doc_id) AS max_i
+        FROM (
+          SELECT doc_id, source, i,
+                 md5(substr(text, CAST(i AS INTEGER), {WINNOW_K})) AS h
+          FROM (
+            SELECT doc_id, source, text,
+                   unnest(generate_series(1,
+                     greatest(length(text) - {WINNOW_K - 1}, 1))) AS i
+            FROM documents
+          )
+        )
+      ) WHERE i <= max_i - {WINNOW_W - 1}
+      GROUP BY doc_id, source, fp
+    """
+
+
+@query(
+    "text_decontaminate_overlap",
+    oracle=f"""
+    WITH fps AS (
+      {_winnow_fps_sql()}
+    ),
+    bench AS (SELECT DISTINCT fp FROM fps WHERE source = '{DECON_BENCH_SOURCE}'),
+    corpus AS (SELECT * FROM fps WHERE source <> '{DECON_BENCH_SOURCE}')
+    SELECT c.doc_id,
+           CAST(count(DISTINCT c.fp) AS BIGINT) AS n_shared_fps,
+           count(DISTINCT c.fp) >= 10 AS contaminated
+    FROM corpus c JOIN bench b ON b.fp = c.fp
+    GROUP BY 1
+    """,
+)
+def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n = F.greatest(F.length(F.col("text")) - (WINNOW_K - 1), F.lit(1))
+    grams = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("text"),
+            F.explode(F.sequence(F.lit(1), n)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "i",
+            F.md5(F.col("text").substr(F.col("i"), F.lit(WINNOW_K))).alias("h"),
+        )
+    )
+    w_min = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    w_max = Window.partitionBy("doc_id")
+    fps = (
+        grams.select(
+            "doc_id",
+            "source",
+            F.min("h").over(w_min).alias("fp"),
+            "i",
+            F.max("i").over(w_max).alias("max_i"),
+        )
+        .where(F.col("i") <= F.col("max_i") - (WINNOW_W - 1))
+        .select("doc_id", "source", "fp")
+        .distinct()
+    )
+    bench = (
+        fps.where(F.col("source") == DECON_BENCH_SOURCE).select("fp").distinct()
+    )
+    corpus = fps.where(F.col("source") != DECON_BENCH_SOURCE)
+    return (
+        corpus.join(bench, "fp")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("fp").cast("long").alias("n_shared_fps"))
+        .select(
+            "doc_id",
+            "n_shared_fps",
+            (F.col("n_shared_fps") >= 10).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-mix reweighting: per-source sampling weights (the Pile/Llama
+# "epochs per source" mix) realized as deterministic fractional
+# repetition — every doc repeats floor(w) times plus one more iff
+# md5(doc) falls under frac(w), so the expected mix is exact, the
+# realization reproducible, and a doc's repeat count never changes as
+# the corpus grows. Weights here derive from the source id (src0 -> 1.5
+# epochs, src1 -> 2.5, ...) to stay fixture-driven.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_mix_reweight",
+    oracle="""
+    WITH wts AS (
+      SELECT doc_id, source,
+             1.0 + CAST(CAST(substr(source, 4) AS INTEGER) % 3 AS DOUBLE) / 2
+               AS w
+      FROM documents
+    ),
+    rep AS (
+      SELECT doc_id, source, w,
+             CAST(floor(w) AS BIGINT)
+             + CASE WHEN substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                         AND w - floor(w) >= 0.5
+                    THEN 1 ELSE 0 END AS n_repeats
+      FROM wts
+    )
+    SELECT doc_id, source, w, n_repeats,
+           CAST(unnest(generate_series(1, CAST(n_repeats AS INTEGER))) AS INTEGER)
+             AS epoch
+    FROM rep
+    WHERE n_repeats > 0
+    """,
+)
+def sample_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        F.lit(1.0)
+        + (F.substring(F.col("source"), 4, 10).cast("int") % 3).cast("double") / 2
+    )
+    frac_hit = (
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 1
+        ).isin(*"01234567")
+        & (w - F.floor(w) >= 0.5)
+    )
+    rep = docs.select(
+        "doc_id",
+        "source",
+        w.alias("w"),
+        (F.floor(w).cast("long") + frac_hit.cast("long")).alias("n_repeats"),
+    ).where(F.col("n_repeats") > 0)
+    return rep.select(
+        "doc_id",
+        "source",
+        "w",
+        "n_repeats",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_repeats").cast("int"))
+        ).alias("epoch"),
+    ).withColumn("epoch", F.col("epoch").cast("int"))
