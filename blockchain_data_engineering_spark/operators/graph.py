@@ -337,5 +337,15 @@ def triangle_count(
     )
     closed = wedges.join(oriented.select("u", "v"), ["u", "v"], "left_semi")
     # count wedge closures, not distinct pairs: two wedges over the
-    # same (x, y) through different apexes are two triangles
-    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    # same (x, y) through different apexes are two triangles. The
+    # result is ONE row — materialize it eagerly so both |E|-sized
+    # caches can be released instead of staying pinned for the rest of
+    # the session (the accumulating-cache hazard the k-means loop also
+    # guards against).
+    n = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")).collect()[
+        0
+    ]["n_triangles"]
+    und.unpersist()
+    oriented.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame([(n,)], "n_triangles LONG")

@@ -499,9 +499,10 @@ def kmeans_centroids_quantized(
     Everything is integer arithmetic on 10^6-quanta components:
     squared-L2 distances are BIGINT sums (max |vq| ~ 1.1e6 → diff² ×
     64 dims ≤ 8e13, far under 2^63), the mean update is round-half-up
-    computed as ``floor((2·Σ(vq+OFF) + n) / (2n)) − OFF`` in exact
-    integer form (offset keeps the numerator positive so floor ==
-    truncation in every engine), and argmin ties break on centroid id.
+    computed as ``(2·Σ(vq+OFF) + n) div (2n) − OFF`` in pure integer
+    division (offset keeps the numerator positive so truncation ==
+    floor in every engine, and integer `div` stays exact at any
+    cluster size), and argmin ties break on centroid id.
     Deterministic seeds: the k vectors with smallest ``md5(id)``,
     numbered in that order.
 
@@ -548,16 +549,25 @@ def kmeans_centroids_quantized(
             .where(F.col("__rn") == 1)
             .select(id_col, "cid")
         )
-        num = F.lit(2) * F.sum(F.col("vq") + F.lit(_KM_OFF)) + F.count(F.lit(1))
-        den = F.lit(2) * F.count(F.lit(1))
+        # round-half-up integer mean in PURE integer arithmetic
+        # (`div`, not floor-of-double-division — the numerator is
+        # ~4.4e6 per member so a cluster past ~2e9 members would push
+        # it over 2^53 and double division would lose exactness); the
+        # +OFF offset keeps the numerator positive, where `div`
+        # truncation == floor in both engines
         cent = (
             v.join(assign, id_col)
             .groupBy("cid", "dim0")
             .agg(
+                F.sum(F.col("vq") + F.lit(_KM_OFF)).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                "cid",
+                "dim0",
                 (
-                    F.floor(num.cast("double") / den.cast("double")).cast("long")
-                    - F.lit(_KM_OFF)
-                ).alias("cq")
+                    F.expr("(2 * __s + __n) div (2 * __n)") - F.lit(_KM_OFF)
+                ).alias("cq"),
             )
         )
         # persist per round: the next assignment references `cent`
@@ -635,13 +645,18 @@ def ivf_ann_topk_trained(
         assign.select(F.col(id_col).alias("cand_id"), "cid"), "cid"
     ).where(F.col("query_id") != F.col("cand_id")).select("query_id", "cand_id")
 
-    withn = with_norm(vectors.select(id_col, vec_col), vec_col)
-    qside = withn.select(
+    # the broadcast side must be the QUERY subset only — broadcasting
+    # the unfiltered corpus table would ship every vector to every
+    # executor (the exact OOM SCALE.md warns about)
+    qside = with_norm(
+        vectors.where(F.col(id_col) < n_queries).select(id_col, vec_col),
+        vec_col,
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col("norm_q").alias("q_norm_q"),
     )
-    cside = withn.select(
+    cside = with_norm(vectors.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("c_vec"),
         F.col("norm_q").alias("c_norm_q"),

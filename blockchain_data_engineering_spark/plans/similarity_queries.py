@@ -378,9 +378,12 @@ def _kmeans_oracle() -> str:
     vq = (
         f"CAST(floor(CAST(embedding[i] AS DOUBLE) * {_KM_SCALE} + 0.5) AS BIGINT)"
     )
+    # pure integer round-half-up mean (// is BIGINT division in DuckDB,
+    # mirroring Spark's `div` — exact at any cluster size, unlike
+    # floor-of-double-division which degrades past 2^53)
     mean_cq = (
-        f"CAST(floor(CAST(2 * sum(v.vq + {_KM_OFF}) + count(*) AS DOUBLE)"
-        f" / CAST(2 * count(*) AS DOUBLE)) AS BIGINT) - {_KM_OFF}"
+        f"CAST((2 * sum(v.vq + {_KM_OFF}) + count(*))"
+        f" // (2 * count(*)) - {_KM_OFF} AS BIGINT)"
     )
     iters = []
     prev = "c0"

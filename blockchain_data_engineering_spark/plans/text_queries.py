@@ -710,27 +710,38 @@ def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Data-mix reweighting: per-source sampling weights (the Pile/Llama
 # "epochs per source" mix) realized as deterministic fractional
-# repetition — every doc repeats floor(w) times plus one more iff
-# md5(doc) falls under frac(w), so the expected mix is exact, the
+# repetition — every doc repeats floor(w) times plus one more iff a
+# uniform md5-derived value falls under frac(w) (u ~ U{0..255} from the
+# first two hex digits vs a 256·frac threshold — exact for the
+# quarter-epoch weights used here), so the expected mix is exact, the
 # realization reproducible, and a doc's repeat count never changes as
-# the corpus grows. Weights here derive from the source id (src0 -> 1.5
-# epochs, src1 -> 2.5, ...) to stay fixture-driven.
+# the corpus grows. Weights derive from the source id
+# (src<n> → 1 + (n % 4)/4 epochs) to stay fixture-driven.
 # ---------------------------------------------------------------------------
+_HEX_DIGIT_SQL = (
+    "CASE {col} "
+    + " ".join(f"WHEN '{d}' THEN {int(d, 16)}" for d in "0123456789abcdef")
+    + " END"
+)
+
+
 @query(
     "sample_mix_reweight",
-    oracle="""
+    oracle=f"""
     WITH wts AS (
       SELECT doc_id, source,
-             1.0 + CAST(CAST(substr(source, 4) AS INTEGER) % 3 AS DOUBLE) / 2
-               AS w
+             CAST(substr(source, 4) AS INTEGER) % 4 AS q4,
+             1.0 + CAST(CAST(substr(source, 4) AS INTEGER) % 4 AS DOUBLE) / 4
+               AS w,
+             md5('mix:' || CAST(doc_id AS VARCHAR)) AS h
       FROM documents
     ),
     rep AS (
       SELECT doc_id, source, w,
              CAST(floor(w) AS BIGINT)
-             + CASE WHEN substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)
-                         IN ('0','1','2','3','4','5','6','7')
-                         AND w - floor(w) >= 0.5
+             + CASE WHEN 16 * ({_HEX_DIGIT_SQL.format(col="substr(h, 1, 1)")})
+                         + ({_HEX_DIGIT_SQL.format(col="substr(h, 2, 1)")})
+                        < q4 * 64
                     THEN 1 ELSE 0 END AS n_repeats
       FROM wts
     )
@@ -743,16 +754,17 @@ def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sample_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    w = (
-        F.lit(1.0)
-        + (F.substring(F.col("source"), 4, 10).cast("int") % 3).cast("double") / 2
-    )
-    frac_hit = (
+    q4 = F.substring(F.col("source"), 4, 10).cast("int") % 4
+    w = F.lit(1.0) + q4.cast("double") / 4
+    # u ∈ {0..255} from the first md5 byte; extra repeat iff u < 256·frac(w)
+    u256 = F.conv(
         F.substring(
-            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 1
-        ).isin(*"01234567")
-        & (w - F.floor(w) >= 0.5)
-    )
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 2
+        ),
+        16,
+        10,
+    ).cast("int")
+    frac_hit = u256 < q4 * 64
     rep = docs.select(
         "doc_id",
         "source",

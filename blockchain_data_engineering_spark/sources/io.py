@@ -233,14 +233,37 @@ def upsert_parquet_bucketed(
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
         "int"
     )
+    import json
+
     incoming = df.withColumn("__bucket", bucket)
     exists = os.path.isdir(path) and any(
         f.startswith("__bucket=") or f.endswith(".parquet")
         for f in os.listdir(path)
     )
+    # the bucket function is part of the TABLE's layout, not the call:
+    # an upsert with a different n_buckets/key set would hash keys to
+    # different partitions than the existing rows live in — duplicate
+    # keys with stale survivors, silently. Record the layout beside
+    # the data and refuse mismatched calls.
+    layout = {"n_buckets": n_buckets, "key_cols": keys}
+    marker = os.path.join(path, "_bucketing.json")
     if not exists:
         incoming.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+        with open(marker, "w") as fh:
+            json.dump(layout, fh)
         return
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            on_disk = json.load(fh)
+        if on_disk != layout:
+            raise ValueError(
+                f"bucketed-upsert layout mismatch at {path}: table was "
+                f"written with {on_disk}, call uses {layout}"
+            )
+    # the incoming plan is read twice (touched-bucket discovery, then
+    # the staged merge write) — persist so an expensive upstream runs
+    # once and both passes see identical rows
+    incoming = incoming.persist()
     # touched buckets: bounded by n_buckets, so the collect is a small
     # driver-side list (it parameterizes partition pruning, not data)
     touched = [
@@ -284,6 +307,10 @@ def upsert_parquet_bucketed(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         shutil.rmtree(stage, ignore_errors=True)
+        incoming.unpersist()
+    if not os.path.isfile(marker):  # legacy table written before markers
+        with open(marker, "w") as fh:
+            json.dump(layout, fh)
 
 
 def write_edge_list(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -76,9 +76,12 @@ def main(sf_dir: str) -> None:
         .agg((F.max("count") / F.sum("count")).alias("rep_ratio"))
     )
 
-    # 1+2+5. the filter gates are now trivial column predicates
+    # 1+2+5. the filter gates are now trivial column predicates.
+    # LEFT join: a doc with <2 tokens has no bigram row — it trivially
+    # passes the repetition gate, it shouldn't vanish in the join.
     kept = (
-        feats.join(rep, "doc_id")
+        feats.join(rep, "doc_id", "left")
+        .withColumn("rep_ratio", F.coalesce(F.col("rep_ratio"), F.lit(0.0)))
         .where(
             (F.col("quality_score") >= 60.0)
             & (F.col("rep_ratio") <= 0.2)

@@ -190,3 +190,22 @@ def test_upsert_parquet_bucketed_order_cols_resolve_batch_dups(spark, tmp_path):
     rows = spark.read.parquet(path).select("k", "v", "ts").collect()
     assert len(rows) == 1
     assert rows[0]["v"] == "latest" and rows[0]["ts"] == 9
+
+
+def test_upsert_parquet_bucketed_rejects_layout_mismatch(spark, tmp_path):
+    import pytest
+
+    from blockchain_data_engineering_spark.sources import upsert_parquet_bucketed
+
+    path = str(tmp_path / "bucketed_layout")
+    v = spark.createDataFrame([(1, 1.0)], "k LONG, v DOUBLE")
+    upsert_parquet_bucketed(v, path, ["k"], n_buckets=8)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        upsert_parquet_bucketed(v, path, ["k"], n_buckets=16)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        upsert_parquet_bucketed(
+            spark.createDataFrame([(1, 1.0)], "other LONG, v DOUBLE"),
+            path,
+            ["other"],
+            n_buckets=8,
+        )
