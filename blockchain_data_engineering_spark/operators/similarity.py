@@ -435,9 +435,12 @@ def lsh_ann_topk_multitable(
     2.5M candidate pairs, bit-identical output (same per-product
     quantization as :func:`dot_quanta`).
     """
+    # persist the bucket table: the self-join references it twice and
+    # would otherwise run the full signature aggregation twice. It is
+    # N·L narrow rows (id, tbl, bucket) — bounded and safe to cache.
     b = sign_lsh_buckets_multitable(
         vectors, n_tables, n_planes, dim, vec_col, id_col
-    )
+    ).persist()
     pairs = (
         b.select(F.col(id_col).alias("query_id"), "tbl", "bucket")
         .join(
