@@ -519,3 +519,70 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.topk_per_group(
         ev, ["user_id"], [F.col("value").desc(), F.col("event_id")], 3
     ).select("user_id", "event_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization: assign every event to a gap-based session (a
+# >30min
+# silence starts a new one) with lag + running-sum — the batch twin of
+# the streaming session window (stream_session_window), and the classic
+# two-window sessionize every clickstream warehouse runs. One shuffle
+# on user_id serves all three windows; session ids are dense integers
+# per user, deterministic under the (ts, event_id) total order.
+# ---------------------------------------------------------------------------
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, ts,
+             CAST(sum(CASE WHEN gap_ms IS NULL OR gap_ms > {SESSION_GAP_MS}
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM o
+    )
+    SELECT user_id, event_id, ts, session_id,
+           CAST(count(*) OVER (PARTITION BY user_id, session_id) AS BIGINT)
+             AS session_events
+    FROM s
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_millis(F.col("ts")) - F.lag(F.unix_millis(F.col("ts"))).over(wo)
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MS), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__new_sess"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_sess = marked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("__new_sess").over(ws).cast("long").alias("session_id"),
+    )
+    return with_sess.withColumn(
+        "session_events",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id", "session_id"))
+        .cast("long"),
+    )
