@@ -76,8 +76,15 @@ BLOCK_SCHEMA = T.StructType(
     ]
 )
 
-# The dynamic value payload after from_json: policy → (asset name hex → qty)
-VALUE_MAP_TYPE = T.MapType(T.StringType(), T.MapType(T.StringType(), T.LongType()))
+# The dynamic value payload after from_json: policy → (asset name hex →
+# qty). Quantities parse as DECIMAL(38,0), not LONG: a valid u64
+# on-chain quantity past 2^63 would fail a Long parse and PERMISSIVE
+# mode would null the whole map — silently dropping the output from
+# every downstream netflow/volume. The H7 decimal contract must start
+# AT THE PARSE, not at the first aggregation.
+VALUE_MAP_TYPE = T.MapType(
+    T.StringType(), T.MapType(T.StringType(), T.DecimalType(38, 0))
+)
 
 # Resolved UTxO inputs (reference blockfrost_inputs_schema,
 # src/etl_vol_transfers/util/schema.py:30-44)

@@ -85,14 +85,20 @@ def pagerank(
     deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    e = edges.select(F.col(src).alias("src_node"), F.col(dst).alias("node_dst")).cache()
+    # degree is iteration-invariant: pre-join it into the cached edge
+    # list ONCE (as pagerank_quantized does) instead of paying an
+    # |E|-vs-|V| join on every one of the 20 iterations
+    e = (
+        edges.select(F.col(src).alias("src_node"), F.col(dst).alias("node_dst"))
+        .join(deg.withColumnRenamed("node", "src_node"), "src_node")
+        .cache()
+    )
 
     pr = nodes.withColumn("score", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(iterations):
         contrib = (
             e.join(_hint(pr.withColumnRenamed("node", "src_node"), broadcast), "src_node")
-            .join(deg.withColumnRenamed("node", "src_node"), "src_node")
             .select(
                 F.col("node_dst").alias("node"),
                 (F.col("score") / F.col("outdeg")).alias("c"),
@@ -261,6 +267,7 @@ def connected_components_pointer_jump(
         .cache()
     )
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
+    prev_prop = None
     for _ in range(rounds):
         prop = (
             und.join(_hint(labels.withColumnRenamed("node", "b"), broadcast), "b")
@@ -268,6 +275,15 @@ def connected_components_pointer_jump(
             .agg(F.min("label").alias("label"))
             .persist()
         )
+        # materialize eagerly so the PREVIOUS round's cache can be
+        # released — otherwise every round pins one more |V|-row table
+        # for the session's lifetime (the accumulating-cache hazard the
+        # k-means loop also guards against). Only the final round's
+        # prop stays cached: the returned plan references it.
+        prop.count()
+        if prev_prop is not None:
+            prev_prop.unpersist()
+        prev_prop = prop
         # jump: label ← label(label). Labels are always node ids, and
         # prop has a row for every node, so the inner join is total.
         labels = prop.join(

@@ -147,7 +147,10 @@ def sample_frames(df: DataFrame, frame_bytes: int = 64, stride: int = 4) -> Data
                     rows.append(
                         {"doc_id": doc_id, "frame_idx": idx, "frame": frames[idx]}
                     )
-            yield pd.DataFrame(rows)
+            # explicit columns: a batch of all-empty payloads yields
+            # zero rows, and pd.DataFrame([]) would have zero COLUMNS,
+            # failing Arrow's schema check and killing the job
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
 
     return df.select("doc_id", "payload").mapInPandas(sample, schema=FRAME_SCHEMA)
 

@@ -36,8 +36,21 @@ def grouped_demean_scaled(
     import pandas as pd
 
     keys = list(group_cols)
+    # out = value·n − Σ can exceed the input type's range (an int32
+    # value times a large group), so integral inputs declare a LONG
+    # output column; fractional inputs keep their own type
+    from pyspark.sql import types as T
+
+    in_type = df.schema[value_col].dataType
+    out_type = (
+        T.LongType()
+        if isinstance(in_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+        else in_type
+    )
     schema = df.select(
-        *keys, F.col(value_col), (F.col(value_col) * 2).alias(out_col)
+        *keys,
+        F.col(value_col),
+        F.col(value_col).cast(out_type).alias(out_col),
     ).schema
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":

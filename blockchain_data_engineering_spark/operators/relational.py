@@ -115,9 +115,13 @@ def zero_fill_spine(
     spine = bounds.select(F.explode(seq).alias(spine_col))
     groups = df.select(group_col).distinct()
     dense = groups.crossJoin(F.broadcast(spine))
+    # fill with a zero of the value column's OWN type: a bare 0.0
+    # literal would coerce integer value columns to double for every
+    # row, breaking exactness past 2^53
+    fill = F.lit(0).cast(df.schema[value_col].dataType)
     return (
         dense.join(df, [group_col, spine_col], "left")
-        .withColumn(value_col, F.coalesce(F.col(value_col), F.lit(0.0)))
+        .withColumn(value_col, F.coalesce(F.col(value_col), fill))
     )
 
 
@@ -198,14 +202,19 @@ def per_group_cross_join(
 
 
 def salted(df: DataFrame, key_col: str, buckets: int, salt_col: str = "__salt") -> DataFrame:
-    """Add a deterministic salt (hash of the whole row modulo buckets) to
-    split a skewed key across ``buckets`` shuffle partitions. Join the
-    salted fact against a dimension exploded ×buckets. At 100 TB this is
-    the manual fallback when AQE skew splitting isn't enough (e.g. one
-    token unit dominating the transfer graph)."""
+    """Add a deterministic salt to split a skewed ``key_col`` across
+    ``buckets`` shuffle partitions: the salt is a hash of the row's
+    NON-key columns, so rows sharing the hot key spread across buckets
+    while staying deterministic run-to-run (rows identical in every
+    non-key column land in the same bucket — they are indistinguishable
+    anyway). Join the salted fact against a dimension exploded
+    ×buckets. At 100 TB this is the manual fallback when AQE skew
+    splitting isn't enough (e.g. one token unit dominating the transfer
+    graph)."""
+    others = [c for c in df.columns if c != key_col] or [key_col]
     return df.withColumn(
         salt_col,
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets)),
+        F.pmod(F.xxhash64(*[F.col(c) for c in others]), F.lit(buckets)),
     )
 
 

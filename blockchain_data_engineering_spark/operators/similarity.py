@@ -47,15 +47,37 @@ def norm_quanta(a: Column) -> Column:
 
 def cosine_from_quanta(dot_q: Column, norm_a_q: Column, norm_b_q: Column) -> Column:
     """cosine = dot / (|a|·|b|) from integer quanta — one division of
-    deterministic doubles."""
-    return (dot_q.cast("double") / F.lit(_SCALE)) / (
+    deterministic doubles.
+
+    Zero-norm vectors (padding rows, failed embeds) yield NULL, not
+    0/0 = NaN: Spark and DuckDB both sort NaN ABOVE every real double,
+    so an unguarded all-zero embedding would become the rank-1
+    "neighbor" of every query in each top-k path; NULL sorts last
+    under the ``desc`` rankings instead. (Oracle SQL keeps the plain
+    division — the fixtures contain no zero vectors, and real-data
+    defense belongs engine-side.)"""
+    cos = (dot_q.cast("double") / F.lit(_SCALE)) / (
         F.sqrt(norm_a_q.cast("double") / F.lit(_SCALE))
         * F.sqrt(norm_b_q.cast("double") / F.lit(_SCALE))
     )
+    return F.when((norm_a_q > 0) & (norm_b_q > 0), cos)
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("norm_q", norm_quanta(F.col(vec_col)))
+
+
+def _require_numeric_id(df: DataFrame, id_col: str) -> None:
+    """Fail loudly when an ``id < n_queries`` selector would silently
+    null-coerce (see ivf_ann_topk / ivf_ann_topk_trained)."""
+    from pyspark.sql import types as T
+
+    dtype = df.schema[id_col].dataType
+    if not isinstance(dtype, T.NumericType):
+        raise TypeError(
+            f"id column '{id_col}' must be numeric for n_queries "
+            f"selection, got {dtype.simpleString()}"
+        )
 
 
 def brute_force_topk(
@@ -314,7 +336,13 @@ def ivf_ann_topk(
     with nprobe × cluster size, never N². Corpus vectors keep their
     single (nprobe=1) assignment; only the query side probes wider,
     and each candidate appears once (one home cluster), so no dedup is
-    needed."""
+    needed.
+
+    ``n_queries`` selects queries as ``id < n_queries`` and therefore
+    REQUIRES a numeric id column — on string ids Spark would coerce to
+    null and silently return an empty result, so that is rejected
+    loudly here."""
+    _require_numeric_id(vectors, id_col)
     # ONE ranked centroid pass serves both sides: rank-1 rows are the
     # corpus assignment, rank ≤ nprobe rows restricted to the query ids
     # are the probe set (centroids always come from the full corpus).
@@ -438,6 +466,9 @@ def lsh_ann_topk_multitable(
     # persist the bucket table: the self-join references it twice and
     # would otherwise run the full signature aggregation twice. It is
     # N·L narrow rows (id, tbl, bucket) — bounded and safe to cache.
+    # The cache intentionally outlives this call (the returned plan
+    # references it lazily); callers running many sweeps should
+    # spark.catalog.clearCache() between them, as bench.py does.
     b = sign_lsh_buckets_multitable(
         vectors, n_tables, n_planes, dim, vec_col, id_col
     ).persist()
@@ -626,7 +657,10 @@ def ivf_ann_topk_trained(
     within probed clusters is the engine-wide 10^12-quanta cosine.
     Scale: centroid table is O(k·dim) rows, broadcast; assignment is
     one O(N·k) aggregate; candidates bounded by nprobe × cluster size.
+    ``n_queries`` selects ``id < n_queries`` — numeric ids required
+    (string ids would coerce to null and silently return nothing).
     """
+    _require_numeric_id(vectors, id_col)
     q6 = F.floor(
         F.col("x").cast("double") * F.lit(float(_KM_SCALE)) + F.lit(0.5)
     ).cast("long")

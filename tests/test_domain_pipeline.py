@@ -209,3 +209,26 @@ def test_netflow_decimal_survives_past_2_63(spark, sf_dir):
     # and every value is an exact multiple of the 10^18 scale: integer
     # arithmetic all the way down, no floating intermediate
     assert all(n % 10**18 == 0 for n in nets)
+
+
+def test_u64_quantity_survives_value_map_parse(spark):
+    """A valid on-chain u64 quantity past 2^63 must survive the JSON
+    value-map parse: a LongType map value would fail the parse and
+    PERMISSIVE mode would null the whole map — silently dropping the
+    output from every downstream netflow/volume (the H7 decimal
+    contract must start AT THE PARSE, not at the first aggregation)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from blockchain_data_engineering_spark.domain.schema import VALUE_MAP_TYPE
+
+    big = 18_000_000_000_000_000_000  # > 2^63, < 2^64
+    raw = spark.createDataFrame(
+        [(f'{{"ada":{{"lovelace":{big}}}}}',)], "value STRING"
+    )
+    parsed = raw.select(F.from_json("value", VALUE_MAP_TYPE).alias("m"))
+    row = parsed.select(
+        F.col("m")["ada"]["lovelace"].alias("q")
+    ).collect()[0]
+    assert row["q"] == Decimal(big)
