@@ -14,9 +14,12 @@ Design for 100 TB:
 - SimHash: one explode + one groupBy; the 32-bit signature packs into
   a string; Hamming-neighbor search is a bucket join on signature
   prefixes.
-- Determinism: all hashes are md5 hex strings (identical in every
-  engine); "minimum hash" is lexicographic VARCHAR min; all counts are
-  integers — so results are bit-reproducible and oracle-checkable.
+- Determinism: all hashes derive from md5 (identical in every engine);
+  "minimum hash" is the numeric min of the 60-bit md5 prefix (same
+  argmin as lexicographic min over the fixed-width hex prefix, but
+  BIGINT agg buffers keep Spark on HashAggregate instead of
+  SortAggregate); all counts are integers — so results are
+  bit-reproducible and oracle-checkable.
 """
 
 from __future__ import annotations
@@ -74,9 +77,9 @@ def minhash_signatures_from_array(
     sh_arr: DataFrame, n_hashes: int = 9, id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-doc signature straight from the shingle array: the j-th
-    component is ``array_min(md5(j ‖ ':' ‖ shingle))`` — identical
-    semantics to :func:`minhash_signatures` (lexicographic VARCHAR min
-    of the seeded md5) with NO explode, NO groupBy, NO shuffle.
+    component is ``array_min(bigint(md5(j ‖ ':' ‖ shingle)[:15]))`` —
+    identical argmin to :func:`minhash_signatures` (numeric min of the
+    60-bit md5 prefix) with NO explode, NO groupBy, NO shuffle.
 
     The seed must be bound OUTSIDE the transform lambda: pyspark counts
     the lambda's parameters, so a ``lambda s, j=j`` default-arg closure
@@ -86,7 +89,9 @@ def minhash_signatures_from_array(
 
     def seeded(j: int):
         prefix = F.lit(f"{j}:")
-        return lambda s: F.md5(F.concat(prefix, s))
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(prefix, s)), 1, 15), 16, 10
+        ).cast("long")
 
     cols = [
         F.array_min(F.transform(F.col("shingles"), seeded(j))).alias(f"mh{j}")
@@ -149,18 +154,35 @@ def shingle_set(
 def minhash_signatures(
     shingles: DataFrame, n_hashes: int = 9, id_col: str = "doc_id"
 ) -> DataFrame:
-    """One row per doc with columns mh0..mh{n-1}.
+    """One row per doc with columns mh0..mh{n-1} (BIGINT).
 
     The j-th permutation is simulated by md5(j ‖ ':' ‖ shingle); the
-    signature component is the lexicographic minimum — identical in any
-    engine, no RNG needed.
+    signature component is the numeric value of the first 15 hex chars
+    (60 bits) under min(). Because every md5 is exactly 32 lowercase
+    hex chars, numeric min over the 15-char prefix selects the SAME
+    shingle as lexicographic min over that prefix — so a SQL oracle
+    using ``min(substr(h, 1, 15))`` generates identical candidate
+    pairs (prefix ties collapse to equal values in both engines).
+
+    Why numeric: ``min(string)`` has a variable-width agg buffer, which
+    forces Spark onto SortAggregate — two full sorts of the shingle
+    relation per pass (measured dominant in the LSH plan). ``min(bigint)``
+    keeps the fixed-width HashAggregate with map-side partials.
 
     All n hashes are computed as parallel aggregates over ONE pass of
     the shingle set (no per-seed row explosion — n× less shuffle input
     than the naive explode-by-seed shape).
     """
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"mh{j}")
         for j in range(n_hashes)
     ]
     return shingles.groupBy(id_col).agg(*aggs)
@@ -173,9 +195,17 @@ def lsh_bands(
     n_bands = n_hashes // band_size
     bands = []
     for b in range(n_bands):
-        cols = [F.col(f"mh{b * band_size + i}") for i in range(band_size)]
+        cols = [
+            F.col(f"mh{b * band_size + i}").cast("string")
+            for i in range(band_size)
+        ]
+        # ":" separator — the mh values are variable-width decimal
+        # strings, so bare concat would be ambiguous ("1"+"23"=="12"+"3")
         bands.append(
-            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*cols)).alias("band_val"))
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws(":", *cols)).alias("band_val"),
+            )
         )
     return signatures.select(
         id_col, F.explode(F.array(*bands)).alias("band")
@@ -251,7 +281,9 @@ def minhash_lsh_dedup(
     (:func:`shingle_array` et al.) win when shingle sets are small
     (e.g. word n-grams) — see :func:`word_ngram_array`."""
     sh = shingle_set(df, text_col, id_col, k)
-    sig = minhash_signatures(sh, n_hashes, id_col)
+    # persisted: the bucket self-join references sig twice; unpersisted
+    # the whole shingle→signature subtree runs once per side
+    sig = minhash_signatures(sh, n_hashes, id_col).persist()
     cand = lsh_candidate_pairs(lsh_bands(sig, n_hashes, band_size, id_col), id_col)
     verified = jaccard_verify(cand, sh, id_col)
     return verified.where(F.col("jaccard") >= threshold)

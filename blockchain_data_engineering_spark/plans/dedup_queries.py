@@ -62,8 +62,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verification. The oracle replays the identical pipeline in SQL.
 # ---------------------------------------------------------------------------
 def _minhash_oracle() -> str:
+    # min over the 15-hex-char (60-bit) prefix: selects the same
+    # argmin shingle as Spark's numeric min(conv(substr(md5,1,15),16,10))
+    # — fixed-width lowercase hex, so lexicographic == numeric order,
+    # and prefix ties collapse to equal values in both engines.
     mh_cols = ",\n             ".join(
-        f"min(CASE WHEN j = {j} THEN h END) AS mh{j}" for j in range(N_HASHES)
+        f"min(CASE WHEN j = {j} THEN substr(h, 1, 15) END) AS mh{j}"
+        for j in range(N_HASHES)
     )
     n_bands = N_HASHES // BAND_SIZE
     band_rows = "\n      UNION ALL ".join(
@@ -130,8 +135,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join is UNHINTED: statically a shuffle join (no OOM at any corpus
     # size), AQE broadcasts it at runtime iff the array table measures
     # small — the size-adaptive path, not a baked-in broadcast.
+    # sig is persisted because the LSH bucket self-join references it
+    # TWICE — unpersisted, the whole shingle→signature subtree (the
+    # dominant cost) is computed once per side.
     sh = D.shingle_set(docs, k=SHINGLE_K).persist()
-    sig = D.minhash_signatures(sh, N_HASHES)
+    sig = D.minhash_signatures(sh, N_HASHES).persist()
     cand = D.lsh_candidate_pairs(D.lsh_bands(sig, N_HASHES, BAND_SIZE))
     arr = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
     return D.jaccard_verify_arrays(cand, arr)
@@ -496,7 +504,8 @@ def _corpus_dedup_sql() -> str:
 def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     sh = D.shingle_set(docs, k=SHINGLE_K).persist()
-    sig = D.minhash_signatures(sh, N_HASHES)
+    # persisted: the bucket self-join references sig twice
+    sig = D.minhash_signatures(sh, N_HASHES).persist()
     cand = D.lsh_candidate_pairs(D.lsh_bands(sig, N_HASHES, BAND_SIZE))
     arr = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
     # unhinted verify join: shuffle statically, AQE-broadcast at
