@@ -59,10 +59,11 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
 
 def test_no_python_udfs_on_relational_paths(spark, sf_dir):
     # every relational/domain/graph/text query must stay JVM-side; the
-    # only sanctioned Python is the explicit pandas escape hatch and
-    # the multimodal codec seam
+    # only sanctioned Python is the explicit pandas escape hatch, the
+    # multimodal codec seam, and dense vector math (Arrow-batched GEMM
+    # in the ANN path — no efficient Catalyst expression exists)
     allowed_python = {"applyinpandas_demean", "multimodal_feature_extract",
-                      "multimodal_frame_sample"}
+                      "multimodal_frame_sample", "sim_lsh_ann_multitable"}
     for name in sorted(QUERIES):
         if name in allowed_python:
             continue
