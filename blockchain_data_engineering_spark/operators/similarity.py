@@ -778,3 +778,111 @@ def ivf_ann_topk_trained(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    centroids_long: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cid): nearest-centroid assignment under the SAME integer
+    squared-L2 + cid tie-break rule as the training loop in
+    :func:`kmeans_centroids_quantized` — one broadcast join of the
+    O(k·dim)-row centroid table against the exploded components, one
+    partial-aggregated shuffle keyed on id. O(N·k·dim) work,
+    corpus-size-independent broadcast."""
+    q6 = F.floor(
+        F.col("x").cast("double") * F.lit(float(_KM_SCALE)) + F.lit(0.5)
+    ).cast("long")
+    v = vectors.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim0", "x")
+    ).select(id_col, "dim0", q6.alias("vq"))
+    diff = F.col("vq") - F.col("cq")
+    d2 = (
+        v.join(F.broadcast(centroids_long), "dim0")
+        .groupBy(id_col, "cid")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    w = Window.partitionBy(id_col).orderBy("d2", "cid")
+    return (
+        d2.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "cid")
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids_long: DataFrame,
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then drop any vector whose exact cosine with a
+    LOWER-id member of the SAME cluster reaches ``threshold`` — the
+    scalable semantic near-duplicate filter (reference repo has no
+    embedding-space dedup; this is the LLM-corpus extension op).
+
+    Returns (vec_id, cid, kept): every corpus vector with its cluster
+    and whether it survives.
+
+    Scale shape: pairwise comparison happens ONLY within a cluster —
+    the self-join is keyed on cid, so candidate volume is
+    Σ_c C(|c|, 2), never the corpus quadratic; k is chosen so clusters
+    stay bounded (production SemDeDup uses k ~ sqrt(N)). Scoring is
+    the Arrow GEMM dot (:func:`dot_quanta_pandas`) over AQE-broadcast
+    array joins; the drop rule (cosine ≥ τ vs ANY lower id) is a
+    left-anti join — all integer-quanta deterministic, full SQL
+    oracle in plans/similarity_queries.py.
+    """
+    assign = kmeans_assign(vectors, centroids_long, vec_col, id_col).persist()
+    pairs = (
+        assign.select(F.col(id_col).alias("id_a"), "cid")
+        .join(assign.select(F.col(id_col).alias("id_b"), "cid"), "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("cid", "id_a", "id_b")
+    )
+    arr = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    norms = arr.select(id_col, norm_quanta(F.col("v")).alias("norm_q"))
+    dot_q = dot_quanta_pandas()
+    scored = (
+        pairs.join(
+            arr.select(F.col(id_col).alias("id_a"), F.col("v").alias("va")),
+            "id_a",
+        )
+        .join(
+            arr.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb")),
+            "id_b",
+        )
+        .select("cid", "id_a", "id_b", dot_q("va", "vb").alias("dot_q"))
+        .join(
+            norms.select(F.col(id_col).alias("id_a"), F.col("norm_q").alias("na")),
+            "id_a",
+        )
+        .join(
+            norms.select(F.col(id_col).alias("id_b"), F.col("norm_q").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "cid",
+            "id_a",
+            "id_b",
+            cosine_from_quanta(F.col("dot_q"), F.col("na"), F.col("nb")).alias(
+                "cosine"
+            ),
+        )
+    )
+    dropped = (
+        scored.where(F.col("cosine") >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assign.join(dropped, id_col, "left_anti").withColumn(
+        "kept", F.lit(True)
+    ).unionByName(
+        assign.join(dropped, id_col, "left_semi").withColumn("kept", F.lit(False))
+    )

@@ -154,3 +154,43 @@ def char_shingles(
             F.col(text_col).substr(F.col("i"), F.lit(k)).alias("shingle"),
         )
     )
+
+
+# ------------------------------------------------------------ PII scrub ---
+
+# Production scrub patterns, ordered: more-specific classes first so an
+# email's digits aren't half-eaten by the generic id-run rule. Every
+# pattern is in the Java-regex ∩ RE2 portable subset (no backrefs, no
+# lookaround) so the DuckDB oracle states the identical expressions.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b", "[IP]"),
+    ("id_run", r"[0-9]{4,}", "[ID]"),
+)
+
+
+def scrub_patterns(
+    df: DataFrame,
+    text_col: str,
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Redact every pattern class from ``text_col`` and count matches
+    per class (columns ``n_<name>``) — the PII-scrub stage of a
+    training-data pipeline (emails, IPs, long id runs → typed
+    placeholder tokens).
+
+    Pure narrow projection: regexp_replace/regexp_count are JVM
+    codegen expressions, zero shuffle, scan-bound at any corpus size.
+    Each class counts matches on the text AS ALREADY SCRUBBED by the
+    earlier classes, so a digit run inside a redacted email is never
+    double-counted and Σ n_<class> equals the replacements actually
+    made by the chain (non-overlapping, left-to-right — identical in
+    Spark and DuckDB's RE2).
+    """
+    out = df
+    cur = F.col(text_col)
+    for name, pat, repl in patterns:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out.withColumn(out_col or f"{text_col}_scrubbed", cur)

@@ -31,8 +31,9 @@ from blockchain_data_engineering_spark.plans import similarity_queries  # noqa: 
 from blockchain_data_engineering_spark.plans import streaming_queries  # noqa: F401,E402
 from blockchain_data_engineering_spark.plans import multimodal_queries  # noqa: F401,E402
 
-# The 50 gate queries. Section 1: unverified in round 1 (registry
-# slots 50-65 then; first here). Section 2: green in round 1.
+# The 50 gate queries. Section 0: new this round (first so a
+# row-capped gate reaches them). Section 1: unverified in round 1
+# (registry slots 50-65 then). Section 2: green in round 1.
 # Demoted near-duplicates (see EXTRA_QUERIES): explode_normalize,
 # netflow_supplier_part (superseded by netflow_decimal),
 # vol_rollup_by_block / _all_time (subsumed by vol_rollup_hierarchy),
@@ -45,8 +46,15 @@ from blockchain_data_engineering_spark.plans import multimodal_queries  # noqa: 
 # sim_ivf_ann (sim_ivf_ann_nprobe2), sim_lsh_ann (single-table form —
 # superseded in the gate by sim_lsh_ann_multitable, the high-recall
 # production shape; see tests/test_similarity_recall.py),
-# stream_sliding_window (stream_tumbling_window).
+# stream_sliding_window (stream_tumbling_window),
+# domain_netflow_tx (same netflow pipeline as netflow_decimal, long
+# types — the decimal path is the stronger gate witness),
+# pipeline_corpus_filter (pure composition of text_lang_id +
+# text_quality + text_token_count + dedup_exact, each gate-covered).
 GATE_ORDER = [
+    # -- new in round 3 --
+    "sim_semantic_dedup",
+    "text_pii_scrub",
     # -- unverified in round 1 --
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -81,7 +89,6 @@ GATE_ORDER = [
     "set_ops_units",
     "domain_value_map_roundtrip",
     "domain_utxo_resolution",
-    "domain_netflow_tx",
     "domain_volumes_priced",
     "domain_transfers_edges",
     "domain_block_normalize",
@@ -96,7 +103,6 @@ GATE_ORDER = [
     "text_bm25_search",
     "text_top_bigrams",
     "sample_train_val_split",
-    "pipeline_corpus_filter",
     "dedup_exact",
     "dedup_minhash_lsh",
 ]

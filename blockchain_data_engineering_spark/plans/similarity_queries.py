@@ -510,3 +510,76 @@ def sim_ivf_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_ann_topk_trained(
         emb, cent, k=3, n_queries=N_QUERIES, nprobe=2
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): k-means cluster the embedding space,
+# drop any vector whose exact cosine with a lower-id member of the
+# same cluster reaches τ. The oracle replays the full stage chain —
+# k-means training CTEs, integer-L2 final assignment, intra-cluster
+# pair join, 10^12-quanta cosine, anti-join — in SQL.
+#
+# τ = 0.3 here: the synthetic embeddings are near-orthogonal (p99.9
+# intra-cluster cosine ≈ 0.40), so a production τ (≈ 0.95) would drop
+# nothing and leave the drop branch untested. The operator default
+# (0.85) is the realistic setting; the gate pins a fixture-meaningful
+# value so both kept and dropped paths are hash-compared.
+# ---------------------------------------------------------------------------
+SEM_TAU = 0.3
+
+
+def _semantic_dedup_oracle() -> str:
+    km = _kmeans_oracle().strip()
+    km_body = km[len("WITH "):]
+    km_ctes = km_body.rsplit("SELECT cid, dim0, cq FROM", 1)[0].rstrip().rstrip(",")
+    dot12 = quanta_sql(
+        "CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)", 12
+    )
+    return f"""
+    WITH {km_ctes},
+    df AS (
+      SELECT v.vec_id, c.cid, sum((v.vq - c.cq) * (v.vq - c.cq)) AS d2
+      FROM v JOIN c{KM_ITERS} c USING (dim0) GROUP BY 1, 2
+    ),
+    af AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM df
+      ) WHERE rn = 1
+    ),
+    pr AS (
+      SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+      FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ),
+    n12 AS (
+      SELECT vec_id, CAST(sum({_NORM_Q}) AS BIGINT) AS norm_q
+      FROM embeddings, generate_series(1, {DIM}) AS t(i) GROUP BY 1
+    ),
+    dots AS (
+      SELECT p.id_a, p.id_b, CAST(sum({dot12}) AS BIGINT) AS dot_q
+      FROM pr p
+      JOIN embeddings a ON a.vec_id = p.id_a
+      JOIN embeddings b ON b.vec_id = p.id_b,
+           generate_series(1, {DIM}) AS t(i)
+      GROUP BY 1, 2
+    ),
+    dropped AS (
+      SELECT DISTINCT d.id_b AS vec_id
+      FROM dots d
+      JOIN n12 na ON na.vec_id = d.id_a
+      JOIN n12 nb ON nb.vec_id = d.id_b
+      WHERE (CAST(dot_q AS DOUBLE) / {_SCALE})
+              / (sqrt(CAST(na.norm_q AS DOUBLE) / {_SCALE})
+                 * sqrt(CAST(nb.norm_q AS DOUBLE) / {_SCALE})) >= {SEM_TAU}
+    )
+    SELECT a.vec_id, a.cid, (dr.vec_id IS NULL) AS kept
+    FROM af a LEFT JOIN dropped dr USING (vec_id)
+    """
+
+
+@query("sim_semantic_dedup", oracle=_semantic_dedup_oracle())
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cent = SIM.kmeans_centroids_quantized(emb, k=KM_K, iterations=KM_ITERS)
+    return SIM.semantic_dedup(emb, cent, threshold=SEM_TAU)

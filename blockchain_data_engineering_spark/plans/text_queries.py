@@ -780,3 +780,73 @@ def sample_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.col("n_repeats").cast("int"))
         ).alias("epoch"),
     ).withColumn("epoch", F.col("epoch").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrub: email / IPv4 / id-run redaction with per-class match
+# counts (operators/text.py::scrub_patterns). The fixture documents are
+# digit-free word soup, so the query synthesizes a dirty contact string
+# from customer columns IN the query (identical construction in the
+# oracle) — every pattern class gets real matches and mod-based gaps so
+# zero counts are exercised too. Patterns live in the Java-regex ∩ RE2
+# portable subset; counts are taken on the progressively-scrubbed text,
+# exactly what the replacement chain consumes.
+# ---------------------------------------------------------------------------
+def _pii_oracle() -> str:
+    email_pat, ipv4_pat, id_pat = (p[1] for p in TX.PII_PATTERNS)
+    contact = (
+        "c_name || CASE WHEN c_custkey % 2 = 0 THEN ' <' || lower(c_mktsegment)"
+        " || '@example.com>' ELSE '' END"
+        " || CASE WHEN c_custkey % 3 = 0 THEN ' ip ' || c_nationkey || '.0.0.'"
+        " || (c_custkey % 256) ELSE '' END"
+        " || ' ref ' || (c_custkey * c_custkey + 100000)"
+    )
+    return f"""
+    WITH c AS (SELECT c_custkey, {contact} AS contact FROM customer),
+    s1 AS (
+      SELECT c_custkey, contact,
+             len(regexp_extract_all(contact, '{email_pat}')) AS n_email,
+             regexp_replace(contact, '{email_pat}', '[EMAIL]', 'g') AS t1
+      FROM c
+    ),
+    s2 AS (
+      SELECT *, len(regexp_extract_all(t1, '{ipv4_pat}')) AS n_ipv4,
+             regexp_replace(t1, '{ipv4_pat}', '[IP]', 'g') AS t2
+      FROM s1
+    )
+    SELECT c_custkey,
+           n_email, n_ipv4,
+           len(regexp_extract_all(t2, '{id_pat}')) AS n_id_run,
+           regexp_replace(t2, '{id_pat}', '[ID]', 'g') AS contact_scrubbed
+    FROM s2
+    """
+
+
+@query("text_pii_scrub", oracle=_pii_oracle())
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.concat(
+                F.lit(" <"), F.lower("c_mktsegment"), F.lit("@example.com>")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.lit(" ip "),
+                F.col("c_nationkey").cast("string"),
+                F.lit(".0.0."),
+                (F.col("c_custkey") % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" ref "),
+        (F.col("c_custkey") * F.col("c_custkey") + 100000).cast("string"),
+    )
+    dirty = cust.select("c_custkey", contact.alias("contact"))
+    out = TX.scrub_patterns(dirty, "contact", out_col="contact_scrubbed")
+    return out.select(
+        "c_custkey", "n_email", "n_ipv4", "n_id_run", "contact_scrubbed"
+    )

@@ -90,3 +90,42 @@ def dedup_within_watermark(
     evicted (the H4 duplicate-on-restart fix for at-least-once
     sources)."""
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream (or batch) inner join bounded to a time interval:
+    rows pair when ``on`` holds and
+    ``left_ts + lower <= right_ts <= left_ts + upper``.
+
+    In streaming mode both sides get event-time watermarks, which is
+    what lets Spark BOUND the join state: a buffered left row can be
+    evicted once the right watermark passes ``left_ts + upper`` (and
+    vice versa) — without the interval condition the state grows
+    forever. Batch mode applies the same predicate directly, which is
+    how the oracle gate checks the semantics while
+    tests/test_streaming.py proves the stateful replay matches.
+
+    Column names must be disjoint across the two inputs (rename before
+    calling — streaming self-joins on one source need distinct
+    lineages anyway).
+    """
+    lts, rts = F.col(left_ts), F.col(right_ts)
+    cond = (
+        on
+        & (rts >= lts + F.expr(f"interval {lower}"))
+        & (rts <= lts + F.expr(f"interval {upper}"))
+    )
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, delay)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, delay)
+    return left.join(right, cond, "inner")

@@ -63,7 +63,8 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
     # multimodal codec seam, and dense vector math (Arrow-batched GEMM
     # in the ANN path — no efficient Catalyst expression exists)
     allowed_python = {"applyinpandas_demean", "multimodal_feature_extract",
-                      "multimodal_frame_sample", "sim_lsh_ann_multitable"}
+                      "multimodal_frame_sample", "sim_lsh_ann_multitable",
+                      "sim_semantic_dedup"}
     for name in sorted(QUERIES):
         if name in allowed_python:
             continue

@@ -157,3 +157,54 @@ def test_airdrop_hot_key_skew_split_and_salted_equivalence(spark):
         .groupBy("__salt").count().agg(F.max("count")).collect()[0][0]
     )
     assert per_bucket < 4000 / buckets * 2
+
+
+def test_scrub_patterns_no_double_count(spark):
+    """A digit run inside an email must be redacted BY the email class
+    and never counted again by the id-run class; counts must sum to the
+    replacements the chain actually made."""
+    from blockchain_data_engineering_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob12345@host99.example.com end"),
+            (2, "server 10.0.0.1 retries 123456"),
+            (3, "clean text, no identifiers"),
+            (4, "a@b.io and 192.168.0.255 and 00001234"),
+        ],
+        "id LONG, t STRING",
+    )
+    rows = {
+        r.id: r
+        for r in TX.scrub_patterns(df, "t", out_col="s").collect()
+    }
+    assert rows[1].n_email == 1 and rows[1].n_id_run == 0
+    assert rows[1].s == "mail [EMAIL] end"
+    assert rows[2].n_ipv4 == 1 and rows[2].n_id_run == 1
+    assert rows[2].s == "server [IP] retries [ID]"
+    assert rows[3].n_email == rows[3].n_ipv4 == rows[3].n_id_run == 0
+    assert rows[3].s == "clean text, no identifiers"
+    assert rows[4].n_email == 1 and rows[4].n_ipv4 == 1 and rows[4].n_id_run == 1
+    assert rows[4].s == "[EMAIL] and [IP] and [ID]"
+
+
+def test_semantic_dedup_drops_near_duplicates(spark):
+    """Two near-identical vectors in the same cluster: the higher id is
+    dropped at a threshold below their cosine; everything is kept when
+    the threshold exceeds every pairwise cosine."""
+    from blockchain_data_engineering_spark.operators import similarity as SIM
+
+    base = [1.0] + [0.0] * 63
+    near = [0.999] + [0.001] * 63
+    ortho = [0.0] * 63 + [1.0]
+    emb = spark.createDataFrame(
+        [(0, base), (1, near), (2, ortho)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cent = SIM.kmeans_centroids_quantized(emb, k=2, iterations=1)
+    out = {r.vec_id: r.kept for r in SIM.semantic_dedup(emb, cent, 0.95).collect()}
+    assert out[0] is True and out[1] is False and out[2] is True
+    out_hi = {
+        r.vec_id: r.kept for r in SIM.semantic_dedup(emb, cent, 1.1).collect()
+    }
+    assert all(out_hi.values())

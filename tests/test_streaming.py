@@ -241,7 +241,6 @@ def test_stream_stream_utxo_join(spark, tmp_path):
         )
         .json(str(tmp_path / "outs"))
         .withColumn("ots", F.to_timestamp("ots"))
-        .withWatermark("ots", "1 hour")
     )
     ins = (
         spark.readStream.schema(
@@ -249,15 +248,17 @@ def test_stream_stream_utxo_join(spark, tmp_path):
         )
         .json(str(tmp_path / "ins"))
         .withColumn("its", F.to_timestamp("its"))
-        .withWatermark("its", "1 hour")
     )
-    resolved = ins.join(
+    resolved = W.interval_join(
         outs,
+        ins,
         (F.col("spent_tx_hash") == F.col("tx_hash"))
-        & (F.col("spent_output_index") == F.col("output_index"))
-        & (F.col("its") >= F.col("ots"))
-        & (F.col("its") <= F.col("ots") + F.expr("interval 2 hours")),
-        "inner",
+        & (F.col("spent_output_index") == F.col("output_index")),
+        left_ts="ots",
+        right_ts="its",
+        lower="0 hours",
+        upper="2 hours",
+        delay="1 hour",
     )
     q = (
         resolved.writeStream.format("parquet")
