@@ -137,17 +137,24 @@ def main() -> None:
         # reference baseline reports.
         dt = float("nan")
         try:
-            for _ in range(2):
+            runs: list[float] = []
+            # min of 2, plus a 3rd when the first two disagree >1.5x —
+            # this host shows ~2x wall-clock swings under external
+            # load, and a noisy max would otherwise leak into the
+            # recorded min for exactly the queries that ran unlucky
+            while len(runs) < 2 or (
+                len(runs) == 2 and max(runs) > 1.5 * min(runs)
+            ):
                 t0 = time.perf_counter()
                 df = QUERIES[name](spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
-                run = time.perf_counter() - t0
-                dt = run if dt != dt else min(dt, run)
+                runs.append(time.perf_counter() - t0)
                 # queries persist intermediates (shingle sets,
                 # signatures, edge lists) and can't unpersist them
                 # before returning; drop them so later runs aren't
                 # charged for the accumulated heap
                 spark.catalog.clearCache()
+            dt = min(runs)
         except Exception as exc:  # keep the bench line parseable
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
         timings[name] = round(dt, 3)

@@ -609,9 +609,12 @@ def kmeans_centroids_quantized(
     q6 = F.floor(
         F.col("x").cast("double") * F.lit(float(_KM_SCALE)) + F.lit(0.5)
     ).cast("long")
+    # persisted: every Lloyd round references the exploded components
+    # twice (assignment + mean update); released after the final
+    # centroids materialize below
     v = vectors.select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim0", "x")
-    ).select(id_col, "dim0", q6.alias("vq"))
+    ).select(id_col, "dim0", q6.alias("vq")).persist()
 
     h = F.md5(F.col(id_col).cast("string"))
     seeds = (
@@ -673,6 +676,9 @@ def kmeans_centroids_quantized(
         cent.count()
         if prev is not None:
             prev.unpersist()
+    # the final centroids are materialized above; nothing downstream
+    # re-reads the exploded components through this lineage
+    v.unpersist()
     return cent
 
 
