@@ -14,7 +14,7 @@ bounded by parquet decode speed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword marker lists for the n-gram/stopword
@@ -194,3 +194,55 @@ def scrub_patterns(
         out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
         cur = F.regexp_replace(cur, pat, repl)
     return out.withColumn(out_col or f"{text_col}_scrubbed", cur)
+
+
+# ------------------------------------------------------- seq packing ---
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """GPT-style sequence packing: within each shard, documents are
+    concatenated in a deterministic order (md5(id), id) and the token
+    stream is cut every ``seq_len`` tokens. Emits per document:
+
+    - ``n_tokens``     whitespace token count
+    - ``start_offset`` position of the doc's first token in its
+      shard's packed stream
+    - ``pack_id``      index of the sequence holding that first token
+    - ``n_packs``      how many sequences the doc spans (1 = intact;
+      >1 = split across a cut)
+
+    Scale shape: ONE running-sum window per shard — the global-order
+    cumsum that would serialize the whole corpus through a single
+    partition is avoided by packing within shards (exactly how a real
+    pipeline packs per input file/source); a shard's docs must fit one
+    task, which matches shard-sized inputs. md5 ordering makes the
+    packing stable under corpus growth within unchanged shards.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = token_count(F.col(text_col))
+    out = df.select(
+        F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens")
+    ).withColumn("__cum", F.sum("n_tokens").over(w))
+    start = F.col("__cum") - F.col("n_tokens")
+    # pure integer division (`div`, never floor-of-double — a shard
+    # past 2^53 cumulative tokens would lose exactness)
+    first = F.expr(f"(__cum - n_tokens) div {seq_len}")
+    last = F.expr(f"(__cum - 1) div {seq_len}")
+    return out.select(
+        id_col,
+        shard_col,
+        "n_tokens",
+        start.alias("start_offset"),
+        first.alias("pack_id"),
+        (last - first + F.lit(1)).alias("n_packs"),
+    )

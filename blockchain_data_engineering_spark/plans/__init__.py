@@ -50,11 +50,14 @@ from blockchain_data_engineering_spark.plans import multimodal_queries  # noqa: 
 # domain_netflow_tx (same netflow pipeline as netflow_decimal, long
 # types — the decimal path is the stronger gate witness),
 # pipeline_corpus_filter (pure composition of text_lang_id +
-# text_quality + text_token_count + dedup_exact, each gate-covered).
+# text_quality + text_token_count + dedup_exact, each gate-covered),
+# text_top_bigrams (explode+groupBy count, plan-subsumed by
+# text_token_count and the BM25 posting aggregates).
 GATE_ORDER = [
     # -- new in round 3 --
     "sim_semantic_dedup",
     "text_pii_scrub",
+    "sample_pack_sequences",
     # -- unverified in round 1 --
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -101,7 +104,6 @@ GATE_ORDER = [
     "text_lang_id",
     "text_winnowing_fingerprints",
     "text_bm25_search",
-    "text_top_bigrams",
     "sample_train_val_split",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -850,3 +850,40 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "c_custkey", "n_email", "n_ipv4", "n_id_run", "contact_scrubbed"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (GPT-style chunked concatenation): within each
+# source shard, concatenate documents in deterministic (md5, id) order
+# and cut the token stream every SEQ_LEN tokens. The per-shard running
+# sum is the scale story — a single global cumsum would serialize the
+# corpus through one partition; per-shard packing matches how real
+# pipelines pack per input file.
+# ---------------------------------------------------------------------------
+SEQ_LEN = 512
+
+
+@query(
+    "sample_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST((cum - n_tokens) // {SEQ_LEN} AS BIGINT) AS pack_id,
+           CAST((cum - 1) // {SEQ_LEN}
+                - (cum - n_tokens) // {SEQ_LEN} + 1 AS BIGINT) AS n_packs
+    FROM t
+    """,
+)
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TX.pack_sequences(docs, SEQ_LEN)
