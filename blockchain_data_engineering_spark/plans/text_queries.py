@@ -310,10 +310,14 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(dsum(term_score, 9).alias("score"))
     )
+    # Distributed top-k first (TakeOrderedAndProject: each partition
+    # keeps its local top-20, driver merges), THEN rank the surviving
+    # 20 rows — the unpartitioned window only ever sees k rows, never
+    # the full scored corpus.
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w))
         .select("doc_id", "score", "rank")
     )
 
