@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from blockchain_data_engineering_spark.operators.text import char_shingles, fingerprint
 
@@ -407,3 +408,87 @@ def word_ngrams(
     out = df.select(F.col(id_col), toks.alias("toks"), idx.alias("i"))
     gram = F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), n))
     return out.select(id_col, gram.alias("shingle")).distinct()
+
+
+# ---------------------------------------------------- duplicated spans ---
+
+
+def duplicated_spans(
+    df: DataFrame,
+    n: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans, Lee et al. 2022 style
+    ("Deduplicating Training Data Makes Language Models Better"): any
+    token window of length ``n`` that occurs in >= ``min_docs``
+    distinct documents is a duplicated gram; overlapping/adjacent
+    duplicated grams within a document merge into maximal spans.
+    Returns (id, span_start, span_end, dup_tokens) — token positions
+    are 0-based inclusive.
+
+    The paper's suffix array is replaced by the relational equivalent:
+    position-stamped n-grams -> gram-frequency shuffle -> left-semi
+    join back -> per-doc gaps-and-islands merge. Scale shape: two
+    shuffles keyed on the gram string plus one window shuffle keyed on
+    the doc id; no broadcast of any corpus-sized table, and the semi
+    join cannot fan out (each gram position row survives at most
+    once). At 100 TB, group on xxhash64(gram) instead of the string to
+    shrink shuffle width (~1e-9 collision odds per corpus); the string
+    key is kept here for bit-exact DuckDB parity.
+    """
+    tk = F.split(F.col(text_col), " ")
+    # pos is the 0-based start index; transform's lambda arg IS the
+    # position because the sequence enumerates 0..size-n directly
+    grams = (
+        df.select(F.col(id_col), tk.alias("__tk"))
+        .where(F.size("__tk") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__tk") - n),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("__tk"), i + 1, n)
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select(id_col, F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    hits = grams.join(dup, "g", "left_semi").select(
+        id_col, "pos", (F.col("pos") + (n - 1)).alias("e")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = hits.withColumn(
+        "island",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(F.min("pos").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+        )
+    )

@@ -892,3 +892,177 @@ def semantic_dedup(
     ).unionByName(
         assign.join(dropped, id_col, "left_semi").withColumn("kept", F.lit(False))
     )
+
+
+# ------------------------------------------------- product quantization ---
+
+
+def pq_codebooks_quantized(
+    vectors: DataFrame,
+    n_sub: int = 4,
+    k_code: int = 8,
+    iterations: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the ``dim``
+    dimensions into ``n_sub`` contiguous subspaces and k-means each
+    subspace to ``k_code`` codewords. ALL subspaces train in one
+    DataFrame program — the Lloyd join/agg keys just gain a ``sub``
+    column, so one Spark job trains n_sub codebooks simultaneously
+    instead of looping n_sub driver-side jobs.
+
+    Returns long-format (sub, cid, dim_local, cq) 10^6-quanta integer
+    codewords — same determinism contract as
+    :func:`kmeans_centroids_quantized` (integer d2, cid tie-break,
+    pure-integer round-half-up means).
+
+    Scale: the codebook is O(n_sub·k_code·dim/n_sub) = O(k_code·dim)
+    rows — corpus-size-independent, broadcast; each round is one
+    O(N·k_code·dim) join-agg + one O(N·dim) mean agg. Empty codewords
+    drop out (inner joins), matching the SQL oracle.
+    """
+    dsub = dim // n_sub
+    q6 = F.floor(
+        F.col("x").cast("double") * F.lit(float(_KM_SCALE)) + F.lit(0.5)
+    ).cast("long")
+    vs = (
+        vectors.select(
+            F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim0", "x")
+        )
+        .select(
+            id_col,
+            F.expr(f"dim0 div {dsub}").cast("int").alias("sub"),
+            (F.col("dim0") % dsub).cast("int").alias("dl"),
+            q6.alias("vq"),
+        )
+        .persist()
+    )
+    seeds = (
+        vectors.select(id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k_code)
+        .select(
+            id_col,
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.md5(F.col(id_col).cast("string")), F.col(id_col)
+                )
+            )
+            .cast("int")
+            .alias("cid"),
+        )
+    )
+    cb = vs.join(seeds, id_col).select(
+        "sub", "cid", "dl", F.col("vq").alias("cq")
+    )
+    diff = F.col("vq") - F.col("cq")
+    for _ in range(iterations):
+        d2 = (
+            vs.join(F.broadcast(cb), ["sub", "dl"])
+            .groupBy(id_col, "sub", "cid")
+            .agg(F.sum(diff * diff).alias("d2"))
+        )
+        w = Window.partitionBy(id_col, "sub").orderBy("d2", "cid")
+        assign = (
+            d2.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(id_col, "sub", "cid")
+        )
+        cb = (
+            vs.join(assign, [id_col, "sub"])
+            .groupBy("sub", "cid", "dl")
+            .agg(
+                F.sum(F.col("vq") + F.lit(_KM_OFF)).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                "sub",
+                "cid",
+                "dl",
+                (
+                    F.expr("(2 * __s + __n) div (2 * __n)")
+                    - F.lit(_KM_OFF)
+                ).cast("long").alias("cq"),
+            )
+        )
+    return cb
+
+
+def pq_ann_topk(
+    vectors: DataFrame,
+    n_sub: int = 4,
+    k_code: int = 8,
+    iterations: int = 2,
+    k: int = 3,
+    n_queries: int = 10,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ-ADC approximate nearest neighbors: encode every vector as
+    ``n_sub`` codeword ids against trained PQ codebooks, then score
+    query→candidate with Asymmetric Distance Computation — the query's
+    exact per-(subspace, codeword) squared distances form a lookup
+    table (Q·n_sub·k_code rows, broadcast) and a candidate's approx
+    distance is the sum of its n_sub table entries.
+
+    Returns (query_id, cand_id, adc_d2, rank): adc_d2 is the exact
+    BIGINT quanta-squared ADC distance (pure integers end-to-end — no
+    float drift anywhere in this operator).
+
+    Scale shape: codebook O(k_code·dim) broadcast; encoding one
+    O(N·k_code·dim) join-agg; ADC scoring joins the O(N·n_sub) code
+    table against the broadcast lookup table and aggregates
+    O(N·n_sub·Q) rows keyed on (query, cand) — per-candidate work is
+    n_sub table additions instead of dim multiplies, the whole point
+    of PQ. Memory per executor is bounded by the lookup table, never
+    the corpus.
+    """
+    _require_numeric_id(vectors, id_col)
+    dsub = dim // n_sub
+    cb = pq_codebooks_quantized(
+        vectors, n_sub, k_code, iterations, dim, vec_col, id_col
+    )
+    q6 = F.floor(
+        F.col("x").cast("double") * F.lit(float(_KM_SCALE)) + F.lit(0.5)
+    ).cast("long")
+    vs = vectors.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim0", "x")
+    ).select(
+        id_col,
+        F.expr(f"dim0 div {dsub}").cast("int").alias("sub"),
+        (F.col("dim0") % dsub).cast("int").alias("dl"),
+        q6.alias("vq"),
+    )
+    diff = F.col("vq") - F.col("cq")
+    d2 = (
+        vs.join(F.broadcast(cb), ["sub", "dl"])
+        .groupBy(id_col, "sub", "cid")
+        .agg(F.sum(diff * diff).alias("d2"))
+        .persist()  # feeds both the code assignment and the ADC table
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy("d2", "cid")
+    codes = (
+        d2.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col(id_col).alias("cand_id"), "sub", "cid")
+    )
+    qtable = d2.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), "sub", "cid", "d2"
+    )
+    scored = (
+        codes.join(F.broadcast(qtable), ["sub", "cid"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    wk = Window.partitionBy("query_id").orderBy("adc_d2", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adc_d2", "rank")
+    )

@@ -246,3 +246,82 @@ def pack_sequences(
         first.alias("pack_id"),
         (last - first + F.lit(1)).alias("n_packs"),
     )
+
+
+# --------------------------------------------------- bigram LM scoring ---
+
+
+def lm_bigram_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digits: int = 4,
+) -> DataFrame:
+    """KenLM-style corpus quality scoring with an in-corpus bigram LM:
+    train add-1-smoothed bigram counts over the whole corpus, then
+    score every document by its average negative log2 bigram
+    probability (perplexity = 2^avg_neg_log2p). Low scores = text that
+    looks like the corpus; high scores = outlier/garbage docs — the
+    standard perplexity-filter signal for LLM training data.
+
+    Returns (id, n_bigrams, avg_neg_log2p). Determinism: each
+    per-bigram log2 term is computed on identical integer-derived
+    doubles in both engines and floor-quantized at 10^-digits before
+    the (exact, order-independent) integer sum; the final division has
+    identical operands, so the output double is bit-identical.
+
+    Scale shape: two count shuffles (bigram, context) + two shuffle
+    joins back + one per-doc agg — all keyed, no corpus-sized
+    broadcast; the vocabulary size is the only driver-side scalar
+    (same stance as BM25's avgdl). Count tables are Zipf-concentrated;
+    AQE skew-join handles hot contexts.
+    """
+    tk = F.split(F.col(text_col), " ")
+    big = (
+        df.select(F.col(id_col), tk.alias("__tk"))
+        .where(F.size("__tk") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__tk") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__tk"), i).alias("w1"),
+                        F.element_at(F.col("__tk"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    big = big.persist()
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        df.select(F.explode(tk).alias("t")).agg(
+            F.count_distinct("t").alias("v")
+        )
+    ).collect()[0]["v"]
+    scale = float(10**digits)
+    p = (F.col("c12") + F.lit(1.0)) / (
+        F.col("c1") + F.lit(float(vocab))
+    )
+    term_q = F.floor(F.log2(p) * F.lit(scale) + F.lit(0.5)).cast("long")
+    out = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(term_q).alias("__sq"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (
+                -F.col("__sq").cast("double")
+                / (F.col("n_bigrams").cast("double") * F.lit(scale))
+            ).alias("avg_neg_log2p"),
+        )
+    )
+    return out

@@ -52,9 +52,18 @@ from blockchain_data_engineering_spark.plans import multimodal_queries  # noqa: 
 # pipeline_corpus_filter (pure composition of text_lang_id +
 # text_quality + text_token_count + dedup_exact, each gate-covered),
 # text_top_bigrams (explode+groupBy count, plan-subsumed by
-# text_token_count and the BM25 posting aggregates).
+# text_token_count and the BM25 posting aggregates),
+# agg_any_value (r1-green; the any_value collapse also runs inside the
+# domain rollups), sample_train_val_split (r1-green; the md5-threshold
+# split mechanism is the seed/sampling primitive in sample_stratified
+# and the pack/kmeans orderings), dedup_keep_last (r1-green; keep-one
+# window rank — same plan family as topk_per_group, semantics
+# gate-witnessed by stream_dedup_first_touch).
 GATE_ORDER = [
-    # -- new in round 3 --
+    # -- new this round --
+    "dedup_duplicated_spans",
+    "text_lm_perplexity",
+    "sim_pq_ann",
     "sim_semantic_dedup",
     "text_pii_scrub",
     "sample_pack_sequences",
@@ -81,10 +90,8 @@ GATE_ORDER = [
     "events_cma",
     "events_share_by_day",
     "events_spine_zero_fill",
-    "dedup_keep_last",
     "scalar_functions",
     "topk_per_group",
-    "agg_any_value",
     "applyinpandas_demean",
     "sql_api_revenue",
     "asof_join_clicks_purchases",
@@ -104,7 +111,6 @@ GATE_ORDER = [
     "text_lang_id",
     "text_winnowing_fingerprints",
     "text_bm25_search",
-    "sample_train_val_split",
     "dedup_exact",
     "dedup_minhash_lsh",
 ]

@@ -542,3 +542,65 @@ def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("canonical_id"),
         (F.col("node") == F.col("label")).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring spans (Lee et al. 2022): token windows of
+# SPAN_N occurring in >= 2 distinct docs, merged per doc into maximal
+# spans via gaps-and-islands. The oracle replays the identical
+# pipeline: same grams, same dup test, same window-merge.
+# ---------------------------------------------------------------------------
+SPAN_N = 10
+
+_SPAN_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+             array_to_string(
+               list_slice(tk, CAST(i AS INTEGER), CAST(i AS INTEGER) + {SPAN_N} - 1),
+               ' ') AS g
+      FROM (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk) - {SPAN_N} + 1)) AS i
+        FROM toks WHERE len(tk) >= {SPAN_N}
+      )
+    ),
+    dup AS (
+      SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, pos, pos + {SPAN_N} - 1 AS e
+      FROM grams WHERE g IN (SELECT g FROM dup)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN max(e) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR pos > max(e) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+             sum(brk) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    )
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(e) AS span_end,
+           max(e) - min(pos) + 1 AS dup_tokens
+    FROM isl GROUP BY doc_id, island
+"""
+
+
+@query("dedup_duplicated_spans", oracle=_SPAN_ORACLE)
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return D.duplicated_spans(docs, n=SPAN_N)

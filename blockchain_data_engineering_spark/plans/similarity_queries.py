@@ -583,3 +583,117 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     cent = SIM.kmeans_centroids_quantized(emb, k=KM_K, iterations=KM_ITERS)
     return SIM.semantic_dedup(emb, cent, threshold=SEM_TAU)
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (Jégou et al. 2011): train per-subspace
+# codebooks (all subspaces in ONE Lloyd program), encode the corpus as
+# n_sub codeword ids, score queries by Asymmetric Distance Computation
+# over a broadcast lookup table. Pure integers end-to-end; the oracle
+# replays training, encoding, and ADC scoring.
+# ---------------------------------------------------------------------------
+PQ_SUB = 4
+PQ_K = 8
+PQ_ITERS = 2
+_PQ_DSUB = DIM // PQ_SUB
+
+
+def _pq_oracle(k: int = 3) -> str:
+    vq = (
+        f"CAST(floor(CAST(embedding[i] AS DOUBLE) * {_KM_SCALE} + 0.5) AS BIGINT)"
+    )
+    mean_cq = (
+        f"CAST((2 * sum(vs.vq + {_KM_OFF}) + count(*))"
+        f" // (2 * count(*)) - {_KM_OFF} AS BIGINT)"
+    )
+    iters = []
+    prev = "c0"
+    for it in range(1, PQ_ITERS + 1):
+        iters.append(f"""
+    d{it} AS (
+      SELECT vs.vec_id, vs.sub, c.cid,
+             sum((vs.vq - c.cq) * (vs.vq - c.cq)) AS d2
+      FROM vs JOIN {prev} c ON c.sub = vs.sub AND c.dl = vs.dl
+      GROUP BY 1, 2, 3
+    ),
+    a{it} AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (
+                 PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+        FROM d{it}
+      ) WHERE rn = 1
+    ),
+    c{it} AS (
+      SELECT a.cid, vs.sub, vs.dl, {mean_cq} AS cq
+      FROM vs JOIN a{it} a ON a.vec_id = vs.vec_id AND a.sub = vs.sub
+      GROUP BY 1, 2, 3
+    )""")
+        prev = f"c{it}"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim0, {vq} AS vq
+      FROM embeddings, generate_series(1, {DIM}) AS t(i)
+    ),
+    vs AS (
+      SELECT vec_id,
+             CAST(dim0 // {_PQ_DSUB} AS INTEGER) AS sub,
+             CAST(dim0 % {_PQ_DSUB} AS INTEGER) AS dl,
+             vq
+      FROM v
+    ),
+    seeds AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS cid
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
+    ),
+    c0 AS (
+      SELECT s.cid, vs.sub, vs.dl, vs.vq AS cq
+      FROM vs JOIN seeds s USING (vec_id)
+    ),{",".join(iters)},
+    df AS (
+      SELECT vs.vec_id, vs.sub, c.cid,
+             sum((vs.vq - c.cq) * (vs.vq - c.cq)) AS d2
+      FROM vs JOIN {prev} c ON c.sub = vs.sub AND c.dl = vs.dl
+      GROUP BY 1, 2, 3
+    ),
+    af AS (
+      SELECT vec_id AS cand_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (
+                 PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+        FROM df
+      ) WHERE rn = 1
+    ),
+    qt AS (
+      SELECT vec_id AS query_id, sub, cid, d2 FROM df
+      WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, a.cand_id, CAST(sum(q.d2) AS BIGINT) AS adc_d2
+      FROM af a JOIN qt q ON q.sub = a.sub AND q.cid = a.cid
+      WHERE a.cand_id <> q.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, adc_d2,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_d2, cand_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+@query("sim_pq_ann", oracle=_pq_oracle())
+def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return SIM.pq_ann_topk(
+        emb,
+        n_sub=PQ_SUB,
+        k_code=PQ_K,
+        iterations=PQ_ITERS,
+        k=3,
+        n_queries=N_QUERIES,
+        dim=DIM,
+    )

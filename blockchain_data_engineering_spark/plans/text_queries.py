@@ -891,3 +891,53 @@ SEQ_LEN = 512
 def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     return TX.pack_sequences(docs, SEQ_LEN)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (KenLM-style quality filter): train an
+# add-1 bigram LM on the corpus itself, score each doc's average
+# negative log2 bigram probability. The oracle replays training AND
+# scoring; per-term quantization makes the float column bit-exact
+# (see operators.text.lm_bigram_score).
+# ---------------------------------------------------------------------------
+_LM_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             tk[CAST(i AS INTEGER)] AS w1,
+             tk[CAST(i AS INTEGER) + 1] AS w2
+      FROM (
+        SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM toks WHERE len(tk) >= 2
+      )
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+    v AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(tk) AS t FROM toks)
+    ),
+    terms AS (
+      SELECT big.doc_id,
+             CAST(floor(
+               log2((c12.c12 + 1.0) / (c1.c1 + CAST(v.v AS DOUBLE)))
+               * 10000 + 0.5) AS BIGINT) AS q
+      FROM big
+      JOIN c12 USING (w1, w2)
+      JOIN c1 USING (w1)
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           -CAST(sum(q) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 10000) AS avg_neg_log2p
+    FROM terms GROUP BY doc_id
+"""
+
+
+@query("text_lm_perplexity", oracle=_LM_ORACLE)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TX.lm_bigram_score(docs)
