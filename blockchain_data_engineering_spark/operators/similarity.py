@@ -887,14 +887,38 @@ def semantic_dedup(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return assign.join(dropped, id_col, "left_anti").withColumn(
-        "kept", F.lit(True)
-    ).unionByName(
-        assign.join(dropped, id_col, "left_semi").withColumn("kept", F.lit(False))
-    )
+    # ONE outer join, not an anti/semi union pair — the union shape
+    # references the uncached `dropped` (the whole GEMM scoring
+    # lineage) twice and recomputes it per branch (measured ~2x on the
+    # scoring stage)
+    return assign.join(
+        dropped.withColumn("__dropped", F.lit(True)), id_col, "left"
+    ).select(id_col, "cid", F.col("__dropped").isNull().alias("kept"))
 
 
 # ------------------------------------------------- product quantization ---
+
+
+def _pq_long(
+    vectors: DataFrame,
+    dsub: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Long-format subspace components (id, sub, dim_local, vq) at
+    10^6 quanta — the shared input of PQ training, encoding, and ADC
+    query tables. Narrow (posexplode + arithmetic), zero shuffle."""
+    q6 = F.floor(
+        F.col("x").cast("double") * F.lit(float(_KM_SCALE)) + F.lit(0.5)
+    ).cast("long")
+    return vectors.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim0", "x")
+    ).select(
+        id_col,
+        F.expr(f"dim0 div {dsub}").cast("int").alias("sub"),
+        (F.col("dim0") % dsub).cast("int").alias("dl"),
+        q6.alias("vq"),
+    )
 
 
 def pq_codebooks_quantized(
@@ -905,6 +929,7 @@ def pq_codebooks_quantized(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    vs_long: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): split the ``dim``
@@ -917,28 +942,24 @@ def pq_codebooks_quantized(
     Returns long-format (sub, cid, dim_local, cq) 10^6-quanta integer
     codewords — same determinism contract as
     :func:`kmeans_centroids_quantized` (integer d2, cid tie-break,
-    pure-integer round-half-up means).
+    pure-integer round-half-up means). Pass a pre-persisted
+    ``vs_long`` (from :func:`_pq_long`) to share the exploded
+    components with downstream encoding — the caller then owns its
+    lifecycle.
 
     Scale: the codebook is O(n_sub·k_code·dim/n_sub) = O(k_code·dim)
     rows — corpus-size-independent, broadcast; each round is one
     O(N·k_code·dim) join-agg + one O(N·dim) mean agg. Empty codewords
-    drop out (inner joins), matching the SQL oracle.
+    drop out (inner joins), matching the SQL oracle. Per-round eager
+    persist caps the Lloyd lineage exactly as in
+    :func:`kmeans_centroids_quantized`.
     """
     dsub = dim // n_sub
-    q6 = F.floor(
-        F.col("x").cast("double") * F.lit(float(_KM_SCALE)) + F.lit(0.5)
-    ).cast("long")
+    own_vs = vs_long is None
     vs = (
-        vectors.select(
-            F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim0", "x")
-        )
-        .select(
-            id_col,
-            F.expr(f"dim0 div {dsub}").cast("int").alias("sub"),
-            (F.col("dim0") % dsub).cast("int").alias("dl"),
-            q6.alias("vq"),
-        )
-        .persist()
+        _pq_long(vectors, dsub, vec_col, id_col).persist()
+        if own_vs
+        else vs_long
     )
     seeds = (
         vectors.select(id_col)
@@ -961,6 +982,7 @@ def pq_codebooks_quantized(
     )
     diff = F.col("vq") - F.col("cq")
     for _ in range(iterations):
+        prev = cb if cb.is_cached else None
         d2 = (
             vs.join(F.broadcast(cb), ["sub", "dl"])
             .groupBy(id_col, "sub", "cid")
@@ -989,6 +1011,14 @@ def pq_codebooks_quantized(
                 ).cast("long").alias("cq"),
             )
         )
+        # k_code·dim rows — trivial to materialize, and it caps the
+        # uncached Lloyd lineage at one round
+        cb = cb.persist()
+        cb.count()
+        if prev is not None:
+            prev.unpersist()
+    if own_vs:
+        vs.unpersist()
     return cb
 
 
@@ -1014,29 +1044,21 @@ def pq_ann_topk(
     BIGINT quanta-squared ADC distance (pure integers end-to-end — no
     float drift anywhere in this operator).
 
-    Scale shape: codebook O(k_code·dim) broadcast; encoding one
-    O(N·k_code·dim) join-agg; ADC scoring joins the O(N·n_sub) code
-    table against the broadcast lookup table and aggregates
-    O(N·n_sub·Q) rows keyed on (query, cand) — per-candidate work is
-    n_sub table additions instead of dim multiplies, the whole point
-    of PQ. Memory per executor is bounded by the lookup table, never
-    the corpus.
+    Scale shape: one persisted explode feeds training, encoding, and
+    the query table (no recompute); codebook O(k_code·dim) broadcast;
+    encoding one O(N·k_code·dim) join-agg; ADC scoring joins the
+    O(N·n_sub) code table against the broadcast lookup table and
+    aggregates O(N·n_sub·Q) rows keyed on (query, cand) — per-candidate
+    work is n_sub table additions instead of dim multiplies, the whole
+    point of PQ. Memory per executor is bounded by the lookup table,
+    never the corpus.
     """
     _require_numeric_id(vectors, id_col)
     dsub = dim // n_sub
+    vs = _pq_long(vectors, dsub, vec_col, id_col).persist()
     cb = pq_codebooks_quantized(
-        vectors, n_sub, k_code, iterations, dim, vec_col, id_col
-    )
-    q6 = F.floor(
-        F.col("x").cast("double") * F.lit(float(_KM_SCALE)) + F.lit(0.5)
-    ).cast("long")
-    vs = vectors.select(
-        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim0", "x")
-    ).select(
-        id_col,
-        F.expr(f"dim0 div {dsub}").cast("int").alias("sub"),
-        (F.col("dim0") % dsub).cast("int").alias("dl"),
-        q6.alias("vq"),
+        vectors, n_sub, k_code, iterations, dim, vec_col, id_col,
+        vs_long=vs,
     )
     diff = F.col("vq") - F.col("cq")
     d2 = (
@@ -1045,6 +1067,8 @@ def pq_ann_topk(
         .agg(F.sum(diff * diff).alias("d2"))
         .persist()  # feeds both the code assignment and the ADC table
     )
+    d2.count()
+    vs.unpersist()  # everything downstream reads through d2's cache
     w = Window.partitionBy(id_col, "sub").orderBy("d2", "cid")
     codes = (
         d2.withColumn("__rn", F.row_number().over(w))

@@ -520,9 +520,23 @@ def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the uncached lineage per round, 2^k re-evaluations of the whole
     # minhash pipeline (measured 16-27s; this shape ~7s). Self-loops
     # also carry singleton docs through untouched (kept=true).
+    # Both edge directions come from ONE explode pass over dup — the
+    # two-select union referenced the uncached dup twice and re-ran
+    # the whole verify pipeline per direction (measured ~2-4s extra).
     und = (
-        dup.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-        .union(dup.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        dup.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("a"), F.col("id_a").alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .union(
             docs.select(F.col("doc_id").alias("a"), F.col("doc_id").alias("b"))
         )
