@@ -325,3 +325,231 @@ def lm_bigram_score(
         )
     )
     return out
+
+
+# ---------------------------------------------- Gopher repetition filters ---
+
+# Gopher (Rae et al. 2021, arXiv:2112.11446 Appendix A1.1) repetition
+# thresholds, adapted token-level (the fixture corpus has no line
+# structure): a doc fails when its most-common n-gram or its duplicated
+# n-grams cover too much of the text.
+GOPHER_TOP2_MAX = 0.20
+GOPHER_TOP3_MAX = 0.18
+GOPHER_DUP5_MAX = 0.15
+GOPHER_DUP10_MAX = 0.10
+
+
+def _gram_counts(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, gram, c): occurrence counts of word n-grams per doc —
+    ALL occurrences, not distinct (repetition is the signal here)."""
+    tk = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _gram_fracs(
+    df: DataFrame, n: int, text_col: str, id_col: str, prefix: str
+) -> DataFrame:
+    """Per-doc (id, {prefix}_top_frac, {prefix}_dup_frac): the
+    most-common n-gram's share of all n-gram occurrences, and the
+    share of occurrences belonging to grams seen more than once.
+    Exact-integer ratios (one division of exact BIGINTs)."""
+    counts = _gram_counts(df, n, text_col, id_col)
+    return counts.groupBy(id_col).agg(
+        (
+            F.max("c").cast("double")
+            / F.sum("c").cast("double")
+        ).alias(f"{prefix}_top_frac"),
+        (
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum("c").cast("double")
+        ).alias(f"{prefix}_dup_frac"),
+    )
+
+
+def gopher_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher repetition quality filters (Rae et al. 2021 A1.1),
+    token-level adaptation: top-2/3-gram fraction and duplicate
+    5/10-gram fraction per document, plus the pass/fail verdict under
+    the published-style thresholds. The reference repo has no corpus
+    quality filtering; this is the LLM-data extension op every
+    pretraining pipeline runs before tokenization.
+
+    Scale shape: four explode→groupBy((id, gram))→groupBy(id)
+    pipelines joined on the doc id — each is one keyed shuffle of the
+    doc's own n-grams (map-side partial aggregation collapses
+    repeated grams early), no global state, no broadcast. The four
+    pipelines share the same scan via Spark's plan-level scan reuse.
+    """
+    t2 = _gram_fracs(df, 2, text_col, id_col, "g2")
+    t3 = _gram_fracs(df, 3, text_col, id_col, "g3")
+    t5 = _gram_fracs(df, 5, text_col, id_col, "g5")
+    t10 = _gram_fracs(df, 10, text_col, id_col, "g10")
+    out = t2.join(t3, id_col).join(t5, id_col).join(t10, id_col)
+    passes = (
+        (F.col("g2_top_frac") <= GOPHER_TOP2_MAX)
+        & (F.col("g3_top_frac") <= GOPHER_TOP3_MAX)
+        & (F.col("g5_dup_frac") <= GOPHER_DUP5_MAX)
+        & (F.col("g10_dup_frac") <= GOPHER_DUP10_MAX)
+    )
+    return out.select(
+        id_col,
+        "g2_top_frac",
+        "g3_top_frac",
+        "g5_dup_frac",
+        "g10_dup_frac",
+        passes.alias("passes"),
+    )
+
+
+# ------------------------------------------------ DSIR importance weights ---
+
+DSIR_BUCKETS = 256
+_HEX = "0123456789abcdef"
+
+
+def _hash_bucket(tok_col: str) -> Column:
+    """Deterministic engine-portable 0..255 bucket from the first two
+    md5 hex chars — both engines share instr()/substr()/md5, so the
+    bucketing needs no hex-parse builtin (DuckDB has none)."""
+    return F.expr(
+        f"(instr('{_HEX}', substr(md5({tok_col}), 1, 1)) - 1) * 16"
+        f" + (instr('{_HEX}', substr(md5({tok_col}), 2, 1)) - 1)"
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digits: int = 4,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    per-document log importance weight log(p_target/p_source) under
+    hashed-token bucket distributions — rank the corpus by
+    ``dsir_logw`` and keep the top slice to shift the data mix toward
+    the ``target`` subset's distribution (the paper's hashed-n-gram
+    importance resampling, unigram instance).
+
+    ``target`` is a boolean Column selecting the target rows (e.g.
+    ``F.col("lang") == "en"``). Returns (id, n_tokens, dsir_logw).
+
+    Determinism: bucket probabilities are ratios of exact integers
+    (add-1 smoothed); each bucket's log2 ratio is floor-quantized at
+    10^-digits; per-doc sums run over exact BIGINTs; the final
+    division has identical operands — bit-identical doubles.
+
+    Scale shape: one explode → one groupBy(bucket) count (256 rows
+    out, map-side combined) → a 256-row ratio table broadcast back
+    over the token stream → per-doc sum. No corpus-sized broadcast,
+    no driver-side collect; the two total-token scalars ride along as
+    1-row cross joins the optimizer folds into the broadcast side.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target.alias("__tgt"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    ).select(id_col, "__tgt", _hash_bucket("t").alias("b"))
+    src = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = (
+        toks.where(F.col("__tgt"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    s_tot = src.agg(F.sum("cs").alias("S"))
+    t_tot = tgt.agg(F.sum("ct").alias("T"))
+    nb = F.lit(DSIR_BUCKETS)
+    scale = float(10**digits)
+    # exact-integer-valued doubles: (ct+1)/(T+B) and (cs+1)/(S+B) are
+    # each one IEEE division of identical operands in both engines
+    pt = (F.col("ct") + F.lit(1)).cast("double") / (
+        F.col("T") + nb
+    ).cast("double")
+    ps = (F.col("cs") + F.lit(1)).cast("double") / (
+        F.col("S") + nb
+    ).cast("double")
+    ratio = (
+        src.join(tgt, "b", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(s_tot)
+        .crossJoin(t_tot)
+        .select(
+            "b",
+            F.floor(F.log2(pt / ps) * F.lit(scale) + F.lit(0.5))
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("q").alias("__sq"))
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("__sq").cast("double") / F.lit(scale)).alias("dsir_logw"),
+        )
+    )
+
+
+# ------------------------------------------------- BPE merge counting ---
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The counting kernel of BPE tokenizer training (Sennrich et al.
+    2016): collapse the corpus to a word-frequency table, explode each
+    distinct word into its adjacent character pairs, and rank pairs by
+    frequency-weighted occurrence count — rank 1 is exactly the first
+    merge a BPE trainer would learn. (Full BPE training iterates
+    re-segmentation per merge — inherently sequential; the per-round
+    counting shown here is the distributed-heavy part.)
+
+    Returns (pair, n_occurrences, rank) for the top ``top_k`` pairs,
+    deterministic tie-break on the pair string.
+
+    Scale shape: the word-frequency collapse is the big win — pair
+    counting runs over DISTINCT words (vocabulary-sized, Zipf-bounded)
+    weighted by their counts, not over the raw token stream; one
+    groupBy(word) shuffle + one groupBy(pair) shuffle (both map-side
+    combined), then a distributed top-k (TakeOrderedAndProject) with
+    the final rank over top_k rows only.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wf",
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wf").alias("n_occurrences"))
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("pair")
+    ).limit(top_k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "pair", "n_occurrences", "rank"
+    )

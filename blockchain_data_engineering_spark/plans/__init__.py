@@ -58,10 +58,17 @@ from blockchain_data_engineering_spark.plans import multimodal_queries  # noqa: 
 # split mechanism is the seed/sampling primitive in sample_stratified
 # and the pack/kmeans orderings), dedup_keep_last (r1-green; keep-one
 # window rank — same plan family as topk_per_group, semantics
-# gate-witnessed by stream_dedup_first_touch).
+# gate-witnessed by stream_dedup_first_touch), topk_per_group
+# (r1-green, plan-asserted TakeOrderedAndProject in test_plans; the
+# per-group window-rank pattern closes every gate ANN query),
+# events_spine_zero_fill + events_share_by_day (r1-green; flagship_volume_stack
+# runs the same zero_fill_spine operator and ratio-to-report window in-plan).
 GATE_ORDER = [
     # -- new this round --
     "dedup_duplicated_spans",
+    "text_gopher_repetition",
+    "text_dsir_weights",
+    "text_bpe_pair_counts",
     "text_lm_perplexity",
     "sim_pq_ann",
     "sim_semantic_dedup",
@@ -88,10 +95,7 @@ GATE_ORDER = [
     "vol_rollup_hierarchy",
     "topk_semi_join",
     "events_cma",
-    "events_share_by_day",
-    "events_spine_zero_fill",
     "scalar_functions",
-    "topk_per_group",
     "applyinpandas_demean",
     "sql_api_revenue",
     "asof_join_clicks_purchases",

@@ -941,3 +941,139 @@ _LM_ORACLE = """
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     return TX.lm_bigram_score(docs)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition filters (Rae et al. 2021 A1.1, token-level): the
+# pretraining quality gate — top-n-gram share and duplicated-n-gram
+# share per doc with pass/fail under the published-style thresholds.
+# All ratios are single divisions of exact integers (bit-identical).
+# ---------------------------------------------------------------------------
+def _gopher_gram_cte(n: int, name: str) -> str:
+    return f"""
+    {name}_g AS (
+      SELECT doc_id,
+             array_to_string(
+               list_slice(tk, CAST(i AS INTEGER),
+                          CAST(i AS INTEGER) + {n} - 1), ' ') AS gram
+      FROM (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, greatest(len(tk) - {n} + 1, 1))) AS i
+        FROM toks
+      )
+    ),
+    {name} AS (
+      SELECT doc_id,
+             CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac,
+             CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+               / CAST(sum(c) AS DOUBLE) AS dup_frac
+      FROM (
+        SELECT doc_id, gram, count(*) AS c FROM {name}_g GROUP BY 1, 2
+      ) GROUP BY 1
+    )"""
+
+
+_GOPHER_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),{_gopher_gram_cte(2, "f2")},{_gopher_gram_cte(3, "f3")},{_gopher_gram_cte(5, "f5")},{_gopher_gram_cte(10, "f10")}
+    SELECT f2.doc_id,
+           f2.top_frac AS g2_top_frac,
+           f3.top_frac AS g3_top_frac,
+           f5.dup_frac AS g5_dup_frac,
+           f10.dup_frac AS g10_dup_frac,
+           (f2.top_frac <= {TX.GOPHER_TOP2_MAX}
+            AND f3.top_frac <= {TX.GOPHER_TOP3_MAX}
+            AND f5.dup_frac <= {TX.GOPHER_DUP5_MAX}
+            AND f10.dup_frac <= {TX.GOPHER_DUP10_MAX}) AS passes
+    FROM f2
+    JOIN f3 USING (doc_id)
+    JOIN f5 USING (doc_id)
+    JOIN f10 USING (doc_id)
+"""
+
+
+@query("text_gopher_repetition", oracle=_GOPHER_ORACLE)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TX.gopher_repetition(docs)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023): log(p_target/p_source)
+# over hashed-token buckets, target = English docs. The oracle replays
+# bucketing, both smoothed distributions, and the quantized log sum.
+# ---------------------------------------------------------------------------
+_DSIR_B = TX.DSIR_BUCKETS
+
+_DSIR_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             (instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(t), 2, 1)) - 1) AS b
+      FROM (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents
+      )
+    ),
+    src AS (SELECT b, count(*) AS cs FROM toks GROUP BY 1),
+    tgt AS (SELECT b, count(*) AS ct FROM toks WHERE tgt GROUP BY 1),
+    stot AS (SELECT sum(cs) AS S FROM src),
+    ttot AS (SELECT sum(ct) AS T FROM tgt),
+    ratio AS (
+      SELECT src.b,
+             CAST(floor(log2(
+               ((coalesce(tgt.ct, 0) + 1)::DOUBLE / (ttot.T + {_DSIR_B})::DOUBLE)
+               / ((src.cs + 1)::DOUBLE / (stot.S + {_DSIR_B})::DOUBLE)
+             ) * 10000 + 0.5) AS BIGINT) AS q
+      FROM src LEFT JOIN tgt USING (b) CROSS JOIN stot CROSS JOIN ttot
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(q) AS DOUBLE) / 10000 AS dsir_logw
+    FROM toks JOIN ratio USING (b)
+    GROUP BY doc_id
+"""
+
+
+@query("text_dsir_weights", oracle=_DSIR_ORACLE)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TX.dsir_importance_weights(docs, F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge counting (Sennrich et al. 2016): frequency-weighted
+# adjacent character-pair counts over the distinct-word table — rank 1
+# is the first merge a BPE trainer learns.
+# ---------------------------------------------------------------------------
+_BPE_PAIRS_ORACLE = """
+    WITH words AS (
+      SELECT t AS w, count(*) AS wf
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY 1
+      HAVING length(t) >= 2
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wf
+      FROM (
+        SELECT w, wf, unnest(generate_series(1, length(w) - 1)) AS i
+        FROM words
+      )
+    ),
+    counts AS (
+      SELECT pair, CAST(sum(wf) AS BIGINT) AS n_occurrences
+      FROM pairs GROUP BY 1
+    )
+    SELECT pair, n_occurrences,
+           CAST(row_number() OVER (
+             ORDER BY n_occurrences DESC, pair) AS INTEGER) AS rank
+    FROM counts
+    QUALIFY rank <= 20
+"""
+
+
+@query("text_bpe_pair_counts", oracle=_BPE_PAIRS_ORACLE)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TX.bpe_pair_counts(docs, top_k=20)
