@@ -595,6 +595,7 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_SUB = 4
 PQ_K = 8
 PQ_ITERS = 2
+PQ_RERANK = 50
 _PQ_DSUB = DIM // PQ_SUB
 
 
@@ -676,11 +677,26 @@ def _pq_oracle(k: int = 3) -> str:
       FROM af a JOIN qt q ON q.sub = a.sub AND q.cid = a.cid
       WHERE a.cand_id <> q.query_id
       GROUP BY 1, 2
+    ),
+    shortlist AS (
+      SELECT query_id, cand_id FROM scored
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_d2, cand_id) <= {PQ_RERANK}
+    ),
+    reranked AS (
+      SELECT s.query_id, s.cand_id,
+             CAST(sum(
+               (qv.vq - cv.vq) * (qv.vq - cv.vq)
+             ) AS BIGINT) AS d2_q
+      FROM shortlist s
+      JOIN v qv ON qv.vec_id = s.query_id
+      JOIN v cv ON cv.vec_id = s.cand_id AND cv.dim0 = qv.dim0
+      GROUP BY 1, 2
     )
-    SELECT query_id, cand_id, adc_d2,
+    SELECT query_id, cand_id, d2_q,
            CAST(row_number() OVER (
-             PARTITION BY query_id ORDER BY adc_d2, cand_id) AS INTEGER) AS rank
-    FROM scored
+             PARTITION BY query_id ORDER BY d2_q, cand_id) AS INTEGER) AS rank
+    FROM reranked
     QUALIFY rank <= {k}
     """
 
@@ -696,4 +712,5 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         n_queries=N_QUERIES,
         dim=DIM,
+        rerank_top=PQ_RERANK,
     )

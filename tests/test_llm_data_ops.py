@@ -1,0 +1,196 @@
+"""Behavioral tests for the round-3 LLM-data operators: planted-case
+semantics (spans found, repetitive docs rejected, target-like docs
+up-weighted, PQ neighbors sane) on top of the DuckDB hash parity the
+oracle gate already provides.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchain_data_engineering_spark.catalog import load_table, spread
+from blockchain_data_engineering_spark.operators import dedup as D
+from blockchain_data_engineering_spark.operators import similarity as SIM
+from blockchain_data_engineering_spark.operators import text as TX
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------- duplicated spans ---
+
+
+def test_duplicated_spans_finds_planted_span(spark):
+    shared = " ".join(f"tok{i}" for i in range(15))
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta epsilon zeta"),
+        (2, "one two three four " + shared + " five six"),
+        (3, " ".join(f"solo{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in D.duplicated_spans(df, n=10).collect()
+    }
+    # doc 1: shared tokens occupy positions 2..16 -> grams 2..7
+    assert out[1]["span_start"] == 2 and out[1]["span_end"] == 16
+    # doc 2: positions 4..18 -> grams 4..9
+    assert out[2]["span_start"] == 4 and out[2]["span_end"] == 18
+    assert out[1]["dup_tokens"] == 15 and out[2]["dup_tokens"] == 15
+    assert 3 not in out  # unique doc has no duplicated span
+
+
+def test_duplicated_spans_merges_adjacent_grams(spark):
+    # two docs sharing their ENTIRE text: every gram duplicated, so
+    # the islands merge into one span covering the whole doc
+    text = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    rows = D.duplicated_spans(df, n=10).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert (r["span_start"], r["span_end"], r["dup_tokens"]) == (0, 24, 25)
+
+
+# --------------------------------------------- Gopher repetition ---
+
+
+def test_gopher_rejects_repetitive_doc(spark):
+    repetitive = " ".join(["spam ham"] * 40)
+    diverse = " ".join(f"word{i}" for i in range(80))
+    df = spark.createDataFrame(
+        [(1, repetitive), (2, diverse)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in TX.gopher_repetition(df).collect()}
+    assert not out[1]["passes"]
+    assert out[1]["g2_top_frac"] > 0.4  # "ham spam" dominates
+    assert out[1]["g10_dup_frac"] > 0.9
+    assert out[2]["passes"]
+    assert out[2]["g10_dup_frac"] == 0.0
+
+
+# ------------------------------------------------ DSIR weighting ---
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    # target docs share a vocabulary; one unlabeled doc uses the
+    # target vocabulary, another uses disjoint tokens — the former
+    # must receive the higher importance weight
+    tvocab = " ".join(f"eng{i}" for i in range(20))
+    ovocab = " ".join(f"ger{i}" for i in range(20))
+    rows = (
+        [(i, tvocab, "en") for i in range(5)]
+        + [(10 + i, ovocab, "de") for i in range(5)]
+        + [(100, tvocab, "und"), (101, ovocab, "und")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in TX.dsir_importance_weights(
+            df, F.col("lang") == "en"
+        ).collect()
+    }
+    assert out[100] > out[101]
+    assert out[100] > 0 > out[101]
+
+
+# --------------------------------------------------- BPE counting ---
+
+
+def test_bpe_first_merge_is_most_frequent_pair(spark):
+    df = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab xy")], ["doc_id", "text"]
+    )
+    rows = TX.bpe_pair_counts(df, top_k=3).collect()
+    assert rows[0]["pair"] == "ab" and rows[0]["rank"] == 1
+    # 'abab' has pairs ab, ba, ab; word freq: abab x3 -> ab: 6
+    assert rows[0]["n_occurrences"] == 6
+
+
+# ------------------------------------------------------- PQ ANN ---
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spread(load_table(spark, SF_DIR, "embeddings")).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """20 tight clusters — the structure real embedding spaces have
+    and the uniform-random fixture deliberately lacks (on uniform
+    vectors pairwise distances concentrate and NO quantizer can rank
+    them; same caveat as the IVF recall notes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.uniform(-1, 1, (20, 64))
+    rows = [
+        (i, [float(x) for x in centers[i % 20] + rng.normal(0, 0.05, 64)])
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _exact_l2_top3(vectors):
+    from pyspark.sql.window import Window
+
+    q = vectors.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    ).where("query_id < 10")
+    c = vectors.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where("query_id != cand_id")
+        .select("query_id", "cand_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "cand_id")
+    return (
+        pairs.withColumn("r", F.row_number().over(w))
+        .where("r <= 3")
+        .select("query_id", "cand_id")
+    )
+
+
+def test_pq_ann_recall_on_clustered_vectors(spark, clustered):
+    """ADC shortlist + exact re-rank must recover nearly all true L2
+    top-3 neighbors when the space has cluster structure (ADC alone
+    measured 0.23 — the re-rank stage is what makes PQ usable)."""
+    exact = _exact_l2_top3(clustered)
+    got = SIM.pq_ann_topk(clustered, k=3, n_queries=10).select(
+        "query_id", "cand_id"
+    )
+    n_true = exact.count()
+    hits = exact.join(got, ["query_id", "cand_id"]).count()
+    assert n_true == 30
+    recall = hits / n_true
+    assert recall >= 0.9, f"PQ recall@3 {recall} below floor"
+
+
+def test_pq_codebook_size_is_corpus_independent(spark, emb):
+    cb1 = SIM.pq_codebooks_quantized(emb, n_sub=4, k_code=8, iterations=1)
+    doubled = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + 10_000)
+    )
+    cb2 = SIM.pq_codebooks_quantized(doubled, n_sub=4, k_code=8, iterations=1)
+    n1 = cb1.select("sub", "cid").distinct().count()
+    n2 = cb2.select("sub", "cid").distinct().count()
+    assert n1 == n2 == 4 * 8
