@@ -324,3 +324,81 @@ def bucketed_range_join(
         )
         .drop("__bucket")
     )
+
+
+# --------------------------------------------------- HyperLogLog sketch ---
+
+HLL_BUCKETS = 256  # 2^8 registers; std error 1.04/sqrt(256) ~ 6.5%
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_BUCKETS)
+_HEX_HI = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def hll_count_distinct(
+    df: DataFrame, col: str, exact: bool = True
+) -> DataFrame:
+    """HyperLogLog cardinality estimate (Flajolet et al. 2007) built
+    from engine-portable primitives (md5/substr/regexp/CASE — no
+    binary intrinsics), so the identical sketch computes in any SQL
+    engine: bucket = first 2 md5 hex chars (256 registers), register
+    value = position of the first 1-bit in the next 48 bits, raw
+    estimate = alpha·m²/Σ2^(-M_j).
+
+    Determinism note: every 2^(-M_j) term is an exact power of two and
+    the register span (2^0 … 2^-49) fits a double's 53-bit mantissa,
+    so the sum — and therefore the estimate — is bit-identical across
+    engines and partitionings, unusual for a floating-point sketch.
+
+    Why it matters at 100 TB: the registers form a MERGEABLE sketch —
+    a max-aggregate per bucket — so cardinality estimation is one
+    map-side-combined groupBy over 256 rows, never a global distinct
+    shuffle. ``exact=True`` adds the exact count_distinct for
+    side-by-side error measurement (drop it in production).
+
+    Returns one row: (hll_estimate [, n_exact, rel_error]).
+    """
+    h = F.md5(F.col(col).cast("string"))
+    bucket = F.expr(
+        f"(instr('0123456789abcdef', substr(md5(cast({col} as string)), 1, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr(md5(cast({col} as string)), 2, 1)) - 1)"
+    )
+    tail = F.substring(h, 3, 12)  # 48 bits
+    rem = F.regexp_replace(tail, "^0*", "")
+    z_hex = F.length(tail) - F.length(rem)
+    first = F.substring(rem, 1, 1)
+    extra = (
+        F.when(first.isin(*_HEX_HI), F.lit(0))
+        .when(first.isin("4", "5", "6", "7"), F.lit(1))
+        .when(first.isin("2", "3"), F.lit(2))
+        .when(first == "1", F.lit(3))
+        .otherwise(F.lit(48))  # all-zero tail
+    )
+    rho = (z_hex * 4 + extra + 1).cast("int")
+    regs = (
+        df.where(F.col(col).isNotNull())
+        .select(bucket.alias("b"), rho.alias("rho"))
+        .groupBy("b")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    # empty registers contribute 2^0 = 1 each: add (m - used) ones
+    est = regs.agg(
+        (
+            F.lit(_HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS)
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("m_j")))
+                + (F.lit(HLL_BUCKETS) - F.count(F.lit(1))).cast("double")
+            )
+        ).alias("hll_estimate")
+    )
+    if not exact:
+        return est
+    n = df.where(F.col(col).isNotNull()).agg(
+        F.count_distinct(F.col(col)).alias("n_exact")
+    )
+    return est.crossJoin(n).select(
+        "hll_estimate",
+        "n_exact",
+        (
+            F.abs(F.col("hll_estimate") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+        ).alias("rel_error"),
+    )

@@ -532,3 +532,65 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("event_type").agg(
         pick(50).alias("p50_q"), pick(90).alias("p90_q"), pick(99).alias("p99_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog cardinality sketch (Flajolet et al. 2007) from portable
+# SQL primitives — the mergeable-sketch answer to COUNT(DISTINCT) at
+# 100 TB (256-register max-agg, no global distinct shuffle). Every
+# 2^-M term is an exact power of two within the double mantissa, so
+# even the float estimate is bit-identical across engines. Registered
+# parity-only (the exact count_distinct rides along to measure error).
+# ---------------------------------------------------------------------------
+def _hll_oracle() -> str:
+    from blockchain_data_engineering_spark.operators.relational import (
+        HLL_BUCKETS,
+        _HLL_ALPHA,
+    )
+
+    num = _HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS
+    return f"""
+    WITH h AS (
+      SELECT md5(CAST(l_partkey AS VARCHAR)) AS hh
+      FROM lineitem WHERE l_partkey IS NOT NULL
+    ),
+    r AS (
+      SELECT (instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(hh, 2, 1)) - 1) AS b,
+             (length(substr(hh, 3, 12))
+              - length(regexp_replace(substr(hh, 3, 12), '^0*', ''))) * 4
+             + CASE substr(regexp_replace(substr(hh, 3, 12), '^0*', ''), 1, 1)
+                 WHEN '8' THEN 0 WHEN '9' THEN 0 WHEN 'a' THEN 0
+                 WHEN 'b' THEN 0 WHEN 'c' THEN 0 WHEN 'd' THEN 0
+                 WHEN 'e' THEN 0 WHEN 'f' THEN 0
+                 WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                 WHEN '7' THEN 1
+                 WHEN '2' THEN 2 WHEN '3' THEN 2
+                 WHEN '1' THEN 3
+                 ELSE 48 END + 1 AS rho
+      FROM h
+    ),
+    regs AS (SELECT b, max(rho) AS m_j FROM r GROUP BY 1),
+    est AS (
+      SELECT {num!r}
+             / (sum(pow(2.0, -m_j))
+                + CAST({HLL_BUCKETS} - count(*) AS DOUBLE)) AS hll_estimate
+      FROM regs
+    ),
+    n AS (
+      SELECT count(DISTINCT l_partkey) AS n_exact
+      FROM lineitem WHERE l_partkey IS NOT NULL
+    )
+    SELECT hll_estimate, n_exact,
+           abs(hll_estimate - CAST(n_exact AS DOUBLE))
+             / CAST(n_exact AS DOUBLE) AS rel_error
+    FROM est CROSS JOIN n
+    """
+
+
+@query("agg_hll_distinct", oracle=_hll_oracle())
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators import relational as R
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return R.hll_count_distinct(li, "l_partkey")

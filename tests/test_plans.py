@@ -267,3 +267,48 @@ def test_label_centroids_partial_aggregation(spark, sf_dir):
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(aggs) >= 2, plan  # partial + final
     assert len(exchanges) == 1, plan
+
+
+def test_bm25_topk_avoids_full_corpus_window(spark, sf_dir):
+    """The BM25 final rank must run a distributed top-k
+    (TakeOrderedAndProject) BEFORE the unpartitioned rank window, so
+    the single-partition window only ever sees k rows — never the
+    whole scored corpus."""
+    plan = _plan(spark, sf_dir, "text_bm25_search")
+    take = plan.find("TakeOrderedAndProject")
+    win = plan.find("Window")
+    assert take != -1 and win != -1, plan
+    # formatted plans print leaves last: the TakeOrdered node must sit
+    # BELOW the Window in the operator tree (higher position index)
+    assert take > win, plan
+
+
+def test_duplicated_spans_semi_join_cannot_fan_out(spark, sf_dir):
+    """The dup-gram membership join must be LEFT SEMI (each gram
+    position row survives at most once — an inner join against a
+    hot gram's count row would be fine too, but a join against the
+    gram OCCURRENCES would fan out quadratically) and must not bake
+    a broadcast into the static plan."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "dedup_duplicated_spans")
+        assert "LeftSemi" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_dsir_ratio_table_is_broadcast(spark, sf_dir):
+    """The 256-row DSIR ratio table must broadcast back over the token
+    stream — a shuffle join there would reshuffle the whole corpus
+    token stream for a lookup-table-sized build side."""
+    plan = _plan(spark, sf_dir, "text_dsir_weights")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pq_adc_lookup_table_is_broadcast(spark, sf_dir):
+    """PQ ADC scoring joins the O(N·n_sub) code table against the
+    Q·n_sub·k_code lookup table: the lookup side must broadcast (the
+    corpus-sized code table must never move for it)."""
+    plan = _plan(spark, sf_dir, "sim_pq_ann")
+    assert "BroadcastHashJoin" in plan, plan
