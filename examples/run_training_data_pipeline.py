@@ -3,12 +3,15 @@
 engine adds beyond the reference's blockchain surface:
 
   1. quality gate (length / stopword / punctuation scoring)
-  2. intra-doc repetition filter (Gopher top-bigram fraction)
+  2. repetition gate (Gopher A1.1 top/duplicate n-gram filters) +
+     perplexity gate (in-corpus bigram-LM surprisal)
   3. exact dedup (normalized-text fingerprint, keep lowest doc_id)
   4. near-dedup (MinHash + LSH banding -> exact Jaccard verify
      -> connected components -> canonical election)
   5. language filter (n-gram heuristic language ID)
-  6. embedding near-dup sweep (label-blocked exact cosine)
+  6. embedding near-dup sweep (label-blocked exact cosine) +
+     duplicated-span audit (Lee et al. 2022) + DSIR importance
+     weights (Xie et al. 2023) for target-aware sampling
   7. deterministic stratified train/val split + length buckets
      for batch packing
 
@@ -56,37 +59,29 @@ def main(sf_dir: str) -> None:
         TX.fingerprint(F.col("text")).alias("fp"),
     )
 
-    # 2. repetition signal: top-bigram fraction per doc
-    tk = F.split(F.col("text"), " ")
-    ex = docs.select(
-        "doc_id",
-        tk.alias("tk"),
-        F.explode(F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1)))).alias(
-            "i"
-        ),
-    ).where(F.col("i") + 1 <= F.size(F.col("tk")))
-    bigram = F.concat_ws(
-        " ", F.element_at("tk", F.col("i")), F.element_at("tk", F.col("i") + 1)
-    )
-    rep = (
-        ex.select("doc_id", bigram.alias("bg"))
-        .groupBy("doc_id", "bg")
-        .count()
-        .groupBy("doc_id")
-        .agg((F.max("count") / F.sum("count")).alias("rep_ratio"))
-    )
+    # 2. repetition gate: the full Gopher filter set (top-2/3-gram
+    # share + duplicate-5/10-gram share, Rae et al. 2021 A1.1)
+    rep = TX.gopher_repetition(docs).select("doc_id", "passes")
+
+    # 2b. perplexity gate: in-corpus bigram-LM score (KenLM-style) —
+    # docs whose average bigram surprisal is an outlier don't look
+    # like the corpus
+    lm = TX.lm_bigram_score(docs).select("doc_id", "avg_neg_log2p")
 
     # 1+2+5. the filter gates are now trivial column predicates.
-    # LEFT join: a doc with <2 tokens has no bigram row — it trivially
-    # passes the repetition gate, it shouldn't vanish in the join.
+    # LEFT joins: a doc with <2 tokens has no n-gram/bigram rows — it
+    # trivially passes those gates, it shouldn't vanish in the join.
     kept = (
         feats.join(rep, "doc_id", "left")
-        .withColumn("rep_ratio", F.coalesce(F.col("rep_ratio"), F.lit(0.0)))
+        .join(lm, "doc_id", "left")
+        .withColumn("passes", F.coalesce(F.col("passes"), F.lit(True)))
         .where(
             (F.col("quality_score") >= 60.0)
-            & (F.col("rep_ratio") <= 0.2)
+            & F.col("passes")
+            & (F.coalesce(F.col("avg_neg_log2p"), F.lit(0.0)) <= 14.0)
             & (F.col("lang_pred") == F.col("lang"))
         )
+        .drop("passes", "avg_neg_log2p")
     )
 
     # 3. exact dedup on the normalized-text fingerprint
@@ -122,9 +117,18 @@ def main(sf_dir: str) -> None:
     labels = G.connected_components(dup_pairs, iterations=3).persist()
     canonical = labels.groupBy("label").agg(F.min("node").alias("keep"))
     drop = labels.join(canonical, "label").where(F.col("node") != F.col("keep"))
+    # localCheckpoint (eager): the span audit, the DSIR token sweep
+    # (which reads it three times: source counts, target counts,
+    # scoring join), and the final select all re-read the curated set.
+    # A plain persist still carries the full logical plan — Catalyst
+    # re-optimizes the whole curation lineage (minhash + the big
+    # lang/quality CASE trees) under every downstream explode, and
+    # analysis time alone blows past minutes. Checkpointing truncates
+    # the plan to the materialized rows. (On a cluster use
+    # reliable checkpoint/delta table instead of executor-local.)
     lang_ok = uniq.join(
         drop.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
-    )
+    ).localCheckpoint()
 
     # 6. embedding near-dup sweep (label-blocked exact cosine — the
     # dedup_embedding_cosine query shape)
@@ -152,12 +156,27 @@ def main(sf_dir: str) -> None:
         .count()
     )
 
+    # 6b. cross-doc duplicated-span audit (Lee et al. 2022): exact
+    # repeated substrings surviving the doc-level dedup — at scale
+    # these spans are cut, not the whole doc; here we report the mass
+    span_tokens = (
+        D.duplicated_spans(lang_ok, n=10)
+        .agg(F.coalesce(F.sum("dup_tokens"), F.lit(0)).alias("t"))
+        .collect()[0]["t"]
+    )
+
+    # 6c. DSIR importance weights (Xie et al. 2023): score every
+    # surviving doc by log(p_en/p_corpus) for target-aware sampling
+    dsir = TX.dsir_importance_weights(lang_ok, F.col("lang") == "en").select(
+        "doc_id", "dsir_logw"
+    )
+
     # 7. split + pack
     h1 = F.substring(
         F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1
     )
-    final = lang_ok.select(
-        "doc_id", "lang", "source", "n_tokens",
+    final = lang_ok.join(dsir, "doc_id", "left").select(
+        "doc_id", "lang", "source", "n_tokens", "dsir_logw",
         F.when(h1.isin("0", "1", "2"), "val").otherwise("train").alias("split"),
         F.least(F.floor(F.col("n_tokens") / 64), F.lit(15)).alias("bucket"),
     ).persist()
@@ -172,6 +191,7 @@ def main(sf_dir: str) -> None:
     print(f"documents in:           {n0}")
     print(f"after curation:         {n_final}  ({n_final / n0:.1%} kept)")
     print(f"embedding near-dup prs: {n_emb_dups}")
+    print(f"residual dup-span toks: {span_tokens}")
     print("packing histogram (split, bucket, n_docs, tokens):")
     for r in packing.collect():
         print(f"  {r['split']:5s} b{int(r['bucket']):2d}  {r['n_docs']:5d}  {int(r['tokens']):8d}")
