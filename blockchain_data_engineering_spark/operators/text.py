@@ -553,3 +553,52 @@ def bpe_pair_counts(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "pair", "n_occurrences", "rank"
     )
+
+
+# ---------------------------------------------- vocabulary coverage ---
+
+
+def vocab_coverage(
+    df: DataFrame,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-coverage curve: for each of the ``top_k`` most
+    frequent tokens, the cumulative share of the whole token stream a
+    vocabulary truncated at that rank would cover (1 - coverage = the
+    OOV rate every tokenizer-budget decision trades against).
+
+    Returns (rank, token, n_occurrences, cum_share) — cum_share is a
+    single division of exact integers per row.
+
+    Scale shape: one groupBy(token) count (map-side combined,
+    vocabulary-sized output), a distributed top-k, and a cumulative
+    window over top_k rows only; the total-token scalar rides along as
+    a 1-row cross join. The full-vocabulary cumulative curve would
+    need a global-order window over the vocab table — truncating to
+    the rank prefix you actually decide over keeps the window
+    single-partition-safe.
+    """
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("t"))
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("t"))
+        .limit(top_k)
+        .crossJoin(F.broadcast(total))
+    )
+    w = (
+        Window.orderBy(F.col("n").desc(), F.col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("t")))
+        .alias("rank"),
+        F.col("t").alias("token"),
+        F.col("n").alias("n_occurrences"),
+        (F.sum("n").over(w).cast("double") / F.col("total").cast("double")).alias(
+            "cum_share"
+        ),
+    )

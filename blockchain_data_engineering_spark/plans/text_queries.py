@@ -1077,3 +1077,33 @@ _BPE_PAIRS_ORACLE = """
 def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     return TX.bpe_pair_counts(docs, top_k=20)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: cumulative token-stream share of the
+# top-100 vocabulary prefix (1 - cum_share = OOV rate at that budget).
+# ---------------------------------------------------------------------------
+_VOCAB_ORACLE = """
+    WITH counts AS (
+      SELECT t, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY 1
+    ),
+    total AS (SELECT sum(n) AS total FROM counts),
+    top AS (
+      SELECT t, n FROM counts ORDER BY n DESC, t LIMIT 100
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, t) AS INTEGER) AS rank,
+           t AS token,
+           n AS n_occurrences,
+           CAST(sum(n) OVER (ORDER BY n DESC, t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(total.total AS DOUBLE) AS cum_share
+    FROM top CROSS JOIN total
+"""
+
+
+@query("text_vocab_coverage", oracle=_VOCAB_ORACLE)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TX.vocab_coverage(docs, top_k=100)
