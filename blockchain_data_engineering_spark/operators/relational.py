@@ -370,7 +370,9 @@ def hll_count_distinct(
         .when(first.isin("4", "5", "6", "7"), F.lit(1))
         .when(first.isin("2", "3"), F.lit(2))
         .when(first == "1", F.lit(3))
-        .otherwise(F.lit(48))  # all-zero tail
+        # all-zero tail: the z_hex term above already counted every
+        # zero bit, so no extra (rho = 48 + 1, the spec's cap)
+        .otherwise(F.lit(0))
     )
     rho = (z_hex * 4 + extra + 1).cast("int")
     regs = (

@@ -567,7 +567,7 @@ def _hll_oracle() -> str:
                  WHEN '7' THEN 1
                  WHEN '2' THEN 2 WHEN '3' THEN 2
                  WHEN '1' THEN 3
-                 ELSE 48 END + 1 AS rho
+                 ELSE 0 END + 1 AS rho
       FROM h
     ),
     regs AS (SELECT b, max(rho) AS m_j FROM r GROUP BY 1),
