@@ -1076,7 +1076,10 @@ def pq_ann_topk(
         .persist()  # feeds both the code assignment and the ADC table
     )
     d2.count()
-    vs.unpersist()  # everything downstream reads through d2's cache
+    # everything downstream reads through d2's cache — release both
+    # training-side caches (cb was eagerly persisted per Lloyd round)
+    vs.unpersist()
+    cb.unpersist()
     w = Window.partitionBy(id_col, "sub").orderBy("d2", "cid")
     codes = (
         d2.withColumn("__rn", F.row_number().over(w))

@@ -343,14 +343,18 @@ def _gram_counts(
     df: DataFrame, n: int, text_col: str, id_col: str
 ) -> DataFrame:
     """(id, gram, c): occurrence counts of word n-grams per doc —
-    ALL occurrences, not distinct (repetition is the signal here)."""
+    ALL occurrences, not distinct (repetition is the signal here).
+    Docs shorter than ``n`` tokens contribute NO rows (a truncated
+    partial gram would trivially be the doc's "top" gram and fail
+    every short doc)."""
     tk = F.split(F.col(text_col), " ")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1))),
+        F.sequence(F.lit(1), F.size(tk) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
     )
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        df.where(F.size(tk) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -389,16 +393,36 @@ def gopher_repetition(
     pretraining pipeline runs before tokenization.
 
     Scale shape: four explode→groupBy((id, gram))→groupBy(id)
-    pipelines joined on the doc id — each is one keyed shuffle of the
-    doc's own n-grams (map-side partial aggregation collapses
-    repeated grams early), no global state, no broadcast. The four
-    pipelines share the same scan via Spark's plan-level scan reuse.
+    pipelines LEFT-joined back onto the doc list — each is one keyed
+    shuffle of the doc's own n-grams (map-side partial aggregation
+    collapses repeated grams early), no global state, no broadcast.
+    The four pipelines share the same scan via Spark's plan-level
+    scan reuse. A doc too short for a given n has no gram rows; its
+    fraction coalesces to 0.0 — sub-n docs PASS that gram's test
+    (length gates are a different filter's job). Note the top-gram
+    fractions use the n-gram occurrence count as denominator, so docs
+    only a few tokens past n (a handful of n-grams total) still fail
+    the top-gram tests — as in the paper, run a minimum-length filter
+    (Gopher uses 50 words) before this one.
     """
     t2 = _gram_fracs(df, 2, text_col, id_col, "g2")
     t3 = _gram_fracs(df, 3, text_col, id_col, "g3")
     t5 = _gram_fracs(df, 5, text_col, id_col, "g5")
     t10 = _gram_fracs(df, 10, text_col, id_col, "g10")
-    out = t2.join(t3, id_col).join(t5, id_col).join(t10, id_col)
+    out = (
+        df.select(id_col)
+        .join(t2, id_col, "left")
+        .join(t3, id_col, "left")
+        .join(t5, id_col, "left")
+        .join(t10, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("g2_top_frac", F.lit(0.0)).alias("g2_top_frac"),
+            F.coalesce("g3_top_frac", F.lit(0.0)).alias("g3_top_frac"),
+            F.coalesce("g5_dup_frac", F.lit(0.0)).alias("g5_dup_frac"),
+            F.coalesce("g10_dup_frac", F.lit(0.0)).alias("g10_dup_frac"),
+        )
+    )
     passes = (
         (F.col("g2_top_frac") <= GOPHER_TOP2_MAX)
         & (F.col("g3_top_frac") <= GOPHER_TOP3_MAX)
@@ -471,7 +495,9 @@ def dsir_importance_weights(
         .agg(F.count(F.lit(1)).alias("ct"))
     )
     s_tot = src.agg(F.sum("cs").alias("S"))
-    t_tot = tgt.agg(F.sum("ct").alias("T"))
+    # empty target degrades to the uniform add-1 distribution (T=0,
+    # every ct=0) instead of silently NULLing every weight
+    t_tot = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("T"))
     nb = F.lit(DSIR_BUCKETS)
     scale = float(10**digits)
     # exact-integer-valued doubles: (ct+1)/(T+B) and (cs+1)/(S+B) are
@@ -513,7 +539,6 @@ def bpe_pair_counts(
     df: DataFrame,
     top_k: int = 20,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """The counting kernel of BPE tokenizer training (Sennrich et al.
     2016): collapse the corpus to a word-frequency table, explode each
@@ -562,7 +587,6 @@ def vocab_coverage(
     df: DataFrame,
     top_k: int = 100,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Vocabulary-coverage curve: for each of the ``top_k`` most
     frequent tokens, the cumulative share of the whole token stream a

@@ -572,10 +572,18 @@ def _hll_oracle() -> str:
     ),
     regs AS (SELECT b, max(rho) AS m_j FROM r GROUP BY 1),
     est AS (
-      SELECT {num!r}
-             / (sum(pow(2.0, -m_j))
-                + CAST({HLL_BUCKETS} - count(*) AS DOUBLE)) AS hll_estimate
-      FROM regs
+      SELECT CASE
+               WHEN raw <= {2.5 * HLL_BUCKETS!r} AND v_empty > 0
+               THEN CAST({HLL_BUCKETS} AS DOUBLE)
+                    * ln(CAST({HLL_BUCKETS} AS DOUBLE) / v_empty)
+               ELSE raw
+             END AS hll_estimate
+      FROM (
+        SELECT {num!r} / (sum(pow(2.0, -m_j))
+                 + CAST({HLL_BUCKETS} - count(*) AS DOUBLE)) AS raw,
+               CAST({HLL_BUCKETS} - count(*) AS DOUBLE) AS v_empty
+        FROM regs
+      )
     ),
     n AS (
       SELECT count(DISTINCT l_partkey) AS n_exact

@@ -950,6 +950,8 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # All ratios are single divisions of exact integers (bit-identical).
 # ---------------------------------------------------------------------------
 def _gopher_gram_cte(n: int, name: str) -> str:
+    # docs shorter than n tokens emit NO gram rows (a truncated
+    # partial gram would trivially dominate and fail every short doc)
     return f"""
     {name}_g AS (
       SELECT doc_id,
@@ -958,8 +960,8 @@ def _gopher_gram_cte(n: int, name: str) -> str:
                           CAST(i AS INTEGER) + {n} - 1), ' ') AS gram
       FROM (
         SELECT doc_id, tk,
-               unnest(generate_series(1, greatest(len(tk) - {n} + 1, 1))) AS i
-        FROM toks
+               unnest(generate_series(1, len(tk) - {n} + 1)) AS i
+        FROM toks WHERE len(tk) >= {n}
       )
     ),
     {name} AS (
@@ -976,20 +978,25 @@ def _gopher_gram_cte(n: int, name: str) -> str:
 _GOPHER_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-    ),{_gopher_gram_cte(2, "f2")},{_gopher_gram_cte(3, "f3")},{_gopher_gram_cte(5, "f5")},{_gopher_gram_cte(10, "f10")}
-    SELECT f2.doc_id,
-           f2.top_frac AS g2_top_frac,
-           f3.top_frac AS g3_top_frac,
-           f5.dup_frac AS g5_dup_frac,
-           f10.dup_frac AS g10_dup_frac,
-           (f2.top_frac <= {TX.GOPHER_TOP2_MAX}
-            AND f3.top_frac <= {TX.GOPHER_TOP3_MAX}
-            AND f5.dup_frac <= {TX.GOPHER_DUP5_MAX}
-            AND f10.dup_frac <= {TX.GOPHER_DUP10_MAX}) AS passes
-    FROM f2
-    JOIN f3 USING (doc_id)
-    JOIN f5 USING (doc_id)
-    JOIN f10 USING (doc_id)
+    ),{_gopher_gram_cte(2, "f2")},{_gopher_gram_cte(3, "f3")},{_gopher_gram_cte(5, "f5")},{_gopher_gram_cte(10, "f10")},
+    joined AS (
+      SELECT d.doc_id,
+             coalesce(f2.top_frac, 0.0) AS g2_top_frac,
+             coalesce(f3.top_frac, 0.0) AS g3_top_frac,
+             coalesce(f5.dup_frac, 0.0) AS g5_dup_frac,
+             coalesce(f10.dup_frac, 0.0) AS g10_dup_frac
+      FROM documents d
+      LEFT JOIN f2 USING (doc_id)
+      LEFT JOIN f3 USING (doc_id)
+      LEFT JOIN f5 USING (doc_id)
+      LEFT JOIN f10 USING (doc_id)
+    )
+    SELECT doc_id, g2_top_frac, g3_top_frac, g5_dup_frac, g10_dup_frac,
+           (g2_top_frac <= {TX.GOPHER_TOP2_MAX}
+            AND g3_top_frac <= {TX.GOPHER_TOP3_MAX}
+            AND g5_dup_frac <= {TX.GOPHER_DUP5_MAX}
+            AND g10_dup_frac <= {TX.GOPHER_DUP10_MAX}) AS passes
+    FROM joined
 """
 
 

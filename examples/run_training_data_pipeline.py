@@ -92,7 +92,7 @@ def main(sf_dir: str) -> None:
     uniq = (
         kept.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn", "fp", "rep_ratio", "lang_pred", "quality_score")
+        .drop("__rn", "fp", "lang_pred", "quality_score")
         .persist()
     )
 
