@@ -11,6 +11,8 @@ Catalyst pushes filters and prunes columns into the parquet reader.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -30,9 +32,12 @@ TABLES = (
 DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
-# Sessions already tuned (keyed by Spark application id) — tuning is
-# one-time per session, not a side effect of every table load.
-_TUNED: set[str] = set()
+# SparkSession objects already tuned — tuning is one-time per SESSION
+# (conf is per-SparkSession, not per-application: a second session in
+# the same app via newSession()/a second builder call has its own TZ
+# and must be tuned too; memoizing on applicationId silently skipped
+# it and shifted every NTZ timestamp by the host TZ offset).
+_TUNED: weakref.WeakSet = weakref.WeakSet()
 
 
 def _tune_session(spark: SparkSession) -> None:
@@ -45,11 +50,7 @@ def _tune_session(spark: SparkSession) -> None:
     test scale; AQE coalescing makes this safe at any size). Sessions
     with immutable conf degrade gracefully (filters/windows then follow
     that session's own settings)."""
-    try:
-        key = spark.sparkContext.applicationId
-    except Exception:
-        key = "unknown"
-    if key in _TUNED:
+    if spark in _TUNED:
         return
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -60,7 +61,10 @@ def _tune_session(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
         pass
-    _TUNED.add(key)
+    try:
+        _TUNED.add(spark)
+    except TypeError:  # non-weakref-able session stub in tests
+        pass
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

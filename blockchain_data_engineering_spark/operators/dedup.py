@@ -128,6 +128,11 @@ def jaccard_verify_arrays(
     if broadcast:
         a, b = F.broadcast(a), F.broadcast(b)
     n_inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    denom = (F.size("__sa") + F.size("__sb") - n_inter).cast("double")
+    # guard 0/0 (two empty sets): NaN compares GREATER than any double
+    # in Spark, so an unguarded NaN jaccard would pass every
+    # >= threshold filter; NULL fails it instead
+    jac = F.when(denom > 0, n_inter.cast("double") / denom)
     return (
         candidates.join(a, "id_a")
         .join(b, "id_b")
@@ -137,10 +142,7 @@ def jaccard_verify_arrays(
             n_inter.cast("long").alias("n_inter"),
             F.size("__sa").cast("long").alias("n_a"),
             F.size("__sb").cast("long").alias("n_b"),
-            (
-                n_inter.cast("double")
-                / (F.size("__sa") + F.size("__sb") - n_inter).cast("double")
-            ).alias("jaccard"),
+            jac.alias("jaccard"),
         )
     )
 
@@ -208,9 +210,15 @@ def lsh_bands(
                 F.md5(F.concat_ws(":", *cols)).alias("band_val"),
             )
         )
-    return signatures.select(
-        id_col, F.explode(F.array(*bands)).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_val")
+    # drop degenerate all-NULL signatures (NULL text / empty shingle
+    # arrays from the array-based builder): concat_ws skips NULLs, so
+    # they'd all hash to md5('') and every degenerate doc would
+    # collide with every other in EVERY band — O(m²) junk candidates
+    return (
+        signatures.where(F.col("mh0").isNotNull())
+        .select(id_col, F.explode(F.array(*bands)).alias("band"))
+        .select(id_col, "band.band_idx", "band.band_val")
+    )
 
 
 def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:

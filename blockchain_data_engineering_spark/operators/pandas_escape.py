@@ -55,6 +55,12 @@ def grouped_demean_scaled(
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
         v = pdf[value_col]
+        # widen BEFORE multiplying: Arrow hands the kernel the input's
+        # own dtype, and numpy keeps int32 for int32-array · python-int
+        # — v·n would wrap in-kernel and the LONG output column would
+        # faithfully store the wrapped garbage
+        if v.dtype.kind in ("i", "u"):
+            v = v.astype("int64")
         pdf = pdf.copy()
         pdf[out_col] = v * len(v) - v.sum()
         return pdf

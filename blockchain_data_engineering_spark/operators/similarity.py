@@ -842,6 +842,13 @@ def semantic_dedup(
     array joins; the drop rule (cosine ≥ τ vs ANY lower id) is a
     left-anti join — all integer-quanta deterministic, full SQL
     oracle in plans/similarity_queries.py.
+
+    Cache contract: the cluster-assignment table stays persisted for
+    the lifetime of the returned (lazy) plan — it is read by both the
+    pair generation and the final verdict join and cannot be released
+    inside this function. Long-lived sessions calling this repeatedly
+    should ``spark.catalog.clearCache()`` between corpus snapshots
+    (the bench harness does).
     """
     assign = kmeans_assign(vectors, centroids_long, vec_col, id_col).persist()
     pairs = (

@@ -122,15 +122,24 @@ def upsert_jdbc(
     sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in cols if c not in keys)
     ins_cols = ", ".join(q(c) for c in cols)
     ins_vals = ", ".join(f"s.{q(c)}" for c in cols)
+    # pure-key tables (link/pair shapes) have nothing to update — an
+    # empty SET list is a syntax error, so omit the MATCHED branch
+    matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
     merge = (
         f"MERGE INTO {table} t USING {staging} s ON {on} "
-        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
     )
     jvm = df.sparkSession._jvm
     if "driver" in props:
         jvm.Class.forName(props["driver"])
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    # the MERGE connection must carry the same credentials/options the
+    # staging write used (user/password etc.), not the bare URL
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        if k != "driver":
+            jprops.setProperty(k, str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         st = conn.createStatement()
         st.execute(merge)

@@ -131,9 +131,19 @@ def write_neo4j_bolt(
 
 def cypher_for_rows(rows: Sequence[dict], rel_type: str = "SENT_TO") -> str:
     """The UNWIND-MERGE statement with the batch inlined as a Cypher
-    list literal (JSON is valid Cypher for maps of scalars) — what one
-    Bolt batch sends, rendered replayable as text."""
-    rendered = json.dumps(list(rows))
+    list literal — what one Bolt batch sends, rendered replayable as
+    text. Cypher map KEYS must be bare identifiers (JSON's quoted keys
+    are a syntax error in cypher-shell), so maps are rendered key by
+    key with only the VALUES JSON-encoded (valid Cypher scalars)."""
+
+    def _map(row: dict) -> str:
+        return (
+            "{"
+            + ", ".join(f"{k}: {json.dumps(v)}" for k, v in row.items())
+            + "}"
+        )
+
+    rendered = "[" + ", ".join(_map(dict(r)) for r in rows) + "]"
     return _unwind_cypher(rel_type).replace("$rows", rendered) + ";"
 
 

@@ -143,7 +143,18 @@ class ChainSyncProducer:
         sock = socket.create_connection((self.host, self.port))
         n = 0
         pending: list[str] = []
-        file_idx = 0
+        # resume numbering after any previously landed files: restarting
+        # at 0 would overwrite part-00000 onward — and Spark's file
+        # stream source tracks seen files BY NAME, so overwritten files
+        # are never re-read and the new blocks silently vanish
+        existing = [
+            f
+            for f in os.listdir(self.out_dir)
+            if f.startswith("part-") and f.endswith(".ndjson")
+        ]
+        file_idx = (
+            max(int(f[5:10]) for f in existing) + 1 if existing else 0
+        )
 
         def flush() -> None:
             nonlocal pending, file_idx

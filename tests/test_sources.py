@@ -111,11 +111,17 @@ def test_neo4j_cypher_script_sink(spark, tmp_path):
     assert "MERGE (s:Wallet {address: row.send_addr})" in text
     assert "MERGE (s)-[t:SENT_TO {tx_hash: row.tx_hash, unit: row.unit}]->(r)" in text
     assert "SET t.value = row.value, t.value_ada = row.value_adj" in text
-    # the inlined batch is valid JSON (and therefore a valid Cypher
-    # literal) holding every edge exactly once
+    # the inlined batch is a Cypher map-literal list: keys are BARE
+    # identifiers (cypher-shell rejects JSON's quoted keys), values
+    # are JSON scalars; re-quote the keys to round-trip through json
     rows = []
     for m in re.finditer(r"UNWIND (\[.*?\]) AS row", text):
-        rows += json.loads(m.group(1))
+        lit = m.group(1)
+        assert '{"' not in lit, "map keys must be bare identifiers"
+        as_json = re.sub(
+            r"([{,]\s*)([A-Za-z_][A-Za-z0-9_]*)\s*:", r'\1"\2":', lit
+        )
+        rows += json.loads(as_json)
     assert {(r["send_addr"], r["rx_addr"], r["tx_hash"]) for r in rows} == {
         ("s1", "r1", "tx1"), ("s1", "r2", "tx1"), ("s2", "r1", "tx2")
     }
