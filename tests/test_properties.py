@@ -126,3 +126,131 @@ def test_netflow_spark_matches_python_model(spark):
         if d != 0:
             want[k] = d
     assert {(r.tx_hash, r.address, r.unit): r.value for r in got} == want
+
+
+# ------------------------------------------------- duplicated spans ---
+
+_WORDS = ("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=40),
+        min_size=2,
+        max_size=8,
+    ),
+    n=st.integers(min_value=3, max_value=6),
+)
+@settings(max_examples=12, deadline=None)
+def test_duplicated_spans_invariants_python_model(docs, n):
+    """Pure-python twin of operators.dedup.duplicated_spans: spans per
+    doc must be disjoint, non-adjacent, ordered, within bounds, and
+    cover exactly the positions of cross-doc-duplicated n-grams."""
+    grams: dict[int, list[tuple[int, tuple[str, ...]]]] = {}
+    for di, toks in enumerate(docs):
+        grams[di] = [
+            (p, tuple(toks[p : p + n])) for p in range(len(toks) - n + 1)
+        ]
+    from collections import defaultdict
+
+    where = defaultdict(set)
+    for di, lst in grams.items():
+        for _, g in lst:
+            where[g].add(di)
+    dup = {g for g, ds in where.items() if len(ds) >= 2}
+    for di, toks in enumerate(docs):
+        hits = sorted(p for p, g in grams[di] if g in dup)
+        # islands merge
+        spans = []
+        for p in hits:
+            e = p + n - 1
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((p, e))
+        # invariants
+        for i, (s, e) in enumerate(spans):
+            assert 0 <= s <= e < len(toks)
+            if i:
+                assert s > spans[i - 1][1] + 1  # disjoint AND non-adjacent
+        covered = set()
+        for s, e in spans:
+            covered |= set(range(s, e + 1))
+        for p in hits:
+            assert set(range(p, p + n)) <= covered
+
+
+def test_duplicated_spans_spark_matches_python_model(spark):
+    """The Spark operator must agree with the python model on a fixed
+    adversarial corpus (overlap, adjacency, triple-doc sharing)."""
+    import itertools
+
+    from blockchain_data_engineering_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    corpus = [
+        "aa bb cc dd ee ff gg hh aa bb cc dd".split(),
+        "xx aa bb cc dd ee ff gg hh yy".split(),
+        "aa bb cc dd ee ff gg hh aa bb cc dd ee".split(),
+        "zz " * 12,
+    ]
+    corpus[3] = corpus[3].split()
+    n = 4
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(df, n=n).collect()
+    }
+    # python model
+    grams = {
+        di: [(p, tuple(t[p : p + n])) for p in range(len(t) - n + 1)]
+        for di, t in enumerate(corpus)
+    }
+    from collections import defaultdict
+
+    where = defaultdict(set)
+    for di, lst in grams.items():
+        for _, g in lst:
+            where[g].add(di)
+    dup = {g for g, ds in where.items() if len(ds) >= 2}
+    expect = set()
+    for di, t in enumerate(corpus):
+        hits = sorted(p for p, g in grams[di] if g in dup)
+        spans = []
+        for p in hits:
+            e = p + n - 1
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((p, e))
+        expect |= {(di, s, e) for s, e in spans}
+    assert got == expect
+
+
+# ------------------------------------------------------ pack invariants ---
+
+
+def test_pack_sequences_conservation(spark):
+    """Every doc's packed placement must tile the shard stream: within
+    a shard, start offsets are a running sum of token counts in the
+    deterministic (md5, id) order, with no gaps or overlaps."""
+    from blockchain_data_engineering_spark.operators.text import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (3 + i % 7)), f"s{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = pack_sequences(df, seq_len=16).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["source"], []).append(r)
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["start_offset"])
+        cursor = 0
+        for r in docs:
+            assert r["start_offset"] == cursor, (shard, r)
+            assert r["pack_id"] == cursor // 16
+            last_tok = cursor + r["n_tokens"] - 1
+            assert r["n_packs"] == last_tok // 16 - cursor // 16 + 1
+            cursor += r["n_tokens"]
