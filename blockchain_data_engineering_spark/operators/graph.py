@@ -365,3 +365,62 @@ def triangle_count(
     oriented.unpersist()
     spark = edges.sparkSession
     return spark.createDataFrame([(n,)], "n_triangles LONG")
+
+
+def label_propagation_communities(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007): every node starts in its own community; each round
+    every node adopts the MOST FREQUENT label among its neighbors
+    (ties broken by the smaller label — fully deterministic, unlike
+    the paper's random tie-break, so results are engine-reproducible
+    and SQL-oracle-checkable). Distinct from min-label connected
+    components: majority voting finds dense communities inside one
+    connected component instead of collapsing it.
+
+    Scale shape per round: one |E|-vs-|V| join (labels broadcast by
+    default, ``broadcast=False`` + pre-partitioned edges at
+    billion-node scale — see :func:`_hint`), one (node, label)
+    count aggregation (map-side combined), one per-node argmax window
+    keyed on the node. Lineage stays linear (labels referenced once
+    per round).
+    """
+    from pyspark.sql.window import Window
+
+    nodes = vertices_of(edges, src, dst)
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = nodes.select(F.col("node"), F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label")
+    )
+    for _ in range(iterations):
+        votes = (
+            und.join(_hint(labels.withColumnRenamed("node", "b"), broadcast), "b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # isolated nodes (no edges) keep their own label via the
+        # left join + coalesce below
+        winners = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("__new"))
+        )
+        labels = (
+            nodes.join(winners, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__new"), F.col("node")).alias("label"),
+            )
+        )
+    return labels

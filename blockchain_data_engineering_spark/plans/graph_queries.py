@@ -298,3 +298,50 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return G.triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (Raghavan et al. 2007, deterministic
+# min-tie-break variant): majority vote over neighbor labels per
+# round — finds dense communities WITHIN a connected component, which
+# min-label CC by construction cannot. Oracle = the same synchronous
+# iteration unrolled.
+# ---------------------------------------------------------------------------
+LPA_ITERS = 4
+
+
+def _lpa_oracle_sql(iters: int) -> str:
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        "und AS (SELECT src AS a, dst AS b FROM edges"
+        " UNION SELECT dst, src FROM edges)",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"l{i - 1}"
+        ctes.append(
+            f"""v{i} AS (
+      SELECT u.a AS node, p.label, count(*) AS cnt
+      FROM und u JOIN {prev} p ON u.b = p.node GROUP BY 1, 2
+    ),
+    w{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (
+                 PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        FROM v{i}
+      ) WHERE rn = 1
+    ),
+    l{i} AS (
+      SELECT n.node, coalesce(w.label, n.node) AS label
+      FROM nodes n LEFT JOIN w{i} w ON w.node = n.node
+    )"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, label FROM l{iters}"
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle_sql(LPA_ITERS))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges_df(spark, sf_dir)
+    return G.label_propagation_communities(edges, iterations=LPA_ITERS)
