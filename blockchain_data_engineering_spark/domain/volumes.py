@@ -26,7 +26,26 @@ LOVELACE = "lovelace"
 
 def price_dim(prices: DataFrame, decimals: DataFrame) -> DataFrame:
     """prices ⋈ decimals on unit (left), the J4 dim-enrich
-    (src/etl_vol_transfers/main.py:116)."""
+    (src/etl_vol_transfers/main.py:116).
+
+    The dim MUST be unique per unit: volumes()/transfer_edges() left-
+    join it onto the fact rows, and a multi-provider price feed (the
+    PRICE_SCHEMA carries pricing_provider) would fan every matching
+    fact row out per provider and inflate the sums. The reference's
+    driver-side dict kept exactly one row per unit implicitly; here
+    the deterministic equivalent is keep-first by (provider, unit)
+    order.
+    """
+    from pyspark.sql.window import Window
+
+    cols = prices.columns
+    if "pricing_provider" in cols:
+        w = Window.partitionBy("unit").orderBy("pricing_provider")
+        prices = (
+            prices.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     return prices.join(decimals, "unit", "left")
 
 

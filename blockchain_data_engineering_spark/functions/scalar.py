@@ -109,6 +109,14 @@ def deterministic_id(*cols: Column | str) -> Column:
     write actions (SURVEY §4.3 H1). A content hash is stable across
     recomputation, retries, and restarts — required for exactly-once
     sinks at scale.
+
+    NULL components hash as an explicit ``\\x00`` sentinel: concat_ws
+    SKIPS nulls, so without it distinct natural keys differing only in
+    WHICH component is null (e.g. (a, NULL) vs (NULL, a)) would
+    collide — and a MERGE sink would silently keep one row. SQL twins
+    over nullable keys must apply the same
+    ``coalesce(CAST(c AS VARCHAR), chr(0))``.
     """
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
-    return F.sha2(F.concat_ws("\x1f", *[c.cast("string") for c in cs]), 256)
+    parts = [F.coalesce(c.cast("string"), F.lit("\x00")) for c in cs]
+    return F.sha2(F.concat_ws("\x1f", *parts), 256)

@@ -211,10 +211,21 @@ def salted(df: DataFrame, key_col: str, buckets: int, salt_col: str = "__salt") 
     ×buckets. At 100 TB this is the manual fallback when AQE skew
     splitting isn't enough (e.g. one token unit dominating the transfer
     graph)."""
-    others = [c for c in df.columns if c != key_col] or [key_col]
+    # When the frame has NO non-key columns the hash would be one
+    # constant per key — every hot-key row in a single bucket, a
+    # silent no-op — so the fallback salts on
+    # monotonically_increasing_id(). That salt is not retry-stable,
+    # which is safe for the supported use (spreading rows before a
+    # salted AGGREGATION or dim join, where results are
+    # bucket-assignment-independent); it is NOT a content key.
+    others = [c for c in df.columns if c != key_col]
+    source = (
+        [F.col(c) for c in others]
+        if others
+        else [F.monotonically_increasing_id()]
+    )
     return df.withColumn(
-        salt_col,
-        F.pmod(F.xxhash64(*[F.col(c) for c in others]), F.lit(buckets)),
+        salt_col, F.pmod(F.xxhash64(*source), F.lit(buckets))
     )
 
 
@@ -258,13 +269,21 @@ def asof_join_backward(
 
     Right side should be unique per (by_cols, right_ts) — pre-dedup for
     deterministic results.
+
+    NULL semantics match a real ASOF JOIN: the matched right ROW is
+    carried as one struct (so a legitimately-NULL right value is
+    attached as NULL rather than skipped for a stale older value, and
+    multiple ``right_vals`` always come from the SAME right row), and
+    rows whose key contains NULL never match (SQL join semantics — an
+    unpartitioned-NULL window group would otherwise match them to each
+    other).
     """
     keys = list(by_cols)
     vals = list(right_vals)
     r = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in vals],
+        F.struct(*[F.col(c).alias(c) for c in vals]).alias("__rrow"),
     ).withColumn("__side", F.lit(0))
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
@@ -273,15 +292,18 @@ def asof_join_backward(
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carried = F.last(
+        F.when(F.col("__side") == 0, F.col("__rrow")), ignorenulls=True
+    ).over(w)
+    null_key = F.lit(False)
+    for k in keys:
+        null_key = null_key | F.col(k).isNull()
+    u = u.withColumn("__match", F.when(~null_key, carried))
     for c in vals:
-        u = u.withColumn(
-            f"{c}{suffix}",
-            F.last(
-                F.when(F.col("__side") == 0, F.col(f"{c}{suffix}")),
-                ignorenulls=True,
-            ).over(w),
-        )
-    return u.where(F.col("__side") == 1).drop("__side", "__ts")
+        u = u.withColumn(f"{c}{suffix}", F.col("__match").getField(c))
+    return u.where(F.col("__side") == 1).drop(
+        "__side", "__ts", "__rrow", "__match"
+    )
 
 
 def bucketed_range_join(

@@ -44,11 +44,12 @@ def parquet_append_sink(path: str) -> Sink:
 def run_vol_transfers_pipeline(
     block_lines: DataFrame,
     dim: DataFrame,
-    utxo_outputs: DataFrame,
+    utxo_outputs: DataFrame | Callable[[], DataFrame],
     vol_sink: Sink,
     transfer_sink: Sink,
     checkpoint_dir: str,
     available_now: bool = True,
+    utxo_store_append: Sink | None = None,
 ) -> StreamingQuery:
     """The flagship reference pipeline (E1) as a checkpointed stream.
 
@@ -57,6 +58,22 @@ def run_vol_transfers_pipeline(
                   — H5 fix).
     utxo_outputs: historical outputs table for input resolution
                   (stream-static join replacing per-row REST, J5).
+                  MUST be unique per (tx_hash, output_index) — the
+                  bucketed upsert store guarantees that. Pass a
+                  ZERO-ARG CALLABLE returning a fresh DataFrame to
+                  re-read the store each micro-batch (a plain
+                  DataFrame snapshots its file listing at creation, so
+                  files appended later are invisible) — required for
+                  live tailing where ``utxo_store_append`` grows the
+                  store; a plain DataFrame is fine for bounded replays
+                  over a complete history.
+    utxo_store_append: optional sink receiving each batch's outputs
+                  BEFORE resolution — wire it to the same table
+                  ``utxo_outputs`` reads (parquet append + callable
+                  re-read, or upsert_parquet_bucketed) to maintain
+                  UTxO state across batches; without it an output
+                  created in batch N but spent in batch N+1 is
+                  unresolvable.
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -66,30 +83,54 @@ def run_vol_transfers_pipeline(
         # counter showed 4 scans per batch before this line (the same
         # recompute-per-action shape as reference hazard H1).
         parsed = B.parse_block_lines(batch_df).persist()
-        outputs_b = B.tx_outputs_table(parsed)
-        inputs_b = B.tx_inputs_table(parsed)
-        # resolve against history + the batch's own outputs (intra-batch
-        # spends are legal: a tx may consume an output created earlier
-        # in the same micro-batch). Outputs are keyed by
-        # (tx_hash, output_index); dedup makes the union safe whether or
-        # not the history table already includes this batch.
-        all_outputs = utxo_outputs.unionByName(outputs_b).dropDuplicates(
-            ["tx_hash", "output_index"]
-        )
-        transacted = N.transacted(
-            U.input_units(U.resolve_inputs(inputs_b, all_outputs)),
-            B.output_units(outputs_b).drop("output_index"),
-        )
-        # ONE materialization, N sinks (H1 fix)
-        transacted.persist()
         try:
-            coords = parsed.select(
-                F.explode("transactions.id").alias("hash"), "height", "slot"
+            outputs_b = B.tx_outputs_table(parsed)
+            inputs_b = B.tx_inputs_table(parsed)
+            if utxo_store_append is not None:
+                # land this batch's outputs in the UTxO store FIRST so
+                # cross-batch spends resolve (deterministic content
+                # keys make replays idempotent under a MERGE store)
+                utxo_store_append(outputs_b, batch_id)
+            # Two-tier resolution: intra-batch spends against the
+            # (tiny) batch outputs first, the remainder against
+            # history. This replaces union+dropDuplicates over the
+            # FULL history — which re-shuffled the whole archive every
+            # micro-batch — with one batch-sized anti join; the
+            # history join itself co-locates when the store is
+            # bucketed by tx_hash (J5 layout). The anti join also
+            # makes double-resolution impossible when the store
+            # already contains this batch (replay).
+            keys = ["spent_tx_hash", "spent_output_index"]
+            res_batch = U.resolve_inputs(inputs_b, outputs_b)
+            remaining = inputs_b.join(
+                outputs_b.select(
+                    F.col("tx_hash").alias("spent_tx_hash"),
+                    F.col("output_index").alias("spent_output_index"),
+                ),
+                keys,
+                "left_anti",
             )
-            vol_sink(V.volumes(transacted, dim, blocks_coords=coords), batch_id)
-            transfer_sink(TR.transfer_edges(transacted, dim), batch_id)
+            history = utxo_outputs() if callable(utxo_outputs) else utxo_outputs
+            resolved = res_batch.unionByName(
+                U.resolve_inputs(remaining, history)
+            )
+            transacted = N.transacted(
+                U.input_units(resolved),
+                B.output_units(outputs_b).drop("output_index"),
+            )
+            # ONE materialization, N sinks (H1 fix)
+            transacted.persist()
+            try:
+                coords = parsed.select(
+                    F.explode("transactions.id").alias("hash"), "height", "slot"
+                )
+                vol_sink(
+                    V.volumes(transacted, dim, blocks_coords=coords), batch_id
+                )
+                transfer_sink(TR.transfer_edges(transacted, dim), batch_id)
+            finally:
+                transacted.unpersist()
         finally:
-            transacted.unpersist()
             parsed.unpersist()
 
     # A8/observe: per-micro-batch row counts surface in

@@ -208,3 +208,64 @@ def test_semantic_dedup_drops_near_duplicates(spark):
         r.vec_id: r.kept for r in SIM.semantic_dedup(emb, cent, 1.1).collect()
     }
     assert all(out_hi.values())
+
+
+def test_asof_join_attaches_matched_rows_nulls_intact(spark):
+    """Backward as-of must attach the MATCHED right row atomically: a
+    legitimately-NULL right value arrives as NULL (not carried past
+    for a stale older value), multiple right columns come from the
+    SAME right row, and NULL join keys never match."""
+    from blockchain_data_engineering_spark.operators.relational import (
+        asof_join_backward,
+    )
+
+    right = spark.createDataFrame(
+        [
+            ("k", 1, 5, 6),
+            ("k", 2, None, 7),
+            (None, 3, 99, 99),
+        ],
+        "key string, ts long, a int, b int",
+    )
+    left = spark.createDataFrame(
+        [("k", 3), (None, 5), ("k", 0)], "key string, ts long"
+    )
+    got = {
+        (r["key"], r["ts"]): (r["a_asof"], r["b_asof"])
+        for r in asof_join_backward(
+            left, right, ["key"], "ts", "ts", ["a", "b"]
+        ).collect()
+    }
+    # ts=3 matches the ts=2 right row: a IS NULL there (no stale 5),
+    # and b=7 comes from the SAME row (no (5, 7)-style stitching
+    # across rows — the old per-column ignorenulls carry produced
+    # exactly that)
+    assert got[("k", 3)] == (None, 7)
+    # NULL keys never match (SQL join semantics)
+    assert got[(None, 5)] == (None, None)
+    # left row before any right row: no match
+    assert got[("k", 0)] == (None, None)
+
+
+def test_price_dim_deduplicates_providers(spark):
+    """A multi-provider price feed must not fan out fact rows: the dim
+    keeps one deterministic row per unit (first provider)."""
+    from blockchain_data_engineering_spark.domain.schema import (
+        DECIMALS_SCHEMA,
+        PRICE_SCHEMA,
+    )
+    from blockchain_data_engineering_spark.domain.volumes import price_dim
+
+    prices = spark.createDataFrame(
+        [
+            ("u1", "U1", 0.2, 2.0, "2025-01-01", "provB"),
+            ("u1", "U1", 0.1, 1.0, "2025-01-01", "provA"),
+            ("u2", "U2", 0.3, 3.0, "2025-01-01", "provA"),
+        ],
+        PRICE_SCHEMA,
+    )
+    decimals = spark.createDataFrame([("u1", 6), ("u2", 0)], DECIMALS_SCHEMA)
+    dim = price_dim(prices, decimals)
+    rows = {r["unit"]: r for r in dim.collect()}
+    assert dim.count() == 2  # one row per unit, not per provider
+    assert rows["u1"]["pricing_provider"] == "provA"  # deterministic

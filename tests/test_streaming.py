@@ -534,3 +534,63 @@ def test_stateful_running_balances_v2_matches_v1(spark, tmp_path):
         b, n = want.get(k, (0, 0))
         want[k] = (b + r["value"], n + 1)
     assert got == want
+
+
+def test_live_tailing_resolves_cross_batch_spends(spark, chain, tmp_path):
+    """Live-tailing shape: the UTxO store starts EMPTY and is grown by
+    the pipeline's own utxo_store_append sink, with the history side
+    re-read per batch (callable). Cross-batch spends (batch N+1
+    consuming batch N's outputs) must resolve — the result must equal
+    the full-history batch run, proving no spend fell through."""
+    import os
+    import time
+
+    vol_path = str(tmp_path / "vol_live")
+    tr_path = str(tmp_path / "tr_live")
+    store = str(tmp_path / "utxo_store")
+    ckpt = str(tmp_path / "ckpt_live")
+
+    # own replay dir with STRICTLY INCREASING file mtimes: the file
+    # stream source orders batches by modification time, and the
+    # shared fixture's files land within one clock tick — delivering
+    # chain chunks out of order, which no live tail ever does
+    replay = str(tmp_path / "replay_live")
+    SRC.write_ndjson_replay(chain.lines, replay, n_files=4)
+    now = time.time()
+    for i, f in enumerate(sorted(os.listdir(replay))):
+        os.utime(os.path.join(replay, f), (now + i, now + i))
+
+    stream = SRC.ndjson_file_stream(spark, replay, max_files_per_trigger=1)
+
+    def store_append(df, batch_id):
+        df.write.mode("append").parquet(store)
+
+    def read_store():
+        try:
+            return spark.read.parquet(store)
+        except Exception:  # first batch: store does not exist yet
+            lines = spark.createDataFrame([], "value string")
+            return B.tx_outputs_table(B.parse_block_lines(lines))
+
+    q = run_vol_transfers_pipeline(
+        stream,
+        _dim(spark, chain),
+        read_store,
+        parquet_append_sink(vol_path),
+        parquet_append_sink(tr_path),
+        ckpt,
+        utxo_store_append=store_append,
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r.hash, r.unit): r.value_adj
+        for r in spark.read.parquet(vol_path).collect()
+    }
+    batch = {
+        (r.hash, r.unit): r.value_adj
+        for r in _batch_volumes(spark, chain).collect()
+    }
+    assert set(streamed) == set(batch)
+    for k, v in batch.items():
+        assert streamed[k] == pytest.approx(v, rel=1e-12), k
