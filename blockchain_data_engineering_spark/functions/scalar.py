@@ -56,21 +56,31 @@ def decimal_scaled(value: Column | str, decimals: Column | str) -> Column:
 
 
 def hex_decode_utf8(hex_col: Column | str) -> Column:
-    """Decode a hex string to UTF-8 text (F6).
+    """Decode a hex string to UTF-8 text (F6), NULL when the bytes are
+    not valid UTF-8.
 
     Reference: ``bytes.fromhex(x[56:]).decode('utf-8')`` in
-    src/jupyter/volume_stack_plot.ipynb cell 2.
+    src/jupyter/volume_stack_plot.ipynb cell 2. Real asset names are
+    arbitrary bytes (CIP-67/68 labels, binary names) and Spark 4's
+    ANSI ``decode`` RAISES on malformed input — an unguarded decode
+    kills the whole job on the first such name, so validity is
+    checked first (callers fall back to the raw hex/short label for
+    NULLs).
     """
     c = F.col(hex_col) if isinstance(hex_col, str) else hex_col
-    return F.decode(F.unhex(c), "UTF-8")
+    b = F.unhex(c)
+    return F.when(F.is_valid_utf8(b), F.decode(b, "UTF-8"))
 
 
 def asset_display_name(unit: Column | str) -> Column:
     """Hex-decode the asset-name suffix of a unit (chars 57+), with the
-    ADA special case passing through unchanged (F6 + F3)."""
+    ADA special case passing through unchanged (F6 + F3). Names whose
+    bytes are not valid UTF-8 (binary labels) display as the raw hex
+    instead of killing the job."""
     c = F.col(unit) if isinstance(unit, str) else unit
+    suffix = F.substring(c, 57, 2048)
     return F.when(c == F.lit("lovelace"), F.lit("ADA")).otherwise(
-        hex_decode_utf8(F.substring(c, 57, 2048))
+        F.coalesce(hex_decode_utf8(suffix), suffix)
     )
 
 

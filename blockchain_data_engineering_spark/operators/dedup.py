@@ -195,6 +195,12 @@ def lsh_bands(
     signatures: DataFrame, n_hashes: int = 9, band_size: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, band_idx, band_val): hash each band of the signature."""
+    if n_hashes % band_size != 0:
+        raise ValueError(
+            f"n_hashes={n_hashes} not divisible by band_size={band_size}: "
+            f"the trailing {n_hashes % band_size} minhash components "
+            "would be silently ignored (paid for, zero recall)"
+        )
     n_bands = n_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -289,7 +295,12 @@ def minhash_lsh_dedup(
     ``dedup_minhash_lsh`` plan for the why). The array variants
     (:func:`shingle_array` et al.) win when shingle sets are small
     (e.g. word n-grams) — see :func:`word_ngram_array`."""
-    sh = shingle_set(df, text_col, id_col, k)
+    # persisted: sh feeds the signature build AND both sides of the
+    # Jaccard verify — unpersisted, the corpus-wide shingle explode +
+    # distinct (the dominant cost) runs three times. Cache contract:
+    # both caches live as long as the returned plan (clearCache
+    # between corpus snapshots, as the bench does).
+    sh = shingle_set(df, text_col, id_col, k).persist()
     # persisted: the bucket self-join references sig twice; unpersisted
     # the whole shingle→signature subtree runs once per side
     sig = minhash_signatures(sh, n_hashes, id_col).persist()

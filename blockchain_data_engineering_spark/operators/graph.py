@@ -170,15 +170,30 @@ def neighborhood(
 ) -> DataFrame:
     """Edges reachable from ``node`` within ``depth`` hops (the
     notebook's MATCH (s)-[t:SENT_TO]->(r) sample, G4 — but anchored and
-    deterministic instead of LIMIT 50)."""
-    frontier = edges.where(F.col(src) == node)
+    deterministic instead of LIMIT 50).
+
+    Each level is eagerly persisted: the frontier is referenced twice
+    (the union AND the next expansion join), so an uncached loop
+    re-evaluates level k's subtree ~2^(depth-k) times — the same 2^k
+    lineage blowup the CC loop documents. Caches are released as each
+    level's successor materializes; the final result stays cached for
+    the returned plan.
+    """
+    frontier = edges.where(F.col(src) == node).persist()
     result = frontier
+    cached = [frontier]
     for _ in range(depth - 1):
         nxt = edges.join(
             frontier.select(F.col(dst).alias(src)).distinct(), src, "inner"
-        )
+        ).persist()
+        nxt.count()
         result = result.unionByName(nxt).distinct()
         frontier = nxt
+        cached.append(nxt)
+    result = result.persist()
+    result.count()
+    for c in cached:
+        c.unpersist()
     return result
 
 

@@ -178,6 +178,13 @@ def upsert_parquet(
 
     spark = df.sparkSession
     keys = list(key_cols)
+    old = path.rstrip("/") + "__old"
+    # Crash recovery FIRST: a crash between the two swap renames
+    # leaves the only copy of the table at <path>__old with <path>
+    # missing. Blindly treating that as "first write" and clearing
+    # __old would destroy the preserved table — restore it instead.
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
     exists = os.path.isdir(path) and any(
         f.endswith(".parquet") for f in os.listdir(path)
     )
@@ -199,7 +206,6 @@ def upsert_parquet(
     else:
         result = df
     tmp = path.rstrip("/") + "__tmp"
-    old = path.rstrip("/") + "__old"
     result.write.mode("overwrite").parquet(tmp)  # reads <path> lazily here
     shutil.rmtree(old, ignore_errors=True)
     if exists:
@@ -245,6 +251,12 @@ def upsert_parquet_bucketed(
     import json
 
     incoming = df.withColumn("__bucket", bucket)
+    # empty batches are routine in a streaming foreachBatch sink: with
+    # no rows there is nothing to merge, and writing a data-less
+    # partitioned dir (only _SUCCESS) would leave a table
+    # spark.read.parquet cannot infer a schema from
+    if df.isEmpty():
+        return
     exists = os.path.isdir(path) and any(
         f.startswith("__bucket=") or f.endswith(".parquet")
         for f in os.listdir(path)

@@ -36,6 +36,23 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+def _exact_value_sum(values) -> int:
+    """Exact integer sum of the batch's value column.
+
+    Arrow→pandas renders an int64 column containing NULLs as float64
+    (NaN for the NULLs): float64 .sum() would silently count NULL
+    flows as 0 AND round above 2^53 lovelace — below Cardano's total
+    supply, so a real balance could drift. NULLs are a data bug —
+    fail loudly — and the sum runs in int64.
+    """
+    if values.isna().any():
+        raise ValueError(
+            "NULL flow value in stateful balance input — upstream "
+            "netflow rows must be non-null"
+        )
+    return int(values.astype("int64").sum())
+
+
 def _update_balance(key, pdfs: Iterator, state: GroupState) -> Iterable:
     """Fold this batch's flow values into the per-(address, unit)
     balance. Arrow-batched: pdfs iterates pandas frames for the group.
@@ -46,7 +63,7 @@ def _update_balance(key, pdfs: Iterator, state: GroupState) -> Iterable:
     delta = 0
     n = 0
     for pdf in pdfs:
-        delta += int(pdf["value"].sum())
+        delta += _exact_value_sum(pdf["value"])
         n += len(pdf)
     if state.exists:
         balance, n_changes = state.get
@@ -142,7 +159,7 @@ def running_balances_v2(flows: DataFrame) -> DataFrame:
             delta = 0
             n = 0
             for pdf in rows:
-                delta += int(pdf["value"].sum())
+                delta += _exact_value_sum(pdf["value"])
                 n += len(pdf)
             if self._state.exists():
                 balance, n_changes = self._state.get()
