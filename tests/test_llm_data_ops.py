@@ -194,3 +194,36 @@ def test_pq_codebook_size_is_corpus_independent(spark, emb):
     n1 = cb1.select("sub", "cid").distinct().count()
     n2 = cb2.select("sub", "cid").distinct().count()
     assert n1 == n2 == 4 * 8
+
+
+# --------------------------------------------- label propagation ---
+
+
+def test_lpa_separates_bridged_cliques(spark):
+    """Two 4-cliques joined by a single bridge edge: min-label CC
+    collapses everything into one component, but majority-vote label
+    propagation must keep two communities (the bridge is outvoted)."""
+    import itertools
+
+    from blockchain_data_engineering_spark.operators.graph import (
+        connected_components,
+        label_propagation_communities,
+    )
+
+    c1 = list(itertools.combinations([0, 1, 2, 3], 2))
+    c2 = list(itertools.combinations([10, 11, 12, 13], 2))
+    edges = spark.createDataFrame(
+        c1 + c2 + [(3, 10)], "src long, dst long"
+    )
+    lpa = {
+        r["node"]: r["label"]
+        for r in label_propagation_communities(edges, iterations=4).collect()
+    }
+    assert len({lpa[n] for n in (0, 1, 2, 3)}) == 1
+    assert len({lpa[n] for n in (10, 11, 12, 13)}) == 1
+    assert lpa[0] != lpa[10], "bridge must not merge the cliques"
+    cc = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, iterations=4).collect()
+    }
+    assert len(set(cc.values())) == 1  # CC sees one component
