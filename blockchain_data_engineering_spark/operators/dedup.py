@@ -511,3 +511,92 @@ def duplicated_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring DEDUPLICATION (the cut stage of Lee et al.
+    2022): every token position covered by a cross-doc-duplicated
+    n-gram is removed from all docs EXCEPT the gram's owner (the
+    minimal doc id containing it), and the surviving tokens are
+    re-joined in order. One copy of every duplicated passage survives
+    corpus-wide; owners keep their text verbatim.
+
+    Returns (id, text_deduped, n_removed). Deterministic: ownership is
+    a min-aggregate, position rebuild is an order-preserving sort.
+
+    Scale shape: the gram/ownership pass is the same three keyed
+    shuffles as :func:`duplicated_spans`; the cut-position explode is
+    bounded by n x duplicated-gram instances; the rebuild is one
+    groupBy(id) over the doc's own tokens with an in-row sort — no
+    corpus-sized broadcast anywhere.
+    """
+    tk = F.split(F.col(text_col), " ")
+    toks = df.select(
+        F.col(id_col), F.posexplode(tk).alias("pos", "tok")
+    )
+    grams = (
+        df.select(F.col(id_col), tk.alias("__tk"))
+        .where(F.size("__tk") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__tk") - n),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("__tk"), i + 1, n)
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select(id_col, F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    )
+    owners = grams.groupBy("g").agg(
+        F.count_distinct(F.col(id_col)).alias("nd"),
+        F.min(F.col(id_col)).alias("owner"),
+    ).where(F.col("nd") >= min_docs)
+    # positions covered by a duplicated gram in a NON-owner doc
+    cut = (
+        grams.join(owners, "g")
+        .where(F.col(id_col) != F.col("owner"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(cut, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    return (
+        df.select(id_col, n_tok.alias("__n"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
+            (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

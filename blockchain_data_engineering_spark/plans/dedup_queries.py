@@ -618,3 +618,69 @@ _SPAN_ORACLE = f"""
 def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     return D.duplicated_spans(docs, n=SPAN_N)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring DEDUPLICATION (the cut stage of Lee et al. 2022):
+# tokens covered by a cross-doc-duplicated n-gram are removed from
+# every doc except the gram's min-id owner; text is rebuilt in order.
+# ---------------------------------------------------------------------------
+_SPAN_CUT_ORACLE = f"""
+    WITH toks0 AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+             tk[CAST(i AS INTEGER)] AS tok
+      FROM (
+        SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+        FROM toks0
+      )
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+             array_to_string(
+               list_slice(tk, CAST(i AS INTEGER),
+                          CAST(i AS INTEGER) + {SPAN_N} - 1), ' ') AS g
+      FROM (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk) - {SPAN_N} + 1)) AS i
+        FROM toks0 WHERE len(tk) >= {SPAN_N}
+      )
+    ),
+    owners AS (
+      SELECT g, min(doc_id) AS owner FROM grams
+      GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cut AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT gr.doc_id,
+               CAST(unnest(generate_series(gr.pos, gr.pos + {SPAN_N} - 1))
+                    AS BIGINT) AS pos
+        FROM grams gr JOIN owners o USING (g)
+        WHERE gr.doc_id <> o.owner
+      )
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t LEFT JOIN cut c ON c.doc_id = t.doc_id AND c.pos = t.pos
+      WHERE c.pos IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY pos) AS text_deduped,
+             count(*) AS kept_n
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.text_deduped, '') AS text_deduped,
+           CAST(len(string_split(d.text, ' ')) - coalesce(r.kept_n, 0)
+                AS BIGINT) AS n_removed
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@query("dedup_span_removal", oracle=_SPAN_CUT_ORACLE)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return D.remove_duplicated_spans(docs, n=SPAN_N)

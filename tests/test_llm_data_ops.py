@@ -227,3 +227,26 @@ def test_lpa_separates_bridged_cliques(spark):
         for r in connected_components(edges, iterations=4).collect()
     }
     assert len(set(cc.values())) == 1  # CC sees one component
+
+
+def test_span_removal_cuts_non_owner_keeps_owner(spark):
+    """The cut stage: the min-id doc owning a duplicated passage keeps
+    its text verbatim; every other doc loses exactly the covered
+    tokens, order preserved."""
+    shared = " ".join(f"tok{i}" for i in range(12))
+    rows = [
+        (1, "alpha beta " + shared + " gamma"),
+        (2, "one two " + shared + " three four"),
+        (3, " ".join(f"solo{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in D.remove_duplicated_spans(df, n=10).collect()
+    }
+    assert out[1]["text_deduped"] == rows[0][1]  # owner untouched
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text_deduped"] == "one two three four"
+    assert out[2]["n_removed"] == 12
+    assert out[3]["text_deduped"] == rows[2][1]  # unique doc untouched
+    assert out[3]["n_removed"] == 0
