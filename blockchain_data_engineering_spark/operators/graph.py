@@ -414,10 +414,12 @@ def label_propagation_communities(
         .distinct()
         .cache()
     )
+    nodes = nodes.cache()
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
     w = Window.partitionBy("node").orderBy(
         F.col("cnt").desc(), F.col("label")
     )
+    prev = None
     for _ in range(iterations):
         votes = (
             und.join(_hint(labels.withColumnRenamed("node", "b"), broadcast), "b")
@@ -438,4 +440,13 @@ def label_propagation_communities(
                 F.coalesce(F.col("__new"), F.col("node")).alias("label"),
             )
         )
+        # eager per-round persist: each round's broadcast build is a
+        # separate job whose input is the PREVIOUS labels — uncached,
+        # job k re-executes rounds 1..k-1 (O(k²) total round work);
+        # cached, every broadcast reads |V| materialized rows
+        labels = labels.persist()
+        labels.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = labels
     return labels
