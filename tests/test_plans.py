@@ -9,13 +9,14 @@ import io
 import re
 from contextlib import redirect_stdout
 
-from blockchain_data_engineering_spark.plans import QUERIES
+from blockchain_data_engineering_spark.plans import EXTRA_QUERIES, QUERIES
 
 
 def _plan(spark, sf_dir, name: str) -> str:
+    fn = QUERIES.get(name) or EXTRA_QUERIES[name]
     buf = io.StringIO()
     with redirect_stdout(buf):
-        QUERIES[name](spark, sf_dir).explain("formatted")
+        fn(spark, sf_dir).explain("formatted")
     return buf.getvalue()
 
 
