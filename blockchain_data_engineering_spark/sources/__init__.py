@@ -9,4 +9,5 @@ from blockchain_data_engineering_spark.sources.io import (  # noqa: F401
     upsert_parquet_bucketed,
     write_edge_list,
     write_jdbc,
+    write_neo4j_admin_export,
 )

@@ -342,3 +342,95 @@ def write_edge_list(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     passthrough belongs in deployment code; the analytics (PageRank,
     neighborhoods) run natively on this table (operators.graph)."""
     df.write.mode(mode).parquet(path)
+
+
+def _neo4j_prop_type(spark_type: str) -> str:
+    """Spark SQL type → neo4j-admin import header type suffix
+    (operations-manual: tools/neo4j-admin/neo4j-admin-import, 'Header
+    format'). Integral → long, floating → double, boolean → boolean;
+    everything else (string, decimal beyond long range, binary hex,
+    timestamps pre-rendered by the caller) ships as string — the only
+    lossless default for arbitrary precision."""
+    if spark_type in ("tinyint", "smallint", "int", "bigint"):
+        return "long"
+    if spark_type in ("float", "double"):
+        return "double"
+    if spark_type == "boolean":
+        return "boolean"
+    return "string"
+
+
+def write_neo4j_admin_export(
+    edges: DataFrame,
+    out_dir: str,
+    src_col: str = "send_addr",
+    dst_col: str = "rx_addr",
+    rel_type: str = "TRANSFER",
+    node_label: str = "Wallet",
+) -> str:
+    """Neo4j sink for existing Bolt/Neo4j consumers (reference
+    src/etl_vol_transfers/main.py:190-209 MERGEd the same rows one
+    Cypher call per edge). At engine scale the supported Neo4j bulk
+    path is ``neo4j-admin database import`` over CSV, so this sink
+    produces exactly that layout, fully distributed:
+
+    - ``nodes/part-*.csv``  headerless node rows (distinct addresses),
+    - ``relationships/part-*.csv``  headerless edge rows with every
+      non-endpoint column as a typed property,
+    - ``nodes_header.csv`` / ``relationships_header.csv``  the one-line
+      typed headers neo4j-admin pairs with the data globs
+      (``addr:ID(Wallet),:LABEL`` / ``:START_ID .. :END_ID .. :TYPE``).
+
+    Returns the ready-to-run ``neo4j-admin database import full``
+    command string. Per-row Cypher MERGE (the reference's shape) is
+    O(edges) round-trips and years at 100 TB; this is one distributed
+    CSV write plus Neo4j's own parallel bulk loader.
+    """
+    import os
+
+    id_space = f":ID({node_label})"
+    prop_fields = [
+        f for f in edges.schema.fields if f.name not in (src_col, dst_col)
+    ]
+
+    nodes = (
+        edges.select(F.col(src_col).alias("addr"))
+        .unionAll(edges.select(F.col(dst_col).alias("addr")))
+        .distinct()
+        .select("addr", F.lit(node_label).alias("label"))
+    )
+    nodes.write.mode("overwrite").option("emptyValue", "").csv(
+        os.path.join(out_dir, "nodes")
+    )
+
+    rels = edges.select(
+        F.col(src_col).alias("start"),
+        F.col(dst_col).alias("end"),
+        F.lit(rel_type).alias("type"),
+        *[F.col(f.name) for f in prop_fields],
+    )
+    rels.write.mode("overwrite").option("emptyValue", "").csv(
+        os.path.join(out_dir, "relationships")
+    )
+
+    node_header = f"addr{id_space},:LABEL"
+    rel_header = ",".join(
+        [f":START_ID({node_label})", f":END_ID({node_label})", ":TYPE"]
+        + [
+            f"{f.name}:{_neo4j_prop_type(f.dataType.simpleString())}"
+            for f in prop_fields
+        ]
+    )
+    # tiny driver-side header files (one line each) — neo4j-admin takes
+    # "--nodes=<header>,<data-glob>" so the distributed parts stay headerless
+    with open(os.path.join(out_dir, "nodes_header.csv"), "w") as fh:
+        fh.write(node_header + "\n")
+    with open(os.path.join(out_dir, "relationships_header.csv"), "w") as fh:
+        fh.write(rel_header + "\n")
+
+    return (
+        "neo4j-admin database import full "
+        f"--nodes={out_dir}/nodes_header.csv,{out_dir}/nodes/part-.* "
+        f"--relationships={out_dir}/relationships_header.csv,"
+        f"{out_dir}/relationships/part-.* neo4j"
+    )

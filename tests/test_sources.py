@@ -215,3 +215,48 @@ def test_upsert_parquet_bucketed_rejects_layout_mismatch(spark, tmp_path):
             ["other"],
             n_buckets=8,
         )
+
+
+def test_neo4j_admin_export_layout(spark, tmp_path):
+    """S6 passthrough for Bolt consumers: the export must be loadable by
+    pairing the one-line typed header with the headerless parts —
+    verified here by reading the parts back WITH the header's schema and
+    checking ids, label/type constants, and property typing survive."""
+    from blockchain_data_engineering_spark.sources import write_neo4j_admin_export
+
+    edges = spark.createDataFrame(
+        [
+            ("a1", "a2", "tx1", "lovelace", 7, 0.7, True),
+            ("a2", "a3", "tx2", "tok", 9, 0.9, False),
+            ("a1", "a3", "tx3", "tok", 11, 1.1, True),
+        ],
+        "send_addr STRING, rx_addr STRING, tx_hash STRING, unit STRING,"
+        " value LONG, value_adj DOUBLE, verified BOOLEAN",
+    )
+    out = str(tmp_path / "neo4j")
+    cmd = write_neo4j_admin_export(edges, out)
+    assert "neo4j-admin database import full" in cmd
+
+    node_header = (tmp_path / "neo4j" / "nodes_header.csv").read_text().strip()
+    rel_header = (
+        (tmp_path / "neo4j" / "relationships_header.csv").read_text().strip()
+    )
+    assert node_header == "addr:ID(Wallet),:LABEL"
+    assert rel_header == (
+        ":START_ID(Wallet),:END_ID(Wallet),:TYPE,tx_hash:string,"
+        "unit:string,value:long,value_adj:double,verified:boolean"
+    )
+
+    nodes = spark.read.csv(f"{out}/nodes", schema="addr STRING, label STRING")
+    assert sorted(r["addr"] for r in nodes.collect()) == ["a1", "a2", "a3"]
+    assert {r["label"] for r in nodes.collect()} == {"Wallet"}
+
+    rels = spark.read.csv(
+        f"{out}/relationships",
+        schema="start STRING, end STRING, type STRING, tx_hash STRING,"
+        " unit STRING, value LONG, value_adj DOUBLE, verified BOOLEAN",
+    )
+    rows = sorted(map(tuple, rels.collect()))
+    assert len(rows) == 3
+    assert {r[2] for r in rows} == {"TRANSFER"}
+    assert rows[0] == ("a1", "a2", "TRANSFER", "tx1", "lovelace", 7, 0.7, True)
