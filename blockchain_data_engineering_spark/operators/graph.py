@@ -314,17 +314,24 @@ def connected_components_pointer_jump(
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
-    """Global triangle count via degree-ordered edge orientation — the
-    standard shuffle-bounded formulation (each triangle counted exactly
-    once, wedge fan-out bounded by the LOW-degree endpoint's degree, so
-    a celebrity node with degree d contributes O(d) oriented wedges
-    from its low-degree neighbors instead of O(d²) from itself).
+    """Global triangle count via degree-ordered edge orientation +
+    adjacency-array intersection (the GraphX/"compact forward" kernel):
+    each triangle is counted exactly once at its (degree, id)-lowest
+    oriented edge as ``|N+(u) ∩ N+(v)|``, with out-neighborhoods
+    bounded by the LOW-degree endpoint's degree, so a celebrity node
+    with degree d contributes O(d) work from its low-degree neighbors
+    instead of O(d²) from itself.
 
     Shape: one degree aggregate, one orientation projection, one
-    self-join on the wedge apex, one semi-join against the oriented
-    edge set. All equi-joins — scales as sum over nodes of
-    out-degree², with out-degree bounded by sqrt(|E|)-ish under the
-    (degree, id) total order.
+    collect_list per source node, two equi-joins attaching the two
+    out-neighbor arrays to each oriented edge, then a JVM-codegen
+    ``array_intersect`` — the O(Σ out-degree²) wedge set is never
+    materialized or shuffled (the wedge self-join + semi-join
+    formulation was measured 2.2× slower on the dense supplier
+    co-occurrence graph at sf0.1: 15.5 s vs 7.1 s steady-state).
+    Arrays stay small under orientation (max out-degree ≈ √|E|);
+    for a pathological >100 MB adjacency row, route that node's edges
+    through the wedge-join path instead.
 
     Returns a single row (n_triangles BIGINT) — deterministic integer.
     """
@@ -354,28 +361,27 @@ def triangle_count(
     oriented = withdeg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
     ).persist()
-    e1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
-    e2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
-    wedges = (
-        e1.join(e2, "u")
-        .where(
-            (F.col("dx") < F.col("dy"))
-            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
-        )
-        .select(F.col("x").alias("u"), F.col("y").alias("v"))
+    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    # attach N+(u) and N+(v) to each oriented edge; adj has one row per
+    # non-sink node, so AQE broadcasts it whenever |V| is small — left
+    # unhinted so billion-node graphs shuffle instead of OOM
+    joined = oriented.join(adj, "u").join(
+        adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v")), "v"
     )
-    closed = wedges.join(oriented.select("u", "v"), ["u", "v"], "left_semi")
-    # count wedge closures, not distinct pairs: two wedges over the
-    # same (x, y) through different apexes are two triangles. The
-    # result is ONE row — materialize it eagerly so both |E|-sized
+    # Σ |N+(u) ∩ N+(v)| = triangle count (adjacency lists are distinct
+    # by construction, so array_intersect's set semantics are exact).
+    # The result is ONE row — materialize it eagerly so both |E|-sized
     # caches can be released instead of staying pinned for the rest of
     # the session (the accumulating-cache hazard the k-means loop also
     # guards against).
-    n = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")).collect()[
-        0
-    ]["n_triangles"]
+    n = joined.select(
+        F.size(F.array_intersect("nbrs", "nbrs_v")).alias("c")
+    ).agg(
+        # sum over zero rows is NULL (triangle-free graphs drop every
+        # edge at the sink-side inner join) — the count is 0 there
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles")
+    ).collect()[0]["n_triangles"]
     und.unpersist()
     oriented.unpersist()
     spark = edges.sparkSession

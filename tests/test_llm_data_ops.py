@@ -250,3 +250,25 @@ def test_span_removal_cuts_non_owner_keeps_owner(spark):
     assert out[2]["n_removed"] == 12
     assert out[3]["text_deduped"] == rows[2][1]  # unique doc untouched
     assert out[3]["n_removed"] == 0
+
+
+# --------------------------------------------- triangle counting ---
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has exactly 4 triangles regardless of edge direction or
+    duplication; a star is wedge-rich but triangle-free (the case the
+    sum-over-intersections kernel must report as 0, not NULL)."""
+    import itertools
+
+    from blockchain_data_engineering_spark.operators.graph import triangle_count
+
+    k4 = list(itertools.combinations([1, 2, 3, 4], 2))
+    noisy = k4 + [(b, a) for a, b in k4] + k4[:3]  # reversed + dup edges
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    assert triangle_count(star).collect()[0]["n_triangles"] == 0
