@@ -456,3 +456,65 @@ def label_propagation_communities(
             prev.unpersist()
         prev = labels
     return labels
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 5,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast: bool = True,
+) -> DataFrame:
+    """k-core peeling (Seidman 1983): repeatedly delete every node of
+    degree < ``k`` (and its edges); what survives ``rounds`` peels is
+    the k-core up to convergence — dense engagement cores in the wallet
+    graph that degree filters alone cannot find (deleting a weak node
+    can drag a previously-strong neighbor below k, hence iteration).
+
+    Fixed round count ⇒ deterministic and SQL-unrollable (the oracle
+    replays each peel as one CTE level); long deletion cascades need
+    more rounds, exactly as CC's diameter bound (at convergence extra
+    rounds are no-ops). Per round: one degree aggregate over surviving
+    edges and two semi-joins against the ≤|V|-row survivor set
+    (broadcast by default, ``broadcast=False`` + pre-partitioned edges
+    at billion-node scale — see :func:`_hint`). Each round persists
+    and materializes before releasing the previous — same
+    linear-lineage discipline as the CC loop. The returned plan reads
+    the FINAL round's persisted edge set (cache contract as in DSIR:
+    released by ``clearCache`` between corpus snapshots, as the bench
+    does).
+
+    Returns (node, degree) over the surviving subgraph.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    alive = sym
+    for _ in range(rounds):
+        keep = (
+            alive.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select("a")
+        )
+        nxt = (
+            alive.join(_hint(keep, broadcast), "a", "left_semi")
+            .join(
+                _hint(keep.select(F.col("a").alias("b")), broadcast),
+                "b",
+                "left_semi",
+            )
+            .persist()
+        )
+        nxt.count()  # materialize before releasing the previous round
+        alive.unpersist()
+        alive = nxt
+    out = alive.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return out

@@ -437,3 +437,73 @@ def hll_count_distinct(
             / F.col("n_exact").cast("double")
         ).alias("rel_error"),
     )
+
+
+# --------------------------------------------------- Count-Min sketch ---
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256  # fixed by the 2-hex-char portable bucket
+
+
+def _cms_bucket(expr: str) -> str:
+    """Portable 0..255 bucket from the first two md5 hex chars of
+    ``expr`` — same instr/substr/md5 recipe as the HLL sketch above, so
+    the identical register matrix computes in any SQL engine."""
+    return (
+        f"(instr('0123456789abcdef', substr(md5({expr}), 1, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr(md5({expr}), 2, 1)) - 1)"
+    )
+
+
+def _cms_buckets_for(col: str, depth: int) -> list:
+    """One bucket expression per hash row: row ``j`` salts the key as
+    ``'j:key'`` — independent-enough hash functions from one md5."""
+    return [
+        F.expr(_cms_bucket(f"concat('{j}:', cast({col} as string))"))
+        for j in range(depth)
+    ]
+
+
+def cms_registers(df: DataFrame, col: str, depth: int = CMS_DEPTH) -> DataFrame:
+    """Count-Min sketch registers (Cormode & Muthukrishnan 2005) over
+    the value stream in ``df[col]``: a ``depth × 256`` counter matrix
+    as rows (j, b, c) where ``c`` counts stream items whose row-``j``
+    hash lands in bucket ``b``.
+
+    Why it matters at 100 TB: like the HLL registers this is a
+    MERGEABLE sketch — one map-side-combined groupBy producing at most
+    ``depth·256`` rows regardless of stream size — so approximate
+    frequencies (top talkers, hot wallets, heavy tokens) never need a
+    per-key exact count shuffle. Point estimates then cost one
+    broadcast join against the tiny register table.
+    """
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.posexplode(F.array(*_cms_buckets_for(col, depth))).alias("j", "b"))
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame, registers: DataFrame, col: str, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """Point-frequency estimates for every row of ``keys[col]`` against
+    a :func:`cms_registers` matrix: ``est = min_j c[j][h_j(key)]`` —
+    an upper bound on the true count (collisions only inflate), within
+    ε·N with probability 1-δ for the textbook (depth, width) bounds.
+
+    Plan shape: the register matrix is ≤ depth·256 rows → broadcast;
+    keys fan out to ``depth`` rows each, then a min-groupBy restores
+    one row per key. Registers a key never touched are absent from the
+    matrix ⇒ count 0 via the left join (an unseen key estimates 0 only
+    if some register row of its is empty — the CMS guarantee).
+    """
+    kb = keys.select(
+        F.col(col), F.posexplode(F.array(*_cms_buckets_for(col, depth))).alias("j", "b")
+    )
+    return (
+        kb.join(F.broadcast(registers), ["j", "b"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
+    )

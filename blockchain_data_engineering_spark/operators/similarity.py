@@ -1138,3 +1138,48 @@ def pq_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "d2_q", "rank")
     )
+
+
+def random_projection_quantized(
+    vectors: DataFrame,
+    out_dim: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign (Rademacher) random projection
+    (Achlioptas 2003, JCSS 66(4) — database-friendly random
+    projections): ``comp_j = Σ_i sign(j,i)·x_i`` with the ±1 matrix
+    derived from md5 (same :func:`_plane_sign` family the LSH buckets
+    use), shrinking ``dim``-d embeddings to ``out_dim`` components
+    while preserving pairwise distances within the JL bound. The
+    dimensionality-reduction front end for any downstream ANN/cluster
+    stage: at 100 TB, 64→8 dims is an 8× cut in every shuffle and
+    dot-product after it.
+
+    Same codegen'd one-pass shape as :func:`sign_lsh_buckets` (one
+    posexplode, per-component literal sign arrays, one hash-aggregate;
+    no per-row higher-order ``aggregate()``); components are exact
+    BIGINT quanta sums scaled back once ⇒ bit-identical across
+    engines. Data-independent matrix ⇒ no training pass and any
+    engine can re-derive it. Returns (id, j, comp) long-form.
+    """
+    signs = plane_signs(out_dim, dim)
+    ex = vectors.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("i0", "x")
+    ).select(id_col, "i0", _q(F.col("x").cast("double")).alias("qx"))
+    aggs = []
+    for j in range(out_dim):
+        sign_j = F.array(*[F.lit(s) for s in signs[j]])
+        aggs.append(
+            F.sum(F.element_at(sign_j, F.col("i0") + 1) * F.col("qx")).alias(f"p{j}")
+        )
+    proj = ex.groupBy(id_col).agg(*aggs)
+    comps = F.array(*[F.col(f"p{j}") for j in range(out_dim)])
+    return proj.select(
+        id_col, F.posexplode(comps).alias("j", "comp_q")
+    ).select(
+        id_col,
+        "j",
+        (F.col("comp_q").cast("double") / F.lit(_SCALE)).alias("comp"),
+    )

@@ -602,3 +602,68 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return R.hll_count_distinct(li, "l_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Histogram-sketch quantiles: the SCALE twin of events_value_quantiles.
+# The exact path sorts every value inside each partition window; this
+# one reduces the column to a fixed-width bin histogram (one map-side
+# combined groupBy, ≤ range/width rows) and reads quantile estimates
+# off the cumulative counts — the only quantile shape that survives a
+# 100 TB column, with error bounded by the bin width. Bins, cumulative
+# sums, and thresholds are exact integers/identical doubles in both
+# engines.
+# ---------------------------------------------------------------------------
+_HQ_BIN = 16.0
+_HQ_PS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "events_histogram_quantiles",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor(value / {_HQ_BIN}) AS BIGINT) AS bin, count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM b
+    ),
+    n AS (SELECT count(*) AS n FROM events),
+    p AS (SELECT CAST(unnest([{", ".join(str(p) for p in _HQ_PS)}]) AS DOUBLE) AS p)
+    SELECT p, min(bin) AS bin,
+           (CAST(min(bin) AS DOUBLE) + 1.0) * {_HQ_BIN} AS est
+    FROM p, n, cum
+    WHERE CAST(cum AS DOUBLE) >= ceil(p * CAST(n AS DOUBLE))
+    GROUP BY p
+    """,
+)
+def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.floor(F.col("value") / F.lit(_HQ_BIN)).cast("long").alias("bin")
+    ).groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    cum = b.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    n = ev.agg(F.count(F.lit(1)).alias("n"))
+    ps = spark.createDataFrame([(p,) for p in _HQ_PS], "p DOUBLE")
+    return (
+        ps.crossJoin(F.broadcast(n))
+        .join(
+            cum,
+            F.col("cum").cast("double")
+            >= F.ceil(F.col("p") * F.col("n").cast("double")).cast("double"),
+        )
+        .groupBy("p")
+        .agg(
+            F.min("bin").alias("bin"),
+            ((F.min("bin").cast("double") + F.lit(1.0)) * F.lit(_HQ_BIN)).alias(
+                "est"
+            ),
+        )
+    )

@@ -345,3 +345,44 @@ def _lpa_oracle_sql(iters: int) -> str:
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges_df(spark, sf_dir)
     return G.label_propagation_communities(edges, iterations=LPA_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling over the wallet graph: dense engagement cores that a
+# one-shot degree filter cannot find (peeling cascades). Fixed k and
+# round count; the oracle unrolls each peel as one CTE level.
+# ---------------------------------------------------------------------------
+KCORE_K = 5
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    ctes = [
+        f"""edges AS ({_EDGES_SQL}),
+    e0 AS (
+      SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS a, src AS b FROM edges WHERE src <> dst
+    )"""
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""k{i} AS (
+      SELECT a FROM e{i} GROUP BY a HAVING count(*) >= {k}
+    ),
+    e{i + 1} AS (
+      SELECT e.a, e.b FROM e{i} e
+      JOIN k{i} x ON e.a = x.a JOIN k{i} y ON e.b = y.a
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT a AS node, count(*) AS degree FROM e{rounds} GROUP BY a"
+    )
+
+
+@query("graph_kcore", oracle=_kcore_oracle_sql(KCORE_K, KCORE_ROUNDS))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges_df(spark, sf_dir)
+    return G.kcore(edges, k=KCORE_K, rounds=KCORE_ROUNDS)

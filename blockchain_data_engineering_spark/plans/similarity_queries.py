@@ -714,3 +714,33 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=DIM,
         rerank_top=PQ_RERANK,
     )
+
+
+# ---------------------------------------------------------------------------
+# JL random projection: 64→8-dim Rademacher sign projection — the
+# dimensionality-reduction front end (8× smaller vectors for every
+# downstream shuffle/dot product). The oracle replays the md5-derived
+# sign matrix and the exact-quanta component sums.
+# ---------------------------------------------------------------------------
+RP_DIM = 8
+
+
+@query(
+    "emb_random_projection",
+    oracle=f"""
+    WITH comps AS (
+      SELECT vec_id, i, {quanta_sql("CAST(embedding[i] AS DOUBLE)", 12)} AS q
+      FROM embeddings, generate_series(1, {DIM}) AS t(i)
+    )
+    SELECT vec_id, j,
+           CAST(sum(CASE WHEN substr(md5(CAST(j AS VARCHAR) || '_'
+                      || CAST(i - 1 AS VARCHAR)), 1, 1)
+                      IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f')
+                 THEN q ELSE -q END) AS DOUBLE) / {_SCALE} AS comp
+    FROM comps, generate_series(0, {RP_DIM - 1}) AS pl(j)
+    GROUP BY 1, 2
+    """,
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return SIM.random_projection_quantized(emb, out_dim=RP_DIM, dim=DIM)

@@ -1114,3 +1114,57 @@ _VOCAB_ORACLE = """
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     return TX.vocab_coverage(docs, top_k=100)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min-sketch heavy hitters: the scale path to "top talkers" —
+# a depth×256 mergeable counter matrix replaces the exact per-token
+# count shuffle; estimates are min-over-rows upper bounds. The oracle
+# replays the register math (salted md5 buckets) end-to-end.
+# ---------------------------------------------------------------------------
+_CMS_DEPTH = 4
+_CMS_TOPK = 20
+
+
+def _cms_bucket_sql(expr: str) -> str:
+    return (
+        f"(instr('0123456789abcdef', substr(md5({expr}), 1, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr(md5({expr}), 2, 1)) - 1)"
+    )
+
+
+@query(
+    "text_cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    hx AS (
+      SELECT t, j,
+             {_cms_bucket_sql("concat(CAST(j AS VARCHAR), ':', t)")} AS b
+      FROM toks, generate_series(0, {_CMS_DEPTH - 1}) AS d(j)
+    ),
+    regs AS (SELECT j, b, count(*) AS c FROM hx GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT t, j, b FROM hx),
+    est AS (
+      SELECT t AS token, min(c) AS cms_est
+      FROM cand JOIN regs USING (j, b) GROUP BY 1
+    )
+    SELECT token, cms_est FROM est
+    ORDER BY cms_est DESC, token LIMIT {_CMS_TOPK}
+    """,
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.relational import (
+        cms_estimate,
+        cms_registers,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).persist()
+    regs = cms_registers(toks, "token", depth=_CMS_DEPTH)
+    cand = toks.distinct()
+    est = cms_estimate(cand, regs, "token", depth=_CMS_DEPTH)
+    return est.orderBy(F.col("cms_est").desc(), "token").limit(_CMS_TOPK)

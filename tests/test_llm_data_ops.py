@@ -272,3 +272,60 @@ def test_triangle_count_known_graphs(spark):
         [(0, i) for i in range(1, 6)], "src long, dst long"
     )
     assert triangle_count(star).collect()[0]["n_triangles"] == 0
+
+
+# --------------------------------------------- Count-Min sketch ---
+
+
+def test_cms_upper_bounds_and_register_mass(spark):
+    """CMS invariants: every row of the register matrix holds the full
+    stream mass; every estimate is an upper bound on the true count;
+    keys absent from the stream take the left-join zero path instead of
+    vanishing."""
+    from blockchain_data_engineering_spark.operators.relational import (
+        CMS_DEPTH,
+        cms_estimate,
+        cms_registers,
+    )
+    from pyspark.sql import functions as F
+
+    words = ["hot"] * 50 + ["warm"] * 10 + [f"cold{i}" for i in range(30)]
+    stream = spark.createDataFrame([(w,) for w in words], "token STRING")
+    regs = cms_registers(stream, "token")
+    mass = {r["j"]: r["s"] for r in regs.groupBy("j").agg(F.sum("c").alias("s")).collect()}
+    assert mass == {j: len(words) for j in range(CMS_DEPTH)}
+
+    truth = {w: words.count(w) for w in set(words)}
+    keys = stream.distinct().unionByName(
+        spark.createDataFrame([("never-seen",)], "token STRING")
+    )
+    est = {r["token"]: r["cms_est"] for r in
+           cms_estimate(keys, regs, "token").collect()}
+    assert "never-seen" in est
+    for w, n in truth.items():
+        assert est[w] >= n, (w, est[w], n)
+    assert est["hot"] >= 50 and est["hot"] == max(est.values())
+
+
+# --------------------------------------------- k-core peeling ---
+
+
+def test_kcore_peeling_cascades(spark):
+    """A 4-clique survives k=3 peeling after its pendant is stripped;
+    a 5-path under k=2 unravels COMPLETELY, but only through the
+    cascade (every round exposes new sub-k endpoints) — the case a
+    one-shot degree filter gets wrong."""
+    import itertools
+
+    from blockchain_data_engineering_spark.operators.graph import kcore
+
+    clique = list(itertools.combinations([1, 2, 3, 4], 2))
+    g1 = spark.createDataFrame(clique + [(4, 99)], "src long, dst long")
+    rows = {r["node"]: r["degree"] for r in kcore(g1, k=3, rounds=2).collect()}
+    assert rows == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    path = [(i, i + 1) for i in range(1, 5)]
+    g2 = spark.createDataFrame(path, "src long, dst long")
+    assert kcore(g2, k=2, rounds=3).count() == 0
+    # one-shot filter (rounds=1) wrongly keeps the middle of the path
+    assert kcore(g2, k=2, rounds=1).count() > 0
