@@ -76,8 +76,19 @@ from blockchain_data_engineering_spark.plans import multimodal_queries  # noqa: 
 # bucketing, HLL cardinality, vocab coverage, label propagation, span
 # removal — each get one this round. Every rotated-out query keeps its
 # DuckDB oracle and pytest parity coverage.
+# Late round-2 additions: four brand-new operators (CMS heavy hitters,
+# k-core peeling, JL random projection, histogram-sketch quantiles)
+# take the gate slots of four r1-GREEN queries (applyinpandas_demean,
+# range_join_click_attribution, text_quality, text_bm25_search — each
+# keeps its official CORRECTNESS_r01 row and its pytest parity
+# coverage), so every query ever registered holds an official gate row
+# from round 1 or round 2.
 GATE_ORDER = [
     # -- new this round --
+    "text_cms_heavy_hitters",
+    "graph_kcore",
+    "emb_random_projection",
+    "events_histogram_quantiles",
     "dedup_duplicated_spans",
     "text_gopher_repetition",
     "text_dsir_weights",
@@ -119,8 +130,6 @@ GATE_ORDER = [
     # -- green in round 1 (core representatives) --
     "pricing_summary",
     "vol_rollup_hierarchy",
-    "applyinpandas_demean",
-    "range_join_click_attribution",
     "domain_utxo_resolution",
     "domain_volumes_priced",
     "domain_transfers_edges",
@@ -128,8 +137,6 @@ GATE_ORDER = [
     "flagship_volume_stack",
     "graph_pagerank",
     "graph_cc_pointer_jump",
-    "text_quality",
-    "text_bm25_search",
     "dedup_minhash_lsh",
 ]
 
