@@ -378,6 +378,30 @@ def hll_count_distinct(
 
     Returns one row: (hll_estimate [, n_exact, rel_error]).
     """
+    regs = hll_registers(df, col)
+    est = hll_estimate_from_registers(regs)
+    if not exact:
+        return est
+    n = df.where(F.col(col).isNotNull()).agg(
+        F.count_distinct(F.col(col)).alias("n_exact")
+    )
+    return est.crossJoin(n).select(
+        "hll_estimate",
+        "n_exact",
+        (
+            F.abs(F.col("hll_estimate") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+        ).alias("rel_error"),
+    )
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """The HLL sketch's mergeable state: (b, m_j) rows, one per
+    non-empty register (see :func:`hll_count_distinct` for the bucket
+    and rho derivation). Merging sketches — across partitions,
+    micro-batches, or days of history — is a max per bucket, which is
+    what makes the estimate maintainable incrementally at stream
+    scale (streaming.sketches)."""
     h = F.md5(F.col(col).cast("string"))
     bucket = F.expr(
         f"(instr('0123456789abcdef', substr(md5(cast({col} as string)), 1, 1)) - 1) * 16"
@@ -397,12 +421,18 @@ def hll_count_distinct(
         .otherwise(F.lit(0))
     )
     rho = (z_hex * 4 + extra + 1).cast("int")
-    regs = (
+    return (
         df.where(F.col(col).isNotNull())
         .select(bucket.alias("b"), rho.alias("rho"))
         .groupBy("b")
         .agg(F.max("rho").alias("m_j"))
     )
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """One-row (hll_estimate) from (b, m_j) register rows — identical
+    math whether the registers came from one pass or a merge of many
+    sketches (the merged max per bucket IS the union's sketch)."""
     # empty registers contribute 2^0 = 1 each: add (m - used) ones.
     # Small-range correction (Flajolet et al. 2007 §4): when the raw
     # estimate E <= 2.5m and empty registers remain, raw HLL biases
@@ -416,26 +446,13 @@ def hll_count_distinct(
     linear = F.lit(float(HLL_BUCKETS)) * F.log(
         F.lit(float(HLL_BUCKETS)) / v_empty
     )
-    est = regs.agg(
+    return regs.agg(
         F.coalesce(
             F.when(
                 (raw <= F.lit(2.5 * HLL_BUCKETS)) & (v_empty > 0), linear
             ).otherwise(raw),
             F.lit(0.0),  # empty input: zero distinct, not NULL
         ).alias("hll_estimate")
-    )
-    if not exact:
-        return est
-    n = df.where(F.col(col).isNotNull()).agg(
-        F.count_distinct(F.col(col)).alias("n_exact")
-    )
-    return est.crossJoin(n).select(
-        "hll_estimate",
-        "n_exact",
-        (
-            F.abs(F.col("hll_estimate") - F.col("n_exact").cast("double"))
-            / F.col("n_exact").cast("double")
-        ).alias("rel_error"),
     )
 
 

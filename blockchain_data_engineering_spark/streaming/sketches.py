@@ -1,0 +1,95 @@
+"""Streaming sketch maintenance: running frequency (Count-Min) and
+cardinality (HyperLogLog) state over unbounded streams.
+
+Both sketches are MERGEABLE — CMS counters add across batches, HLL
+registers max across batches — so a stream needs only its per-batch
+register *delta* folded into a tiny store, never a reprocess of
+history. The reference has no equivalent (its only running aggregate is
+the Postgres table itself); at 100 TB/day mergeable registers are the
+only viable shape for "distinct wallets so far" / "hot units so far":
+state stays ≤ depth·256 (CMS) or 256 (HLL) rows per batch regardless of
+stream volume.
+
+Exactly-once without transactional storage: each micro-batch writes its
+register delta into a ``_batch_id=N`` partition with dynamic partition
+overwrite. A replayed batch (checkpoint recovery, H4) overwrites ITS
+OWN partition with identical rows — the merged read is unchanged, the
+same idempotence argument as the content-hash keys in
+streaming.pipeline. Readers aggregate the store (sum / max per bucket):
+one job over n_batches·256-ish rows; compact by rewriting the store as
+a single merged partition when n_batches grows large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blockchain_data_engineering_spark.operators.relational import (
+    CMS_DEPTH,
+    cms_registers,
+    hll_estimate_from_registers,
+    hll_registers,
+)
+
+
+def _write_delta(regs: DataFrame, store_path: str, batch_id: int) -> None:
+    spark = regs.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            regs.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(store_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def cms_delta_sink(store_path: str, col: str, depth: int = CMS_DEPTH):
+    """foreachBatch sink maintaining a Count-Min register store over
+    ``batch_df[col]``. Use with ``.foreachBatch(cms_delta_sink(...))``;
+    read the running sketch with :func:`cms_store_registers`."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _write_delta(cms_registers(batch_df, col, depth), store_path, batch_id)
+
+    return sink
+
+
+def cms_store_registers(spark: SparkSession, store_path: str) -> DataFrame:
+    """Merged (j, b, c) registers over every batch delta in the store —
+    counters ADD across batches (CMS is a linear sketch). Feed to
+    ``operators.relational.cms_estimate`` for point frequencies."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("j", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def hll_delta_sink(store_path: str, col: str):
+    """foreachBatch sink maintaining an HLL register store over
+    ``batch_df[col]``; read with :func:`hll_store_estimate`."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _write_delta(hll_registers(batch_df, col), store_path, batch_id)
+
+    return sink
+
+
+def hll_store_registers(spark: SparkSession, store_path: str) -> DataFrame:
+    """Merged (b, m_j) registers — max per bucket IS the union sketch."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("b")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+
+
+def hll_store_estimate(spark: SparkSession, store_path: str) -> DataFrame:
+    """One-row running-cardinality estimate for the whole stream so
+    far — bit-identical to the batch sketch over the same rows."""
+    return hll_estimate_from_registers(hll_store_registers(spark, store_path))

@@ -594,3 +594,85 @@ def test_live_tailing_resolves_cross_batch_spends(spark, chain, tmp_path):
     assert set(streamed) == set(batch)
     for k, v in batch.items():
         assert streamed[k] == pytest.approx(v, rel=1e-12), k
+
+
+def test_streaming_sketch_stores_match_batch(spark, tmp_path):
+    """CMS/HLL register stores maintained per micro-batch must equal
+    the one-pass batch sketch over the same rows (both sketches are
+    mergeable: counters add, registers max), and a REPLAYED batch must
+    leave the store unchanged (dynamic partition overwrite = the H4
+    idempotence argument)."""
+    from blockchain_data_engineering_spark.operators.relational import (
+        cms_registers,
+        hll_count_distinct,
+    )
+    from blockchain_data_engineering_spark.streaming.sketches import (
+        cms_delta_sink,
+        cms_store_registers,
+        hll_delta_sink,
+        hll_store_estimate,
+    )
+
+    src = tmp_path / "tok_stream"
+    src.mkdir()
+    words = [f"w{i % 37}" for i in range(400)] + ["hot"] * 200
+    for part in range(4):  # 4 files → maxFilesPerTrigger=1 → 4 batches
+        (src / f"p{part}.txt").write_text(
+            "\n".join(words[part::4]) + "\n"
+        )
+
+    cms_store = str(tmp_path / "cms_store")
+    hll_store = str(tmp_path / "hll_store")
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1).text(str(src))
+    )
+
+    def both(batch_df, batch_id):
+        batch_df = batch_df.persist()
+        cms_delta_sink(cms_store, "value")(batch_df, batch_id)
+        hll_delta_sink(hll_store, "value")(batch_df, batch_id)
+        batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(both)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    whole = spark.read.text(str(src))
+    want_regs = {
+        (r["j"], r["b"]): r["c"] for r in cms_registers(whole, "value").collect()
+    }
+    got_regs = {
+        (r["j"], r["b"]): r["c"]
+        for r in cms_store_registers(spark, cms_store).collect()
+    }
+    assert got_regs == want_regs
+
+    want_est = hll_count_distinct(whole, "value", exact=True).collect()[0]
+    got_est = hll_store_estimate(spark, hll_store).collect()[0]["hll_estimate"]
+    assert got_est == want_est["hll_estimate"]  # bit-identical merge
+    assert abs(got_est - want_est["n_exact"]) / want_est["n_exact"] < 0.1
+
+    # replay batch 0: Structured Streaming re-reads the SAME file set
+    # for a replayed batch id (source log in the checkpoint) and the
+    # register delta is deterministic over those rows, so the replay
+    # writes identical rows into partition _batch_id=0 — simulate it
+    # with that partition's own delta (robust to file→batch ordering)
+    from blockchain_data_engineering_spark.streaming.sketches import _write_delta
+
+    regs0 = spark.read.parquet(f"{cms_store}/_batch_id=0")
+    _write_delta(regs0, cms_store, 0)
+    hregs0 = spark.read.parquet(f"{hll_store}/_batch_id=0")
+    _write_delta(hregs0, hll_store, 0)
+    got2 = {
+        (r["j"], r["b"]): r["c"]
+        for r in cms_store_registers(spark, cms_store).collect()
+    }
+    assert got2 == want_regs
+    assert (
+        hll_store_estimate(spark, hll_store).collect()[0]["hll_estimate"]
+        == got_est
+    )
