@@ -313,3 +313,35 @@ def test_pq_adc_lookup_table_is_broadcast(spark, sf_dir):
     corpus-sized code table must never move for it)."""
     plan = _plan(spark, sf_dir, "sim_pq_ann")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cms_register_join_is_broadcast(spark, sf_dir):
+    """The CMS register matrix is ≤ depth·256 rows — point estimates
+    must plan a broadcast of the registers, never a shuffle of the
+    key stream."""
+    plan = _plan(spark, sf_dir, "text_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_kcore_unhinted_path_has_no_broadcast(spark, sf_dir):
+    """kcore(broadcast=False) must plant no BroadcastExchange (the
+    billion-node plan is reachable without editing library code), and
+    both modes must peel identically."""
+    from pyspark.sql import functions as F
+
+    from blockchain_data_engineering_spark.operators.graph import kcore
+
+    edges = spark.range(0, 400).select(
+        (F.col("id") % 41).alias("src"), (F.col("id") % 53).alias("dst")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            kcore(edges, k=3, rounds=2, broadcast=False).explain("formatted")
+        assert "BroadcastExchange" not in buf.getvalue()
+        h = kcore(edges, k=3, rounds=2, broadcast=True)
+        u = kcore(edges, k=3, rounds=2, broadcast=False)
+        assert sorted(map(tuple, h.collect())) == sorted(map(tuple, u.collect()))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
