@@ -326,11 +326,16 @@ def triangle_count(
     collect_list per source node, two equi-joins attaching the two
     out-neighbor arrays to each oriented edge, then a JVM-codegen
     ``array_intersect`` — the O(Σ out-degree²) wedge set is never
-    materialized or shuffled (the wedge self-join + semi-join
-    formulation was measured 2.2× slower on the dense supplier
-    co-occurrence graph at sf0.1: 15.5 s vs 7.1 s steady-state).
-    Arrays stay small under orientation (max out-degree ≈ √|E|);
-    for a pathological >100 MB adjacency row, route that node's edges
+    materialized as ROWS through a shuffle + semi-join (the wedge
+    self-join formulation was measured 2.2× slower on the dense
+    supplier co-occurrence graph at sf0.1: 15.5 s vs 7.1 s
+    steady-state). When the per-source adjacency table broadcasts
+    (AQE, |V|-bounded), the edge set never reshuffles at all; on the
+    unhinted billion-edge path the second join does ship each edge row
+    with its N+(u) array — comparable BYTES to the wedge set, but one
+    fewer shuffle stage and no 10⁸-row hash-semi-join probe. Arrays
+    stay bounded under orientation (max out-degree ≈ √|E|); for a
+    pathological >100 MB adjacency row, route that node's edges
     through the wedge-join path instead.
 
     Returns a single row (n_triangles BIGINT) — deterministic integer.
@@ -496,11 +501,14 @@ def kcore(
     )
     alive = sym
     for _ in range(rounds):
+        # persisted: keep feeds BOTH semi-joins — unpersisted, the
+        # degree aggregate over the round's edge set runs twice
         keep = (
             alive.groupBy("a")
             .agg(F.count(F.lit(1)).alias("d"))
             .where(F.col("d") >= k)
             .select("a")
+            .persist()
         )
         nxt = (
             alive.join(_hint(keep, broadcast), "a", "left_semi")
@@ -512,6 +520,7 @@ def kcore(
             .persist()
         )
         nxt.count()  # materialize before releasing the previous round
+        keep.unpersist()
         alive.unpersist()
         alive = nxt
     out = alive.groupBy(F.col("a").alias("node")).agg(

@@ -623,12 +623,12 @@ _HQ_PS = (0.5, 0.9, 0.99)
     oracle=f"""
     WITH b AS (
       SELECT CAST(floor(value / {_HQ_BIN}) AS BIGINT) AS bin, count(*) AS c
-      FROM events GROUP BY 1
+      FROM events WHERE value IS NOT NULL GROUP BY 1
     ),
     cum AS (
       SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM b
     ),
-    n AS (SELECT count(*) AS n FROM events),
+    n AS (SELECT count(*) AS n FROM events WHERE value IS NOT NULL),
     p AS (SELECT CAST(unnest([{", ".join(str(p) for p in _HQ_PS)}]) AS DOUBLE) AS p)
     SELECT p, min(bin) AS bin,
            (CAST(min(bin) AS DOUBLE) + 1.0) * {_HQ_BIN} AS est
@@ -640,7 +640,10 @@ _HQ_PS = (0.5, 0.9, 0.99)
 def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL values must not form a bin: Spark's window orders a NULL
+    # bin FIRST, DuckDB's ORDER BY defaults NULLS LAST — the cumsum
+    # would shift every real bin and break parity
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     b = ev.select(
         F.floor(F.col("value") / F.lit(_HQ_BIN)).cast("long").alias("bin")
     ).groupBy("bin").agg(F.count(F.lit(1)).alias("c"))

@@ -1161,9 +1161,13 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        F.explode(F.split(F.col("text"), " ")).alias("token")
-    ).persist()
+    # two narrow corpus scans (registers; candidate distinct), no
+    # persist: pinning a |corpus tokens| cache for the session is the
+    # accumulating-cache hazard, and the candidate-generation shuffle —
+    # the known CMS gap, distinct IS a shuffle — dominates either way.
+    # In production candidates come from a cheap screen (e.g. per-
+    # partition top lists), not a global distinct.
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
     regs = cms_registers(toks, "token", depth=_CMS_DEPTH)
     cand = toks.distinct()
     est = cms_estimate(cand, regs, "token", depth=_CMS_DEPTH)

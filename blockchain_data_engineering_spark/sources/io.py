@@ -385,6 +385,13 @@ def write_neo4j_admin_export(
     command string. Per-row Cypher MERGE (the reference's shape) is
     O(edges) round-trips and years at 100 TB; this is one distributed
     CSV write plus Neo4j's own parallel bulk loader.
+
+    ``out_dir`` must be a driver-visible filesystem path (the two
+    one-line header files are written driver-side; neo4j-admin itself
+    runs on a single machine reading the same directory) — for an
+    object-store export, write there with Spark and sync down before
+    importing. Headers are written FIRST so a non-writable target
+    fails before the distributed work, not after.
     """
     import os
 
@@ -392,26 +399,6 @@ def write_neo4j_admin_export(
     prop_fields = [
         f for f in edges.schema.fields if f.name not in (src_col, dst_col)
     ]
-
-    nodes = (
-        edges.select(F.col(src_col).alias("addr"))
-        .unionAll(edges.select(F.col(dst_col).alias("addr")))
-        .distinct()
-        .select("addr", F.lit(node_label).alias("label"))
-    )
-    nodes.write.mode("overwrite").option("emptyValue", "").csv(
-        os.path.join(out_dir, "nodes")
-    )
-
-    rels = edges.select(
-        F.col(src_col).alias("start"),
-        F.col(dst_col).alias("end"),
-        F.lit(rel_type).alias("type"),
-        *[F.col(f.name) for f in prop_fields],
-    )
-    rels.write.mode("overwrite").option("emptyValue", "").csv(
-        os.path.join(out_dir, "relationships")
-    )
 
     node_header = f"addr{id_space},:LABEL"
     rel_header = ",".join(
@@ -423,13 +410,37 @@ def write_neo4j_admin_export(
     )
     # tiny driver-side header files (one line each) — neo4j-admin takes
     # "--nodes=<header>,<data-glob>" so the distributed parts stay headerless
+    os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "nodes_header.csv"), "w") as fh:
         fh.write(node_header + "\n")
     with open(os.path.join(out_dir, "relationships_header.csv"), "w") as fh:
         fh.write(rel_header + "\n")
 
+    # escape='"' ⇒ RFC4180 doubled quotes — neo4j-admin does not parse
+    # Spark's default backslash escaping; embedded newlines stay inside
+    # quoted fields and are covered by --multiline-fields below
+    nodes = (
+        edges.select(F.col(src_col).alias("addr"))
+        .unionAll(edges.select(F.col(dst_col).alias("addr")))
+        .distinct()
+        .select("addr", F.lit(node_label).alias("label"))
+    )
+    nodes.write.mode("overwrite").option("emptyValue", "").option(
+        "escape", '"'
+    ).csv(os.path.join(out_dir, "nodes"))
+
+    rels = edges.select(
+        F.col(src_col).alias("start"),
+        F.col(dst_col).alias("end"),
+        F.lit(rel_type).alias("type"),
+        *[F.col(f.name) for f in prop_fields],
+    )
+    rels.write.mode("overwrite").option("emptyValue", "").option(
+        "escape", '"'
+    ).csv(os.path.join(out_dir, "relationships"))
+
     return (
-        "neo4j-admin database import full "
+        "neo4j-admin database import full --multiline-fields=true "
         f"--nodes={out_dir}/nodes_header.csv,{out_dir}/nodes/part-.* "
         f"--relationships={out_dir}/relationships_header.csv,"
         f"{out_dir}/relationships/part-.* neo4j"

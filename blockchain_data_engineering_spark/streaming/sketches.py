@@ -34,18 +34,16 @@ from blockchain_data_engineering_spark.operators.relational import (
 
 
 def _write_delta(regs: DataFrame, store_path: str, batch_id: int) -> None:
-    spark = regs.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            regs.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("_batch_id")
-            .parquet(store_path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # writer-level option, NOT session conf: two streams sharing a
+    # SparkSession must not race each other's set/restore into a
+    # static-mode overwrite that wipes the whole store
+    (
+        regs.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(store_path)
+    )
 
 
 def cms_delta_sink(store_path: str, col: str, depth: int = CMS_DEPTH):

@@ -260,3 +260,30 @@ def test_neo4j_admin_export_layout(spark, tmp_path):
     assert len(rows) == 3
     assert {r[2] for r in rows} == {"TRANSFER"}
     assert rows[0] == ("a1", "a2", "TRANSFER", "tx1", "lovelace", 7, 0.7, True)
+
+
+def test_neo4j_admin_export_rfc4180_quoting(spark, tmp_path):
+    """neo4j-admin parses RFC4180 doubled quotes, not backslash
+    escapes: a property containing a double-quote must land as "" in
+    the raw CSV and round-trip under an RFC4180 reader."""
+    from blockchain_data_engineering_spark.sources import write_neo4j_admin_export
+
+    edges = spark.createDataFrame(
+        [("a1", "a2", '6" pipe, threaded')],
+        "send_addr STRING, rx_addr STRING, note STRING",
+    )
+    out = str(tmp_path / "neo4j_q")
+    cmd = write_neo4j_admin_export(edges, out)
+    assert "--multiline-fields=true" in cmd
+
+    import glob
+
+    raw = "".join(
+        open(p).read() for p in glob.glob(f"{out}/relationships/part-*.csv")
+    )
+    assert '"6"" pipe, threaded"' in raw, raw  # doubled, not \"
+    back = spark.read.option("escape", '"').csv(
+        f"{out}/relationships",
+        schema="start STRING, end STRING, type STRING, note STRING",
+    )
+    assert back.collect()[0]["note"] == '6" pipe, threaded'
