@@ -645,3 +645,142 @@ def vocab_coverage(
             "cum_share"
         ),
     )
+
+
+# ------------------------------------------------ trained quality classifier
+
+QC_SX = 10**6  # feature quanta: x_b = bucket_count / n_tokens
+QC_SW = 10**9  # weight / score quanta
+QC_ITERS = 3
+
+
+def _fdiv(num: str, den, off: int) -> str:
+    """Spark SQL expr: floor(num/den) for a possibly-negative integer
+    ``num`` column expression. Spark's ``div`` truncates toward zero
+    while DuckDB's ``//`` floors — adding ``off·den`` first makes the
+    dividend non-negative, where the two agree (the k-means _KM_OFF
+    discipline). ``off`` must be ≥ |num|/den at the call site; the
+    oracle twin is the same text with ``//`` for ``div`` and no ``L``
+    suffixes (the BIGINT literal marker — without it Spark folds
+    off·den as INT×INT and raises ANSI overflow)."""
+    return f"((({num}) + {off}L * ({den})) div ({den})) - {off}L"
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    iterations: int = QC_ITERS,
+) -> DataFrame:
+    """Distributed training of a linear quality classifier over hashed
+    bag-of-words features — the fasttext-style quality-filter stage
+    (CCNet, Wenzek et al. 2020; GPT-3's WebText-vs-CommonCrawl LR
+    filter, Brown et al. 2020 A.1) as pure DataFrame plans.
+
+    Model: 256 hashed-token-bucket frequencies + bias, piecewise-linear
+    sigmoid p = clamp(1/2 + z/4, 0, 1), squared loss, full-batch
+    gradient descent (η = 1/4, slope gate |z| < 2). Every quantity is
+    integer quanta (features 10^-6, weights/scores 10^-9) and every
+    division is the sign-safe floor form (:func:`_fdiv`), so the
+    training trajectory — not just the final scores — is
+    bit-reproducible across engines, partitionings, and runs, and the
+    whole T-round loop unrolls into a SQL oracle exactly like the
+    k-means / PageRank loops. The PWL sigmoid exists precisely to keep
+    this exactness: exp() differs in final ulps across engines.
+
+    Scale shape per round: one broadcast join of the ≤257-row weight
+    table to the persisted feature stream, one per-doc sum (z), one
+    per-bucket sum (gradient) — two keyed shuffles of the feature
+    table, nothing sized with the corpus beyond it. Weights persist
+    per round (257 rows) to keep lineage linear; n_docs ≤ 9·10^8 keeps
+    every offset product inside BIGINT.
+
+    ``label``: boolean Column over ``df`` (e.g. lang == 'en').
+    Returns (id, score double, pred int, y int) — score = z/1, the
+    final-round linear logit.
+    """
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
+    )
+    counts = toks.groupBy(id_col, _hash_bucket("t").alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ntok = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    fx = (
+        counts.join(ntok, id_col)
+        .selectExpr(id_col, "b", f"(cnt * {QC_SX}) div n AS xq")
+        .unionByName(
+            df.select(
+                F.col(id_col), F.lit(-1).alias("b"), F.lit(QC_SX).alias("xq")
+            )
+        )
+        .persist()  # read T+1 times (cache contract: clearCache between runs)
+    )
+    y = df.select(F.col(id_col), label.cast("int").alias("y"))
+    n_docs = df.count()
+
+    w = None  # round 1 starts from all-zero weights ⇒ z = 0 for every doc
+    for _ in range(iterations):
+        if w is None:
+            e = y.select(
+                id_col, F.expr(f"{QC_SW // 2} - y * {QC_SW}").alias("err")
+            ).withColumn("g", F.lit(True))
+        else:
+            z = (
+                fx.join(F.broadcast(w), "b")
+                .withColumn("pr", F.expr("wq * xq"))
+                .groupBy(id_col)
+                .agg(F.sum("pr").alias("s"))
+                .selectExpr(id_col, _fdiv("s", QC_SX, 10**12) + " AS zq")
+            )
+            e = z.join(y, id_col).selectExpr(
+                id_col,
+                f"least(greatest({QC_SW // 2} + ({_fdiv('zq', 4, 10**9)}), 0),"
+                f" {QC_SW}) - y * {QC_SW} AS err",
+                f"abs(zq) < {2 * QC_SW} AS g",
+            )
+        grad = (
+            fx.join(e, id_col)
+            .selectExpr(
+                "b",
+                f"CASE WHEN g THEN {_fdiv('err * xq', QC_SX, 10**10)}"
+                " ELSE 0 END AS c",
+            )
+            .groupBy("b")
+            .agg(F.sum("c").alias("grad"))
+        )
+        step = _fdiv(_fdiv("grad", "nd", 10**10), 16, 10**9)
+        if w is None:
+            w_new = grad.withColumn("nd", F.lit(n_docs)).selectExpr(
+                "b", f"0 - ({step}) AS wq"
+            )
+        else:
+            # every feature bucket appears in grad (g gates the value,
+            # not the row), so the bucket sets match and inner join is
+            # total — the same invariant each round
+            w_new = (
+                grad.join(w, "b")
+                .withColumn("nd", F.lit(n_docs))
+                .selectExpr("b", f"wq - ({step}) AS wq")
+            )
+        w_new = w_new.persist()
+        w_new.count()  # materialize: w is referenced twice next round
+        if w is not None:
+            w.unpersist()
+        w = w_new
+
+    scored = (
+        fx.join(F.broadcast(w), "b")
+        .withColumn("pr", F.expr("wq * xq"))
+        .groupBy(id_col)
+        .agg(F.sum("pr").alias("s"))
+        .selectExpr(id_col, _fdiv("s", QC_SX, 10**12) + " AS zq")
+    )
+    return scored.join(y, id_col).select(
+        F.col(id_col),
+        (F.col("zq").cast("double") / F.lit(float(QC_SW))).alias("score"),
+        (F.col("zq") >= 0).cast("int").alias("pred"),
+        F.col("y"),
+    )

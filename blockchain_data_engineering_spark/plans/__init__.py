@@ -76,15 +76,18 @@ from blockchain_data_engineering_spark.plans import multimodal_queries  # noqa: 
 # bucketing, HLL cardinality, vocab coverage, label propagation, span
 # removal — each get one this round. Every rotated-out query keeps its
 # DuckDB oracle and pytest parity coverage.
-# Late round-2 additions: four brand-new operators (CMS heavy hitters,
-# k-core peeling, JL random projection, histogram-sketch quantiles)
-# take the gate slots of four r1-GREEN queries (applyinpandas_demean,
-# range_join_click_attribution, text_quality, text_bm25_search — each
-# keeps its official CORRECTNESS_r01 row and its pytest parity
-# coverage), so every query ever registered holds an official gate row
-# from round 1 or round 2.
+# Late round-2 additions: five brand-new operators (trained quality
+# classifier, CMS heavy hitters, k-core peeling, JL random projection,
+# histogram-sketch quantiles) take the gate slots of five r1-GREEN
+# queries (applyinpandas_demean, range_join_click_attribution,
+# text_quality, text_bm25_search, vol_rollup_hierarchy — each keeps
+# its official CORRECTNESS_r01 row and its pytest parity coverage;
+# the rollup family stays gate-witnessed through
+# flagship_volume_stack), so every query ever registered holds an
+# official gate row from round 1 or round 2.
 GATE_ORDER = [
     # -- new this round --
+    "text_quality_classifier",
     "text_cms_heavy_hitters",
     "graph_kcore",
     "emb_random_projection",
@@ -129,7 +132,6 @@ GATE_ORDER = [
     "netflow_decimal",
     # -- green in round 1 (core representatives) --
     "pricing_summary",
-    "vol_rollup_hierarchy",
     "domain_utxo_resolution",
     "domain_volumes_priced",
     "domain_transfers_edges",

@@ -1172,3 +1172,94 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = toks.distinct()
     est = cms_estimate(cand, regs, "token", depth=_CMS_DEPTH)
     return est.orderBy(F.col("cms_est").desc(), "token").limit(_CMS_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (CCNet/GPT-3-style linear quality filter):
+# hashed bag-of-words, PWL sigmoid, 3 rounds of full-batch quantized
+# gradient descent — the ENTIRE training trajectory unrolls into the
+# oracle (like k-means/PageRank), every division in the sign-safe
+# floor form.
+# ---------------------------------------------------------------------------
+_QC_ITERS = 3
+
+
+def _qc_fdiv_sql(num: str, den: str, off: int) -> str:
+    """DuckDB twin of operators.text._fdiv (``//`` floors natively;
+    the offset keeps the text — and the result — identical). The
+    ``::BIGINT`` mirrors Spark's ``L`` suffix: without it DuckDB
+    folds off·den as INT32×INT32 and overflows."""
+    return f"((({num}) + {off}::BIGINT * ({den})) // ({den})) - {off}::BIGINT"
+
+
+def _qc_oracle_sql(iters: int) -> str:
+    bucket = _cms_bucket_sql("t")
+    ctes = [
+        f"""toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, {bucket} AS b, count(*) AS cnt FROM toks GROUP BY 1, 2
+    ),
+    ntok AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+    fx AS (
+      SELECT doc_id, b, (cnt * 1000000) // n AS xq
+      FROM counts JOIN ntok USING (doc_id)
+      UNION ALL
+      SELECT doc_id, -1 AS b, 1000000 AS xq FROM documents
+    ),
+    y AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    nd AS (SELECT count(*) AS nd FROM documents),
+    e1 AS (SELECT doc_id, 500000000 - y * 1000000000 AS err, TRUE AS g FROM y)"""
+    ]
+    step = _qc_fdiv_sql(_qc_fdiv_sql("grad", "nd", 10**10), "16", 10**9)
+    c_term = _qc_fdiv_sql("err * xq", "1000000", 10**10)
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"""g{r} AS (
+      SELECT b, sum(CASE WHEN g THEN {c_term} ELSE 0 END) AS grad
+      FROM fx JOIN e{r} USING (doc_id) GROUP BY b
+    ),
+    w{r} AS (
+      SELECT b, {"0" if r == 1 else "wq"} - ({step}) AS wq
+      FROM g{r}{"" if r == 1 else f" JOIN w{r - 1} USING (b)"}, nd
+    )"""
+        )
+        zdiv = _qc_fdiv_sql("sum(wq * xq)", "1000000", 10**12)
+        ctes.append(
+            f"""z{r + 1} AS (
+      SELECT doc_id, {zdiv} AS zq FROM fx JOIN w{r} USING (b) GROUP BY doc_id
+    )"""
+        )
+        if r < iters:
+            pdiv = _qc_fdiv_sql("zq", "4", 10**9)
+            ctes.append(
+                f"""e{r + 1} AS (
+      SELECT z.doc_id,
+             least(greatest(500000000 + ({pdiv}), 0), 1000000000)
+               - y * 1000000000 AS err,
+             abs(zq) < 2000000000 AS g
+      FROM z{r + 1} z JOIN y USING (doc_id)
+    )"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT z.doc_id,
+           CAST(zq AS DOUBLE) / 1000000000.0 AS score,
+           CASE WHEN zq >= 0 THEN 1 ELSE 0 END AS pred,
+           y
+    FROM z{iters + 1} z JOIN y USING (doc_id)"""
+    )
+
+
+@query("text_quality_classifier", oracle=_qc_oracle_sql(_QC_ITERS))
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TX.quality_classifier_scores(
+        docs, F.col("lang") == "en", iterations=_QC_ITERS
+    )

@@ -329,3 +329,89 @@ def test_kcore_peeling_cascades(spark):
     assert kcore(g2, k=2, rounds=3).count() == 0
     # one-shot filter (rounds=1) wrongly keeps the middle of the path
     assert kcore(g2, k=2, rounds=1).count() > 0
+
+
+# --------------------------------------------- quality classifier ---
+
+
+def _py_quality_classifier(texts, ys, iters=3):
+    """Pure-python twin of quality_classifier_scores: python's // IS
+    the sign-safe floor division the Spark side reconstructs via the
+    offset trick, so trajectories must match bit-for-bit."""
+    import hashlib
+
+    SX, SW = 10**6, 10**9
+
+    def bucket(t):
+        h = hashlib.md5(t.encode()).hexdigest()
+        return int(h[0], 16) * 16 + int(h[1], 16)
+
+    feats = []
+    for txt in texts:
+        ts = txt.split(" ")
+        cnt = {}
+        for t in ts:
+            b = bucket(t)
+            cnt[b] = cnt.get(b, 0) + 1
+        d = {b: (c * SX) // len(ts) for b, c in cnt.items()}
+        d[-1] = SX
+        feats.append(d)
+
+    N = len(texts)
+    w = {}
+    for r in range(iters):
+        errs, gs = [], []
+        for i in range(N):
+            z = 0 if r == 0 else sum(
+                w.get(b, 0) * x for b, x in feats[i].items()
+            ) // SX
+            p = min(max(SW // 2 + z // 4, 0), SW)
+            errs.append(p - ys[i] * SW)
+            gs.append(abs(z) < 2 * SW)
+        grad = {}
+        for i in range(N):
+            if not gs[i]:
+                continue
+            for b, x in feats[i].items():
+                grad[b] = grad.get(b, 0) + (errs[i] * x) // SX
+        for b in grad:
+            w[b] = w.get(b, 0) - (grad[b] // N) // 16
+    out = {}
+    for i in range(N):
+        z = sum(w.get(b, 0) * x for b, x in feats[i].items()) // SX
+        out[i] = (z / SW, 1 if z >= 0 else 0)
+    return out
+
+
+def test_quality_classifier_matches_python_and_separates(spark):
+    """Separable two-vocabulary corpus: the trained scores must equal
+    the pure-python model exactly (quantized trajectory) and classify
+    the training set perfectly after 3 rounds."""
+    from blockchain_data_engineering_spark.operators.text import (
+        quality_classifier_scores,
+    )
+
+    good_vocab = ["clean", "prose", "argument", "citation", "evidence"]
+    junk_vocab = ["zzspam", "clickzz", "zzbuy", "zzwin", "zzfree"]
+    texts, ys = [], []
+    for i in range(40):
+        v = good_vocab if i % 2 == 0 else junk_vocab
+        texts.append(" ".join(v[(i + j) % 5] for j in range(12)))
+        ys.append(1 if i % 2 == 0 else 0)
+
+    df = spark.createDataFrame(
+        [(i, t, y) for i, (t, y) in enumerate(zip(texts, ys))],
+        "doc_id LONG, text STRING, y_in INT",
+    )
+    got = {
+        r["doc_id"]: (r["score"], r["pred"], r["y"])
+        for r in quality_classifier_scores(
+            df, F.col("y_in") == 1, iterations=3
+        ).collect()
+    }
+    want = _py_quality_classifier(texts, ys, iters=3)
+    assert len(got) == 40
+    for i in range(40):
+        assert got[i][0] == want[i][0], (i, got[i], want[i])
+        assert got[i][1] == want[i][1]
+        assert got[i][1] == ys[i], f"doc {i} misclassified"
