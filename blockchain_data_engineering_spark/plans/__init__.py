@@ -130,12 +130,15 @@ GATE_ORDER = [
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "netflow_decimal",
-    # -- green in round 1 (core representatives) --
-    "pricing_summary",
+    # -- new this session: temperature mixing + snapshot diff --
+    "sample_temperature_mix",
+    "corpus_snapshot_diff",
+    # -- green in round 1 (core representatives; pricing_summary and
+    #    domain_block_normalize keep their r1 rows + pytest parity
+    #    from EXTRA_QUERIES) --
     "domain_utxo_resolution",
     "domain_volumes_priced",
     "domain_transfers_edges",
-    "domain_block_normalize",
     "flagship_volume_stack",
     "graph_pagerank",
     "graph_cc_pointer_jump",

@@ -1263,3 +1263,120 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_classifier_scores(
         docs, F.col("lang") == "en", iterations=_QC_ITERS
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (multilingual-LM style: sampling
+# share ∝ n_docs^(1/T) with T=2, i.e. sqrt — upweights tail sources
+# without letting a head source swamp the mix). The whole computation
+# is integer-quantized for bit-exact cross-engine parity: the only
+# float op is one IEEE sqrt + one multiply before a floor. The window
+# runs over the PER-SOURCE AGGREGATE (≤ thousands of rows at any
+# corpus size — source cardinality, not doc cardinality), so the
+# global single-partition window is safe at 100 TB; the only
+# corpus-sized work is the map-side-combined count.
+# ---------------------------------------------------------------------------
+_MIX_BUDGET = 100_000  # docs drawn per training epoch
+
+
+@query(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS wq
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(wq) AS BIGINT) AS sumwq FROM per_src)
+    SELECT source, n_docs, wq,
+           CAST(wq * 1000000000 // sumwq AS BIGINT) AS share_ppb,
+           CAST(wq * {_MIX_BUDGET} // sumwq AS BIGINT) AS docs_per_epoch,
+           CAST((wq * {_MIX_BUDGET} // sumwq) * 1000000 // n_docs AS BIGINT)
+             AS rel_epoch_ppm
+    FROM per_src, tot
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    wq = F.floor(F.sqrt(F.col("n_docs")) * 1000000).cast("long")
+    per_src = per_src.withColumn("wq", wq)
+    # window input is the ≤|sources|-row aggregate, not the corpus
+    per_src = per_src.withColumn(
+        "sumwq", F.sum("wq").over(Window.partitionBy())
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "wq",
+        F.expr("wq * 1000000000 div sumwq").alias("share_ppb"),
+        F.expr(f"wq * {_MIX_BUDGET} div sumwq").alias("docs_per_epoch"),
+        F.expr(
+            f"(wq * {_MIX_BUDGET} div sumwq) * 1000000 div n_docs"
+        ).alias("rel_epoch_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-snapshot diff: classify every document as added / removed /
+# modified / unchanged between two corpus snapshots by content hash —
+# the incremental-ingest primitive for a recurring crawl. The two
+# snapshots are synthesized deterministically from the one fixture
+# table (old = doc_id % 5 != 4 verbatim; new = doc_id % 5 != 0 with
+# every doc_id % 3 == 0 text revised), identically in the oracle. One
+# full-outer shuffle join co-partitioned on doc_id; hashes compare
+# md5(text) so the wide text column never crosses the shuffle twice.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+      SELECT doc_id, md5(text) AS old_hash FROM documents
+      WHERE doc_id % 5 != 4
+    ),
+    new_snap AS (
+      SELECT doc_id,
+             md5(text || CASE WHEN doc_id % 3 = 0 THEN ' rev2' ELSE '' END)
+               AS new_hash
+      FROM documents WHERE doc_id % 5 != 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           old_hash, new_hash,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN old_hash = new_hash THEN 'unchanged'
+                ELSE 'modified' END AS status
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old_snap = docs.where(F.col("doc_id") % 5 != 4).select(
+        "doc_id", F.md5(F.col("text")).alias("old_hash")
+    )
+    new_snap = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(" rev2")).otherwise(
+                    F.lit("")
+                ),
+            )
+        ).alias("new_hash"),
+    )
+    joined = old_snap.withColumnRenamed("doc_id", "o_id").join(
+        new_snap.withColumnRenamed("doc_id", "n_id"),
+        F.col("o_id") == F.col("n_id"),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("o_id"), F.col("n_id")).alias("doc_id"),
+        "old_hash",
+        "new_hash",
+        F.when(F.col("o_id").isNull(), F.lit("added"))
+        .when(F.col("n_id").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+        .alias("status"),
+    )

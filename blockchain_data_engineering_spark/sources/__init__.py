@@ -5,9 +5,11 @@ from blockchain_data_engineering_spark.sources.io import (  # noqa: F401
     load_prices_dim,
     read_jdbc,
     read_ndjson_blocks,
+    read_orc,
     upsert_parquet,
     upsert_parquet_bucketed,
     write_edge_list,
     write_jdbc,
     write_neo4j_admin_export,
+    write_orc,
 )

@@ -334,6 +334,26 @@ def upsert_parquet_bucketed(
             json.dump(layout, fh)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (S4 alternative format). ORC is the second columnar
+    format Spark ships natively (vectorized reader, predicate pushdown
+    via min/max + Bloom stripe stats, column pruning) — the natural
+    interchange path for Hive-warehouse consumers of the reference's
+    tables, which otherwise only had the JDBC extract
+    (src/etl_blockchain/main.py:22-29). Filter pushdown into the
+    stripe footer is plan-asserted in tests/test_sources.py."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink twin of :func:`read_orc`. zstd compression: the same
+    scan-efficiency default the parquet tables use; at 100 TB the
+    stripe size (spark.sql.orc.stripe... defaults) and task output
+    sizing follow the same maxPartitionBytes discipline as parquet
+    (docs/SCALE.md)."""
+    df.write.mode(mode).option("compression", "zstd").orc(path)
+
+
 def write_edge_list(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Transfer-graph sink: the engine's native graph representation is
     an edge-list table (send_addr, rx_addr, tx_hash, unit, value,

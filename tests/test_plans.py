@@ -345,3 +345,29 @@ def test_kcore_unhinted_path_has_no_broadcast(spark, sf_dir):
         assert sorted(map(tuple, h.collect())) == sorted(map(tuple, u.collect()))
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    # a full orderBy must plan a rangepartitioning Exchange (sampled
+    # range bounds, every partition sorts its slice in parallel) —
+    # never a single-partition collapse, which is the difference
+    # between a distributed sort and a driver-sized bottleneck at
+    # 100 TB
+    from blockchain_data_engineering_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        li.orderBy("l_shipdate", "l_orderkey").explain("formatted")
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_snapshot_diff_full_outer_is_copartitioned_shuffle(spark, sf_dir):
+    # the crawl-snapshot diff joins two corpus-sized sides: it must be
+    # a co-partitioned shuffle join (SortMergeJoin FullOuter), never a
+    # broadcast of a corpus side or a nested-loop fallback
+    plan = _plan(spark, sf_dir, "corpus_snapshot_diff")
+    assert "FullOuter" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

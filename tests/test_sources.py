@@ -287,3 +287,36 @@ def test_neo4j_admin_export_rfc4180_quoting(spark, tmp_path):
         schema="start STRING, end STRING, type STRING, note STRING",
     )
     assert back.collect()[0]["note"] == '6" pipe, threaded'
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """S4-alt: ORC sink → scan roundtrip preserves values, and a
+    filtered re-read pushes the predicate into the ORC stripe reader
+    (PushedFilters on the Scan orc node) — same bar the parquet scans
+    are held to in test_plans."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from blockchain_data_engineering_spark.catalog import load_table
+    from blockchain_data_engineering_spark.sources import read_orc, write_orc
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    path = str(tmp_path / "lineitem_orc")
+    write_orc(li, path)
+    back = read_orc(spark, path)
+    assert back.count() == li.count()
+    assert sorted(back.columns) == sorted(li.columns)
+    a = li.groupBy().sum("l_quantity").collect()[0][0]
+    b = back.groupBy().sum("l_quantity").collect()[0][0]
+    assert a == b
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        back.where(F.col("l_orderkey") == 42).explain("formatted")
+    plan = buf.getvalue()
+    assert "Scan orc" in plan, plan
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]" in plan or (
+        "EqualTo(l_orderkey" in plan
+    ), plan
