@@ -3,8 +3,10 @@
 from blockchain_data_engineering_spark.sources.io import (  # noqa: F401
     load_decimals_dim,
     load_prices_dim,
+    compact_parquet,
     read_jdbc,
     read_ndjson_blocks,
+    read_ndjson_blocks_with_quarantine,
     read_orc,
     upsert_parquet,
     upsert_parquet_bucketed,
@@ -12,4 +14,5 @@ from blockchain_data_engineering_spark.sources.io import (  # noqa: F401
     write_jdbc,
     write_neo4j_admin_export,
     write_orc,
+    write_partitioned,
 )

@@ -29,6 +29,33 @@ def read_ndjson_blocks(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_ndjson_blocks_with_quarantine(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine variant of :func:`read_ndjson_blocks`: split the feed
+    into (good, quarantined) instead of silently nulling malformed
+    lines. The reference's consumer crashed the whole run on one bad
+    frame (src/etl_blockchain/main.py:65-70 jsonpickle.loads); at
+    100 TB of crawl/chain intake a poison line must land in a
+    quarantine table for replay, not kill the job or vanish.
+
+    A line is quarantined when it fails to parse as a block envelope
+    (``from_json`` → NULL struct) or parses without the required
+    ``py/state`` payload. One narrow scan, no shuffle; the two returned
+    plans share the parsed projection so Catalyst reuses the scan when
+    both are written in one job (foreachBatch twin-sink pattern,
+    streaming/pipeline.py)."""
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.col("value").alias("raw"),
+        F.from_json(F.col("value"), BLOCK_SCHEMA).alias("json"),
+    )
+    ok = F.col("json").isNotNull() & F.col("json.`py/state`.id").isNotNull()
+    good = parsed.where(ok).select("json.`py/state`.*")
+    bad = parsed.where(~ok).select("raw")
+    return good, bad
+
+
 def load_prices_dim(spark: SparkSession, path: str) -> DataFrame:
     """Price dimension from the reference's JSON envelope
     ``{date, assets: [{id, symbol, last_price_usd, last_price_ada, ...}]}``
@@ -352,6 +379,60 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     sizing follow the same maxPartitionBytes discipline as parquet
     (docs/SCALE.md)."""
     df.write.mode(mode).option("compression", "zstd").orc(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-layout partitioned parquet sink (``path/col=value/…``).
+    Partition columns become directories, so any later filter on them
+    is PARTITION PRUNING — the scan lists only matching directories and
+    never opens the rest (plan-asserted in test_sources). This is the
+    lake layout every 100 TB table should use for its dominant filter
+    axis (ingest date for events/blocks).
+
+    Uses writer-scoped ``partitionOverwriteMode=dynamic`` so an
+    overwrite replaces ONLY the partitions present in ``df`` (idempotent
+    backfill of one day), not the whole table — and does not mutate the
+    session conf."""
+    (
+        df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files and return that
+    count. Streaming micro-batch sinks (foreachBatch appends) accrete
+    thousands of KB-sized files; scan cost then becomes file-listing +
+    footer-reads instead of IO, the classic lake-operations failure at
+    100 TB. Sizing uses the Hadoop FileSystem API (works on HDFS/S3A,
+    not just local), and the rewrite is one narrow ``coalesce`` — no
+    shuffle. Same single-writer swap semantics as
+    :func:`upsert_parquet` (Delta OPTIMIZE is the transactional
+    drop-in)."""
+    import math
+
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    staged = path.rstrip("/") + "_compact_tmp"
+    df.coalesce(n_files).write.mode("overwrite").parquet(staged)
+    fs.delete(hpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staged), hpath)
+    return n_files
 
 
 def write_edge_list(df: DataFrame, path: str, mode: str = "overwrite") -> None:

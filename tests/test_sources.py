@@ -320,3 +320,92 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]" in plan or (
         "EqualTo(l_orderkey" in plan
     ), plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """write_partitioned lays out path/day=…/ and a day filter becomes
+    partition pruning: the scan's PartitionFilters carries the
+    predicate and only the matching directory's files are read."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from blockchain_data_engineering_spark.catalog import load_table
+    from blockchain_data_engineering_spark.sources import write_partitioned
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, ["day"])
+
+    back = spark.read.parquet(path)
+    one_day = ev.select("day").distinct().orderBy("day").limit(1).collect()[0][0]
+    filtered = back.where(F.col("day") == F.lit(one_day))
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "day" in plan, plan
+    expected = ev.where(F.col("day") == F.lit(one_day)).count()
+    assert filtered.count() == expected
+
+
+def test_partitioned_dynamic_overwrite_replaces_only_touched_day(spark, tmp_path):
+    from blockchain_data_engineering_spark.sources import write_partitioned
+
+    df = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")], "id INT, day STRING, v STRING"
+    )
+    path = str(tmp_path / "dyn")
+    write_partitioned(df, path, ["day"])
+    patch = spark.createDataFrame([(9, "d2", "z")], "id INT, day STRING, v STRING")
+    write_partitioned(patch, path, ["day"])  # overwrite mode, dynamic
+    back = {(r["id"], r["day"], r["v"]) for r in spark.read.parquet(path).collect()}
+    # d1 rows survive; d2 fully replaced by the patch
+    assert back == {(1, "d1", "a"), (2, "d1", "b"), (9, "d2", "z")}
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from blockchain_data_engineering_spark.catalog import load_table
+    from blockchain_data_engineering_spark.sources import compact_parquet
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    path = str(tmp_path / "shredded")
+    li.repartition(40).write.parquet(path)
+    before = len(glob.glob(path + "/*.parquet"))
+    assert before >= 40
+    total = li.count()
+    qty = li.groupBy().sum("l_quantity").collect()[0][0]
+    n = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    after = len(glob.glob(path + "/*.parquet"))
+    assert after == n and after < before
+    back = spark.read.parquet(path)
+    assert back.count() == total
+    assert back.groupBy().sum("l_quantity").collect()[0][0] == qty
+
+
+def test_ndjson_quarantine_splits_poison_lines(spark, tmp_path):
+    from blockchain_data_engineering_spark.domain.synthetic import generate_chain
+    from blockchain_data_engineering_spark.sources import (
+        read_ndjson_blocks,
+        read_ndjson_blocks_with_quarantine,
+    )
+
+    ndjson = tmp_path / "blocks.ndjson"
+    lines = list(generate_chain(n_blocks=5, seed=3).lines)
+    poison = ['{"truncated": ', "not json at all", '{"py/state": {"era": "x"}}']
+    ndjson.write_text("\n".join(lines + poison) + "\n")
+
+    good, bad = read_ndjson_blocks_with_quarantine(spark, str(ndjson))
+    assert good.count() == 5
+    assert bad.count() == 3
+    # good rows are the same the strict reader yields for a clean feed
+    assert {r["id"] for r in good.collect()} == {
+        r["id"] for r in read_ndjson_blocks(spark, str(ndjson)).where(
+            F.col("id").isNotNull()
+        ).collect()
+    }
