@@ -85,6 +85,13 @@ from blockchain_data_engineering_spark.plans import multimodal_queries  # noqa: 
 # the rollup family stays gate-witnessed through
 # flagship_volume_stack), so every query ever registered holds an
 # official gate row from round 1 or round 2.
+# Final round-2 additions: five more new operators (temperature mixing,
+# snapshot diff, incremental ingest dedup, funnel conversion, cohort
+# retention) displace five more r1-GREEN queries (pricing_summary,
+# domain_block_normalize, graph_cc_pointer_jump,
+# domain_utxo_resolution, domain_volumes_priced) — all keep r1 rows +
+# pytest parity; the invariant holds: every registered query has an
+# official gate row from r1 or r2.
 GATE_ORDER = [
     # -- new this round --
     "text_quality_classifier",
@@ -130,18 +137,19 @@ GATE_ORDER = [
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "netflow_decimal",
-    # -- new this session: temperature mixing + snapshot diff --
+    # -- new this session: temperature mixing, snapshot diff,
+    #    incremental ingest dedup --
     "sample_temperature_mix",
     "corpus_snapshot_diff",
+    "dedup_incremental_batch",
+    "events_funnel",
+    "events_retention",
     # -- green in round 1 (core representatives; pricing_summary and
     #    domain_block_normalize keep their r1 rows + pytest parity
     #    from EXTRA_QUERIES) --
-    "domain_utxo_resolution",
-    "domain_volumes_priced",
     "domain_transfers_edges",
     "flagship_volume_stack",
     "graph_pagerank",
-    "graph_cc_pointer_jump",
     "dedup_minhash_lsh",
 ]
 

@@ -586,3 +586,124 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("user_id", "session_id"))
         .cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel conversion (view → click → purchase): per user, the
+# first view, the first click strictly after it, the first purchase
+# strictly after that — then per-step user counts and conversion vs
+# the funnel head, integer ppm. Three per-user aggregates + two
+# co-partitioned joins on user_id (one shuffle partitioning reused);
+# the per-step counts are scalar aggregates crossed into one 3-row
+# stack, so nothing corpus-sized leaves the executors.
+# ---------------------------------------------------------------------------
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+    ),
+    n AS (
+      SELECT (SELECT count(*) FROM v) AS n1,
+             (SELECT count(*) FROM c) AS n2,
+             (SELECT count(*) FROM p) AS n3
+    )
+    SELECT 'view' AS step, n1 AS n_users,
+           CAST(CASE WHEN n1 = 0 THEN 0 ELSE 1000000 END AS BIGINT)
+             AS conv_ppm FROM n
+    UNION ALL
+    SELECT 'click', n2,
+           CAST(CASE WHEN n1 = 0 THEN 0 ELSE n2 * 1000000 // n1 END AS BIGINT)
+      FROM n
+    UNION ALL
+    SELECT 'purchase', n3,
+           CAST(CASE WHEN n1 = 0 THEN 0 ELSE n3 * 1000000 // n1 END AS BIGINT)
+      FROM n
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nn = (
+        views.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(clicks.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(purchases.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    return nn.selectExpr(
+        """stack(3,
+             'view', n1, if(n1 = 0, 0L, 1000000L),
+             'click', n2, if(n1 = 0, 0L, n2 * 1000000 div n1),
+             'purchase', n3, if(n1 = 0, 0L, n3 * 1000000 div n1)
+           ) as (step, n_users, conv_ppm)"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix: users bucketed by first-active ISO week,
+# counted in every later week they return — (cohort_week, week_offset,
+# n_users). Two aggregations and one join, all partitioned by user_id
+# (the per-user weekly-activity dedup is the only corpus-sized
+# shuffle; the cohort join reuses its partitioning), then a final
+# small-keyspace aggregate with map-side combine.
+# ---------------------------------------------------------------------------
+@query(
+    "events_retention",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id, date_trunc('week', ts) AS week
+      FROM events GROUP BY 1, 2
+    ),
+    coh AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1)
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT)
+             AS week_offset,
+           count(*) AS n_users
+    FROM wk JOIN coh USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    coh = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(coh, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(week, cohort_week) div 7")
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -684,3 +684,96 @@ _SPAN_CUT_ORACLE = f"""
 def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     return D.remove_duplicated_spans(docs, n=SPAN_N)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a NEW crawl batch (doc_id % 10 == 7) deduped
+# against the EXISTING corpus index (everything else) — the ingest-time
+# shape (each arriving batch vs a persisted signature index) as opposed
+# to the full self-join sweep above. The LSH bucket join is
+# index-bands × batch-bands, so per batch the work is
+# O(|batch| · collisions), never a rescan of index×index; the
+# signature/shingle build over the index stands in for the persisted
+# index table a production pipeline maintains incrementally (write it
+# once with sources.upsert_parquet_bucketed keyed on band_val and the
+# bucket join is also shuffle-free). Within-batch duplicates are the
+# self-dedup operator's job (dedup_minhash_lsh); this op answers "is
+# this new doc already in the corpus, and which doc is it a copy of".
+# Output per batch doc: candidate count, the matched index doc
+# (min id among Jaccard ≥ 0.7 matches), match count, dup flag.
+# ---------------------------------------------------------------------------
+def _incremental_oracle() -> str:
+    return f"""
+    WITH mh AS ({_minhash_oracle()}),
+    x AS (
+      SELECT CASE WHEN id_a % 10 = 7 THEN id_a ELSE id_b END AS b_id,
+             CASE WHEN id_a % 10 = 7 THEN id_b ELSE id_a END AS i_id,
+             jaccard
+      FROM mh
+      WHERE (id_a % 10 = 7) != (id_b % 10 = 7)
+    ),
+    cand AS (SELECT b_id, count(*) AS n_candidates FROM x GROUP BY 1),
+    dup AS (
+      SELECT b_id, CAST(min(i_id) AS BIGINT) AS dup_of,
+             count(*) AS n_dups
+      FROM x WHERE jaccard >= 0.7 GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(n_candidates, 0) AS n_candidates,
+           dup_of,
+           coalesce(n_dups, 0) AS n_dups,
+           dup_of IS NOT NULL AS is_dup
+    FROM documents d
+    LEFT JOIN cand ON cand.b_id = d.doc_id
+    LEFT JOIN dup ON dup.b_id = d.doc_id
+    WHERE d.doc_id % 10 = 7
+    """
+
+
+@query("dedup_incremental_batch", oracle=_incremental_oracle())
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    is_batch = F.col("doc_id") % 10 == 7
+    # one shingle/signature build over the whole table, split after —
+    # at ingest time the index side is a persisted table, not recomputed
+    sh = D.shingle_set(docs, k=SHINGLE_K).persist()
+    sig = D.minhash_signatures(sh, N_HASHES).persist()
+    idx_bands = D.lsh_bands(sig.where(~is_batch), N_HASHES, BAND_SIZE)
+    new_bands = D.lsh_bands(sig.where(is_batch), N_HASHES, BAND_SIZE)
+    cand = (
+        idx_bands.select(
+            F.col("doc_id").alias("id_a"), "band_idx", "band_val"
+        )
+        .join(
+            new_bands.select(
+                F.col("doc_id").alias("id_b"), "band_idx", "band_val"
+            ),
+            ["band_idx", "band_val"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .persist()
+    )
+    arr = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    verified = D.jaccard_verify_arrays(cand, arr)
+    n_cand = cand.groupBy("id_b").agg(F.count(F.lit(1)).alias("n_candidates"))
+    dups = (
+        verified.where(F.col("jaccard") >= 0.7)
+        .groupBy("id_b")
+        .agg(
+            F.min("id_a").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+    batch_ids = docs.where(is_batch).select("doc_id")
+    return (
+        batch_ids.join(n_cand.withColumnRenamed("id_b", "doc_id"), "doc_id", "left")
+        .join(dups.withColumnRenamed("id_b", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),
+            "dup_of",
+            F.coalesce(F.col("n_dups"), F.lit(0)).alias("n_dups"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )

@@ -60,3 +60,47 @@ def test_lsh_banding_finds_every_true_near_dup(arr, truth):
     n_docs = arr.count()
     all_pairs = n_docs * (n_docs - 1) // 2
     assert cand.count() < all_pairs * 0.05  # measured ~1.7k vs 124,750
+
+
+def test_incremental_batch_flags_planted_near_dup(spark, tmp_path):
+    """A synthetic corpus with one planted near-copy in the batch side:
+    the incremental op must flag exactly that batch doc as a dup and
+    elect the planted source as dup_of; a fresh batch doc stays clean."""
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while seventeen geese argue about parquet row group sizes "
+        "near the river delta every single morning before sunrise"
+    )
+    rows = [
+        # index side (doc_id % 10 != 7)
+        (1, base),
+        (2, "completely unrelated text about gradient descent schedules "
+            "and the thermodynamics of espresso machines in winter"),
+        # batch side (doc_id % 10 == 7): 7 is a near-copy of 1, 17 is novel
+        (7, base.replace("morning", "evening")),
+        (17, "a third topic entirely: tidal harmonics, lighthouse keepers "
+             "and the slow drift of continental plates over eons"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    sh = D.shingle_set(docs, k=5).persist()
+    sig = D.minhash_signatures(sh, 9).persist()
+    is_batch = F.col("doc_id") % 10 == 7
+    idx_bands = D.lsh_bands(sig.where(~is_batch), 9, 3)
+    new_bands = D.lsh_bands(sig.where(is_batch), 9, 3)
+    cand = (
+        idx_bands.select(F.col("doc_id").alias("id_a"), "band_idx", "band_val")
+        .join(
+            new_bands.select(F.col("doc_id").alias("id_b"), "band_idx", "band_val"),
+            ["band_idx", "band_val"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    arr_all = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    verified = D.jaccard_verify_arrays(cand, arr_all)
+    hits = {
+        r["id_b"]: r["id_a"]
+        for r in verified.where(F.col("jaccard") >= 0.7).collect()
+    }
+    assert hits == {7: 1}
+    sh.unpersist(); sig.unpersist()

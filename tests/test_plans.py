@@ -371,3 +371,12 @@ def test_snapshot_diff_full_outer_is_copartitioned_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "corpus_snapshot_diff")
     assert "FullOuter" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_dedup_band_join_is_equi(spark, sf_dir):
+    # the index×batch candidate join must be an equi hash/sort-merge
+    # join on (band_idx, band_val) — any nested-loop/cartesian fallback
+    # would be index×batch all-pairs, defeating LSH entirely
+    plan = _plan(spark, sf_dir, "dedup_incremental_batch")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
