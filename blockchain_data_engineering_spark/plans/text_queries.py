@@ -1275,6 +1275,11 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus size — source cardinality, not doc cardinality), so the
 # global single-partition window is safe at 100 TB; the only
 # corpus-sized work is the map-side-combined count.
+#
+# Int64 headroom (every product stays under 2^63 ≈ 9.2e18, so this is
+# ANSI-overflow-safe at any plausible corpus): wq = floor(sqrt(n)·1e3)
+# ≤ 3.2e9 for n ≤ 1e13 docs per source; wq·1e6 ≤ 3.2e15;
+# wq·BUDGET(1e5) ≤ 3.2e14; docs_per_epoch ≤ BUDGET so its ·1e6 ≤ 1e11.
 # ---------------------------------------------------------------------------
 _MIX_BUDGET = 100_000  # docs drawn per training epoch
 
@@ -1284,12 +1289,12 @@ _MIX_BUDGET = 100_000  # docs drawn per training epoch
     oracle=f"""
     WITH per_src AS (
       SELECT source, count(*) AS n_docs,
-             CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS wq
+             CAST(floor(sqrt(count(*)) * 1000) AS BIGINT) AS wq
       FROM documents GROUP BY source
     ),
     tot AS (SELECT CAST(sum(wq) AS BIGINT) AS sumwq FROM per_src)
     SELECT source, n_docs, wq,
-           CAST(wq * 1000000000 // sumwq AS BIGINT) AS share_ppb,
+           CAST(wq * 1000000 // sumwq AS BIGINT) AS share_ppm,
            CAST(wq * {_MIX_BUDGET} // sumwq AS BIGINT) AS docs_per_epoch,
            CAST((wq * {_MIX_BUDGET} // sumwq) * 1000000 // n_docs AS BIGINT)
              AS rel_epoch_ppm
@@ -1299,7 +1304,7 @@ _MIX_BUDGET = 100_000  # docs drawn per training epoch
 def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    wq = F.floor(F.sqrt(F.col("n_docs")) * 1000000).cast("long")
+    wq = F.floor(F.sqrt(F.col("n_docs")) * 1000).cast("long")
     per_src = per_src.withColumn("wq", wq)
     # window input is the ≤|sources|-row aggregate, not the corpus
     per_src = per_src.withColumn(
@@ -1309,7 +1314,7 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "wq",
-        F.expr("wq * 1000000000 div sumwq").alias("share_ppb"),
+        F.expr("wq * 1000000 div sumwq").alias("share_ppm"),
         F.expr(f"wq * {_MIX_BUDGET} div sumwq").alias("docs_per_epoch"),
         F.expr(
             f"(wq * {_MIX_BUDGET} div sumwq) * 1000000 div n_docs"

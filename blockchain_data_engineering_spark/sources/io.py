@@ -409,29 +409,68 @@ def write_partitioned(
 def compact_parquet(
     spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> int:
-    """Small-file compaction: rewrite a parquet directory into
+    """Small-file compaction: rewrite a FLAT parquet directory into
     ``ceil(total_bytes / target_file_bytes)`` files and return that
     count. Streaming micro-batch sinks (foreachBatch appends) accrete
     thousands of KB-sized files; scan cost then becomes file-listing +
     footer-reads instead of IO, the classic lake-operations failure at
     100 TB. Sizing uses the Hadoop FileSystem API (works on HDFS/S3A,
     not just local), and the rewrite is one narrow ``coalesce`` — no
-    shuffle. Same single-writer swap semantics as
-    :func:`upsert_parquet` (Delta OPTIMIZE is the transactional
-    drop-in)."""
+    shuffle.
+
+    Hive-partitioned (``col=value/`` subdirs) and bucketed
+    (``_bucketing.json``) layouts are REFUSED: a flat rewrite would
+    flatten the partition key into an ordinary column (killing
+    pruning) and strand the bucket marker — compact those per
+    partition directory instead. Durability mirrors
+    :func:`upsert_parquet`: staged write → old table renamed aside →
+    staged renamed in → old deleted, with crash recovery from
+    ``<path>__old`` and an explicit rollback if the final rename
+    fails (Hadoop ``rename`` reports failure by returning false).
+    Single-writer interim machinery — Delta OPTIMIZE is the
+    transactional drop-in."""
     import math
 
     jvm = spark._jvm
     jsc = spark._jsc
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    base = path.rstrip("/")
+    hpath = HPath(base)
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    old = HPath(base + "__old")
+    staged_str = base + "__compact_tmp"
+    staged = HPath(staged_str)
+    # crash recovery FIRST (as upsert_parquet): a crash between the two
+    # swap renames leaves the only copy at __old — restore, never treat
+    # as missing
+    if not fs.exists(hpath) and fs.exists(old):
+        if not fs.rename(old, hpath):
+            raise IOError(f"compact_parquet: recovery rename failed for {path}")
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and "=" in name:
+            raise ValueError(
+                "compact_parquet: refusing Hive-partitioned layout "
+                f"({name}/ under {path}); compact each partition "
+                "directory instead"
+            )
+    if fs.exists(HPath(base + "/_bucketing.json")):
+        raise ValueError(
+            f"compact_parquet: refusing bucketed layout at {path} "
+            "(would strand _bucketing.json); compact per __bucket dir"
+        )
     total = fs.getContentSummary(hpath).getLength()
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    staged = path.rstrip("/") + "_compact_tmp"
-    df.coalesce(n_files).write.mode("overwrite").parquet(staged)
-    fs.delete(hpath, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staged), hpath)
+    fs.delete(staged, True)
+    df.coalesce(n_files).write.mode("overwrite").parquet(staged_str)
+    fs.delete(old, True)
+    if not fs.rename(hpath, old):
+        raise IOError(f"compact_parquet: could not rename {path} aside")
+    if not fs.rename(staged, hpath):
+        fs.rename(old, hpath)  # roll back: restore the live table
+        raise IOError(f"compact_parquet: swap rename failed for {path}")
+    fs.delete(old, True)
     return n_files
 
 

@@ -409,3 +409,46 @@ def test_ndjson_quarantine_splits_poison_lines(spark, tmp_path):
             F.col("id").isNotNull()
         ).collect()
     }
+
+
+def test_compact_parquet_refuses_partitioned_and_bucketed(spark, tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+
+    from blockchain_data_engineering_spark.sources import (
+        compact_parquet,
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d2", "b")], "id INT, day STRING, v STRING"
+    )
+    part = str(tmp_path / "part")
+    write_partitioned(df, part, ["day"])
+    with _pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_parquet(spark, part)
+
+    flat = str(tmp_path / "bucketed")
+    df.drop("day").write.parquet(flat)
+    with open(flat + "/_bucketing.json", "w") as fh:
+        _json.dump({"key_cols": ["id"], "n_buckets": 4}, fh)
+    with _pytest.raises(ValueError, match="bucketed"):
+        compact_parquet(spark, flat)
+
+
+def test_compact_parquet_recovers_from_interrupted_swap(spark, tmp_path):
+    import os
+
+    from blockchain_data_engineering_spark.sources import compact_parquet
+
+    df = spark.createDataFrame([(i, i * 2) for i in range(100)], "a INT, b INT")
+    path = str(tmp_path / "tbl")
+    df.repartition(8).write.parquet(path)
+    # simulate a crash between the two swap renames: live dir renamed
+    # aside, replacement never landed
+    os.rename(path, path + "__old")
+    n = compact_parquet(spark, path)
+    assert n >= 1
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.isdir(path + "__old")
