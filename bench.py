@@ -30,17 +30,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # LLM-data extension ops).
 HEADLINE = [
     "flagship_volume_stack",
-    "pricing_summary",
     "netflow_decimal",
-    "dim_enrich_volumes",
-    "vol_rollup_hierarchy",
-    "topk_semi_join",
-    "events_cma",
-    "domain_transfers_edges",
     "dedup_minhash_lsh",
+    "dedup_incremental_batch",
     "pipeline_corpus_dedup",
     "sim_ivf_ann_nprobe2",
     "graph_pagerank",
+    "graph_kcore",
+    "text_quality_classifier",
+    "events_funnel",
+    "sample_token_weighted",
 ]
 
 

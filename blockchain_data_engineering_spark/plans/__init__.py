@@ -85,13 +85,14 @@ from blockchain_data_engineering_spark.plans import multimodal_queries  # noqa: 
 # the rollup family stays gate-witnessed through
 # flagship_volume_stack), so every query ever registered holds an
 # official gate row from round 1 or round 2.
-# Final round-2 additions: five more new operators (temperature mixing,
+# Final round-2 additions: six more new operators (temperature mixing,
 # snapshot diff, incremental ingest dedup, funnel conversion, cohort
-# retention) displace five more r1-GREEN queries (pricing_summary,
-# domain_block_normalize, graph_cc_pointer_jump,
-# domain_utxo_resolution, domain_volumes_priced) — all keep r1 rows +
-# pytest parity; the invariant holds: every registered query has an
-# official gate row from r1 or r2.
+# retention, token-weighted sampling) displace six more r1-GREEN
+# queries (pricing_summary, domain_block_normalize,
+# graph_cc_pointer_jump, domain_utxo_resolution, domain_volumes_priced,
+# domain_transfers_edges) — all keep r1 rows + pytest parity; the
+# invariant holds: every registered query has an official gate row
+# from r1 or r2.
 GATE_ORDER = [
     # -- new this round --
     "text_quality_classifier",
@@ -144,10 +145,10 @@ GATE_ORDER = [
     "dedup_incremental_batch",
     "events_funnel",
     "events_retention",
+    "sample_token_weighted",
     # -- green in round 1 (core representatives; pricing_summary and
     #    domain_block_normalize keep their r1 rows + pytest parity
     #    from EXTRA_QUERIES) --
-    "domain_transfers_edges",
     "flagship_volume_stack",
     "graph_pagerank",
     "dedup_minhash_lsh",

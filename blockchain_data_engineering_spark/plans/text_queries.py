@@ -1385,3 +1385,90 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("modified"))
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-weighted systematic sampling: pick ≈QUOTA docs per shard with
+# probability proportional to token mass (the "sample by token budget,
+# not doc count" curriculum primitive — a 10k-token doc is 100× more
+# likely than a 100-token doc). Deterministic: docs are laid on a
+# per-shard integer token line in md5 order, and a doc is picked iff
+# its [cum_before, cum_before+w) interval crosses a multiple of
+# step = shard_tokens/QUOTA (docs heavier than step get picked with
+# multiplicity, reported in n_picks). All integer arithmetic, no RNG.
+# Scale: windows are per-shard (same shape as sample_pack_sequences) —
+# no global single-partition window; shard count scales with the
+# cluster, quota with the token budget.
+# ---------------------------------------------------------------------------
+_WSAMP_SHARDS = 8
+_WSAMP_QUOTA = 25
+
+
+@query(
+    "sample_token_weighted",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {_WSAMP_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS n_tokens,
+             sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY doc_id % {_WSAMP_SHARDS}
+               ORDER BY md5('wsamp:' || CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum,
+             sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY doc_id % {_WSAMP_SHARDS}
+             ) AS shard_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, shard, n_tokens, cum,
+             greatest(shard_tokens // {_WSAMP_QUOTA}, 1) AS step
+      FROM t
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum // step - (cum - n_tokens) // step AS BIGINT)
+             AS n_picks
+    FROM s
+    WHERE cum // step > (cum - n_tokens) // step
+    """,
+)
+def sample_token_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    h = F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string")))
+    shard = (F.col("doc_id") % _WSAMP_SHARDS).alias("shard")
+    base = docs.select(
+        "doc_id",
+        shard,
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        h.alias("__h"),
+    )
+    wc = (
+        Window.partitionBy("shard")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("shard")
+    staged = base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.sum("n_tokens").over(wc).alias("cum"),
+        F.greatest(
+            F.expr(f"sum(n_tokens) OVER (PARTITION BY shard) div {_WSAMP_QUOTA}"),
+            F.lit(1).cast("long"),
+        ).alias("step"),
+    )
+    return (
+        staged.where(
+            F.expr("cum div step") > F.expr("(cum - n_tokens) div step")
+        )
+        .select(
+            "doc_id",
+            F.col("shard").cast("long").alias("shard"),
+            "n_tokens",
+            (
+                F.expr("cum div step") - F.expr("(cum - n_tokens) div step")
+            ).alias("n_picks"),
+        )
+    )
