@@ -777,3 +777,55 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_of").isNotNull().alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment scoring (asymmetric near-dup): c(A in B) = |A∩B| / |A| —
+# catches a short doc wholly embedded in a long one, which symmetric
+# Jaccard misses (a 100-shingle doc inside a 10k-shingle doc has
+# J ≈ 0.01 but containment 1.0; Lee et al. 2022 §4 treat these as
+# duplicates too). Same LSH candidate generation and array-local
+# intersection as dedup_minhash_lsh (bounded by collisions, never
+# all-pairs); the contained side (≥ 0.9 coverage, higher-coverage side
+# wins ties, id_a on exact ties) is elected per pair.
+# ---------------------------------------------------------------------------
+def _containment_oracle() -> str:
+    return f"""
+    WITH mh AS ({_minhash_oracle()})
+    SELECT id_a, id_b, n_inter, n_a, n_b,
+           CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS contain_a,
+           CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS contain_b,
+           CASE
+             WHEN CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.9
+              AND CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  >= CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE)
+               THEN id_a
+             WHEN CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) >= 0.9
+               THEN id_b
+           END AS contained_doc
+    FROM mh
+    """
+
+
+@query("dedup_minhash_containment", oracle=_containment_oracle())
+def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = D.shingle_set(docs, k=SHINGLE_K).persist()
+    sig = D.minhash_signatures(sh, N_HASHES).persist()
+    cand = D.lsh_candidate_pairs(D.lsh_bands(sig, N_HASHES, BAND_SIZE))
+    arr = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    v = D.jaccard_verify_arrays(cand, arr).drop("jaccard")
+    c_a = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+    c_b = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
+    return v.select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        "n_a",
+        "n_b",
+        c_a.alias("contain_a"),
+        c_b.alias("contain_b"),
+        F.when((c_a >= 0.9) & (c_a >= c_b), F.col("id_a"))
+        .when(c_b >= 0.9, F.col("id_b"))
+        .alias("contained_doc"),
+    )
