@@ -670,3 +670,46 @@ def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: part pairs ordered together, top-30 by
+# support — the association-mining primitive (frequent itemsets at
+# k=2). The pair generation is a per-order self-join on l_orderkey
+# with p1 < p2: work is Σ(order_size²), bounded by the largest basket
+# (7 lines in TPC-H), NEVER corpus×corpus; the count aggregate
+# map-side-combines and the top-30 is a TakeOrdered, not a global
+# sort. At 100 TB the same plan holds — baskets stay small while
+# orders grow, so the shuffle is O(|lineitem|) pair rows.
+# ---------------------------------------------------------------------------
+@query(
+    "basket_part_pairs",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_orderkey,
+             a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT p1, p2, count(*) AS n_orders
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_orders DESC, p1, p2 LIMIT 30
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .select("l_orderkey", "p1", "p2")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+        .limit(30)
+    )
