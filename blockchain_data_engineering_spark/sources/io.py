@@ -19,6 +19,46 @@ from pyspark.sql import functions as F
 from blockchain_data_engineering_spark.domain.schema import BLOCK_SCHEMA
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """``(fs, HPath, hpath)`` for ``path`` via the JVM Hadoop
+    ``FileSystem`` API — the portable existence/rename/delete layer
+    that resolves through the path's own scheme (``file://``,
+    ``hdfs://``, ``s3a://``). Driver-local ``os``/``shutil`` calls are
+    NOT portable: on an object-store table path they silently probe the
+    driver's local disk, report "missing", and the first "upsert" then
+    overwrites the whole table."""
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    hpath = HPath(path.rstrip("/"))
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, HPath, hpath
+
+
+def _child_names(fs, hpath) -> list[str]:
+    """Names of the direct children of ``hpath`` ([] when absent)."""
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
+def _write_text_file(fs, hpath, text: str) -> None:
+    """Write ``text`` to ``hpath`` through the Hadoop FS (overwrite)."""
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text_file(fs, hpath) -> str:
+    """Read ``hpath`` fully as UTF-8 text through the Hadoop FS."""
+    stream = fs.open(hpath)
+    try:
+        return bytes(stream.readAllBytes()).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def read_ndjson_blocks(spark: SparkSession, path: str) -> DataFrame:
     """Batch twin of streaming.sources.ndjson_file_stream: NDJSON block
     lines → typed block rows."""
@@ -192,29 +232,31 @@ def upsert_parquet(
     Durability: the merged table is written to ``<path>__tmp`` and then
     swapped in with two directory renames (old table preserved at
     ``<path>__old`` until the swap completes). A crash can leave the
-    table under ``__old`` but never destroys data; this is interim
-    single-writer machinery — at 100 TB swap in Delta/Iceberg
-    ``MERGE INTO``, call-site unchanged. Note the merge rewrites the
-    whole table per batch (read-merge-overwrite); partition the table
-    and restrict the merge to touched partitions, or use a
-    transactional format, before using this at scale — see
-    :func:`upsert_parquet_bucketed` for exactly that partitioned merge.
+    table under ``__old`` but never destroys data. All filesystem
+    operations go through the Hadoop ``FileSystem`` API resolved from
+    the path's scheme, so the probe/swap work identically on
+    ``file://``, HDFS, and S3A — but NOTE the swap's atomicity claim
+    holds only where directory rename is atomic (local FS, HDFS): on
+    S3A a "rename" is a non-atomic copy+delete, so a crash mid-rename
+    can leave partial dual-location state the ``__old`` recovery cannot
+    detect. On object stores use the transactional drop-in
+    (Delta/Iceberg ``MERGE INTO``), call-site unchanged. The merge also
+    rewrites the whole table per batch (read-merge-overwrite) — see
+    :func:`upsert_parquet_bucketed` for the partition-pruned variant.
     """
-    import os
-    import shutil
-
     spark = df.sparkSession
     keys = list(key_cols)
-    old = path.rstrip("/") + "__old"
+    base = path.rstrip("/")
+    fs, HPath, hpath = _hadoop_fs(spark, base)
+    hold = HPath(base + "__old")
     # Crash recovery FIRST: a crash between the two swap renames
     # leaves the only copy of the table at <path>__old with <path>
     # missing. Blindly treating that as "first write" and clearing
     # __old would destroy the preserved table — restore it instead.
-    if not os.path.isdir(path) and os.path.isdir(old):
-        os.rename(old, path)
-    exists = os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    )
+    if not fs.exists(hpath) and fs.exists(hold):
+        if not fs.rename(hold, hpath):
+            raise IOError(f"upsert_parquet: recovery rename failed for {path}")
+    exists = any(n.endswith(".parquet") for n in _child_names(fs, hpath))
     if exists:
         existing = spark.read.parquet(path)
         new_flag = df.withColumn("__new", F.lit(1))
@@ -232,13 +274,18 @@ def upsert_parquet(
         )
     else:
         result = df
-    tmp = path.rstrip("/") + "__tmp"
+    tmp = base + "__tmp"
+    htmp = HPath(tmp)
     result.write.mode("overwrite").parquet(tmp)  # reads <path> lazily here
-    shutil.rmtree(old, ignore_errors=True)
+    fs.delete(hold, True)
     if exists:
-        os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+        if not fs.rename(hpath, hold):
+            raise IOError(f"upsert_parquet: could not rename {path} aside")
+    if not fs.rename(htmp, hpath):
+        if exists:
+            fs.rename(hold, hpath)  # roll back: restore the live table
+        raise IOError(f"upsert_parquet: swap rename failed for {path}")
+    fs.delete(hold, True)
 
 
 def upsert_parquet_bucketed(
@@ -267,15 +314,24 @@ def upsert_parquet_bucketed(
     Conflict semantics match :func:`upsert_parquet`: incoming beats
     existing on the same key; intra-batch duplicates resolved by
     ``order_cols`` (first wins), unspecified without it.
+
+    Filesystem portability: the existence probe, the
+    ``_bucketing.json`` layout marker, and the stage cleanup all go
+    through the Hadoop ``FileSystem`` API resolved from ``path``'s
+    scheme, so the merge behaves identically on ``file://``, HDFS, and
+    S3A (no local-``os`` probe that would misreport an object-store
+    table as missing and overwrite it). The data swap itself is
+    Spark's dynamic partition overwrite — per-partition-directory
+    replacement, no table-level rename — so it carries no extra
+    atomicity assumption beyond what the committer provides.
     """
-    import os
+    import json
 
     spark = df.sparkSession
     keys = list(key_cols)
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
         "int"
     )
-    import json
 
     incoming = df.withColumn("__bucket", bucket)
     # empty batches are routine in a streaming foreachBatch sink: with
@@ -284,9 +340,11 @@ def upsert_parquet_bucketed(
     # spark.read.parquet cannot infer a schema from
     if df.isEmpty():
         return
-    exists = os.path.isdir(path) and any(
-        f.startswith("__bucket=") or f.endswith(".parquet")
-        for f in os.listdir(path)
+    base = path.rstrip("/")
+    fs, HPath, hpath = _hadoop_fs(spark, base)
+    exists = any(
+        n.startswith("__bucket=") or n.endswith(".parquet")
+        for n in _child_names(fs, hpath)
     )
     # the bucket function is part of the TABLE's layout, not the call:
     # an upsert with a different n_buckets/key set would hash keys to
@@ -294,15 +352,13 @@ def upsert_parquet_bucketed(
     # keys with stale survivors, silently. Record the layout beside
     # the data and refuse mismatched calls.
     layout = {"n_buckets": n_buckets, "key_cols": keys}
-    marker = os.path.join(path, "_bucketing.json")
+    marker = HPath(base + "/_bucketing.json")
     if not exists:
         incoming.write.mode("overwrite").partitionBy("__bucket").parquet(path)
-        with open(marker, "w") as fh:
-            json.dump(layout, fh)
+        _write_text_file(fs, marker, json.dumps(layout))
         return
-    if os.path.isfile(marker):
-        with open(marker) as fh:
-            on_disk = json.load(fh)
+    if fs.exists(marker):
+        on_disk = json.loads(_read_text_file(fs, marker))
         if on_disk != layout:
             raise ValueError(
                 f"bucketed-upsert layout mismatch at {path}: table was "
@@ -341,10 +397,9 @@ def upsert_parquet_bucketed(
     # ONLY the partition dirs present in the staged data — exactly the
     # touched buckets. A crash before the final write leaves the table
     # intact (stage dir is garbage, not state).
-    import shutil
-
-    stage = path.rstrip("/") + "__stage"
-    shutil.rmtree(stage, ignore_errors=True)
+    stage = base + "__stage"
+    hstage = HPath(stage)
+    fs.delete(hstage, True)
     result.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -354,11 +409,67 @@ def upsert_parquet_bucketed(
         ).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        shutil.rmtree(stage, ignore_errors=True)
+        fs.delete(hstage, True)
         incoming.unpersist()
-    if not os.path.isfile(marker):  # legacy table written before markers
-        with open(marker, "w") as fh:
-            json.dump(layout, fh)
+    if not fs.exists(marker):  # legacy table written before markers
+        _write_text_file(fs, marker, json.dumps(layout))
+
+
+def upsert_delta(
+    df: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[Column] | None = None,
+) -> None:
+    """Transactional upsert via Delta Lake ``MERGE INTO`` — the
+    documented 100 TB drop-in for :func:`upsert_parquet` /
+    :func:`upsert_parquet_bucketed` (multi-writer ACID commits, no
+    rename-based swap, object-store-safe). Same call signature and
+    conflict semantics: incoming beats existing on ``key_cols``;
+    intra-batch duplicate keys resolved by ``order_cols`` (first wins)
+    BEFORE the merge, since MERGE requires a unique source row per key.
+
+    Import-gated like the Neo4j connector/Bolt transports: the
+    ``delta-spark`` package is not in this container, so the guard path
+    is what tests exercise here; where the package exists the session
+    must carry the Delta SQL extension + catalog
+    (``spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension``,
+    ``spark.sql.catalog.spark_catalog=...DeltaCatalog``).
+    """
+    try:
+        from delta.tables import DeltaTable  # type: ignore
+    except ImportError as exc:
+        raise ImportError(
+            "upsert_delta requires the delta-spark package (pip install "
+            "delta-spark) and a Delta-configured SparkSession; use "
+            "upsert_parquet_bucketed as the package-free interim path"
+        ) from exc
+
+    spark = df.sparkSession
+    keys = list(key_cols)
+    # MERGE demands one source row per key — resolve intra-batch
+    # duplicates exactly as the parquet upserts do (order_cols first
+    # wins; arbitrary-but-deterministic keys-order without it)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*(list(order_cols or []) or [F.lit(1)]))
+    src = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if not DeltaTable.isDeltaTable(spark, path):
+        src.write.format("delta").mode("overwrite").save(path)
+        return
+    cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+    (
+        DeltaTable.forPath(spark, path)
+        .alias("t")
+        .merge(src.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
@@ -427,8 +538,12 @@ def compact_parquet(
     staged renamed in → old deleted, with crash recovery from
     ``<path>__old`` and an explicit rollback if the final rename
     fails (Hadoop ``rename`` reports failure by returning false).
-    Single-writer interim machinery — Delta OPTIMIZE is the
-    transactional drop-in."""
+    Swap atomicity holds only on filesystems with atomic directory
+    rename (local FS, HDFS); on S3A "rename" is a non-atomic
+    copy+delete, so a crash mid-rename can leave partial
+    dual-location state that the ``__old`` recovery check cannot
+    detect — on object stores use Delta OPTIMIZE, the transactional
+    drop-in. Single-writer interim machinery either way."""
     import math
 
     jvm = spark._jvm
@@ -446,6 +561,10 @@ def compact_parquet(
     if not fs.exists(hpath) and fs.exists(old):
         if not fs.rename(old, hpath):
             raise IOError(f"compact_parquet: recovery rename failed for {path}")
+    # a clear error beats the opaque py4j-wrapped FileNotFoundException
+    # listStatus would otherwise raise when the table never existed
+    if not fs.exists(hpath):
+        raise IOError(f"compact_parquet: no parquet table at {path}")
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
         if st.isDirectory() and "=" in name:

@@ -50,7 +50,11 @@ def test_load_dims_reference_shape(spark, tmp_path):
 
 
 def test_upsert_parquet_on_conflict_update(spark, tmp_path):
-    path = str(tmp_path / "vol_by_block")
+    # explicit file:// scheme: the probe/swap must resolve through the
+    # Hadoop FileSystem API from the path's own scheme (the io.py
+    # round-2 defect was a local-os probe that misreports any
+    # non-local table as missing and overwrites it)
+    path = "file://" + str(tmp_path / "vol_by_block")
     v1 = spark.createDataFrame(
         [("tokA", 1, 10.0), ("tokA", 2, 20.0), ("tokB", 1, 5.0)],
         "unit STRING, height LONG, value_adj DOUBLE",
@@ -79,6 +83,55 @@ def test_upsert_parquet_on_conflict_update(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert again == got
+
+
+def test_upsert_delta_guard_or_merge(spark, tmp_path):
+    """The transactional drop-in (SCALE.md claim) must be executable
+    where delta-spark exists and fail with a clear, actionable error
+    where it doesn't — never an opaque mid-merge crash."""
+    import pytest
+
+    from blockchain_data_engineering_spark.sources import upsert_delta
+
+    path = str(tmp_path / "delta_tbl")
+    v1 = spark.createDataFrame([("a", 1, 1.0)], "unit STRING, height LONG, v DOUBLE")
+    try:
+        import delta  # noqa: F401  # type: ignore
+    except ImportError:
+        with pytest.raises(ImportError, match="delta-spark"):
+            upsert_delta(v1, path, ["unit", "height"])
+        return
+    # package present (not this container): full MERGE semantics
+    upsert_delta(v1, path, ["unit", "height"])
+    v2 = spark.createDataFrame(
+        [("a", 1, 9.0), ("b", 2, 2.0)], "unit STRING, height LONG, v DOUBLE"
+    )
+    upsert_delta(v2, path, ["unit", "height"])
+    got = {
+        (r.unit, r.height): r.v
+        for r in spark.read.format("delta").load(path).collect()
+    }
+    assert got == {("a", 1): 9.0, ("b", 2): 2.0}
+
+
+def test_upsert_parquet_crash_recovery_restores_old(spark, tmp_path):
+    """A crash between the two swap renames leaves the only copy of the
+    table at <path>__old; the next upsert must restore it (via Hadoop
+    FS rename, not local os calls) instead of treating the table as
+    missing — which would silently drop every pre-crash row."""
+    import os
+
+    local = str(tmp_path / "crashy")
+    path = "file://" + local
+    v1 = spark.createDataFrame([("a", 1, 1.0)], "unit STRING, height LONG, v DOUBLE")
+    upsert_parquet(v1, path, ["unit", "height"])
+    # simulate the crash window: table renamed aside, swap never landed
+    os.rename(local, local + "__old")
+    v2 = spark.createDataFrame([("b", 2, 2.0)], "unit STRING, height LONG, v DOUBLE")
+    upsert_parquet(v2, path, ["unit", "height"])
+    got = {(r.unit, r.height) for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1), ("b", 2)}  # pre-crash row survived the merge
+    assert not os.path.exists(local + "__old")
 
 
 def test_neo4j_cypher_script_sink(spark, tmp_path):
@@ -139,17 +192,18 @@ def test_upsert_parquet_bucketed_only_rewrites_touched_buckets(spark, tmp_path):
 
     from blockchain_data_engineering_spark.sources import upsert_parquet_bucketed
 
-    path = str(tmp_path / "bucketed")
+    local = str(tmp_path / "bucketed")
+    path = "file://" + local  # probe/marker/stage must go through Hadoop FS
     v1 = spark.createDataFrame(
         [(k, float(k)) for k in range(200)], "k LONG, v DOUBLE"
     )
     upsert_parquet_bucketed(v1, path, ["k"], n_buckets=8)
-    assert len(glob.glob(f"{path}/__bucket=*")) >= 2
+    assert len(glob.glob(f"{local}/__bucket=*")) >= 2
 
     # snapshot per-file mtimes before the second batch
     before = {
         f: os.path.getmtime(f)
-        for f in glob.glob(f"{path}/__bucket=*/*.parquet")
+        for f in glob.glob(f"{local}/__bucket=*/*.parquet")
     }
 
     # batch touching few keys: update k=0, insert k=1000
@@ -203,7 +257,10 @@ def test_upsert_parquet_bucketed_rejects_layout_mismatch(spark, tmp_path):
 
     from blockchain_data_engineering_spark.sources import upsert_parquet_bucketed
 
-    path = str(tmp_path / "bucketed_layout")
+    # file:// scheme: the guard's marker read must go through Hadoop FS
+    # (with a local-os read the marker is invisible on object stores
+    # and the guard never fires)
+    path = "file://" + str(tmp_path / "bucketed_layout")
     v = spark.createDataFrame([(1, 1.0)], "k LONG, v DOUBLE")
     upsert_parquet_bucketed(v, path, ["k"], n_buckets=8)
     with pytest.raises(ValueError, match="layout mismatch"):
