@@ -312,7 +312,7 @@ def connected_components_pointer_jump(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame, src: str = "src", dst: str = "dst", broadcast: bool = True
 ) -> DataFrame:
     """Global triangle count via degree-ordered edge orientation +
     adjacency-array intersection (the GraphX/"compact forward" kernel):
@@ -329,14 +329,22 @@ def triangle_count(
     materialized as ROWS through a shuffle + semi-join (the wedge
     self-join formulation was measured 2.2× slower on the dense
     supplier co-occurrence graph at sf0.1: 15.5 s vs 7.1 s
-    steady-state). When the per-source adjacency table broadcasts
-    (AQE, |V|-bounded), the edge set never reshuffles at all; on the
-    unhinted billion-edge path the second join does ship each edge row
-    with its N+(u) array — comparable BYTES to the wedge set, but one
-    fewer shuffle stage and no 10⁸-row hash-semi-join probe. Arrays
-    stay bounded under orientation (max out-degree ≈ √|E|); for a
-    pathological >100 MB adjacency row, route that node's edges
-    through the wedge-join path instead.
+    steady-state). The adjacency table has ONE row per non-sink node
+    (|V|-bounded, not |E|), so with ``broadcast=True`` (default, the
+    pagerank/LPA/k-core convention) both attachment joins are broadcast
+    hash joins and the |E| edge set never shuffles at all — without the
+    hint Catalyst cannot see that the post-``collect_list`` size is
+    |V|-bounded and falls back to sort-merge, shipping every edge row
+    with its multi-KB neighbor array through the exchange (measured
+    26.7 s vs 7.4 s on the dense sf0.1 co-occurrence graph — the
+    round-2 bench defect). Pass ``broadcast=False`` when |V| × avg
+    out-degree (≈ |E| ids, the whole oriented edge set as arrays)
+    exceeds executor broadcast budget — the billion-edge path — which
+    ships each edge row with its N+(u) array instead: comparable BYTES
+    to the wedge set, but one fewer shuffle stage and no 10⁸-row
+    hash-semi-join probe. Arrays stay bounded under orientation (max
+    out-degree ≈ √|E|); for a pathological >100 MB adjacency row,
+    route that node's edges through the wedge-join path instead.
 
     Returns a single row (n_triangles BIGINT) — deterministic integer.
     """
@@ -368,12 +376,14 @@ def triangle_count(
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
     ).persist()
     adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
-    # attach N+(u) and N+(v) to each oriented edge; adj has one row per
-    # non-sink node, so AQE broadcasts it whenever |V| is small — left
-    # unhinted so billion-node graphs shuffle instead of OOM
-    joined = oriented.join(adj, "u").join(
-        adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v")), "v"
+    # attach N+(u) and N+(v) to each oriented edge (|V|-row table,
+    # broadcast by default — see docstring for the escape hatch)
+    adj_u = _hint(adj, broadcast)
+    adj_v = _hint(
+        adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v")),
+        broadcast,
     )
+    joined = oriented.join(adj_u, "u").join(adj_v, "v")
     # Σ |N+(u) ∩ N+(v)| = triangle count (adjacency lists are distinct
     # by construction, so array_intersect's set semantics are exact).
     # The result is ONE row — materialize it eagerly so both |E|-sized
@@ -470,6 +480,7 @@ def kcore(
     src: str = "src",
     dst: str = "dst",
     broadcast: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """k-core peeling (Seidman 1983): repeatedly delete every node of
     degree < ``k`` (and its edges); what survives ``rounds`` peels is
@@ -485,10 +496,18 @@ def kcore(
     (broadcast by default, ``broadcast=False`` + pre-partitioned edges
     at billion-node scale — see :func:`_hint`). Each round persists
     and materializes before releasing the previous — same
-    linear-lineage discipline as the CC loop. The returned plan reads
-    the FINAL round's persisted edge set (cache contract as in DSIR:
-    released by ``clearCache`` between corpus snapshots, as the bench
-    does).
+    linear-lineage discipline as the CC loop.
+
+    Cache lifetime contract: with ``materialize=True`` (default) the
+    ≤|V|-row (node, degree) result is computed here via an eager
+    ``localCheckpoint`` — the returned plan is a flat scan of the
+    stored result (no |E|-sized edge cache pinned, no R-round nested
+    InMemoryRelation tree for downstream planners to canonicalize; the
+    result blocks are GC-cleaned when the DataFrame is dropped) — and
+    the final round's edge cache is released before returning.
+    ``materialize=False`` keeps the lazy plan, which pins the final
+    round's edge set until ``clearCache``; use it only to compose
+    further lazy transformations that Catalyst should see through.
 
     Returns (node, degree) over the surviving subgraph.
     """
@@ -526,4 +545,13 @@ def kcore(
     out = alive.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+    if materialize:
+        # eager localCheckpoint, NOT persist+count: unpersisting the
+        # round caches invalidates any dependent cache entry (every
+        # later action would recompute the whole peel), and the
+        # R-round nested-InMemoryRelation lineage makes even PLANNING
+        # downstream actions driver-expensive. The checkpoint stores
+        # the small result and truncates the plan to a flat scan.
+        out = out.localCheckpoint(eager=True)
+        alive.unpersist()
     return out
