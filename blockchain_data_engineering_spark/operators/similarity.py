@@ -482,6 +482,7 @@ def lsh_ann_topk_multitable(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Multi-table sign-LSH ANN: candidates are the UNION over
     ``n_tables`` hash tables of same-bucket pairs, deduplicated, then
@@ -507,9 +508,12 @@ def lsh_ann_topk_multitable(
     # persist the bucket table: the self-join references it twice and
     # would otherwise run the full signature aggregation twice. It is
     # N·L narrow rows (id, tbl, bucket) — bounded and safe to cache.
-    # The cache intentionally outlives this call (the returned plan
-    # references it lazily); callers running many sweeps should
-    # spark.catalog.clearCache() between them, as bench.py does.
+    # Cache lifetime contract: with materialize=True (default) the
+    # N·k-row result is computed HERE via an eager localCheckpoint
+    # (flat-plan result, blocks GC-cleaned with the DataFrame) and the
+    # bucket cache released before returning — no hidden pin.
+    # materialize=False keeps the legacy lazy plan, which references
+    # the bucket cache until clearCache.
     b = sign_lsh_buckets_multitable(
         vectors, n_tables, n_planes, dim, vec_col, id_col
     ).persist()
@@ -563,11 +567,19 @@ def lsh_ann_topk_multitable(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id")
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+    if materialize:
+        # eager localCheckpoint: stores the N·k-row result and
+        # truncates lineage to a flat scan, so the bucket cache can be
+        # released without invalidating a dependent cache entry (see
+        # kcore for the failure mode persist+count hits here)
+        out = out.localCheckpoint(eager=True)
+        b.unpersist()
+    return out
 
 
 # ------------------------------------------------------------- k-means ---
@@ -624,7 +636,14 @@ def kmeans_centroids_quantized(
         .select(
             id_col,
             F.row_number()
-            .over(Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)))
+            # constant partition key: the frame is the k seed rows (post
+            # limit), never corpus-sized — the lit(0) says so in-plan
+            # instead of tripping WindowExec's global-window warning
+            .over(
+                Window.partitionBy(F.lit(0)).orderBy(
+                    F.md5(F.col(id_col).cast("string")), F.col(id_col)
+                )
+            )
             .cast("int")
             .alias("cid"),
         )
@@ -975,8 +994,10 @@ def pq_codebooks_quantized(
         .select(
             id_col,
             F.row_number()
+            # bounded frame (k_code rows post-limit) — constant
+            # partition key, not a global window
             .over(
-                Window.orderBy(
+                Window.partitionBy(F.lit(0)).orderBy(
                     F.md5(F.col(id_col).cast("string")), F.col(id_col)
                 )
             )

@@ -593,7 +593,11 @@ def bpe_pair_counts(
     top = counts.orderBy(
         F.col("n_occurrences").desc(), F.col("pair")
     ).limit(top_k)
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    # constant partition key: frame = top_k rows post-limit, never the
+    # full pair-count table
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("n_occurrences").desc(), F.col("pair")
+    )
     return top.withColumn("rank", F.row_number().over(w)).select(
         "pair", "n_occurrences", "rank"
     )
@@ -631,13 +635,16 @@ def vocab_coverage(
         .limit(top_k)
         .crossJoin(F.broadcast(total))
     )
+    # constant partition key: both windows see only the top_k surviving
+    # rows (post-limit), never the token-count table
     w = (
-        Window.orderBy(F.col("n").desc(), F.col("t"))
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.col("n").desc(), F.col("t"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return top.select(
         F.row_number()
-        .over(Window.orderBy(F.col("n").desc(), F.col("t")))
+        .over(Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("t")))
         .alias("rank"),
         F.col("t").alias("token"),
         F.col("n").alias("n_occurrences"),

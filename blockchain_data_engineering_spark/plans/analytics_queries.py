@@ -649,8 +649,12 @@ def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
     cum = b.withColumn(
         "cum",
+        # constant partition key: frame = the histogram's bins (bounded
+        # by value-range/_HQ_BIN), never the events table
         F.sum("c").over(
-            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+            Window.partitionBy(F.lit(0))
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
     n = ev.agg(F.count(F.lit(1)).alias("n"))

@@ -315,7 +315,9 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 20 rows — the unpartitioned window only ever sees k rows, never
     # the full scored corpus.
     top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    # constant partition key: frame = the 20 surviving rows, by
+    # construction never the scored corpus
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
         top.withColumn("rank", F.row_number().over(w))
         .select("doc_id", "score", "rank")

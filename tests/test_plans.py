@@ -380,3 +380,30 @@ def test_incremental_dedup_band_join_is_equi(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_incremental_batch")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_no_unpartitioned_windows_in_package_source():
+    """Every window in the package must declare a partition spec. The
+    bounded post-limit rank windows use a constant-literal partition
+    key (Window.partitionBy(F.lit(0))) — same single-partition
+    execution, but the boundedness claim is in the plan instead of
+    tripping WindowExec's 'No Partition Defined' warning, which would
+    otherwise mask any future REAL global window over an unbounded
+    frame."""
+    import glob
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "blockchain_data_engineering_spark",
+    )
+    offenders = []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        with open(path) as fh:
+            for i, line in enumerate(fh, 1):
+                if "Window.orderBy(" in line:
+                    offenders.append(f"{path}:{i}")
+    assert not offenders, (
+        "unpartitioned Window.orderBy found (use "
+        f"Window.partitionBy(F.lit(0)) for bounded frames): {offenders}"
+    )
