@@ -1,27 +1,27 @@
 """Live chain-sync source adapter (SURVEY §2.1 S1).
 
 The reference's streamer (src/cardano_streamer/main.py:34-52) is an
-Ogmios chain-sync client: ``find_intersection([start_point])`` once,
-then a ``next_block`` loop; every ``forward`` roll is serialized to one
-NDJSON line and pushed to whatever Spark's socket source has connected.
+Ogmios chain-sync client over a websocket (main.py:29-32,
+``ws://host:1337``): ``find_intersection([start_point])`` once, then a
+``next_block`` loop; every ``forward`` roll is serialized to one NDJSON
+line and pushed to whatever Spark's socket source has connected.
 
 :class:`ChainSyncProducer` is that client rebuilt for the engine's
 canonical source path: it speaks the same two-verb protocol
-(``findIntersection`` / ``nextBlock``, Ogmios v6 method names over
-line-delimited JSON-RPC 2.0) and lands each forward block as an NDJSON
-line in a directory that :func:`streaming.sources.ndjson_file_stream`
-tails — replayable, checkpoint-friendly, and partitioned, unlike the
+(``findIntersection`` / ``nextBlock``, Ogmios v6 method names as
+JSON-RPC 2.0) and lands each forward block as an NDJSON line in a
+directory that :func:`streaming.sources.ndjson_file_stream` tails —
+replayable, checkpoint-friendly, and partitioned, unlike the
 reference's raw socket push (which remains available via
 ``sources.socket_stream`` as the dev tap).
 
-:class:`MockChainSyncNode` is the test double for the Ogmios node
-itself: a TCP server that answers ``findIntersection`` with the
-requested point and streams a fixed block list as ``forward`` rolls,
-then reports ``tip``. The websocket framing of real Ogmios is the only
-thing mocked away (no websocket client in this environment); the
-request/response state machine is the same, so swapping in a real
-endpoint changes only the transport layer of
-:meth:`ChainSyncProducer._rpc`.
+Transports: ``transport="ws"`` speaks RFC-6455 websocket framing (one
+JSON-RPC message per text frame — what real Ogmios serves; client
+framing is the dependency-free :mod:`streaming.ws`), and
+``transport="line"`` speaks line-delimited JSON-RPC over bare TCP (the
+dev/test shortcut). :class:`MockChainSyncNode` is the test double for
+the Ogmios node itself and serves both transports, so the producer is
+integration-tested end-to-end over genuine ws frames.
 """
 
 from __future__ import annotations
@@ -30,9 +30,11 @@ import json
 import socket
 import threading
 
+from blockchain_data_engineering_spark.streaming import ws as _ws
+
 
 class MockChainSyncNode:
-    """Ogmios-shaped chain-sync node over line-delimited JSON-RPC.
+    """Ogmios-shaped chain-sync node (``transport="line"`` or ``"ws"``).
 
     Serves ``blocks`` (already-serialized NDJSON block documents) as
     forward rolls after an intersection handshake. One client at a
@@ -40,8 +42,13 @@ class MockChainSyncNode:
     needs.
     """
 
-    def __init__(self, blocks: list[str], host: str = "127.0.0.1"):
+    def __init__(
+        self, blocks: list[str], host: str = "127.0.0.1", transport: str = "line"
+    ):
+        if transport not in ("line", "ws"):
+            raise ValueError(f"unknown transport {transport!r}")
         self._blocks = blocks
+        self.transport = transport
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, 0))
@@ -54,55 +61,71 @@ class MockChainSyncNode:
         self._thread.start()
         return self
 
+    def _respond(self, req: dict, cursor: int) -> tuple[dict, int]:
+        """The protocol state machine, transport-independent."""
+        method = req.get("method")
+        if method == "findIntersection":
+            points = req.get("params", {}).get("points", [])
+            resp = {
+                "jsonrpc": "2.0",
+                "method": method,
+                "result": {"intersection": points[0] if points else "origin"},
+                "id": req.get("id"),
+            }
+        elif method == "nextBlock":
+            if cursor < len(self._blocks):
+                resp = {
+                    "jsonrpc": "2.0",
+                    "method": method,
+                    "result": {
+                        "direction": "forward",
+                        "block": self._blocks[cursor],
+                    },
+                    "id": req.get("id"),
+                }
+                cursor += 1
+            else:
+                resp = {
+                    "jsonrpc": "2.0",
+                    "method": method,
+                    "result": {"direction": "tip"},
+                    "id": req.get("id"),
+                }
+        else:
+            resp = {
+                "jsonrpc": "2.0",
+                "error": {"code": -32601, "message": f"unknown {method}"},
+                "id": req.get("id"),
+            }
+        return resp, cursor
+
     def _serve(self) -> None:
         try:
             conn, _ = self._sock.accept()
         except OSError:
             return
         cursor = 0
-        buf = b""
         with conn:
-            fh = conn.makefile("rb")
-            while True:
-                line = fh.readline()
-                if not line:
-                    break
-                req = json.loads(line)
-                method = req.get("method")
-                if method == "findIntersection":
-                    points = req.get("params", {}).get("points", [])
-                    resp = {
-                        "jsonrpc": "2.0",
-                        "method": method,
-                        "result": {"intersection": points[0] if points else "origin"},
-                        "id": req.get("id"),
-                    }
-                elif method == "nextBlock":
-                    if cursor < len(self._blocks):
-                        resp = {
-                            "jsonrpc": "2.0",
-                            "method": method,
-                            "result": {
-                                "direction": "forward",
-                                "block": self._blocks[cursor],
-                            },
-                            "id": req.get("id"),
-                        }
-                        cursor += 1
-                    else:
-                        resp = {
-                            "jsonrpc": "2.0",
-                            "method": method,
-                            "result": {"direction": "tip"},
-                            "id": req.get("id"),
-                        }
-                else:
-                    resp = {
-                        "jsonrpc": "2.0",
-                        "error": {"code": -32601, "message": f"unknown {method}"},
-                        "id": req.get("id"),
-                    }
-                conn.sendall((json.dumps(resp) + "\n").encode())
+            if self.transport == "ws":
+                try:
+                    wsc = _ws.server_handshake(conn)
+                except ConnectionError:
+                    self._sock.close()
+                    return
+                while True:
+                    msg = wsc.recv_text()
+                    if msg is None:
+                        break
+                    resp, cursor = self._respond(json.loads(msg), cursor)
+                    wsc.send_text(json.dumps(resp))
+            else:
+                fh = conn.makefile("rb")
+                while True:
+                    line = fh.readline()
+                    if not line:
+                        break
+                    resp, cursor = self._respond(json.loads(line), cursor)
+                    conn.sendall((json.dumps(resp) + "\n").encode())
         self._sock.close()
 
     def close(self) -> None:
@@ -118,22 +141,35 @@ class ChainSyncProducer:
 
     ``rotate_every`` blocks per file: the file stream source picks up
     each closed file as (part of) a micro-batch, so rotation size is
-    the live path's batching knob.
+    the live path's batching knob. ``transport="ws"`` matches real
+    Ogmios (main.py:29-32); ``"line"`` is the bare-TCP dev variant.
     """
 
-    def __init__(self, host: str, port: int, out_dir: str, rotate_every: int = 10):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        out_dir: str,
+        rotate_every: int = 10,
+        transport: str = "line",
+    ):
+        if transport not in ("line", "ws"):
+            raise ValueError(f"unknown transport {transport!r}")
         self.host, self.port, self.out_dir = host, port, out_dir
         self.rotate_every = rotate_every
+        self.transport = transport
         self._id = 0
 
-    def _rpc(self, fh_in, fh_out, method: str, params: dict | None = None) -> dict:
+    def _rpc(self, send, recv, method: str, params: dict | None = None) -> dict:
         self._id += 1
         req = {"jsonrpc": "2.0", "method": method, "id": self._id}
         if params:
             req["params"] = params
-        fh_out.write((json.dumps(req) + "\n").encode())
-        fh_out.flush()
-        return json.loads(fh_in.readline())
+        send(json.dumps(req))
+        msg = recv()
+        if msg is None:
+            raise ConnectionError("chain-sync peer closed mid-conversation")
+        return json.loads(msg)
 
     def run(self, start_point: str = "origin", max_blocks: int | None = None) -> int:
         """Sync until tip (or ``max_blocks``); returns blocks written."""
@@ -171,11 +207,24 @@ class ChainSyncProducer:
             file_idx += 1
 
         with sock:
-            fh_in = sock.makefile("rb")
-            fh_out = sock.makefile("wb")
-            self._rpc(fh_in, fh_out, "findIntersection", {"points": [start_point]})
+            if self.transport == "ws":
+                wsc = _ws.client_handshake(sock, self.host, self.port)
+                send, recv = wsc.send_text, wsc.recv_text
+            else:
+                fh_in = sock.makefile("rb")
+                fh_out = sock.makefile("wb")
+
+                def send(s: str) -> None:
+                    fh_out.write((s + "\n").encode())
+                    fh_out.flush()
+
+                def recv() -> str | None:
+                    line = fh_in.readline()
+                    return line.decode() if line else None
+
+            self._rpc(send, recv, "findIntersection", {"points": [start_point]})
             while max_blocks is None or n < max_blocks:
-                resp = self._rpc(fh_in, fh_out, "nextBlock")
+                resp = self._rpc(send, recv, "nextBlock")
                 result = resp.get("result", {})
                 if result.get("direction") == "forward":
                     pending.append(result["block"])
@@ -184,5 +233,7 @@ class ChainSyncProducer:
                         flush()
                 else:  # tip (or rollback in a real deployment)
                     break
+            if self.transport == "ws":
+                wsc.close()
         flush()
         return n

@@ -34,10 +34,16 @@ def chain():
     return generate_chain(n_blocks=24, seed=11)
 
 
-def test_producer_lands_all_blocks(chain, tmp_path):
-    node = MockChainSyncNode(chain.lines).start()
+@pytest.mark.parametrize("transport", ["line", "ws"])
+def test_producer_lands_all_blocks(chain, tmp_path, transport):
+    """Both transports end-to-end: bare-TCP line JSON-RPC and genuine
+    RFC-6455 websocket frames (what real Ogmios serves —
+    reference src/cardano_streamer/main.py:29-32)."""
+    node = MockChainSyncNode(chain.lines, transport=transport).start()
     out = str(tmp_path / "landing")
-    n = ChainSyncProducer(node.host, node.port, out, rotate_every=7).run()
+    n = ChainSyncProducer(
+        node.host, node.port, out, rotate_every=7, transport=transport
+    ).run()
     node.close()
     assert n == len(chain.lines)
     import glob
@@ -46,6 +52,67 @@ def test_producer_lands_all_blocks(chain, tmp_path):
     for f in sorted(glob.glob(out + "/part-*.ndjson")):
         lines += [ln for ln in open(f).read().splitlines() if ln]
     assert lines == chain.lines  # order- and content-exact replay
+
+
+def test_ws_accept_key_rfc_vector():
+    # RFC 6455 §1.3 worked example
+    from blockchain_data_engineering_spark.streaming.ws import accept_key
+
+    assert (
+        accept_key("dGhlIHNhbXBsZSBub25jZQ==")
+        == "s3pPLMBiTxaQ9kYGzzhZRbK+xOo="
+    )
+
+
+def test_ws_framing_roundtrip_fragmentation_ping_and_lengths():
+    """Frame-level contract over a loopback socketpair: masked client
+    frames decode on the server side, 16-bit and 64-bit payload-length
+    encodings round-trip, fragmented messages reassemble, and a ping
+    inside a message stream is answered without surfacing to the
+    caller."""
+    import socket as _socket
+    import struct
+
+    from blockchain_data_engineering_spark.streaming.ws import (
+        WebSocketConnection,
+    )
+
+    a, b = _socket.socketpair()
+    client = WebSocketConnection(a, mask=True)
+    server = WebSocketConnection(b, mask=False)
+
+    client.send_text("hello")  # 7-bit length, masked
+    assert server.recv_text() == "hello"
+
+    big = "x" * 70_000  # 64-bit length path
+    server.send_text(big)
+    assert client.recv_text() == big
+
+    mid = "y" * 500  # 16-bit length path
+    client.send_text(mid)
+    assert server.recv_text() == mid
+
+    # fragmented message with an interleaved ping: TEXT(fin=0) PING
+    # CONT(fin=1) — recv_text must answer the ping and return the
+    # reassembled text (frames built manually for fin control)
+    def raw(fin, opcode, payload):
+        h = bytearray([(0x80 if fin else 0) | opcode, len(payload)])
+        b.sendall(bytes(h) + payload)
+
+    raw(0, 0x1, b"part1-")
+    raw(1, 0x9, b"ping!")  # ping mid-message
+    raw(0x1, 0x0, b"part2")
+    assert client.recv_text() == "part1-part2"
+    # the pong came back masked to the server side
+    op, fin, payload = server._read_frame()
+    assert op == 0xA and payload == b"ping!"
+
+    # close handshake: server closes, client recv returns None and
+    # echoes close
+    server._send_frame(0x8, struct.pack("!H", 1000))
+    assert client.recv_text() is None
+    a.close()
+    b.close()
 
 
 def test_chain_sync_to_pipeline_matches_batch(spark, chain, tmp_path):
