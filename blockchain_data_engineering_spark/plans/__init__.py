@@ -78,6 +78,11 @@ from blockchain_data_engineering_spark.plans import multimodal_queries  # noqa: 
 # never-gated = registry − (r1 ∪ r2 ∪ current gate) from the
 # CORRECTNESS_r*.json files and asserts it empty.
 GATE_ORDER = [
+    # -- new in round 3 (judge ask #8): n-gram novelty scoring vs a
+    #    reference corpus and the SemDeDup-then-filter per-cluster
+    #    quality aggregation --
+    "text_novelty_score",
+    "pipeline_cluster_quality",
     # -- never officially gate-verified before round 3 (front-loaded
     #    so even a row-capped gate reaches them) --
     "basket_part_pairs",
@@ -105,7 +110,6 @@ GATE_ORDER = [
     "sim_ivf_ann_trained",
     "graph_triangle_count",
     "events_sessionize",
-    "text_chunk_windows",
     "text_decontaminate_overlap",
     "sample_stratified",
     "dedup_ngram_jaccard",
@@ -126,7 +130,6 @@ GATE_ORDER = [
     "corpus_snapshot_diff",
     "dedup_incremental_batch",
     "events_funnel",
-    "events_retention",
     "sample_token_weighted",
     "flagship_volume_stack",
     "graph_pagerank",

@@ -744,3 +744,107 @@ RP_DIM = 8
 def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     return SIM.random_projection_quantized(emb, out_dim=RP_DIM, dim=DIM)
+
+
+# ---------------------------------------------------------------------------
+# Per-cluster quality aggregation: the SemDeDup-then-filter composition
+# a production curation pipeline runs — k-means cluster the embedding
+# space (same trained centroids as emb_kmeans_centroids), assign every
+# embedded document to its final cluster, join the per-document quality
+# scores, and aggregate per cluster. The output is the curation
+# decision table: clusters with low avg quality / low high-quality
+# share get down-sampled or dropped wholesale (cluster-level pruning is
+# ~k decisions instead of N — the reason SemDeDup clusters first).
+#
+# Join key: the embedded corpus slice shares ids with documents
+# (vec_id = doc_id); the trained-classifier scores
+# (text_quality_classifier) drop in at the same join, the heuristic
+# score keeps the oracle one CTE instead of a GD-unroll. avg_quality
+# uses integer-quanta summation (davg) — order-independent, so the
+# cluster means hash-match bit-for-bit.
+# ---------------------------------------------------------------------------
+CLUSTER_Q_HIGH = 60.0
+
+
+def _cluster_quality_oracle() -> str:
+    from blockchain_data_engineering_spark.operators import text as _TX
+    from blockchain_data_engineering_spark.plans.parity import davg_sql
+    from blockchain_data_engineering_spark.plans.text_queries import _stop_hits_sql
+
+    km = _kmeans_oracle().strip()
+    km_body = km[len("WITH "):]
+    km_ctes = km_body.rsplit("SELECT cid, dim0, cq FROM", 1)[0].rstrip().rstrip(",")
+    score = (
+        "40.0 * (CASE WHEN n_chars_m >= 50 AND n_chars_m <= 10000"
+        " THEN 1.0 ELSE 0.0 END)"
+        " + 40.0 * least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4, 1.0)"
+        " + 20.0 * (1.0 - least(CAST(n_punct AS DOUBLE)"
+        " / CAST(n_chars_m AS DOUBLE) * 10, 1.0))"
+    )
+    return f"""
+    WITH {km_ctes},
+    dfin AS (
+      SELECT v.vec_id, c.cid, sum((v.vq - c.cq) * (v.vq - c.cq)) AS d2
+      FROM v JOIN c{KM_ITERS} c USING (dim0) GROUP BY 1, 2
+    ),
+    afin AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dfin
+      ) WHERE rn = 1
+    ),
+    feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars_m,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS n_punct,
+             {_stop_hits_sql(_TX.LANG_MARKERS["en"])} AS n_stop
+      FROM documents
+    ),
+    q AS (SELECT doc_id, {score} AS quality_score FROM feats)
+    SELECT a.cid,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN q.quality_score >= {CLUSTER_Q_HIGH}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(sum(CASE WHEN q.quality_score >= {CLUSTER_Q_HIGH}
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS high_share,
+           {davg_sql("q.quality_score", 6)} AS avg_quality
+    FROM afin a JOIN q ON q.doc_id = a.vec_id
+    GROUP BY 1
+    """
+
+
+@query("pipeline_cluster_quality", oracle=_cluster_quality_oracle())
+def pipeline_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators import text as TX
+    from blockchain_data_engineering_spark.plans.parity import davg
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cent = SIM.kmeans_centroids_quantized(emb, k=KM_K, iterations=KM_ITERS)
+    assign = SIM.kmeans_assign(emb, cent)
+    quality = TX.quality_score(docs).select(
+        F.col("doc_id").alias("vec_id"), "quality_score"
+    )
+    high = (F.col("quality_score") >= CLUSTER_Q_HIGH).cast("long")
+    return (
+        assign.join(quality, "vec_id")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(high).cast("long").alias("n_high"),
+            davg(F.col("quality_score"), 6).alias("avg_quality"),
+        )
+        .select(
+            "cid",
+            "n_docs",
+            "n_high",
+            (F.col("n_high").cast("double") / F.col("n_docs").cast("double")).alias(
+                "high_share"
+            ),
+            "avg_quality",
+        )
+    )

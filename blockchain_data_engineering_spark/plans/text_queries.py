@@ -714,6 +714,98 @@ def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# n-gram novelty scoring vs a reference corpus: the forward twin of
+# decontamination. Where decontamination asks "does my training corpus
+# leak the benchmark", novelty asks "how much of an INCOMING batch is
+# genuinely new against what we already trained on" — the curation
+# signal behind dedup-aware data mixing (documents full of already-seen
+# n-grams add little; wholly novel ones are where new capability — and
+# new crawl junk — lives). Reuses the winnowing fingerprints, so the
+# reference-corpus side is an fp-keyed DISTINCT table joined once;
+# candidate volume is colliding hashes only, never doc x doc, and every
+# incoming doc appears (LEFT join) even at zero overlap. The ratio is
+# one division of exact integers.
+# ---------------------------------------------------------------------------
+NOVELTY_REF_SOURCES = ("src0", "src1", "src2", "src3")
+_NOV_REF_SQL = ", ".join(f"'{s}'" for s in NOVELTY_REF_SOURCES)
+
+
+@query(
+    "text_novelty_score",
+    oracle=f"""
+    WITH fps AS (
+      {_winnow_fps_sql()}
+    ),
+    ref AS (SELECT DISTINCT fp FROM fps WHERE source IN ({_NOV_REF_SQL})),
+    incoming AS (
+      SELECT doc_id, fp FROM fps WHERE source NOT IN ({_NOV_REF_SQL})
+    )
+    SELECT i.doc_id,
+           CAST(count(*) AS BIGINT)       AS n_fps,
+           CAST(count(r.fp) AS BIGINT)    AS n_seen,
+           CAST(count(*) - count(r.fp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS novelty
+    FROM incoming i LEFT JOIN ref r ON r.fp = i.fp
+    GROUP BY 1
+    """,
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n = F.greatest(F.length(F.col("text")) - (WINNOW_K - 1), F.lit(1))
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), n)).alias("i"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "source",
+        "i",
+        F.md5(F.col("text").substr(F.col("i"), F.lit(WINNOW_K))).alias("h"),
+    )
+    w_min = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    w_max = Window.partitionBy("doc_id")
+    fps = (
+        grams.select(
+            "doc_id",
+            "source",
+            F.min("h").over(w_min).alias("fp"),
+            "i",
+            F.max("i").over(w_max).alias("max_i"),
+        )
+        .where(F.col("i") <= F.col("max_i") - (WINNOW_W - 1))
+        .select("doc_id", "source", "fp")
+        .distinct()
+    )
+    is_ref = F.col("source").isin(*NOVELTY_REF_SOURCES)
+    ref = fps.where(is_ref).select("fp").distinct()
+    incoming = fps.where(~is_ref).select("doc_id", "fp")
+    # fp-keyed equi join; count("__seen") counts matches (non-null) —
+    # the LEFT join keeps zero-overlap (fully novel) docs in the result
+    joined = incoming.join(ref.withColumn("__seen", F.lit(1)), "fp", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fps"),
+            F.count("__seen").cast("long").alias("n_seen"),
+        )
+        .select(
+            "doc_id",
+            "n_fps",
+            "n_seen",
+            (
+                (F.col("n_fps") - F.col("n_seen")).cast("double")
+                / F.col("n_fps").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Data-mix reweighting: per-source sampling weights (the Pile/Llama
 # "epochs per source" mix) realized as deterministic fractional
 # repetition — every doc repeats floor(w) times plus one more iff a

@@ -407,3 +407,23 @@ def test_no_unpartitioned_windows_in_package_source():
         "unpartitioned Window.orderBy found (use "
         f"Window.partitionBy(F.lit(0)) for bounded frames): {offenders}"
     )
+
+
+def test_novelty_fp_join_is_equi(spark, sf_dir):
+    # the incoming-vs-reference fingerprint join must be an equi join on
+    # fp (hash/sort-merge) — a nested-loop fallback would be incoming x
+    # reference all-pairs, the exact shape winnowing exists to avoid
+    plan = _plan(spark, sf_dir, "text_novelty_score")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cluster_quality_centroid_join_is_broadcast(spark, sf_dir):
+    # kmeans_assign joins the O(k·dim)-row centroid table against the
+    # exploded corpus components: the centroid side must broadcast
+    # (corpus-size-independent), and the doc-quality join must stay an
+    # equi join — no nested-loop anywhere in the composition
+    plan = _plan(spark, sf_dir, "pipeline_cluster_quality")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
