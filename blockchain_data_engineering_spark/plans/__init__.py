@@ -78,11 +78,14 @@ from blockchain_data_engineering_spark.plans import multimodal_queries  # noqa: 
 # never-gated = registry − (r1 ∪ r2 ∪ current gate) from the
 # CORRECTNESS_r*.json files and asserts it empty.
 GATE_ORDER = [
-    # -- new in round 3 (judge ask #8): n-gram novelty scoring vs a
-    #    reference corpus and the SemDeDup-then-filter per-cluster
-    #    quality aggregation --
+    # -- new in round 3 (judge ask #8 + pipeline completions):
+    #    n-gram novelty vs a reference corpus, SemDeDup-then-filter
+    #    per-cluster quality aggregation, deterministic shard shuffle,
+    #    and the component-keyed leakage-free train/val split --
     "text_novelty_score",
     "pipeline_cluster_quality",
+    "sample_shard_shuffle",
+    "sample_split_leakage_free",
     # -- never officially gate-verified before round 3 (front-loaded
     #    so even a row-capped gate reaches them) --
     "basket_part_pairs",
@@ -109,9 +112,7 @@ GATE_ORDER = [
     "emb_kmeans_centroids",
     "sim_ivf_ann_trained",
     "graph_triangle_count",
-    "events_sessionize",
     "text_decontaminate_overlap",
-    "sample_stratified",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_simhash_multiblock",

@@ -829,3 +829,39 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(c_b >= 0.9, F.col("id_b"))
         .alias("contained_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free train/val split: the contamination-safe version of
+# sample_train_val_split. A plain per-doc md5 split puts near-duplicate
+# documents on BOTH sides of the split — the eval set then scores
+# memorization, not generalization (the failure decontamination exists
+# to catch, Lee et al. 2022 §6). Here the split key is the document's
+# near-dup COMPONENT representative (canonical_id from the
+# MinHash-LSH → verify → connected-components chain), so every member
+# of a duplicate cluster lands in the same split by construction.
+# Scale shape: the dedup chain's banded/verified joins plus ONE extra
+# narrow projection — no new shuffles beyond pipeline_corpus_dedup.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_split_leakage_free",
+    oracle=f"""
+    WITH cc AS ({_corpus_dedup_sql()})
+    SELECT doc_id, canonical_id,
+           CASE WHEN substr(md5('split:' || CAST(canonical_id AS VARCHAR)), 1, 1)
+                     IN ('0', '1', '2') THEN 'val' ELSE 'train' END AS split
+    FROM cc
+    """,
+)
+def sample_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labeled = pipeline_corpus_dedup(spark, sf_dir)
+    h1 = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("canonical_id").cast("string"))), 1, 1
+    )
+    return labeled.select(
+        "doc_id",
+        "canonical_id",
+        F.when(h1.isin("0", "1", "2"), F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -18,6 +18,14 @@ from blockchain_data_engineering_spark.plans.registry import query
 
 _BPE_PAT = TX.TOKEN_PATTERN
 
+# hex digit → int as portable SQL (DuckDB lacks conv(); a CASE table
+# keeps the md5-derived uniform draws engine-identical)
+_HEX_DIGIT_SQL = (
+    "CASE {col} "
+    + " ".join(f"WHEN '{d}' THEN {int(d, 16)}" for d in "0123456789abcdef")
+    + " END"
+)
+
 
 # ---------------------------------------------------------------------------
 # Token counting: whitespace tokens + a BPE-ish regex token estimate —
@@ -395,6 +403,61 @@ def sample_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(h1.isin("0", "1", "2"), F.lit("val"))
         .otherwise(F.lit("train"))
         .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shard shuffle: the "global shuffle" every training-set
+# release runs before writing shards — hash-assign each doc to a shard,
+# pseudo-randomly order WITHIN the shard (md5 sort key), emit
+# (doc_id, shard, pos). Scale shape: one hash shuffle on shard + a
+# per-shard window sort — NO global row numbering or single-partition
+# window, so the plan is identical at 10^3 and 10^10 docs (shard count
+# is the parallelism knob). Reproducible across engines, runs, and
+# cluster sizes, unlike rand()-based shuffling.
+# ---------------------------------------------------------------------------
+N_SHARDS = 8
+
+
+@query(
+    "sample_shard_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             (16 * ({_HEX_DIGIT_SQL.format(col="substr(hh, 1, 1)")})
+              + ({_HEX_DIGIT_SQL.format(col="substr(hh, 2, 1)")})) % {N_SHARDS}
+               AS shard,
+             md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS ok
+      FROM (
+        SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS hh
+        FROM documents
+      )
+    )
+    SELECT doc_id,
+           CAST(shard AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY shard ORDER BY ok, doc_id) AS INTEGER) AS pos
+    FROM h
+    """,
+)
+def sample_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u256 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 2
+        ),
+        16,
+        10,
+    ).cast("int")
+    ok = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    sharded = docs.select(
+        "doc_id", (u256 % N_SHARDS).alias("shard"), ok.alias("__ok")
+    )
+    w = Window.partitionBy("shard").orderBy("__ok", "doc_id")
+    return sharded.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("int").alias("pos"),
     )
 
 
@@ -816,13 +879,6 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the corpus grows. Weights derive from the source id
 # (src<n> → 1 + (n % 4)/4 epochs) to stay fixture-driven.
 # ---------------------------------------------------------------------------
-_HEX_DIGIT_SQL = (
-    "CASE {col} "
-    + " ".join(f"WHEN '{d}' THEN {int(d, 16)}" for d in "0123456789abcdef")
-    + " END"
-)
-
-
 @query(
     "sample_mix_reweight",
     oracle=f"""

@@ -427,3 +427,21 @@ def test_cluster_quality_centroid_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_shard_shuffle_has_no_global_window(spark, sf_dir):
+    # the "global shuffle" must be ONE hash exchange on shard + a
+    # per-shard window sort — a global row_number (SinglePartition
+    # window) would serialize the whole corpus through one task
+    plan = _plan(spark, sf_dir, "sample_shard_shuffle")
+    assert "SinglePartition" not in plan, plan
+    assert re.search(r"hashpartitioning\(shard", plan), plan
+
+
+def test_leakage_free_split_adds_no_joins_over_corpus_dedup(spark, sf_dir):
+    # the split is one narrow projection on top of the dedup chain —
+    # join count must equal pipeline_corpus_dedup's exactly
+    base = _plan(spark, sf_dir, "pipeline_corpus_dedup")
+    split = _plan(spark, sf_dir, "sample_split_leakage_free")
+    n_joins = lambda p: len(re.findall(r"Join", p))  # noqa: E731
+    assert n_joins(split) == n_joins(base), (n_joins(split), n_joins(base))
