@@ -37,7 +37,11 @@ HEADLINE = [
     "sim_ivf_ann_nprobe2",
     "graph_pagerank",
     "graph_kcore",
+    "graph_triangle_count",
     "text_quality_classifier",
+    "text_novelty_score",
+    "pipeline_cluster_quality",
+    "sample_split_leakage_free",
     "events_funnel",
     "sample_token_weighted",
 ]

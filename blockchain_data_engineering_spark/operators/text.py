@@ -126,6 +126,53 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return feats.withColumn("quality_score", score)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme):
+    hash every character k-gram, slide a window of ``w`` consecutive
+    hashes, keep each window's minimum — any shared substring of length
+    ≥ w+k-1 produces a shared fingerprint. Returns DISTINCT
+    ``(*keep_cols, fp)``; ``keep_cols[0]`` must be the per-document id
+    (it keys the sliding windows). Shared by the fingerprinting,
+    decontamination, and novelty-scoring queries — one definition, one
+    oracle shape. All hashes are md5 hex (engine-portable); docs
+    shorter than k+w-1 chars produce no fingerprints (too short to
+    carry a full window).
+    """
+    cols = list(keep_cols)
+    doc_key = cols[0]
+    n = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
+    grams = df.select(
+        *cols, F.col(text_col), F.explode(F.sequence(F.lit(1), n)).alias("i")
+    ).select(
+        *cols,
+        "i",
+        F.md5(F.col(text_col).substr(F.col("i"), F.lit(k))).alias("h"),
+    )
+    w_min = (
+        Window.partitionBy(doc_key)
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    w_max = Window.partitionBy(doc_key)
+    return (
+        grams.select(
+            *cols,
+            F.min("h").over(w_min).alias("fp"),
+            "i",
+            F.max("i").over(w_max).alias("max_i"),
+        )
+        .where(F.col("i") <= F.col("max_i") - (w - 1))
+        .select(*cols, "fp")
+        .distinct()
+    )
+
+
 def fingerprint(text: Column, normalize: bool = True) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercase, whitespace collapsed). The exact-dedup key."""

@@ -202,35 +202,7 @@ WINNOW_W = 4
 )
 def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
-    n = F.greatest(F.length(F.col("text")) - (WINNOW_K - 1), F.lit(1))
-    grams = (
-        docs.select(
-            "doc_id",
-            F.col("text"),
-            F.explode(F.sequence(F.lit(1), n)).alias("i"),
-        )
-        .select(
-            "doc_id",
-            "i",
-            F.md5(F.col("text").substr(F.col("i"), F.lit(WINNOW_K))).alias("h"),
-        )
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
-    )
-    winmin = grams.select(
-        "doc_id",
-        F.min("h").over(w).alias("fp"),
-        "i",
-        F.max("i").over(Window.partitionBy("doc_id")).alias("max_i"),
-    )
-    return (
-        winmin.where(F.col("i") <= F.col("max_i") - (WINNOW_W - 1))
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    return TX.winnow_fingerprints(docs, WINNOW_K, WINNOW_W)
 
 
 # ---------------------------------------------------------------------------
@@ -727,38 +699,8 @@ def _winnow_fps_sql() -> str:
 )
 def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
-    n = F.greatest(F.length(F.col("text")) - (WINNOW_K - 1), F.lit(1))
-    grams = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.col("text"),
-            F.explode(F.sequence(F.lit(1), n)).alias("i"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            "i",
-            F.md5(F.col("text").substr(F.col("i"), F.lit(WINNOW_K))).alias("h"),
-        )
-    )
-    w_min = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
-    )
-    w_max = Window.partitionBy("doc_id")
-    fps = (
-        grams.select(
-            "doc_id",
-            "source",
-            F.min("h").over(w_min).alias("fp"),
-            "i",
-            F.max("i").over(w_max).alias("max_i"),
-        )
-        .where(F.col("i") <= F.col("max_i") - (WINNOW_W - 1))
-        .select("doc_id", "source", "fp")
-        .distinct()
+    fps = TX.winnow_fingerprints(
+        docs, WINNOW_K, WINNOW_W, keep_cols=("doc_id", "source")
     )
     bench = (
         fps.where(F.col("source") == DECON_BENCH_SOURCE).select("fp").distinct()
@@ -814,35 +756,8 @@ _NOV_REF_SQL = ", ".join(f"'{s}'" for s in NOVELTY_REF_SOURCES)
 )
 def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
-    n = F.greatest(F.length(F.col("text")) - (WINNOW_K - 1), F.lit(1))
-    grams = docs.select(
-        "doc_id",
-        "source",
-        F.explode(F.sequence(F.lit(1), n)).alias("i"),
-        F.col("text"),
-    ).select(
-        "doc_id",
-        "source",
-        "i",
-        F.md5(F.col("text").substr(F.col("i"), F.lit(WINNOW_K))).alias("h"),
-    )
-    w_min = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
-    )
-    w_max = Window.partitionBy("doc_id")
-    fps = (
-        grams.select(
-            "doc_id",
-            "source",
-            F.min("h").over(w_min).alias("fp"),
-            "i",
-            F.max("i").over(w_max).alias("max_i"),
-        )
-        .where(F.col("i") <= F.col("max_i") - (WINNOW_W - 1))
-        .select("doc_id", "source", "fp")
-        .distinct()
+    fps = TX.winnow_fingerprints(
+        docs, WINNOW_K, WINNOW_W, keep_cols=("doc_id", "source")
     )
     is_ref = F.col("source").isin(*NOVELTY_REF_SOURCES)
     ref = fps.where(is_ref).select("fp").distinct()

@@ -171,6 +171,30 @@ def main(sf_dir: str) -> None:
         "doc_id", "dsir_logw"
     )
 
+    # 6d. novelty audit vs the already-trained snapshot (the
+    # text_novelty_score shape): docs whose winnowing fingerprints are
+    # mostly already-seen add little signal — report the kept set's
+    # mean novelty against the first four sources as the "previous
+    # release" stand-in
+    ref_sources = ("src0", "src1", "src2", "src3")
+    fps = TX.winnow_fingerprints(lang_ok, keep_cols=("doc_id", "source"))
+    ref_fps = (
+        fps.where(F.col("source").isin(*ref_sources)).select("fp").distinct()
+    )
+    incoming = fps.where(~F.col("source").isin(*ref_sources)).select("doc_id", "fp")
+    nov = (
+        incoming.join(ref_fps.withColumn("__seen", F.lit(1)), "fp", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.count("__seen").alias("s"))
+        .agg(
+            F.avg(
+                (F.col("n") - F.col("s")).cast("double")
+                / F.col("n").cast("double")
+            ).alias("mean_novelty")
+        )
+        .collect()[0]["mean_novelty"]
+    )
+
     # 7. split + pack
     h1 = F.substring(
         F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1
@@ -192,6 +216,7 @@ def main(sf_dir: str) -> None:
     print(f"after curation:         {n_final}  ({n_final / n0:.1%} kept)")
     print(f"embedding near-dup prs: {n_emb_dups}")
     print(f"residual dup-span toks: {span_tokens}")
+    print(f"mean novelty vs ref:    {nov:.3f}")
     print("packing histogram (split, bucket, n_docs, tokens):")
     for r in packing.collect():
         print(f"  {r['split']:5s} b{int(r['bucket']):2d}  {r['n_docs']:5d}  {int(r['tokens']):8d}")

@@ -254,3 +254,58 @@ def test_pack_sequences_conservation(spark):
             last_tok = cursor + r["n_tokens"] - 1
             assert r["n_packs"] == last_tok // 16 - cursor // 16 + 1
             cursor += r["n_tokens"]
+
+
+# --------------------------------------------------------------- ws ---
+@given(
+    msgs=st.lists(
+        st.text(min_size=0, max_size=300), min_size=1, max_size=8
+    ),
+)
+@settings(deadline=None, max_examples=30)
+def test_ws_framing_roundtrips_arbitrary_text(msgs):
+    """RFC-6455 framing property: any sequence of unicode messages sent
+    client→server and echoed server→client arrives intact and in order
+    (masking, length encodings, and utf-8 handled by the layer)."""
+    import socket
+
+    from blockchain_data_engineering_spark.streaming.ws import (
+        WebSocketConnection,
+    )
+
+    a, b = socket.socketpair()
+    try:
+        client = WebSocketConnection(a, mask=True)
+        server = WebSocketConnection(b, mask=False)
+        for m in msgs:
+            client.send_text(m)
+            got = server.recv_text()
+            assert got == m
+            server.send_text(got)
+            assert client.recv_text() == m
+    finally:
+        a.close()
+        b.close()
+
+
+@given(size=st.integers(min_value=0, max_value=70_000))
+@settings(deadline=None, max_examples=12)
+def test_ws_length_encoding_boundaries(size):
+    """Payload length crosses the 7-bit (126) and 16-bit (65536)
+    encoding boundaries without corruption."""
+    import socket
+
+    from blockchain_data_engineering_spark.streaming.ws import (
+        WebSocketConnection,
+    )
+
+    a, b = socket.socketpair()
+    try:
+        client = WebSocketConnection(a, mask=True)
+        server = WebSocketConnection(b, mask=False)
+        payload = "x" * size
+        client.send_text(payload)
+        assert server.recv_text() == payload
+    finally:
+        a.close()
+        b.close()
