@@ -676,3 +676,93 @@ def test_streaming_sketch_stores_match_batch(spark, tmp_path):
         hll_store_estimate(spark, hll_store).collect()[0]["hll_estimate"]
         == got_est
     )
+
+
+def test_incremental_novelty_foreachbatch(spark, tmp_path):
+    """The incremental-ingest novelty path (the streaming twin of
+    text_novelty_score): each micro-batch scores its documents'
+    winnowing fingerprints against a MAINTAINED fp index table, then
+    upserts its own fps into the index via the bucketed O(batch)
+    upsert — batch-vs-index only, never index-vs-index. A doc repeating
+    earlier content must score novelty 0.0; fresh content scores 1.0;
+    ordering between micro-batches is what makes the scores meaningful
+    (maxFilesPerTrigger=1 + availableNow pins it)."""
+    import glob
+    import json as _json
+
+    from blockchain_data_engineering_spark.operators import text as TX
+    from blockchain_data_engineering_spark.sources import (
+        upsert_parquet_bucketed,
+    )
+
+    land = tmp_path / "docs_in"
+    land.mkdir()
+    t_a = "the quick brown fox jumps over the lazy dog again and again"
+    t_b = "completely different content about spark shuffles and joins"
+    t_c = "fresh never before seen text with its own distinct n-grams"
+    # batch 1: A, B — batch 2: a copy of A's text plus genuinely new C
+    (land / "b0.json").write_text(
+        "\n".join(_json.dumps(d) for d in
+                  [{"doc_id": 1, "text": t_a}, {"doc_id": 2, "text": t_b}])
+    )
+    (land / "b1.json").write_text(
+        "\n".join(_json.dumps(d) for d in
+                  [{"doc_id": 3, "text": t_a}, {"doc_id": 4, "text": t_c}])
+    )
+    # the file source schedules by modification time: pin b0 strictly
+    # older so "batch 1 before batch 2" is deterministic
+    now = os.path.getmtime(land / "b1.json")
+    os.utime(land / "b0.json", (now - 10, now - 10))
+
+    index = str(tmp_path / "fp_index")
+    scores = str(tmp_path / "scores")
+
+    def score_and_index(batch, batch_id):
+        b = batch.select("doc_id", "text")
+        fps = TX.winnow_fingerprints(b)
+        s = b.sparkSession
+        if glob.glob(index + "/__bucket=*"):
+            ref = s.read.parquet(index).select("fp").distinct()
+        else:
+            ref = s.createDataFrame([], "fp string")
+        nov = (
+            fps.join(ref.withColumn("__seen", F.lit(1)), "fp", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_fps"),
+                F.count("__seen").alias("n_seen"),
+            )
+            .select(
+                "doc_id",
+                (
+                    (F.col("n_fps") - F.col("n_seen")).cast("double")
+                    / F.col("n_fps").cast("double")
+                ).alias("novelty"),
+            )
+        )
+        nov.write.mode("append").parquet(scores)
+        # index maintenance AFTER scoring: O(batch + touched buckets)
+        upsert_parquet_bucketed(
+            fps.select("fp").distinct(), index, ["fp"], n_buckets=8
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(land))
+    )
+    q = (
+        stream.writeStream.foreachBatch(score_and_index)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: r["novelty"] for r in spark.read.parquet(scores).collect()}
+    assert got[1] == 1.0 and got[2] == 1.0  # first batch: index empty
+    assert got[3] == 0.0  # duplicate of doc 1's text: fully seen
+    assert got[4] == 1.0  # genuinely new content
+    # the index holds each batch's fps exactly once (upsert, not append)
+    n_fps = spark.read.parquet(index).select("fp").distinct().count()
+    assert n_fps == spark.read.parquet(index).count()
