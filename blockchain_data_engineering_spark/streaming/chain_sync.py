@@ -43,12 +43,20 @@ class MockChainSyncNode:
     """
 
     def __init__(
-        self, blocks: list[str], host: str = "127.0.0.1", transport: str = "line"
+        self,
+        blocks: list[str],
+        host: str = "127.0.0.1",
+        transport: str = "line",
+        max_conns: int = 1,
     ):
         if transport not in ("line", "ws"):
             raise ValueError(f"unknown transport {transport!r}")
         self._blocks = blocks
         self.transport = transport
+        # sequential client conversations to serve before closing —
+        # each restarts at genesis (the data-source readers skip to
+        # their offset; a real Ogmios resumes at the intersection point)
+        self.max_conns = max_conns
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, 0))
@@ -100,32 +108,32 @@ class MockChainSyncNode:
         return resp, cursor
 
     def _serve(self) -> None:
-        try:
-            conn, _ = self._sock.accept()
-        except OSError:
-            return
-        cursor = 0
-        with conn:
-            if self.transport == "ws":
-                try:
-                    wsc = _ws.server_handshake(conn)
-                except ConnectionError:
-                    self._sock.close()
-                    return
-                while True:
-                    msg = wsc.recv_text()
-                    if msg is None:
-                        break
-                    resp, cursor = self._respond(json.loads(msg), cursor)
-                    wsc.send_text(json.dumps(resp))
-            else:
-                fh = conn.makefile("rb")
-                while True:
-                    line = fh.readline()
-                    if not line:
-                        break
-                    resp, cursor = self._respond(json.loads(line), cursor)
-                    conn.sendall((json.dumps(resp) + "\n").encode())
+        for _ in range(self.max_conns):
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            cursor = 0
+            with conn:
+                if self.transport == "ws":
+                    try:
+                        wsc = _ws.server_handshake(conn)
+                    except ConnectionError:
+                        continue
+                    while True:
+                        msg = wsc.recv_text()
+                        if msg is None:
+                            break
+                        resp, cursor = self._respond(json.loads(msg), cursor)
+                        wsc.send_text(json.dumps(resp))
+                else:
+                    fh = conn.makefile("rb")
+                    while True:
+                        line = fh.readline()
+                        if not line:
+                            break
+                        resp, cursor = self._respond(json.loads(line), cursor)
+                        conn.sendall((json.dumps(resp) + "\n").encode())
         self._sock.close()
 
     def close(self) -> None:
@@ -133,6 +141,84 @@ class MockChainSyncNode:
             self._sock.close()
         except OSError:
             pass
+
+
+class ChainSyncClient:
+    """One chain-sync conversation: connect (ws or line transport),
+    ``findIntersection`` once, then ``next_block()`` until tip. The
+    shared protocol core under :class:`ChainSyncProducer` (NDJSON
+    landing) and the registered ``chain_sync`` Spark data source
+    (:mod:`streaming.datasource`)."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        transport: str = "line",
+        start_point: str = "origin",
+    ):
+        if transport not in ("line", "ws"):
+            raise ValueError(f"unknown transport {transport!r}")
+        self.host, self.port = host, port
+        self.transport = transport
+        self.start_point = start_point
+        self._id = 0
+        self._sock: socket.socket | None = None
+        self._send = None
+        self._recv = None
+
+    def connect(self) -> "ChainSyncClient":
+        sock = socket.create_connection((self.host, self.port))
+        self._sock = sock
+        if self.transport == "ws":
+            wsc = _ws.client_handshake(sock, self.host, self.port)
+            self._send, self._recv = wsc.send_text, wsc.recv_text
+            self._wsc = wsc
+        else:
+            fh_in = sock.makefile("rb")
+            fh_out = sock.makefile("wb")
+
+            def send(s: str) -> None:
+                fh_out.write((s + "\n").encode())
+                fh_out.flush()
+
+            def recv() -> str | None:
+                line = fh_in.readline()
+                return line.decode() if line else None
+
+            self._send, self._recv = send, recv
+        self._rpc("findIntersection", {"points": [self.start_point]})
+        return self
+
+    def _rpc(self, method: str, params: dict | None = None) -> dict:
+        self._id += 1
+        req = {"jsonrpc": "2.0", "method": method, "id": self._id}
+        if params:
+            req["params"] = params
+        self._send(json.dumps(req))
+        msg = self._recv()
+        if msg is None:
+            raise ConnectionError("chain-sync peer closed mid-conversation")
+        return json.loads(msg)
+
+    def next_block(self) -> str | None:
+        """The next ``forward`` block document, or ``None`` at tip
+        (or on a rollback in a real deployment)."""
+        resp = self._rpc("nextBlock")
+        result = resp.get("result", {})
+        if result.get("direction") == "forward":
+            return result["block"]
+        return None
+
+    def close(self) -> None:
+        if self.transport == "ws" and getattr(self, "_wsc", None) is not None:
+            self._wsc.close()
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            self._sock = None
 
 
 class ChainSyncProducer:
@@ -158,25 +244,12 @@ class ChainSyncProducer:
         self.host, self.port, self.out_dir = host, port, out_dir
         self.rotate_every = rotate_every
         self.transport = transport
-        self._id = 0
-
-    def _rpc(self, send, recv, method: str, params: dict | None = None) -> dict:
-        self._id += 1
-        req = {"jsonrpc": "2.0", "method": method, "id": self._id}
-        if params:
-            req["params"] = params
-        send(json.dumps(req))
-        msg = recv()
-        if msg is None:
-            raise ConnectionError("chain-sync peer closed mid-conversation")
-        return json.loads(msg)
 
     def run(self, start_point: str = "origin", max_blocks: int | None = None) -> int:
         """Sync until tip (or ``max_blocks``); returns blocks written."""
         import os
 
         os.makedirs(self.out_dir, exist_ok=True)
-        sock = socket.create_connection((self.host, self.port))
         n = 0
         pending: list[str] = []
         # resume numbering after any previously landed files: restarting
@@ -206,34 +279,19 @@ class ChainSyncProducer:
             pending = []
             file_idx += 1
 
-        with sock:
-            if self.transport == "ws":
-                wsc = _ws.client_handshake(sock, self.host, self.port)
-                send, recv = wsc.send_text, wsc.recv_text
-            else:
-                fh_in = sock.makefile("rb")
-                fh_out = sock.makefile("wb")
-
-                def send(s: str) -> None:
-                    fh_out.write((s + "\n").encode())
-                    fh_out.flush()
-
-                def recv() -> str | None:
-                    line = fh_in.readline()
-                    return line.decode() if line else None
-
-            self._rpc(send, recv, "findIntersection", {"points": [start_point]})
+        client = ChainSyncClient(
+            self.host, self.port, self.transport, start_point
+        ).connect()
+        try:
             while max_blocks is None or n < max_blocks:
-                resp = self._rpc(send, recv, "nextBlock")
-                result = resp.get("result", {})
-                if result.get("direction") == "forward":
-                    pending.append(result["block"])
-                    n += 1
-                    if len(pending) >= self.rotate_every:
-                        flush()
-                else:  # tip (or rollback in a real deployment)
+                block = client.next_block()
+                if block is None:  # tip (or rollback in a real deployment)
                     break
-            if self.transport == "ws":
-                wsc.close()
+                pending.append(block)
+                n += 1
+                if len(pending) >= self.rotate_every:
+                    flush()
+        finally:
+            client.close()
         flush()
         return n
