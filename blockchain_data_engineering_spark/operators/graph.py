@@ -336,8 +336,8 @@ def triangle_count(
     hint Catalyst cannot see that the post-``collect_list`` size is
     |V|-bounded and falls back to sort-merge, shipping every edge row
     with its multi-KB neighbor array through the exchange (measured
-    26.7 s vs 7.4 s on the dense sf0.1 co-occurrence graph — the
-    round-2 bench defect). Pass ``broadcast=False`` when |V| × avg
+    26.7 s vs 6.4 s steady-state on the dense sf0.1 co-occurrence
+    graph — the round-2 bench defect). Pass ``broadcast=False`` when |V| × avg
     out-degree (≈ |E| ids, the whole oriented edge set as arrays)
     exceeds executor broadcast budget — the billion-edge path — which
     ships each edge row with its N+(u) array instead: comparable BYTES

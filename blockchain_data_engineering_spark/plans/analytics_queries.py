@@ -21,6 +21,10 @@ from blockchain_data_engineering_spark.plans.parity import (
 
 _REV_SQL = "l_extendedprice * (1 - l_discount)"
 from blockchain_data_engineering_spark.plans.registry import query
+from blockchain_data_engineering_spark.plans.text_queries import (
+    QUALITY_SCORE_SQL,
+    quality_feats_sql,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -282,25 +286,11 @@ def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_corpus_filter",
     oracle=rf"""
     WITH feats AS (
-      SELECT doc_id, text,
-             length(text) AS n_chars_m,
-             len(string_split(text, ' ')) AS n_tokens,
-             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-               AS n_punct,
-             (len(list_filter(string_split(text, ' '), t -> t = 'the'))
-              + len(list_filter(string_split(text, ' '), t -> t = 'and'))
-              + len(list_filter(string_split(text, ' '), t -> t = 'of'))
-              + len(list_filter(string_split(text, ' '), t -> t = 'to'))
-              + len(list_filter(string_split(text, ' '), t -> t = 'is'))) AS n_stop
-      FROM documents
+      {quality_feats_sql(" text,")}
     ),
     scored AS (
       SELECT doc_id, text, n_tokens,
-             40.0 * (CASE WHEN n_chars_m >= 50 AND n_chars_m <= 10000
-                          THEN 1.0 ELSE 0.0 END)
-             + 40.0 * least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4, 1.0)
-             + 20.0 * (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE) * 10, 1.0))
-               AS quality_score
+             {QUALITY_SCORE_SQL} AS quality_score
       FROM feats
     ),
     kept AS (SELECT * FROM scored WHERE quality_score >= 60.0),

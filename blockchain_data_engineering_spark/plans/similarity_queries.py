@@ -767,20 +767,15 @@ CLUSTER_Q_HIGH = 60.0
 
 
 def _cluster_quality_oracle() -> str:
-    from blockchain_data_engineering_spark.operators import text as _TX
     from blockchain_data_engineering_spark.plans.parity import davg_sql
-    from blockchain_data_engineering_spark.plans.text_queries import _stop_hits_sql
+    from blockchain_data_engineering_spark.plans.text_queries import (
+        QUALITY_SCORE_SQL,
+        quality_feats_sql,
+    )
 
     km = _kmeans_oracle().strip()
     km_body = km[len("WITH "):]
     km_ctes = km_body.rsplit("SELECT cid, dim0, cq FROM", 1)[0].rstrip().rstrip(",")
-    score = (
-        "40.0 * (CASE WHEN n_chars_m >= 50 AND n_chars_m <= 10000"
-        " THEN 1.0 ELSE 0.0 END)"
-        " + 40.0 * least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4, 1.0)"
-        " + 20.0 * (1.0 - least(CAST(n_punct AS DOUBLE)"
-        " / CAST(n_chars_m AS DOUBLE) * 10, 1.0))"
-    )
     return f"""
     WITH {km_ctes},
     dfin AS (
@@ -795,15 +790,9 @@ def _cluster_quality_oracle() -> str:
       ) WHERE rn = 1
     ),
     feats AS (
-      SELECT doc_id,
-             length(text) AS n_chars_m,
-             len(string_split(text, ' ')) AS n_tokens,
-             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-               AS n_punct,
-             {_stop_hits_sql(_TX.LANG_MARKERS["en"])} AS n_stop
-      FROM documents
+      {quality_feats_sql()}
     ),
-    q AS (SELECT doc_id, {score} AS quality_score FROM feats)
+    q AS (SELECT doc_id, {QUALITY_SCORE_SQL} AS quality_score FROM feats)
     SELECT a.cid,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN q.quality_score >= {CLUSTER_Q_HIGH}

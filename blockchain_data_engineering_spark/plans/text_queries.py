@@ -60,6 +60,34 @@ def _stop_hits_sql(words: tuple[str, ...]) -> str:
     return f"({terms})"
 
 
+# The ONE SQL definition of the heuristic quality score (the oracle
+# twin of operators/text.quality_score). Every oracle that scores
+# quality — text_quality, the corpus-filter pipeline, the per-cluster
+# aggregation — must build on these two pieces; hand-copied variants
+# drift silently and only fail at gate time.
+QUALITY_SCORE_SQL = (
+    "40.0 * (CASE WHEN n_chars_m >= 50 AND n_chars_m <= 10000"
+    " THEN 1.0 ELSE 0.0 END)"
+    " + 40.0 * least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4, 1.0)"
+    " + 20.0 * (1.0 - least(CAST(n_punct AS DOUBLE)"
+    " / CAST(n_chars_m AS DOUBLE) * 10, 1.0))"
+)
+
+
+def quality_feats_sql(extra_cols: str = "") -> str:
+    """The feats CTE body feeding :data:`QUALITY_SCORE_SQL`.
+    ``extra_cols`` carries additional projection columns (e.g.
+    ``" text,"``) through for consumers that need them."""
+    return f"""
+      SELECT doc_id,{extra_cols}
+             length(text) AS n_chars_m,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS n_punct,
+             {_stop_hits_sql(TX.LANG_MARKERS["en"])} AS n_stop
+      FROM documents"""
+
+
 # ---------------------------------------------------------------------------
 # Quality scoring: length band + stopword presence + punctuation
 # pressure → composite 0-100 score. The standard cheap pre-filter
@@ -69,22 +97,12 @@ def _stop_hits_sql(words: tuple[str, ...]) -> str:
     "text_quality",
     oracle=f"""
     WITH feats AS (
-      SELECT doc_id,
-             length(text) AS n_chars_m,
-             len(string_split(text, ' ')) AS n_tokens,
-             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-               AS n_punct,
-             {_stop_hits_sql(TX.LANG_MARKERS["en"])} AS n_stop
-      FROM documents
+      {quality_feats_sql()}
     )
     SELECT doc_id, n_chars_m, n_tokens,
            CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE) AS punct_ratio,
            CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)   AS stop_ratio,
-           40.0 * (CASE WHEN n_chars_m >= 50 AND n_chars_m <= 10000
-                        THEN 1.0 ELSE 0.0 END)
-           + 40.0 * least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4, 1.0)
-           + 20.0 * (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE) * 10, 1.0))
-             AS quality_score
+           {QUALITY_SCORE_SQL} AS quality_score
     FROM feats
     """,
 )

@@ -257,23 +257,28 @@ def upsert_parquet(
         if not fs.rename(hold, hpath):
             raise IOError(f"upsert_parquet: recovery rename failed for {path}")
     exists = any(n.endswith(".parquet") for n in _child_names(fs, hpath))
+    from pyspark.sql import Window
+
     if exists:
         existing = spark.read.parquet(path)
-        new_flag = df.withColumn("__new", F.lit(1))
-        old_flag = existing.withColumn("__new", F.lit(0))
-        from pyspark.sql import Window
-
-        merged = new_flag.unionByName(old_flag)
+        merged = df.withColumn("__new", F.lit(1)).unionByName(
+            existing.withColumn("__new", F.lit(0))
+        )
         w = Window.partitionBy(*keys).orderBy(
             F.col("__new").desc(), *list(order_cols or [])
         )
-        result = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn", "__new")
-        )
     else:
-        result = df
+        # first write resolves intra-batch duplicate keys by the SAME
+        # rule as the merge path — otherwise a table-creating batch
+        # could start life with duplicate keys the docstring's ON
+        # CONFLICT contract forbids (and upsert_delta dedups)
+        merged = df.withColumn("__new", F.lit(1))
+        w = Window.partitionBy(*keys).orderBy(*(list(order_cols or []) or [F.lit(1)]))
+    result = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__new")
+    )
     tmp = base + "__tmp"
     htmp = HPath(tmp)
     result.write.mode("overwrite").parquet(tmp)  # reads <path> lazily here
@@ -354,7 +359,19 @@ def upsert_parquet_bucketed(
     layout = {"n_buckets": n_buckets, "key_cols": keys}
     marker = HPath(base + "/_bucketing.json")
     if not exists:
-        incoming.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+        # first write resolves intra-batch duplicate keys by the same
+        # rule as the merge path (ON CONFLICT contract from row one)
+        from pyspark.sql import Window
+
+        w0 = Window.partitionBy(*keys).orderBy(
+            *(list(order_cols or []) or [F.lit(1)])
+        )
+        first = (
+            incoming.withColumn("__rn", F.row_number().over(w0))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        first.write.mode("overwrite").partitionBy("__bucket").parquet(path)
         _write_text_file(fs, marker, json.dumps(layout))
         return
     if fs.exists(marker):

@@ -156,3 +156,14 @@ class ChainSyncSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+    def stop(self) -> None:
+        """Close the persistent conversation. NOTE: Spark's
+        _SimpleStreamReaderWrapper does not delegate the engine's
+        stop() to simple readers (verified against the pyspark 4.1
+        source), so a stopped query leaves this driver-side socket to
+        the process teardown; hosts embedding the reader directly (or
+        tests) should call this explicitly after q.stop()."""
+        if self._client is not None:
+            self._client.close()
+            self._client = None

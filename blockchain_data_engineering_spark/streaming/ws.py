@@ -35,6 +35,19 @@ _OP_PING = 0x9
 _OP_PONG = 0xA
 
 
+def _xor_mask(data: bytes, key: bytes) -> bytes:
+    """XOR ``data`` with the repeating 4-byte mask ``key`` via one
+    big-int XOR (C-level) — frames carry multi-KB block documents, so a
+    per-byte Python loop here would dominate the transport cost."""
+    if not data:
+        return data
+    reps = -(-len(data) // 4)
+    full = (key * reps)[: len(data)]
+    return (int.from_bytes(data, "big") ^ int.from_bytes(full, "big")).to_bytes(
+        len(data), "big"
+    )
+
+
 def accept_key(client_key: str) -> str:
     """``Sec-WebSocket-Accept`` for a client's ``Sec-WebSocket-Key``
     (RFC 6455 §4.2.2 step 5.4): base64(sha1(key + GUID))."""
@@ -74,10 +87,7 @@ class WebSocketConnection:
             (length,) = struct.unpack("!Q", self._read_exact(8))
         if masked:
             key = self._read_exact(4)
-            payload = bytearray(self._read_exact(length))
-            for i in range(length):
-                payload[i] ^= key[i % 4]
-            payload = bytes(payload)
+            payload = _xor_mask(self._read_exact(length), key)
         else:
             payload = self._read_exact(length)
         return opcode, fin, payload
@@ -137,7 +147,7 @@ class WebSocketConnection:
         if self._mask:
             key = os.urandom(4)
             header += key
-            payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+            payload = _xor_mask(payload, key)
         self._sock.sendall(bytes(header) + payload)
 
     def send_text(self, text: str) -> None:

@@ -228,3 +228,37 @@ def test_chain_sync_datasource_stream(spark, chain, tmp_path):
         q.stop()
         node.close()
     assert got == sorted(chain.lines)
+
+
+def test_chain_sync_datasource_restart_replay(chain):
+    """The recovery contract behind the offset-tracked claim: after a
+    restart, readBetweenOffsets must re-deliver exactly the committed
+    range, and read() must resume AFTER it — byte-identical to the
+    first delivery. Exercised reader-level (no Spark session needed)
+    against a node serving multiple sequential conversations."""
+    from blockchain_data_engineering_spark.streaming.datasource import (
+        ChainSyncSimpleStreamReader,
+    )
+
+    node = MockChainSyncNode(chain.lines, transport="ws", max_conns=3).start()
+    opts = {
+        "host": node.host,
+        "port": str(node.port),
+        "transport": "ws",
+        "batch_size": "7",
+    }
+    r1 = ChainSyncSimpleStreamReader(opts)
+    it, end = r1.read(r1.initialOffset())
+    first = [t[0] for t in it]
+    assert first == chain.lines[:7] and end == {"n": 7}
+    r1.stop()  # "crash": the conversation dies with the reader
+
+    # restart: a fresh reader replays the uncommitted range, then
+    # continues from its end
+    r2 = ChainSyncSimpleStreamReader(opts)
+    replay = [t[0] for t in r2.readBetweenOffsets({"n": 0}, {"n": 7})]
+    assert replay == first
+    it2, end2 = r2.read({"n": 7})
+    assert [t[0] for t in it2] == chain.lines[7:14] and end2 == {"n": 14}
+    r2.stop()
+    node.close()

@@ -239,12 +239,20 @@ def test_multitable_lsh_plans_no_cartesian(spark, sf_dir):
     from blockchain_data_engineering_spark.operators import similarity as SIM
 
     emb = load_table(spark, sf_dir, "embeddings")
-    df = SIM.lsh_ann_topk_multitable(emb, k=3, n_tables=4, n_planes=4)
+    # materialize=False: the default eagerly localCheckpoints, which
+    # truncates the plan to a flat ExistingRDD scan — this guard needs
+    # the LAZY plan or the assertion is vacuous
+    df = SIM.lsh_ann_topk_multitable(
+        emb, k=3, n_tables=4, n_planes=4, materialize=False
+    )
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan, plan
+    # prove the guard sees the real pipeline, not a checkpoint stub
+    assert "ExistingRDD" not in plan, plan
+    assert "hashpartitioning" in plan or "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
@@ -338,8 +346,18 @@ def test_kcore_unhinted_path_has_no_broadcast(spark, sf_dir):
     try:
         buf = io.StringIO()
         with redirect_stdout(buf):
-            kcore(edges, k=3, rounds=2, broadcast=False).explain("formatted")
-        assert "BroadcastExchange" not in buf.getvalue()
+            # materialize=False: the default localCheckpoints eagerly,
+            # truncating the plan to ExistingRDD — the broadcast guard
+            # needs the LAZY per-round join plan or it asserts nothing
+            kcore(edges, k=3, rounds=2, broadcast=False, materialize=False).explain(
+                "formatted"
+            )
+        plan = buf.getvalue()
+        assert "BroadcastExchange" not in plan
+        assert "ExistingRDD" not in plan, plan  # guard is non-vacuous
+        # the gate query's plan is checkpoint-truncated, so the
+        # JVM-only sweep can't see kcore's pipeline — pin it here
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         h = kcore(edges, k=3, rounds=2, broadcast=True)
         u = kcore(edges, k=3, rounds=2, broadcast=False)
         assert sorted(map(tuple, h.collect())) == sorted(map(tuple, u.collect()))
