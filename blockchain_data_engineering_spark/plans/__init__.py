@@ -86,6 +86,7 @@ GATE_ORDER = [
     "pipeline_cluster_quality",
     "sample_shard_shuffle",
     "sample_split_leakage_free",
+    "text_contamination_matrix",
     # -- never officially gate-verified before round 3 (front-loaded
     #    so even a row-capped gate reaches them) --
     "basket_part_pairs",
@@ -112,7 +113,6 @@ GATE_ORDER = [
     "emb_kmeans_centroids",
     "sim_ivf_ann_trained",
     "graph_triangle_count",
-    "text_decontaminate_overlap",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_simhash_multiblock",

@@ -802,6 +802,46 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-source contamination matrix: for every source pair, how many
+# winnowing fingerprints they share — the dataset-release diagnostic
+# behind "which crawl leaked into which benchmark / which sources are
+# mirrors of each other". Scale shape: the per-source fp sets collapse
+# to DISTINCT (source, fp) first (|sources|·|fps| bounded rows), then
+# ONE fp-keyed self-join; per-fp fan-out is bounded by C(|sources|, 2)
+# — source count is small and fixed, so a viral n-gram costs ~190
+# rows, never a corpus blow-up.
+# ---------------------------------------------------------------------------
+@query(
+    "text_contamination_matrix",
+    oracle=f"""
+    WITH fps AS (
+      {_winnow_fps_sql()}
+    ),
+    sf AS (SELECT DISTINCT source, fp FROM fps)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_fps
+    FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def text_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sf = (
+        TX.winnow_fingerprints(docs, WINNOW_K, WINNOW_W, keep_cols=("doc_id", "source"))
+        .select("source", "fp")
+        .distinct()
+    )
+    a = sf.select(F.col("source").alias("source_a"), "fp")
+    b = sf.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Data-mix reweighting: per-source sampling weights (the Pile/Llama
 # "epochs per source" mix) realized as deterministic fractional
 # repetition — every doc repeats floor(w) times plus one more iff a
