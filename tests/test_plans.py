@@ -66,13 +66,26 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
     allowed_python = {"applyinpandas_demean", "multimodal_feature_extract",
                       "multimodal_frame_sample", "sim_lsh_ann_multitable",
                       "sim_semantic_dedup"}
+    # BroadcastNestedLoopJoin is allowed ONLY where the broadcast side
+    # is bounded by construction (audited): a 1-row scalar aggregate
+    # (corpus size, HLL union, vocab total, funnel base, spine bounds)
+    # or the fixed N_QUERIES query side of the exact-ANN baselines.
+    # Anywhere else a BNLJ means a join lost its equi-key — the classic
+    # accidental O(N²).
+    allowed_bnlj = {"sim_ivf_ann", "agg_hll_distinct", "text_vocab_coverage",
+                    "sim_cosine_topk", "sim_ivf_ann_nprobe2", "events_funnel",
+                    "flagship_volume_stack"}
     for name in sorted(QUERIES):
-        if name in allowed_python:
-            continue
         plan = _plan(spark, sf_dir, name)
-        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
-            f"{name} fell off the JVM path"
-        )
+        if name not in allowed_python:
+            assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+                f"{name} fell off the JVM path"
+            )
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        if name not in allowed_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name} plans an unaudited nested-loop join"
+            )
 
 
 def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
