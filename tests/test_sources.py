@@ -509,3 +509,54 @@ def test_compact_parquet_recovers_from_interrupted_swap(spark, tmp_path):
     assert n >= 1
     assert spark.read.parquet(path).count() == 100
     assert not os.path.isdir(path + "__old")
+
+
+def test_neo4j_connector_option_shape(spark, monkeypatch):
+    """The connector transport can't execute here (no Neo4j Spark
+    Connector jar), so pin its full writer configuration instead —
+    format, save mode, and every relationship option the reference's
+    connector write carries (src/etl_vol_transfers/main.py:190-209).
+    The remaining risk was exactly this config shape; a typo'd option
+    key would otherwise only surface against a live cluster."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from blockchain_data_engineering_spark.sources import neo4j as N4
+
+    calls: dict = {"options": {}}
+    monkeypatch.setattr(
+        DataFrameWriter, "format",
+        lambda self, f: (calls.__setitem__("format", f), self)[1],
+    )
+    monkeypatch.setattr(
+        DataFrameWriter, "mode",
+        lambda self, m: (calls.__setitem__("mode", m), self)[1],
+    )
+    monkeypatch.setattr(
+        DataFrameWriter, "option",
+        lambda self, k, v: (calls["options"].__setitem__(k, v), self)[1],
+    )
+    monkeypatch.setattr(
+        DataFrameWriter, "save",
+        lambda self, *a, **kw: calls.__setitem__("saved", True),
+    )
+
+    edges = spark.createDataFrame(
+        [("s1", "r1", "tx1", "lovelace", 5, 0.000005)],
+        "send_addr string, rx_addr string, tx_hash string, unit string,"
+        " value long, value_adj double",
+    )
+    N4.write_neo4j_connector(edges, "bolt://example:7687", "neo4j", "pw")
+
+    assert calls["saved"] and calls["format"] == "org.neo4j.spark.DataSource"
+    assert calls["mode"] == "Overwrite"
+    opts = calls["options"]
+    assert opts["url"] == "bolt://example:7687"
+    assert opts["relationship"] == "SENT_TO"
+    assert opts["relationship.save.strategy"] == "keys"
+    assert opts["relationship.source.labels"] == ":Wallet"
+    assert opts["relationship.source.node.keys"] == "send_addr:address"
+    assert opts["relationship.target.labels"] == ":Wallet"
+    assert opts["relationship.target.node.keys"] == "rx_addr:address"
+    assert opts["relationship.properties"] == (
+        "tx_hash,unit,value,value_adj:value_ada"
+    )
