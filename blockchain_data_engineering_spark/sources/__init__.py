@@ -8,6 +8,7 @@ from blockchain_data_engineering_spark.sources.io import (  # noqa: F401
     read_ndjson_blocks,
     read_ndjson_blocks_with_quarantine,
     read_orc,
+    bucketed_table_exists,
     upsert_delta,
     upsert_parquet,
     upsert_parquet_bucketed,

@@ -293,6 +293,20 @@ def upsert_parquet(
     fs.delete(hold, True)
 
 
+def bucketed_table_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` holds a populated (bucketed or flat) parquet
+    table — resolved through the Hadoop FileSystem API from the path's
+    own scheme, so callers maintaining index tables don't reimplement
+    the probe with local-only ``os.path`` calls (which misreport any
+    object-store table as missing)."""
+    base = path.rstrip("/")
+    fs, _HPath, hpath = _hadoop_fs(spark, base)
+    return any(
+        n.startswith("__bucket=") or n.endswith(".parquet")
+        for n in _child_names(fs, hpath)
+    )
+
+
 def upsert_parquet_bucketed(
     df: DataFrame,
     path: str,
@@ -347,10 +361,7 @@ def upsert_parquet_bucketed(
         return
     base = path.rstrip("/")
     fs, HPath, hpath = _hadoop_fs(spark, base)
-    exists = any(
-        n.startswith("__bucket=") or n.endswith(".parquet")
-        for n in _child_names(fs, hpath)
-    )
+    exists = bucketed_table_exists(spark, base)
     # the bucket function is part of the TABLE's layout, not the call:
     # an upsert with a different n_buckets/key set would hash keys to
     # different partitions than the existing rows live in — duplicate

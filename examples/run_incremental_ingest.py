@@ -11,11 +11,12 @@ same operators the batch pipeline uses:
     3. novelty scoring  — winnowing fps vs the already-ingested
                           fingerprint index (text_novelty_score shape)
     4. quality gate     — heuristic score >= 60 (classifier drops in)
-    5. sinks            — accepted docs appended; both indexes
-                          upserted via the bucketed O(batch) merge
+    5. sinks            — accepted docs, the quarantine, and both
+                          indexes all land via the keyed bucketed
+                          O(batch) upsert
 
-Replays are idempotent: every sink is keyed (doc fingerprint / fp), so
-a re-delivered micro-batch upserts the same rows. The same composition
+Replays are idempotent: EVERY sink is keyed (doc fingerprint, raw-line
+md5, n-gram fp), so a re-delivered micro-batch upserts the same rows. The same composition
 runs unchanged on a cluster with the landing dir on S3 and the indexes
 as Delta tables (sources/io.upsert_delta).
 
@@ -37,7 +38,10 @@ from pyspark.sql import functions as F
 
 from blockchain_data_engineering_spark.operators import text as TX
 from blockchain_data_engineering_spark.session import get_spark
-from blockchain_data_engineering_spark.sources import upsert_parquet_bucketed
+from blockchain_data_engineering_spark.sources import (
+    bucketed_table_exists,
+    upsert_parquet_bucketed,
+)
 
 
 def _write_landing(land: str) -> int:
@@ -86,36 +90,53 @@ def main(work: str) -> None:
         ok = F.col("j").isNotNull() & F.col("j.doc_id").isNotNull() & F.col(
             "j.text"
         ).isNotNull()
-        parsed.where(~ok).select("raw").write.mode("append").parquet(quarantine)
+        # keyed quarantine (md5 of the raw line): a replayed batch
+        # upserts the same poison rows instead of duplicating them
+        upsert_parquet_bucketed(
+            parsed.where(~ok).select("raw", F.md5("raw").alias("raw_fp")),
+            quarantine,
+            ["raw_fp"],
+            n_buckets=4,
+        )
         good = parsed.where(ok).select("j.doc_id", "j.text")
 
-        # exact dedup vs the maintained index (batch-vs-index only)
+        # exact dedup vs the maintained index (batch-vs-index only);
+        # intra-batch first (keep the lowest doc_id per fingerprint).
+        # Index probes go through the Hadoop FS (an os.path probe would
+        # misreport an object-store index as missing and re-accept
+        # every duplicate).
+        from pyspark.sql import Window
+
         with_fp = good.select(
             "doc_id", "text", TX.fingerprint(F.col("text")).alias("doc_fp")
         )
-        # intra-batch first (keep the lowest doc_id per fingerprint),
-        # then batch-vs-index
-        from pyspark.sql import Window
-
         w_fp = Window.partitionBy("doc_fp").orderBy("doc_id")
         with_fp = (
             with_fp.withColumn("__rn", F.row_number().over(w_fp))
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-        if os.path.isdir(doc_index) and any(
-            f.startswith("__bucket=") for f in os.listdir(doc_index)
-        ):
+        if bucketed_table_exists(s, doc_index):
             seen = s.read.parquet(doc_index).select("doc_fp")
             fresh = with_fp.join(seen, "doc_fp", "left_anti")
         else:
             fresh = with_fp
+        # PIN the pre-upsert state with localCheckpoint, NOT persist:
+        # fresh/fps are read again by the index upserts below, and
+        # those upserts REWRITE the very path this lineage reads —
+        # writing it triggers Spark's recacheByPath, which invalidates
+        # dependent cache entries, so a persisted plan would lazily
+        # re-run the anti-join against the POST-upsert index and drop
+        # the batch's own rows (observed: every batch after the first
+        # contributed zero fps). Checkpointing truncates the plan to
+        # the materialized rows — no path dependency left to refresh.
+        fresh = fresh.localCheckpoint(eager=True)
+        fps = TX.winnow_fingerprints(fresh, keep_cols=("doc_id",)).localCheckpoint(
+            eager=True
+        )
 
         # novelty vs the n-gram index
-        fps = TX.winnow_fingerprints(fresh, keep_cols=("doc_id",))
-        if os.path.isdir(ngram_index) and any(
-            f.startswith("__bucket=") for f in os.listdir(ngram_index)
-        ):
+        if bucketed_table_exists(s, ngram_index):
             ref = s.read.parquet(ngram_index).select("fp").distinct()
         else:
             ref = s.createDataFrame([], "fp string")
@@ -134,12 +155,17 @@ def main(work: str) -> None:
 
         scored = TX.quality_score(fresh).join(nov, "doc_id", "left")
         keep = scored.where(F.col("quality_score") >= 60.0).select(
-            "doc_id", "text", "doc_fp", "novelty"
+            "doc_id",
+            "text",
+            "doc_fp",
+            # a doc too short to carry one winnowing window (< k+w-1
+            # chars) has no fps → no novelty row; it is trivially novel
+            F.coalesce("novelty", F.lit(1.0)).alias("novelty"),
         )
-        keep.write.mode("append").parquet(accepted)
+        # keyed accepted sink: replays upsert the same doc_fp rows
+        upsert_parquet_bucketed(keep, accepted, ["doc_fp"], n_buckets=8)
 
-        # index maintenance LAST (scoring saw the pre-batch state):
-        # keyed bucketed upserts — replays rewrite the same rows
+        # index maintenance LAST (scoring saw the pre-batch state)
         upsert_parquet_bucketed(
             fresh.select("doc_fp", "doc_id"), doc_index, ["doc_fp"], n_buckets=8
         )

@@ -551,7 +551,12 @@ def test_neo4j_connector_option_shape(spark, monkeypatch):
     assert calls["mode"] == "Overwrite"
     opts = calls["options"]
     assert opts["url"] == "bolt://example:7687"
+    assert opts["authentication.basic.username"] == "neo4j"
+    assert opts["authentication.basic.password"] == "pw"
+    assert opts["database"] == "neo4j"
     assert opts["relationship"] == "SENT_TO"
+    assert opts["relationship.source.save.mode"] == "Overwrite"
+    assert opts["relationship.target.save.mode"] == "Overwrite"
     assert opts["relationship.save.strategy"] == "keys"
     assert opts["relationship.source.labels"] == ":Wallet"
     assert opts["relationship.source.node.keys"] == "send_addr:address"
