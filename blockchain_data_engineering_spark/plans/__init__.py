@@ -87,6 +87,7 @@ GATE_ORDER = [
     "sample_shard_shuffle",
     "sample_split_leakage_free",
     "text_contamination_matrix",
+    "text_corpus_datasheet",
     # -- never officially gate-verified before round 3 (front-loaded
     #    so even a row-capped gate reaches them) --
     "basket_part_pairs",
@@ -128,7 +129,6 @@ GATE_ORDER = [
     "multimodal_frame_sample",
     "netflow_decimal",
     "sample_temperature_mix",
-    "corpus_snapshot_diff",
     "dedup_incremental_batch",
     "events_funnel",
     "sample_token_weighted",

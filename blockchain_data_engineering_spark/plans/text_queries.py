@@ -802,6 +802,45 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus datasheet: the per-source summary table every dataset release
+# publishes ("datasheets for datasets", Gebru et al. 2021) — doc/token/
+# char totals, mean length, english share. One map-side-combined
+# aggregation over the scan; all counts exact integers, each ratio one
+# division of exact operands.
+# ---------------------------------------------------------------------------
+@query(
+    "text_corpus_datasheet",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT)                        AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT)               AS n_chars,
+           CAST(sum(length(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS avg_chars,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS en_share
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def text_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n = F.count(F.lit(1)).cast("long")
+    chars = F.sum(F.length("text")).cast("long")
+    en = F.sum((F.col("lang") == "en").cast("long")).cast("long")
+    return docs.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+        chars.alias("n_chars"),
+        (chars.cast("double") / n.cast("double")).alias("avg_chars"),
+        en.alias("n_en"),
+        (en.cast("double") / n.cast("double")).alias("en_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-source contamination matrix: for every source pair, how many
 # winnowing fingerprints they share — the dataset-release diagnostic
 # behind "which crawl leaked into which benchmark / which sources are
