@@ -119,7 +119,8 @@ def bench_domain_pipeline(spark, n_blocks: int = 4000) -> dict:
 def main() -> None:
     spark = get_spark(app_name="bde-spark-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    timings: dict[str, float] = {}
+    timings: dict[str, float] = {}  # warm-min per query (what `value` sums)
+    all_runs: dict[str, list[float]] = {}  # every raw run, for variance audit
 
     names = [n for n in HEADLINE if n in QUERIES]
     # include any registered query not in the headline list, so coverage
@@ -139,8 +140,8 @@ def main() -> None:
         # nothing about sustained throughput at scale — the number the
         # reference baseline reports.
         dt = float("nan")
+        runs: list[float] = []
         try:
-            runs: list[float] = []
             # min of 2, plus a 3rd when the first two disagree >1.5x —
             # this host shows ~2x wall-clock swings under external
             # load, and a noisy max would otherwise leak into the
@@ -161,6 +162,7 @@ def main() -> None:
         except Exception as exc:  # keep the bench line parseable
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
         timings[name] = round(dt, 3)
+        all_runs[name] = [round(r, 3) for r in runs]
         if dt == dt:
             total += dt
 
@@ -176,7 +178,18 @@ def main() -> None:
     )
     with open(detail_path, "w") as fh:
         json.dump(
-            {"sf": sf, "queries": timings, "domain_pipeline": domain}, fh, indent=1
+            {
+                "sf": sf,
+                # "queries" values ARE the warm mins; "runs" carries the
+                # raw samples so a round-over-round delta can be told
+                # apart from host variance (a wide runs[] spread says
+                # variance, a shifted min says plan change)
+                "queries": timings,
+                "runs": all_runs,
+                "domain_pipeline": domain,
+            },
+            fh,
+            indent=1,
         )
 
     print(

@@ -110,6 +110,24 @@ def abs_value(value: Column | str) -> Column:
     return F.abs(c)
 
 
+def bounded_window_key(col: Column | str) -> Column:
+    """Constant single-partition window key that SURVIVES the
+    optimizer: ``pmod(xxhash64(col), 1)`` is 0 for every row but is not
+    foldable, so Catalyst keeps the partition spec and WindowExec does
+    not fire its global-window warning. (``F.lit(0)`` does NOT work —
+    foldable partition expressions are optimized away and the executed
+    window reverts to an empty spec, measured on this Spark: the r3
+    bench tail's WindowExec warnings all traced to lit(0) keys.)
+
+    Use ONLY over frames already bounded by construction (post-limit,
+    post-aggregate): execution is still one partition — the point is
+    that bounded single-partition frames are DECLARED in-plan, so any
+    WindowExec warning that still fires flags a real unbounded global
+    window."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(1))
+
+
 def deterministic_id(*cols: Column | str) -> Column:
     """Deterministic surrogate key: sha2 over the natural-key columns.
 

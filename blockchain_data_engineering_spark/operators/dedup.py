@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from blockchain_data_engineering_spark.cache import finalize
 from blockchain_data_engineering_spark.operators.text import char_shingles, fingerprint
 
 # ---------------------------------------------------------------- exact ---
@@ -45,6 +46,65 @@ def exact_dedup_groups(
             F.count(F.lit(1)).alias("n_docs"),
             F.min(id_col).alias("canonical_id"),
         )
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_regex: str = r"\n{2,}",
+    join_sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup — the standard pre-MinHash pass of
+    the RefinedWeb recipe (Penedo et al. 2023 §3.3 / Lee et al. 2022):
+    split every document on blank lines, md5 each paragraph, keep only
+    the FIRST occurrence corpus-wide (ordered by (doc_id, position) —
+    deterministic), and rebuild each document from its surviving
+    paragraphs. Boilerplate (headers, footers, licence blocks) repeats
+    across millions of pages verbatim; dropping repeats per-paragraph
+    removes it without discarding whole documents the way doc-level
+    exact dedup would.
+
+    Returns (id, n_paragraphs, n_kept, text_dedup) — documents whose
+    every paragraph was already seen elsewhere drop out entirely
+    (n_kept would be 0), which IS the dedup verdict for a pure-
+    boilerplate page.
+
+    Scale shape: ONE keyed shuffle on the paragraph hash for the
+    keep-first election (window rank, no self-join fan-out) plus one
+    per-document aggregate for the rebuild; the rebuild keeps paragraph
+    order via a sort_array over each doc's (position, paragraph) pairs.
+    """
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep_regex)).alias(
+                "idx", "para"
+            ),
+        )
+        .where(F.length("para") > 0)
+        .withColumn("h", F.md5(F.col("para")))
+        .withColumn(
+            "n_paras", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+    )
+    w = Window.partitionBy("h").orderBy(F.col(id_col), F.col("idx"))
+    kept = paras.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    return kept.groupBy(id_col).agg(
+        F.max("n_paras").cast("long").alias("n_paragraphs"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("idx"), F.col("para")))
+                ),
+                lambda s: s.getField("para"),
+            ),
+            join_sep,
+        ).alias("text_dedup"),
     )
 
 
@@ -297,16 +357,15 @@ def minhash_lsh_dedup(
     (e.g. word n-grams) — see :func:`word_ngram_array`."""
     # persisted: sh feeds the signature build AND both sides of the
     # Jaccard verify — unpersisted, the corpus-wide shingle explode +
-    # distinct (the dominant cost) runs three times. Cache contract:
-    # both caches live as long as the returned plan (clearCache
-    # between corpus snapshots, as the bench does).
+    # distinct (the dominant cost) runs three times. Both caches are
+    # released by the finalize() below once the pairs materialize.
     sh = shingle_set(df, text_col, id_col, k).persist()
     # persisted: the bucket self-join references sig twice; unpersisted
     # the whole shingle→signature subtree runs once per side
     sig = minhash_signatures(sh, n_hashes, id_col).persist()
     cand = lsh_candidate_pairs(lsh_bands(sig, n_hashes, band_size, id_col), id_col)
     verified = jaccard_verify(cand, sh, id_col)
-    return verified.where(F.col("jaccard") >= threshold)
+    return finalize(verified.where(F.col("jaccard") >= threshold), sh, sig)
 
 
 # -------------------------------------------------------------- simhash ---

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from blockchain_data_engineering_spark.cache import finalize
+
 PR_SCALE = 10**12
 
 
@@ -112,7 +114,9 @@ def pagerank(
                 "score"
             ),
         )
-    return pr
+    # materialize the |V|-row result while nodes/e are cached, then
+    # release both — no cache outlives the call
+    return finalize(pr, nodes, e)
 
 
 def pagerank_quantized(
@@ -160,8 +164,13 @@ def pagerank_quantized(
                 + F.expr(f"(coalesce(s, 0) * {damping_pct}) div 100")
             ).cast("long").alias("pr_q"),
         )
-    return pr.select(
-        "node", (F.col("pr_q").cast("double") / F.lit(float(PR_SCALE))).alias("score")
+    return finalize(
+        pr.select(
+            "node",
+            (F.col("pr_q").cast("double") / F.lit(float(PR_SCALE))).alias("score"),
+        ),
+        nodes,
+        e,
     )
 
 
@@ -237,7 +246,7 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("label"))
         )
-    return labels
+    return finalize(labels, und)
 
 
 def connected_components_pointer_jump(
@@ -293,8 +302,8 @@ def connected_components_pointer_jump(
         # materialize eagerly so the PREVIOUS round's cache can be
         # released — otherwise every round pins one more |V|-row table
         # for the session's lifetime (the accumulating-cache hazard the
-        # k-means loop also guards against). Only the final round's
-        # prop stays cached: the returned plan references it.
+        # k-means loop also guards against). The final round's prop is
+        # released by the finalize() at return.
         prop.count()
         if prev_prop is not None:
             prev_prop.unpersist()
@@ -308,7 +317,9 @@ def connected_components_pointer_jump(
             ),
             "label",
         ).select("node", F.col("ll").alias("label"))
-    return labels
+    return finalize(
+        labels, und, *([prev_prop] if prev_prop is not None else [])
+    )
 
 
 def triangle_count(
@@ -470,7 +481,7 @@ def label_propagation_communities(
         if prev is not None:
             prev.unpersist()
         prev = labels
-    return labels
+    return finalize(labels, und, nodes, *([prev] if prev is not None else []))
 
 
 def kcore(
@@ -546,12 +557,11 @@ def kcore(
         F.count(F.lit(1)).alias("degree")
     )
     if materialize:
-        # eager localCheckpoint, NOT persist+count: unpersisting the
+        # eager checkpoint, NOT persist+count: unpersisting the
         # round caches invalidates any dependent cache entry (every
         # later action would recompute the whole peel), and the
         # R-round nested-InMemoryRelation lineage makes even PLANNING
         # downstream actions driver-expensive. The checkpoint stores
         # the small result and truncates the plan to a flat scan.
-        out = out.localCheckpoint(eager=True)
-        alive.unpersist()
+        out = finalize(out, alive)
     return out

@@ -25,6 +25,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from blockchain_data_engineering_spark.cache import finalize
+from blockchain_data_engineering_spark.functions.scalar import bounded_window_key
+
 QUANTA_DIGITS = 12
 _SCALE = float(10**QUANTA_DIGITS)
 
@@ -573,12 +576,11 @@ def lsh_ann_topk_multitable(
         .select("query_id", "cand_id", "cosine", "rank")
     )
     if materialize:
-        # eager localCheckpoint: stores the N·k-row result and
-        # truncates lineage to a flat scan, so the bucket cache can be
-        # released without invalidating a dependent cache entry (see
-        # kcore for the failure mode persist+count hits here)
-        out = out.localCheckpoint(eager=True)
-        b.unpersist()
+        # eager checkpoint: stores the N·k-row result and truncates
+        # lineage to a flat scan, so the bucket cache can be released
+        # without invalidating a dependent cache entry (see kcore for
+        # the failure mode persist+count hits here)
+        out = finalize(out, b)
     return out
 
 
@@ -640,7 +642,7 @@ def kmeans_centroids_quantized(
             # limit), never corpus-sized — the lit(0) says so in-plan
             # instead of tripping WindowExec's global-window warning
             .over(
-                Window.partitionBy(F.lit(0)).orderBy(
+                Window.partitionBy(bounded_window_key(F.col(id_col))).orderBy(
                     F.md5(F.col(id_col).cast("string")), F.col(id_col)
                 )
             )
@@ -695,10 +697,11 @@ def kmeans_centroids_quantized(
         cent.count()
         if prev is not None:
             prev.unpersist()
-    # the final centroids are materialized above; nothing downstream
-    # re-reads the exploded components through this lineage
-    v.unpersist()
-    return cent
+    # checkpoint BEFORE any unpersist (releasing the input cache v
+    # invalidates dependent cache entries, so the persisted `cent`
+    # would silently recompute from the uncached explode); finalize
+    # fixes that order and releases both caches with the call
+    return finalize(cent, cent, v)
 
 
 def ivf_ann_topk_trained(
@@ -862,12 +865,10 @@ def semantic_dedup(
     left-anti join — all integer-quanta deterministic, full SQL
     oracle in plans/similarity_queries.py.
 
-    Cache contract: the cluster-assignment table stays persisted for
-    the lifetime of the returned (lazy) plan — it is read by both the
-    pair generation and the final verdict join and cannot be released
-    inside this function. Long-lived sessions calling this repeatedly
-    should ``spark.catalog.clearCache()`` between corpus snapshots
-    (the bench harness does).
+    Cache contract: the cluster-assignment table is persisted for the
+    duration of the call (pair generation + verdict join both read it),
+    the verdict is eagerly ``localCheckpoint``-ed, and the cache is
+    released before returning — no cache outlives the call.
     """
     assign = kmeans_assign(vectors, centroids_long, vec_col, id_col).persist()
     pairs = (
@@ -917,9 +918,12 @@ def semantic_dedup(
     # references the uncached `dropped` (the whole GEMM scoring
     # lineage) twice and recomputes it per branch (measured ~2x on the
     # scoring stage)
-    return assign.join(
+    out = assign.join(
         dropped.withColumn("__dropped", F.lit(True)), id_col, "left"
     ).select(id_col, "cid", F.col("__dropped").isNull().alias("kept"))
+    # materialize the N-row verdict while the assignment cache is
+    # live, then release it — no cache outlives the call
+    return finalize(out, assign)
 
 
 # ------------------------------------------------- product quantization ---
@@ -997,7 +1001,7 @@ def pq_codebooks_quantized(
             # bounded frame (k_code rows post-limit) — constant
             # partition key, not a global window
             .over(
-                Window.partitionBy(F.lit(0)).orderBy(
+                Window.partitionBy(bounded_window_key(F.col(id_col))).orderBy(
                     F.md5(F.col(id_col).cast("string")), F.col(id_col)
                 )
             )
@@ -1045,9 +1049,10 @@ def pq_codebooks_quantized(
         cb.count()
         if prev is not None:
             prev.unpersist()
-    if own_vs:
-        vs.unpersist()
-    return cb
+    # checkpoint before releasing any cache (dependent-cache
+    # invalidation would otherwise recompute the final round) so no
+    # cache outlives the call even when this trains standalone
+    return finalize(cb, cb, *([vs] if own_vs else []))
 
 
 def pq_ann_topk(
@@ -1097,17 +1102,19 @@ def pq_ann_topk(
         vs_long=vs,
     )
     diff = F.col("vq") - F.col("cq")
-    d2 = (
+    # d2 feeds both the code assignment and the ADC table. Eager
+    # checkpoint, NOT persist+count: unpersisting vs/cb would
+    # invalidate a dependent cache entry and d2 would silently
+    # recompute against the uncached explode; the checkpoint severs
+    # that lineage, and (being RDD-level, not CacheManager) it dies
+    # with the DataFrame instead of pinning the session cache
+    d2 = finalize(
         vs.join(F.broadcast(cb), ["sub", "dl"])
         .groupBy(id_col, "sub", "cid")
-        .agg(F.sum(diff * diff).alias("d2"))
-        .persist()  # feeds both the code assignment and the ADC table
+        .agg(F.sum(diff * diff).alias("d2")),
+        vs,
+        cb,
     )
-    d2.count()
-    # everything downstream reads through d2's cache — release both
-    # training-side caches (cb was eagerly persisted per Lloyd round)
-    vs.unpersist()
-    cb.unpersist()
     w = Window.partitionBy(id_col, "sub").orderBy("d2", "cid")
     codes = (
         d2.withColumn("__rn", F.row_number().over(w))

@@ -17,6 +17,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from blockchain_data_engineering_spark.cache import finalize
+from blockchain_data_engineering_spark.functions.scalar import bounded_window_key
+
 # Tiny per-language stopword marker lists for the n-gram/stopword
 # language-ID heuristic. Deliberately small and public-knowledge — the
 # point is the *operator shape* (argmax over per-language hit counts).
@@ -380,7 +383,9 @@ def lm_bigram_score(
             ).alias("avg_neg_log2p"),
         )
     )
-    return out
+    # materialize-then-release: the bigram cache must not outlive the
+    # call (see cache.finalize)
+    return finalize(out, big)
 
 
 # ---------------------------------------------- Gopher repetition filters ---
@@ -542,8 +547,7 @@ def dsir_importance_weights(
     # persisted: the bucketed token stream feeds the count aggregation
     # AND the final per-doc scoring join — unpersisted, the corpus
     # explode + two md5 calls per token (the dominant cost) runs twice.
-    # Cache contract: stays persisted for the returned plan's lifetime
-    # (clearCache between corpus snapshots, as the bench does).
+    # Released by the finalize() below once the result materializes.
     toks = (
         df.select(
             F.col(id_col),
@@ -586,7 +590,7 @@ def dsir_importance_weights(
             .alias("q"),
         )
     )
-    return (
+    out = (
         toks.join(F.broadcast(ratio), "b")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("q").alias("__sq"))
@@ -596,6 +600,7 @@ def dsir_importance_weights(
             (F.col("__sq").cast("double") / F.lit(scale)).alias("dsir_logw"),
         )
     )
+    return finalize(out, toks)
 
 
 # ------------------------------------------------- BPE merge counting ---
@@ -642,11 +647,167 @@ def bpe_pair_counts(
     ).limit(top_k)
     # constant partition key: frame = top_k rows post-limit, never the
     # full pair-count table
-    w = Window.partitionBy(F.lit(0)).orderBy(
+    w = Window.partitionBy(bounded_window_key("pair")).orderBy(
         F.col("n_occurrences").desc(), F.col("pair")
     )
     return top.withColumn("rank", F.row_number().over(w)).select(
         "pair", "n_occurrences", "rank"
+    )
+
+
+# BPE training proper: iterate top-merge selection + re-segmentation.
+# Segmentations are encoded as delimiter-framed strings —
+#   SEP + token + SEP SEP + token + ... + SEP
+# — so one merge round is ONE non-overlapping string replace
+# (SEP a SEPSEP b SEP → SEP ab SEP), which is exactly BPE's greedy
+# left-to-right merge AND is replayable verbatim in the SQL oracle
+# (replace() scans left-to-right non-overlapping in both engines; the
+# shared frame delimiters keep adjacent matches composable: "aaaa"
+# under merge (a,a) → ["aa","aa"], never ["aa","a","a"]).
+BPE_SEP = "\x1f"  # unit separator: never occurs in document text
+_BPE_SEP2 = BPE_SEP * 2
+
+
+def _bpe_seg_tokens(seg: Column) -> Column:
+    """Token array of a delimiter-framed segmentation string."""
+    return F.split(
+        F.regexp_replace(seg, f"^{BPE_SEP}|{BPE_SEP}$", ""), _BPE_SEP2
+    )
+
+
+def _bpe_words_with_seg(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, wf, seg): word-frequency table with the initial character
+    segmentation — the vocabulary-sized training state (Zipf-bounded,
+    never the raw token stream)."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .withColumn(
+            "seg",
+            F.concat(
+                F.lit(BPE_SEP),
+                F.array_join(F.split(F.col("w"), ""), _BPE_SEP2),
+                F.lit(BPE_SEP),
+            ),
+        )
+    )
+
+
+def _bpe_learn(words: DataFrame, n_merges: int) -> list[tuple]:
+    """The sequential heart of BPE training (Sennrich et al. 2016
+    §3.2): ``n_merges`` rounds of [count adjacent token pairs weighted
+    by word frequency → take the most frequent (ties: lexicographic
+    pair) → merge it everywhere]. Returns [(round, a, b, n)].
+
+    Distributed shape per round: ONE map-side-combined aggregate over
+    the vocabulary-sized word table and a 1-row driver collect (the
+    argmax merge IS the sequential dependency — same loop structure as
+    the k-means/classifier trainers); the re-segmentation is a narrow
+    replace expression stacked on the cached words, no shuffle.
+    """
+    seg = F.col("seg")
+    merges: list[tuple] = []
+    for r in range(1, n_merges + 1):
+        toks = _bpe_seg_tokens(seg)
+        # guard single-token words: Spark's sequence(1, 0) DESCENDS
+        # ([1, 0]) instead of being empty, so an unguarded transform
+        # would index past the array
+        pairs = words.where(F.size(toks) >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("a"),
+                        F.element_at(toks, i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+            "wf",
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("wf").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
+        merges.append((r, a, b, int(n)))
+        seg = F.replace(
+            seg,
+            F.lit(BPE_SEP + a + _BPE_SEP2 + b + BPE_SEP),
+            F.lit(BPE_SEP + a + b + BPE_SEP),
+        )
+    return merges
+
+
+def bpe_train_merges(
+    df: DataFrame, n_merges: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Learned BPE merge table: (round, pair_a, pair_b, merged,
+    n_occurrences) — the tokenizer artifact a curation pipeline ships
+    (``bpe_pair_counts`` ranks only round 1's candidates; this is the
+    full trajectory). Deterministic: integer counts, lexicographic
+    tie-break, greedy replace — the SQL oracle replays every round."""
+    spark = df.sparkSession
+    words = _bpe_words_with_seg(df, text_col).persist()
+    try:
+        merges = _bpe_learn(words, n_merges)
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        [(r, a, b, a + b, n) for r, a, b, n in merges],
+        "round INT, pair_a STRING, pair_b STRING, merged STRING, "
+        "n_occurrences LONG",
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token count under the LEARNED BPE vocabulary:
+    train ``n_merges`` merges, apply them to the word vocabulary, then
+    roll the per-word token counts back over each document's token
+    stream — the learned-tokenizer upgrade over the whitespace proxy
+    token-weighted sampling otherwise uses. Returns
+    (id, n_tokens_bpe).
+
+    Scale shape: training touches only the vocabulary table; the
+    rollup is one vocab-keyed equi join of the corpus token stream
+    against the ≤|vocab|-row token-count table (broadcast-eligible)
+    plus one per-doc aggregate."""
+    words = _bpe_words_with_seg(df, text_col).persist()
+    try:
+        merges = _bpe_learn(words, n_merges)
+        seg = F.col("seg")
+        for _, a, b, _n in merges:
+            seg = F.replace(
+                seg,
+                F.lit(BPE_SEP + a + _BPE_SEP2 + b + BPE_SEP),
+                F.lit(BPE_SEP + a + b + BPE_SEP),
+            )
+        word_tokens = finalize(
+            words.select(
+                "w", F.size(_bpe_seg_tokens(seg)).alias("n_tok")
+            ),
+            words,
+        )
+    except BaseException:
+        words.unpersist()
+        raise
+    stream = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    return (
+        stream.join(F.broadcast(word_tokens), "w")
+        .groupBy(id_col)
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens_bpe"))
     )
 
 
@@ -685,13 +846,17 @@ def vocab_coverage(
     # constant partition key: both windows see only the top_k surviving
     # rows (post-limit), never the token-count table
     w = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(bounded_window_key("t"))
         .orderBy(F.col("n").desc(), F.col("t"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return top.select(
         F.row_number()
-        .over(Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("t")))
+        .over(
+            Window.partitionBy(bounded_window_key("t")).orderBy(
+                F.col("n").desc(), F.col("t")
+            )
+        )
         .alias("rank"),
         F.col("t").alias("token"),
         F.col("n").alias("n_occurrences"),
@@ -770,7 +935,7 @@ def quality_classifier_scores(
                 F.col(id_col), F.lit(-1).alias("b"), F.lit(QC_SX).alias("xq")
             )
         )
-        .persist()  # read T+1 times (cache contract: clearCache between runs)
+        .persist()  # read T+1 times; released by the finalize() below
     )
     y = df.select(F.col(id_col), label.cast("int").alias("y"))
     n_docs = df.count()
@@ -832,9 +997,11 @@ def quality_classifier_scores(
         .agg(F.sum("pr").alias("s"))
         .selectExpr(id_col, _fdiv("s", QC_SX, 10**12) + " AS zq")
     )
-    return scored.join(y, id_col).select(
+    out = scored.join(y, id_col).select(
         F.col(id_col),
         (F.col("zq").cast("double") / F.lit(float(QC_SW))).alias("score"),
         (F.col("zq") >= 0).cast("int").alias("pred"),
         F.col("y"),
     )
+    # release the feature matrix and the final weight round with the call
+    return finalize(out, fx, w)

@@ -61,6 +61,14 @@ from blockchain_data_engineering_spark.plans import multimodal_queries  # noqa: 
 # events_spine_zero_fill + events_share_by_day (r1-green; flagship_volume_stack
 # runs the same zero_fill_spine operator and ratio-to-report window in-plan).
 #
+# Round-4 rotation: three r2-GREEN queries move to parity-only in
+# exchange for the round-4 additions — sim_cosine_topk (the
+# brute-force ANN baseline; its window-rank plan family closes every
+# surviving gate ANN query), stream_tumbling_window (sliding/session
+# windows + watermark dedup stay gate-witnessed), dedup_ngram_jaccard
+# (blocking-key jaccard; minhash-LSH, containment, and span dedup
+# stay). All three keep pytest DuckDB parity from EXTRA_QUERIES.
+#
 # Rotation history: the round-2 rotation moved 24 r1-GREEN queries to
 # the parity-only set so the round-2 additions could get official rows
 # (all recorded in CORRECTNESS_r02.json — 50/50 green).
@@ -78,6 +86,12 @@ from blockchain_data_engineering_spark.plans import multimodal_queries  # noqa: 
 # never-gated = registry − (r1 ∪ r2 ∪ current gate) from the
 # CORRECTNESS_r*.json files and asserts it empty.
 GATE_ORDER = [
+    # -- new in round 4 (judge asks #6/#7): full BPE tokenizer training
+    #    (trajectory oracle-replayed), per-doc token counts under the
+    #    learned vocab, and RefinedWeb paragraph-level exact dedup --
+    "text_bpe_train",
+    "text_bpe_token_counts",
+    "dedup_paragraph_exact",
     # -- new in round 3 (judge ask #8 + pipeline completions):
     #    n-gram novelty vs a reference corpus, SemDeDup-then-filter
     #    per-cluster quality aggregation, deterministic shard shuffle,
@@ -114,14 +128,11 @@ GATE_ORDER = [
     "emb_kmeans_centroids",
     "sim_ivf_ann_trained",
     "graph_triangle_count",
-    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_simhash_multiblock",
     "pipeline_corpus_dedup",
-    "sim_cosine_topk",
     "sim_lsh_ann_multitable",
     "sim_ivf_ann_nprobe2",
-    "stream_tumbling_window",
     "stream_session_window",
     "stream_dedup_first_touch",
     "multimodal_binary_metadata",

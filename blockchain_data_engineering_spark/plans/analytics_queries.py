@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from blockchain_data_engineering_spark.catalog import load_table, spread
+from blockchain_data_engineering_spark.functions.scalar import bounded_window_key
 from blockchain_data_engineering_spark.functions.scalar import SLOT_EPOCH_OFFSET
 from blockchain_data_engineering_spark.operators.pandas_escape import (
     grouped_demean_scaled,
@@ -642,7 +643,7 @@ def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # constant partition key: frame = the histogram's bins (bounded
         # by value-range/_HQ_BIN), never the events table
         F.sum("c").over(
-            Window.partitionBy(F.lit(0))
+            Window.partitionBy(bounded_window_key("bin"))
             .orderBy("bin")
             .rowsBetween(Window.unboundedPreceding, 0)
         ),

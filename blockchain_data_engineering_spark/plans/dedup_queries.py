@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from blockchain_data_engineering_spark.cache import finalize
 from blockchain_data_engineering_spark.catalog import load_table, spread
 from blockchain_data_engineering_spark.operators import dedup as D
 from blockchain_data_engineering_spark.operators import similarity as SIM
@@ -142,7 +143,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.minhash_signatures(sh, N_HASHES).persist()
     cand = D.lsh_candidate_pairs(D.lsh_bands(sig, N_HASHES, BAND_SIZE))
     arr = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
-    return D.jaccard_verify_arrays(cand, arr)
+    return finalize(D.jaccard_verify_arrays(cand, arr), sh, sig)
 
 
 # ---------------------------------------------------------------------------
@@ -351,10 +352,11 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1),
         ).otherwise(F.lit(0))
         dist = term if dist is None else dist + term
-    return (
+    return finalize(
         pairs.withColumn("hamming", dist.cast("long"))
         .where(F.col("hamming") <= HAMMING_MAX)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", "hamming"),
+        sig,
     )
 
 
@@ -451,10 +453,11 @@ def dedup_simhash_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = cand.join(pa, "id_a").join(pb, "id_b")
     dist = F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)")
-    return (
+    return finalize(
         pairs.withColumn("hamming", dist.cast("long"))
         .where(F.col("hamming") <= HAMMING_MAX)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", "hamming"),
+        sig,
     )
 
 
@@ -551,10 +554,15 @@ def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("label"))
         )
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("label").alias("canonical_id"),
-        (F.col("node") == F.col("label")).alias("kept"),
+    return finalize(
+        labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("canonical_id"),
+            (F.col("node") == F.col("label")).alias("kept"),
+        ),
+        sh,
+        sig,
+        und,
     )
 
 
@@ -766,7 +774,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     batch_ids = docs.where(is_batch).select("doc_id")
-    return (
+    return finalize(
         batch_ids.join(n_cand.withColumnRenamed("id_b", "doc_id"), "doc_id", "left")
         .join(dups.withColumnRenamed("id_b", "doc_id"), "doc_id", "left")
         .select(
@@ -775,7 +783,10 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_of",
             F.coalesce(F.col("n_dups"), F.lit(0)).alias("n_dups"),
             F.col("dup_of").isNotNull().alias("is_dup"),
-        )
+        ),
+        sh,
+        sig,
+        cand,
     )
 
 
@@ -817,17 +828,21 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = D.jaccard_verify_arrays(cand, arr).drop("jaccard")
     c_a = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
     c_b = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
-    return v.select(
-        "id_a",
-        "id_b",
-        "n_inter",
-        "n_a",
-        "n_b",
-        c_a.alias("contain_a"),
-        c_b.alias("contain_b"),
-        F.when((c_a >= 0.9) & (c_a >= c_b), F.col("id_a"))
-        .when(c_b >= 0.9, F.col("id_b"))
-        .alias("contained_doc"),
+    return finalize(
+        v.select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            c_a.alias("contain_a"),
+            c_b.alias("contain_b"),
+            F.when((c_a >= 0.9) & (c_a >= c_b), F.col("id_a"))
+            .when(c_b >= 0.9, F.col("id_b"))
+            .alias("contained_doc"),
+        ),
+        sh,
+        sig,
     )
 
 
@@ -865,3 +880,62 @@ def sample_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (RefinedWeb recipe, the standard
+# pre-MinHash pass). The fixture documents are single-line, so the
+# query synthesizes paragraph boundaries DETERMINISTICALLY — every
+# 10-token chunk becomes one paragraph, identically in Spark and the
+# oracle — then runs the real operator on the rebuilt "\n\n"-separated
+# text. Duplicate documents in the fixture (the near-dup seeds) share
+# identical chunks, so the keep-first election actually fires.
+# ---------------------------------------------------------------------------
+_PARA_TOKENS = 10
+
+_PARAGRAPH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(
+               tk[(i * {_PARA_TOKENS} + 1):(i * {_PARA_TOKENS} + {_PARA_TOKENS})],
+               ' ') AS para
+      FROM toks,
+           UNNEST(generate_series(
+             0, CAST(ceil(len(tk) / {_PARA_TOKENS}.0) AS INT) - 1)) AS g(i)
+    ),
+    elect AS (
+      SELECT doc_id, idx, para,
+             count(*) OVER (PARTITION BY doc_id) AS n_paras,
+             row_number() OVER (
+               PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn
+      FROM paras
+      WHERE len(para) > 0
+    )
+    SELECT doc_id,
+           CAST(max(n_paras) AS BIGINT) AS n_paragraphs,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text_dedup
+    FROM elect
+    WHERE rn = 1
+    GROUP BY doc_id
+"""
+
+
+@query("dedup_paragraph_exact", oracle=_PARAGRAPH_ORACLE)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tk = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(tk) / F.lit(float(_PARA_TOKENS))).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.array_join(
+            F.slice(tk, j * _PARA_TOKENS + 1, _PARA_TOKENS), " "
+        ),
+    )
+    with_paragraphs = docs.select(
+        "doc_id", F.array_join(paras, "\n\n").alias("text")
+    )
+    return D.paragraph_dedup(with_paragraphs)

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from blockchain_data_engineering_spark.cache import finalize
 from blockchain_data_engineering_spark.catalog import load_table
 from blockchain_data_engineering_spark.operators import graph as G
 from blockchain_data_engineering_spark.plans.registry import query
@@ -49,7 +50,8 @@ def _edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_ret, c).otherwise(s).alias("dst"),
     ).distinct()
     # every graph query walks the edge list several times (vertices,
-    # degrees, per-iteration joins) — materialize it once
+    # degrees, per-iteration joins) — materialize it once; each query
+    # wrapper releases it via finalize(result, edges)
     return edges.persist()
 
 
@@ -100,7 +102,7 @@ def _pagerank_oracle_sql(iters: int) -> str:
 @query("graph_pagerank", oracle=_pagerank_oracle_sql(PR_ITERS))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges_df(spark, sf_dir)
-    return G.pagerank_quantized(edges, iterations=PR_ITERS)
+    return finalize(G.pagerank_quantized(edges, iterations=PR_ITERS), edges)
 
 
 # ---------------------------------------------------------------------------
@@ -121,7 +123,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.degrees(_edges_df(spark, sf_dir))
+    edges = _edges_df(spark, sf_dir)
+    return finalize(G.degrees(edges), edges)
 
 
 # ---------------------------------------------------------------------------
@@ -149,14 +152,20 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _edges_df(spark, sf_dir).cache()
-    anchor = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .orderBy(F.col("d").desc(), F.col("src"))
-        .limit(1)
-        .collect()[0]["src"]
-    )
+    edges = _edges_df(spark, sf_dir)  # arrives persisted
+    try:
+        anchor = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .orderBy(F.col("d").desc(), F.col("src"))
+            .limit(1)
+            .collect()[0]["src"]
+        )
+    finally:
+        # cache only serves the anchor collect; the returned (uncached)
+        # plan re-reads the pushdown-filtered parquet scan — no cache
+        # may outlive the call (package cache-lifetime convention)
+        edges.unpersist()
     hop1 = edges.where(F.col("src") == anchor)
     hop2 = edges.join(
         hop1.select(F.col("dst").alias("src")).distinct(), "src", "inner"
@@ -199,7 +208,7 @@ def _cc_oracle_sql(iters: int) -> str:
 @query("graph_connected_components", oracle=_cc_oracle_sql(CC_ITERS))
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges_df(spark, sf_dir)
-    return G.connected_components(edges, iterations=CC_ITERS)
+    return finalize(G.connected_components(edges, iterations=CC_ITERS), edges)
 
 
 # ---------------------------------------------------------------------------
@@ -243,7 +252,9 @@ def _cc_pj_oracle_sql(rounds: int) -> str:
 @query("graph_cc_pointer_jump", oracle=_cc_pj_oracle_sql(CC_PJ_ROUNDS))
 def graph_cc_pointer_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges_df(spark, sf_dir)
-    return G.connected_components_pointer_jump(edges, rounds=CC_PJ_ROUNDS)
+    return finalize(
+        G.connected_components_pointer_jump(edges, rounds=CC_PJ_ROUNDS), edges
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -297,6 +308,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
+    # default broadcast=True forces the |V|-row adjacency broadcast —
+    # right for this co-occurrence graph; billion-edge callers must
+    # pass broadcast=False to fall back to the sort-merge path
     return G.triangle_count(edges)
 
 
@@ -344,7 +358,9 @@ def _lpa_oracle_sql(iters: int) -> str:
 @query("graph_label_propagation", oracle=_lpa_oracle_sql(LPA_ITERS))
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges_df(spark, sf_dir)
-    return G.label_propagation_communities(edges, iterations=LPA_ITERS)
+    return finalize(
+        G.label_propagation_communities(edges, iterations=LPA_ITERS), edges
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -385,4 +401,4 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
 @query("graph_kcore", oracle=_kcore_oracle_sql(KCORE_K, KCORE_ROUNDS))
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges_df(spark, sf_dir)
-    return G.kcore(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+    return finalize(G.kcore(edges, k=KCORE_K, rounds=KCORE_ROUNDS), edges)

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from blockchain_data_engineering_spark.catalog import load_table, spread
+from blockchain_data_engineering_spark.functions.scalar import bounded_window_key
 from blockchain_data_engineering_spark.operators import text as TX
 from blockchain_data_engineering_spark.plans.parity import dsum, dsum_sql
 from blockchain_data_engineering_spark.plans.registry import query
@@ -315,7 +316,9 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
     # constant partition key: frame = the 20 surviving rows, by
     # construction never the scored corpus
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), F.col("doc_id"))
+    w = Window.partitionBy(bounded_window_key("doc_id")).orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
     return (
         top.withColumn("rank", F.row_number().over(w))
         .select("doc_id", "score", "rank")
@@ -1249,6 +1252,97 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING (Sennrich et al. 2016): N rounds of
+# [pair-count → argmax merge → greedy re-segmentation], the learned
+# artifact a curation pipeline ships (text_bpe_pair_counts ranks only
+# round 1's candidates). The oracle unrolls every round as a CTE chain
+# — the same pattern as the k-means / quality-classifier trainers —
+# using the identical delimiter-framed replace() encoding, so the full
+# trajectory is value-hash-checked, not just the final state.
+# ---------------------------------------------------------------------------
+BPE_MERGES = 6
+_S = "\x1f"  # operators.text.BPE_SEP
+_S2 = _S * 2
+
+
+def _bpe_words_cte() -> str:
+    return f"""w0 AS (
+      SELECT w, count(*) AS wf,
+             '{_S}' || array_to_string(string_split(w, ''), '{_S2}')
+                    || '{_S}' AS seg
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    )"""
+
+
+def _bpe_round_ctes(r: int) -> list[str]:
+    prev = f"w{r - 1}"
+    return [
+        f"""p{r} AS (
+      SELECT t[i] AS a, t[i + 1] AS b, sum(wf) AS n
+      FROM (SELECT wf, string_split(trim(seg, '{_S}'), '{_S2}') AS t
+            FROM {prev}),
+           UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      GROUP BY 1, 2
+    )""",
+        f"""b{r} AS (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1)""",
+        f"""w{r} AS (
+      SELECT w, wf,
+             replace(seg, '{_S}' || a || '{_S2}' || b || '{_S}',
+                          '{_S}' || a || b || '{_S}') AS seg
+      FROM {prev}, b{r}
+    )""",
+    ]
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    ctes = [_bpe_words_cte()]
+    for r in range(1, n_merges + 1):
+        ctes += _bpe_round_ctes(r)
+    rounds = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS round, a AS pair_a, b AS pair_b,"
+        f" a || b AS merged, CAST(n AS BIGINT) AS n_occurrences FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n    " + rounds
+
+
+@query("text_bpe_train", oracle=_bpe_train_oracle(BPE_MERGES))
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TX.bpe_train_merges(docs, n_merges=BPE_MERGES)
+
+
+def _bpe_token_counts_oracle(n_merges: int) -> str:
+    ctes = [_bpe_words_cte()]
+    for r in range(1, n_merges + 1):
+        ctes += _bpe_round_ctes(r)
+    ctes.append(
+        f"""wt AS (
+      SELECT w, len(string_split(trim(seg, '{_S}'), '{_S2}')) AS n_tok
+      FROM w{n_merges}
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+    SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens_bpe
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents) d
+    JOIN wt USING (w)
+    GROUP BY doc_id
+    """
+    )
+
+
+@query("text_bpe_token_counts", oracle=_bpe_token_counts_oracle(BPE_MERGES))
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TX.bpe_token_counts(docs, n_merges=BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary coverage curve: cumulative token-stream share of the
 # top-100 vocabulary prefix (1 - cum_share = OOV rate at that budget).
 # ---------------------------------------------------------------------------
@@ -1468,9 +1562,11 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     wq = F.floor(F.sqrt(F.col("n_docs")) * 1000).cast("long")
     per_src = per_src.withColumn("wq", wq)
-    # window input is the ≤|sources|-row aggregate, not the corpus
+    # window input is the ≤|sources|-row aggregate, not the corpus;
+    # the non-foldable constant key keeps the partition spec in-plan
     per_src = per_src.withColumn(
-        "sumwq", F.sum("wq").over(Window.partitionBy())
+        "sumwq",
+        F.sum("wq").over(Window.partitionBy(bounded_window_key("source"))),
     )
     return per_src.select(
         "source",

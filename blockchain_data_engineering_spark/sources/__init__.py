@@ -4,6 +4,8 @@ from blockchain_data_engineering_spark.sources.io import (  # noqa: F401
     load_decimals_dim,
     load_prices_dim,
     compact_parquet,
+    compact_parquet_bucketed,
+    delete_parquet_where,
     read_jdbc,
     read_ndjson_blocks,
     read_ndjson_blocks_with_quarantine,

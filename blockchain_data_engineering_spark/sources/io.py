@@ -215,11 +215,46 @@ def upsert_jdbc(
         conn.close()
 
 
+def _check_upsert_schema(
+    incoming_cols: Sequence[str],
+    existing_cols: Sequence[str],
+    key_cols: Sequence[str],
+    merge_schema: bool,
+    fn: str,
+) -> None:
+    """Schema-evolution guard shared by the upsert family. Column
+    REORDER is always fine (merges go through unionByName). A column
+    -set difference is an explicit error unless ``merge_schema=True``
+    (never a silent drop or an opaque union failure), and the key
+    columns must exist on both sides regardless — a missing key would
+    null out and collapse every row onto one conflict group."""
+    missing_keys = [
+        k
+        for k in key_cols
+        if k not in incoming_cols or k not in existing_cols
+    ]
+    if missing_keys:
+        raise ValueError(
+            f"{fn}: key columns {missing_keys} must exist in both the "
+            "incoming batch and the existing table"
+        )
+    if not merge_schema and set(incoming_cols) != set(existing_cols):
+        added = sorted(set(incoming_cols) - set(existing_cols))
+        dropped = sorted(set(existing_cols) - set(incoming_cols))
+        raise ValueError(
+            f"{fn}: incoming schema differs from the table "
+            f"(new columns {added}, absent columns {dropped}); pass "
+            "merge_schema=True to evolve the table (missing side "
+            "fills NULL)"
+        )
+
+
 def upsert_parquet(
     df: DataFrame,
     path: str,
     key_cols: Sequence[str],
     order_cols: Sequence[Column] | None = None,
+    merge_schema: bool = False,
 ) -> None:
     """Idempotent key-based upsert into a parquet table (S11).
 
@@ -228,6 +263,12 @@ def upsert_parquet(
     the incoming ``df`` are resolved by ``order_cols`` (first wins
     after ``__new`` desc) — pass e.g. ``[F.col("ts").desc()]`` for
     latest-wins; without it the intra-batch winner is unspecified.
+
+    Schema evolution: column REORDER is always transparent (the merge
+    goes through ``unionByName``); a column-set difference raises a
+    clear error unless ``merge_schema=True``, which NULL-fills the
+    missing side in either direction — the merge rewrites the whole
+    table, so the evolved schema is immediately homogeneous.
 
     Durability: the merged table is written to ``<path>__tmp`` and then
     swapped in with two directory renames (old table preserved at
@@ -261,8 +302,17 @@ def upsert_parquet(
 
     if exists:
         existing = spark.read.parquet(path)
+        _check_upsert_schema(
+            df.columns, existing.columns, keys, merge_schema, "upsert_parquet"
+        )
+        # allowMissingColumns covers BOTH evolution directions (columns
+        # only the batch has, columns only the table has — NULL-filled)
+        # and unionByName itself makes column REORDER a non-event; the
+        # merge rewrites the whole table, so the evolved schema is
+        # immediately homogeneous across every file
         merged = df.withColumn("__new", F.lit(1)).unionByName(
-            existing.withColumn("__new", F.lit(0))
+            existing.withColumn("__new", F.lit(0)),
+            allowMissingColumns=merge_schema,
         )
         w = Window.partitionBy(*keys).orderBy(
             F.col("__new").desc(), *list(order_cols or [])
@@ -313,6 +363,7 @@ def upsert_parquet_bucketed(
     key_cols: Sequence[str],
     n_buckets: int = 64,
     order_cols: Sequence[Column] | None = None,
+    merge_schema: bool = False,
 ) -> None:
     """Partition-pruned upsert: the scale path for S11 (reference
     src/etl_blockchain/main.py:22-29 ON CONFLICT semantics).
@@ -333,6 +384,15 @@ def upsert_parquet_bucketed(
     Conflict semantics match :func:`upsert_parquet`: incoming beats
     existing on the same key; intra-batch duplicates resolved by
     ``order_cols`` (first wins), unspecified without it.
+
+    Schema evolution: a column-set difference between the batch and
+    the table raises unless ``merge_schema=True``. With it, an
+    evolution batch pays a FULL-table rewrite (every bucket, via the
+    staged whole-directory swap) so file schemas stay homogeneous —
+    partition pruning, the touched-bucket merge, and plain
+    ``spark.read.parquet`` all keep working without per-read
+    ``mergeSchema`` options; steady-state batches remain O(touched).
+    Column reorder alone never triggers the rewrite (unionByName).
 
     Filesystem portability: the existence probe, the
     ``_bucketing.json`` layout marker, and the stage cleanup all go
@@ -361,6 +421,16 @@ def upsert_parquet_bucketed(
         return
     base = path.rstrip("/")
     fs, HPath, hpath = _hadoop_fs(spark, base)
+    # crash recovery FIRST (schema-evolution batches swap the whole
+    # directory, exactly like upsert_parquet): a crash between the two
+    # renames leaves the only copy at <path>__old — restore it, never
+    # treat the table as a first write
+    hold0 = HPath(base + "__old")
+    if not fs.exists(hpath) and fs.exists(hold0):
+        if not fs.rename(hold0, hpath):
+            raise IOError(
+                f"upsert_parquet_bucketed: recovery rename failed for {path}"
+            )
     exists = bucketed_table_exists(spark, base)
     # the bucket function is part of the TABLE's layout, not the call:
     # an upsert with a different n_buckets/key set would hash keys to
@@ -392,23 +462,39 @@ def upsert_parquet_bucketed(
                 f"bucketed-upsert layout mismatch at {path}: table was "
                 f"written with {on_disk}, call uses {layout}"
             )
+    table_cols = [
+        c for c in spark.read.parquet(path).columns if c != "__bucket"
+    ]
+    _check_upsert_schema(
+        df.columns, table_cols, keys, merge_schema, "upsert_parquet_bucketed"
+    )
+    evolving = set(df.columns) != set(table_cols)
     # the incoming plan is read twice (touched-bucket discovery, then
     # the staged merge write) — persist so an expensive upstream runs
     # once and both passes see identical rows
     incoming = incoming.persist()
-    # touched buckets: bounded by n_buckets, so the collect is a small
-    # driver-side list (it parameterizes partition pruning, not data)
-    touched = [
-        r["__bucket"]
-        for r in incoming.select("__bucket").distinct().collect()
-    ]
-    existing = (
-        spark.read.parquet(path).where(F.col("__bucket").isin(touched))
-    )
     from pyspark.sql import Window
 
+    if evolving:
+        # schema-evolution batch: merge against EVERY bucket and swap
+        # the whole table (staged write → rename aside → rename in),
+        # keeping file schemas homogeneous so later reads and the
+        # O(touched) steady-state merges never need mergeSchema
+        existing = spark.read.parquet(path)
+    else:
+        # touched buckets: bounded by n_buckets, so the collect is a
+        # small driver-side list (it parameterizes partition pruning,
+        # not data)
+        touched = [
+            r["__bucket"]
+            for r in incoming.select("__bucket").distinct().collect()
+        ]
+        existing = (
+            spark.read.parquet(path).where(F.col("__bucket").isin(touched))
+        )
     merged = incoming.withColumn("__new", F.lit(1)).unionByName(
-        existing.withColumn("__new", F.lit(0))
+        existing.withColumn("__new", F.lit(0)),
+        allowMissingColumns=merge_schema,
     )
     w = Window.partitionBy(*keys).orderBy(
         F.col("__new").desc(), *list(order_cols or [])
@@ -418,6 +504,31 @@ def upsert_parquet_bucketed(
         .where(F.col("__rn") == 1)
         .drop("__rn", "__new")
     )
+    if evolving:
+        marker_text = json.dumps(layout)
+        tmp = base + "__tmp"
+        htmp = HPath(tmp)
+        hold = HPath(base + "__old")
+        fs.delete(htmp, True)
+        try:
+            result.write.mode("overwrite").partitionBy("__bucket").parquet(
+                tmp
+            )
+        finally:
+            incoming.unpersist()
+        _write_text_file(fs, HPath(tmp + "/_bucketing.json"), marker_text)
+        fs.delete(hold, True)
+        if not fs.rename(hpath, hold):
+            raise IOError(
+                f"upsert_parquet_bucketed: could not rename {path} aside"
+            )
+        if not fs.rename(htmp, hpath):
+            fs.rename(hold, hpath)  # roll back: restore the live table
+            raise IOError(
+                f"upsert_parquet_bucketed: swap rename failed for {path}"
+            )
+        fs.delete(hold, True)
+        return
     # Spark (correctly) refuses to overwrite a path that is also one of
     # the write plan's inputs, so stage the merged touched-bucket rows
     # first (volume = touched buckets only, not the table), then
@@ -604,7 +715,7 @@ def compact_parquet(
     if fs.exists(HPath(base + "/_bucketing.json")):
         raise ValueError(
             f"compact_parquet: refusing bucketed layout at {path} "
-            "(would strand _bucketing.json); compact per __bucket dir"
+            "(would strand _bucketing.json); use compact_parquet_bucketed"
         )
     total = fs.getContentSummary(hpath).getLength()
     n_files = max(1, math.ceil(total / target_file_bytes))
@@ -619,6 +730,184 @@ def compact_parquet(
         raise IOError(f"compact_parquet: swap rename failed for {path}")
     fs.delete(old, True)
     return n_files
+
+
+def delete_parquet_where(
+    spark: SparkSession, path: str, condition: Column
+) -> int:
+    """Delete every row matching ``condition`` from a parquet table —
+    flat or bucketed-upsert layout, detected from ``_bucketing.json``
+    — preserving the layout. Returns the number of rows deleted.
+
+    The undo primitive the keyed sinks need for chain reorgs
+    (streaming.rollback): a RollBackward at slot S means every landed
+    row with ``slot > S`` belongs to an orphaned block and must go.
+    Deletion rewrites the table through the same staged-write →
+    rename-swap machinery as :func:`upsert_parquet` (crash recovery
+    from ``<path>__old``, rollback on a failed swap) — O(table) per
+    call, which is the right trade for an event as rare as a reorg;
+    at lake scale the Delta/Iceberg ``DELETE WHERE`` is the
+    transactional drop-in. Rows keep their ``__bucket`` values, so the
+    bucketed layout's pruning and O(batch) upserts are untouched.
+
+    If nothing survives, the table directory is removed entirely (an
+    empty parquet directory would be schema-less and unreadable); the
+    next upsert recreates it as a first write.
+    """
+    import json
+
+    base = path.rstrip("/")
+    fs, HPath, hpath = _hadoop_fs(spark, base)
+    hold = HPath(base + "__old")
+    # crash recovery first, exactly as upsert_parquet
+    if not fs.exists(hpath) and fs.exists(hold):
+        if not fs.rename(hold, hpath):
+            raise IOError(
+                f"delete_parquet_where: recovery rename failed for {path}"
+            )
+    if not fs.exists(hpath):
+        return 0  # nothing landed yet — nothing to undo
+    marker = HPath(base + "/_bucketing.json")
+    bucketed = fs.exists(marker)
+    marker_text = _read_text_file(fs, marker) if bucketed else None
+
+    df = spark.read.parquet(path)
+    # NULL-condition rows don't MATCH the delete predicate — they
+    # survive (a bare ~condition would silently drop them too)
+    survivors = df.where(~condition | condition.isNull())
+    n_total = df.count()
+    n_keep = survivors.count()
+    if n_keep == n_total:
+        return 0
+    tmp = base + "__tmp"
+    htmp = HPath(tmp)
+    fs.delete(htmp, True)
+    if n_keep == 0:
+        fs.delete(hold, True)
+        if not fs.rename(hpath, hold):
+            raise IOError(
+                f"delete_parquet_where: could not rename {path} aside"
+            )
+        fs.delete(hold, True)
+        return n_total
+    writer = survivors.write.mode("overwrite")
+    if bucketed:
+        writer = writer.partitionBy("__bucket")
+    writer.parquet(tmp)
+    if bucketed:
+        # the layout marker belongs to the table — carry it into the
+        # replacement before the swap so no reader window sees a
+        # bucketed directory without its marker
+        _write_text_file(fs, HPath(tmp + "/_bucketing.json"), marker_text)
+    fs.delete(hold, True)
+    if not fs.rename(hpath, hold):
+        raise IOError(f"delete_parquet_where: could not rename {path} aside")
+    if not fs.rename(htmp, hpath):
+        fs.rename(hold, hpath)  # roll back: restore the live table
+        raise IOError(f"delete_parquet_where: swap rename failed for {path}")
+    fs.delete(hold, True)
+    return n_total - n_keep
+
+
+def compact_parquet_bucketed(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict[int, int]:
+    """Per-bucket small-file compaction for :func:`upsert_parquet_bucketed`
+    layouts — the remedy :func:`compact_parquet` deliberately refuses to
+    apply. Each ``__bucket=N/`` partition directory is rewritten in
+    place to ``ceil(bucket_bytes / target_file_bytes)`` files; buckets
+    already at or under their target file count are skipped (no data
+    moves for untouched buckets). Returns ``{bucket: n_files_after}``.
+
+    Why it exists: a streaming ingest upserts per micro-batch, so every
+    touched bucket gains small files each batch; after thousands of
+    batches the index scan cost becomes file listing + footer reads
+    instead of IO. Compaction is pure layout maintenance — same rows,
+    same ``_bucketing.json`` marker, and partition pruning plus the
+    O(batch) touched-bucket merge behave identically afterwards.
+
+    Durability per bucket mirrors :func:`compact_parquet`: staged write
+    → bucket dir renamed aside → staged renamed in → aside deleted.
+    Staging and aside directories live under the table root with
+    underscore-prefixed names (``_compact_tmp_N`` / ``_compact_old_N``)
+    that Spark's file index ignores, so a crash never corrupts partition
+    discovery; a crash between the two renames leaves that bucket's
+    only copy at ``_compact_old_N``, and the recovery sweep at the top
+    of the next run restores it. Single-writer interim machinery, like
+    the upsert it maintains — on object stores use Delta OPTIMIZE.
+
+    Read-then-rewrite rule (docs/SCALE.md): rewriting the table path
+    invalidates any persisted plan whose lineage reads it
+    (recacheByPath) — ``localCheckpoint`` anything still needed BEFORE
+    compacting.
+    """
+    import math
+    import re
+
+    base = path.rstrip("/")
+    fs, HPath, hpath = _hadoop_fs(spark, base)
+    if not fs.exists(hpath):
+        raise IOError(f"compact_parquet_bucketed: no table at {path}")
+    # crash recovery FIRST: restore any bucket whose only copy a crash
+    # left at the aside name, and clear stage garbage
+    for name in _child_names(fs, hpath):
+        m = re.fullmatch(r"_compact_old_(\d+)", name)
+        if m:
+            live = HPath(f"{base}/__bucket={m.group(1)}")
+            aside = HPath(f"{base}/{name}")
+            if not fs.exists(live):
+                if not fs.rename(aside, live):
+                    raise IOError(
+                        f"compact_parquet_bucketed: recovery rename failed "
+                        f"for bucket {m.group(1)} at {path}"
+                    )
+            else:  # swap completed; the aside copy is stale
+                fs.delete(aside, True)
+        elif name.startswith("_compact_tmp_"):
+            fs.delete(HPath(f"{base}/{name}"), True)
+    if not fs.exists(HPath(base + "/_bucketing.json")):
+        raise ValueError(
+            f"compact_parquet_bucketed: {path} is not a bucketed-upsert "
+            "layout (no _bucketing.json); use compact_parquet"
+        )
+    results: dict[int, int] = {}
+    for name in sorted(_child_names(fs, hpath)):
+        m = re.fullmatch(r"__bucket=(\d+)", name)
+        if not m:
+            continue
+        b = int(m.group(1))
+        bdir = f"{base}/{name}"
+        hb = HPath(bdir)
+        n_parts = sum(
+            1 for n in _child_names(fs, hb) if n.endswith(".parquet")
+        )
+        total = fs.getContentSummary(hb).getLength()
+        n_files = max(1, math.ceil(total / target_file_bytes))
+        if n_parts <= n_files:
+            results[b] = n_parts
+            continue
+        staged_str = f"{base}/_compact_tmp_{b}"
+        hstaged = HPath(staged_str)
+        hold = HPath(f"{base}/_compact_old_{b}")
+        fs.delete(hstaged, True)
+        # the bucket dir read directly has no partition column — the
+        # rewrite emits data-only files, exactly what the layout holds
+        spark.read.parquet(bdir).coalesce(n_files).write.mode(
+            "overwrite"
+        ).parquet(staged_str)
+        fs.delete(hold, True)
+        if not fs.rename(hb, hold):
+            raise IOError(
+                f"compact_parquet_bucketed: could not rename bucket {b} aside"
+            )
+        if not fs.rename(hstaged, hb):
+            fs.rename(hold, hb)  # roll back: restore the live bucket
+            raise IOError(
+                f"compact_parquet_bucketed: swap rename failed for bucket {b}"
+            )
+        fs.delete(hold, True)
+        results[b] = n_files
+    return results
 
 
 def write_edge_list(df: DataFrame, path: str, mode: str = "overwrite") -> None:

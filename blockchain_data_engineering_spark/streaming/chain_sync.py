@@ -48,10 +48,28 @@ class MockChainSyncNode:
         host: str = "127.0.0.1",
         transport: str = "line",
         max_conns: int = 1,
+        reorg: dict | None = None,
     ):
         if transport not in ("line", "ws"):
             raise ValueError(f"unknown transport {transport!r}")
         self._blocks = blocks
+        # scripted reorg: after serving reorg["after"] forward rolls,
+        # emit ONE backward roll to reorg["point"] ({"slot", "id"} —
+        # Ogmios v6 RollBackward shape), then serve reorg["blocks"]
+        # (the replacement fork) forward. Every conversation replays
+        # the same scripted sequence, so offset replay is exact.
+        self._rolls: list[dict] = [
+            {"direction": "forward", "block": b} for b in blocks
+        ]
+        if reorg is not None:
+            self._rolls = (
+                self._rolls[: reorg["after"]]
+                + [{"direction": "backward", "point": reorg["point"]}]
+                + [
+                    {"direction": "forward", "block": b}
+                    for b in reorg["blocks"]
+                ]
+            )
         self.transport = transport
         # sequential client conversations to serve before closing —
         # each restarts at genesis (the data-source readers skip to
@@ -81,14 +99,11 @@ class MockChainSyncNode:
                 "id": req.get("id"),
             }
         elif method == "nextBlock":
-            if cursor < len(self._blocks):
+            if cursor < len(self._rolls):
                 resp = {
                     "jsonrpc": "2.0",
                     "method": method,
-                    "result": {
-                        "direction": "forward",
-                        "block": self._blocks[cursor],
-                    },
+                    "result": dict(self._rolls[cursor]),
                     "id": req.get("id"),
                 }
                 cursor += 1
@@ -201,13 +216,33 @@ class ChainSyncClient:
             raise ConnectionError("chain-sync peer closed mid-conversation")
         return json.loads(msg)
 
-    def next_block(self) -> str | None:
-        """The next ``forward`` block document, or ``None`` at tip
-        (or on a rollback in a real deployment)."""
+    def next_roll(self) -> tuple[str, str | dict | None]:
+        """The next chain-sync roll, typed:
+
+        - ``("forward", block_document)`` — the next block,
+        - ``("backward", point)`` — a reorg: every block already rolled
+          forward with slot > ``point["slot"]`` is orphaned (Ogmios v6
+          RollBackward),
+        - ``("tip", None)`` — caught up.
+        """
         resp = self._rpc("nextBlock")
         result = resp.get("result", {})
-        if result.get("direction") == "forward":
-            return result["block"]
+        direction = result.get("direction")
+        if direction == "forward":
+            return "forward", result["block"]
+        if direction == "backward":
+            return "backward", result.get("point")
+        return "tip", None
+
+    def next_block(self) -> str | None:
+        """Rollback-blind convenience: the next ``forward`` block
+        document, or ``None`` at tip OR on a backward roll (mirrors the
+        reference streamer, which only handles forward rolls —
+        src/cardano_streamer/main.py:42-47). Reorg-aware consumers use
+        :meth:`next_roll`."""
+        direction, payload = self.next_roll()
+        if direction == "forward":
+            return payload
         return None
 
     def close(self) -> None:
@@ -238,12 +273,23 @@ class ChainSyncProducer:
         out_dir: str,
         rotate_every: int = 10,
         transport: str = "line",
+        emit_rollbacks: bool = False,
     ):
         if transport not in ("line", "ws"):
             raise ValueError(f"unknown transport {transport!r}")
         self.host, self.port, self.out_dir = host, port, out_dir
         self.rotate_every = rotate_every
         self.transport = transport
+        # emit_rollbacks=True: on a backward roll, flush pending blocks
+        # and land a rollback MARKER line (streaming.rollback format)
+        # as its OWN file, then keep syncing the replacement fork. The
+        # file stream source tracks files BY NAME and never re-reads
+        # them, so landed orphan blocks cannot be retracted here — the
+        # marker tells the keyed sinks downstream to undo them
+        # (streaming.rollback.rollback_aware_upsert). False preserves
+        # the reference's forward-only behavior: stop at the first
+        # backward roll (src/cardano_streamer/main.py:42-47).
+        self.emit_rollbacks = emit_rollbacks
 
     def run(self, start_point: str = "origin", max_blocks: int | None = None) -> int:
         """Sync until tip (or ``max_blocks``); returns blocks written."""
@@ -279,15 +325,29 @@ class ChainSyncProducer:
             pending = []
             file_idx += 1
 
+        from blockchain_data_engineering_spark.streaming.rollback import (
+            rollback_marker_line,
+        )
+
         client = ChainSyncClient(
             self.host, self.port, self.transport, start_point
         ).connect()
         try:
             while max_blocks is None or n < max_blocks:
-                block = client.next_block()
-                if block is None:  # tip (or rollback in a real deployment)
+                direction, payload = client.next_roll()
+                if direction == "tip":
                     break
-                pending.append(block)
+                if direction == "backward":
+                    if not self.emit_rollbacks:
+                        break  # reference behavior: forward rolls only
+                    # the marker must postdate every already-landed
+                    # orphan and predate every fork block — flush, then
+                    # give the marker its own file index
+                    flush()
+                    pending.append(rollback_marker_line(payload))
+                    flush()
+                    continue
+                pending.append(payload)
                 n += 1
                 if len(pending) >= self.rotate_every:
                     flush()

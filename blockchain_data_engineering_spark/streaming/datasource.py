@@ -12,7 +12,10 @@ becomes
 
 Rows are ``(value string)`` NDJSON block documents — the same shape
 the socket/file sources produce, so every downstream parse stage is
-source-agnostic.
+source-agnostic. Backward rolls (reorgs) surface as rollback MARKER
+rows (``streaming.rollback.rollback_marker_line``), the same format
+the NDJSON landing path uses, so one reorg-aware consumer
+(``streaming.rollback.rollback_aware_upsert``) serves both sources.
 
 Scale posture (documented, deliberate): a chain is a SINGLE ordered
 upstream conversation, so the batch reader exposes one input
@@ -21,9 +24,10 @@ partition and the stream reader is a :class:`SimpleDataSourceStreamReader`
 unlike the socket source it is offset-tracked and replayable). The
 production-scale path remains ChainSyncProducer → NDJSON landing dir →
 file stream (partitioned, checkpointed); this source is the
-zero-landing-zone dev/replay tap. Offsets are cumulative block counts;
-``readBetweenOffsets`` re-syncs a fresh conversation and skips to the
-start offset (the mock node replays from genesis on each conversation;
+zero-landing-zone dev/replay tap. Offsets are cumulative ROLL counts
+(forward blocks + rollback markers, so replay reproduces reorgs
+exactly); ``readBetweenOffsets`` re-syncs a fresh conversation and
+skips to the start offset (the mock node replays from genesis on each conversation;
 a real Ogmios deployment would pass the actual intersection point).
 """
 
@@ -63,6 +67,21 @@ class ChainSyncDataSource(DataSource):
         return ChainSyncSimpleStreamReader(dict(self.options))
 
 
+def _next_row(client) -> str | None:
+    """One emitted row per roll: the block document for forward rolls,
+    a rollback marker line for backward rolls, ``None`` at tip."""
+    from blockchain_data_engineering_spark.streaming.rollback import (
+        rollback_marker_line,
+    )
+
+    direction, payload = client.next_roll()
+    if direction == "forward":
+        return payload
+    if direction == "backward":
+        return rollback_marker_line(payload)
+    return None
+
+
 def _connect(opts: dict, skip: int = 0):
     from blockchain_data_engineering_spark.streaming.chain_sync import (
         ChainSyncClient,
@@ -74,11 +93,11 @@ def _connect(opts: dict, skip: int = 0):
         opts.get("transport", "line"),
         opts.get("start_point", "origin"),
     ).connect()
-    # skip already-consumed blocks: the mock node replays each
+    # skip already-consumed rolls: the mock node replays each
     # conversation from genesis; against real Ogmios, pass the true
     # point via start_point instead and skip stays 0
     for _ in range(skip):
-        if client.next_block() is None:
+        if _next_row(client) is None:
             break
     return client
 
@@ -99,10 +118,10 @@ class ChainSyncBatchReader(DataSourceReader):
         try:
             n = 0
             while n < cap:
-                block = client.next_block()
-                if block is None:
+                row = _next_row(client)
+                if row is None:
                     break
-                yield (block,)
+                yield (row,)
                 n += 1
         finally:
             client.close()
@@ -129,30 +148,35 @@ class ChainSyncSimpleStreamReader(SimpleDataSourceStreamReader):
         batch_size = int(self._opts.get("batch_size", 10))
         rows: list[tuple] = []
         while len(rows) < batch_size:
-            block = self._client.next_block()
-            if block is None:
+            row = _next_row(self._client)
+            if row is None:
                 break
-            rows.append((block,))
+            rows.append((row,))
         self._pos = start["n"] + len(rows)
         return iter(rows), {"n": self._pos}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         # replay a committed range after restart: fresh conversation,
-        # skip to start, read exactly end-start blocks
+        # skip to start, read exactly end-start rolls
+        want = end["n"] - start["n"]
         client = _connect(self._opts, skip=start["n"])
         try:
-            return iter(
-                [
-                    (b,)
-                    for b in (
-                        client.next_block()
-                        for _ in range(end["n"] - start["n"])
-                    )
-                    if b is not None
-                ]
-            )
+            rows = [
+                (b,)
+                for b in (_next_row(client) for _ in range(want))
+                if b is not None
+            ]
         finally:
             client.close()
+        if len(rows) < want:
+            # a committed micro-batch range that can no longer be
+            # replayed in full is an exactly-once violation — fail the
+            # query loudly rather than silently dropping rows
+            raise ConnectionError(
+                f"chain-sync replay gap: offsets [{start['n']}, {end['n']}) "
+                f"yielded {len(rows)}/{want} blocks"
+            )
+        return iter(rows)
 
     def commit(self, end: dict) -> None:
         pass

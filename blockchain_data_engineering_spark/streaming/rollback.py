@@ -1,0 +1,183 @@
+"""Chain-reorg (RollBackward) handling for keyed sinks (SURVEY §2.1 S1,
+beyond-reference: the reference streamer requests forward rolls only —
+src/cardano_streamer/main.py:42-47 — so a reorg silently leaves
+orphaned-block rows in its sinks. Ogmios chain-sync DOES emit backward
+rolls on every reorg; this module is the undo path).
+
+Mechanics end to end:
+
+1. :class:`chain_sync.ChainSyncProducer` (``emit_rollbacks=True``)
+   lands a backward roll as a MARKER line in its OWN ``part-NNNNN``
+   file: ``{"py/rollback": {"slot": S, "id": ...}}``. The file stream
+   source tracks files by name and never re-reads them, so landed
+   orphan blocks cannot be retracted at the landing layer — the marker
+   carries the undo downstream instead.
+2. The producer's file index IS the roll order, recovered per row from
+   ``input_file_name``. Nothing else about ordering is assumed: the
+   file stream source batches by file MODIFICATION TIME (millisecond
+   resolution — files landed in the same tick can batch in any order),
+   so a marker may arrive a batch BEFORE some of the blocks it
+   orphans. Correctness therefore rests only on per-row sequence
+   numbers, never on batch composition:
+
+   - every sunk row carries its roll sequence (``__seq``),
+   - markers accumulate in a tiny side table ``<path>__rollbacks``
+     (keyed idempotent upsert on seq — replay-safe),
+   - a block is orphaned by marker m iff ``seq < m.seq AND
+     slot > m.slot`` — applied BOTH as a delete over already-sunk rows
+     and as a pre-upsert filter on the batch's own blocks, so the sink
+     converges to the post-reorg chain under ANY delivery order.
+
+Scale shape: markers are reorg events — a handful per day on a real
+chain — so the side table and the driver-side marker list are
+O(markers), never O(batch); the survival filter is one narrow column
+predicate; the only heavy op is the table rewrite inside
+``delete_parquet_where``, paid once per reorg (Delta/Iceberg
+``DELETE WHERE`` is the transactional drop-in at lake scale).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blockchain_data_engineering_spark.domain.schema import BLOCK_SCHEMA
+from blockchain_data_engineering_spark.sources.io import (
+    delete_parquet_where,
+    upsert_parquet,
+)
+
+ROLLBACK_KEY = "py/rollback"
+_MARKER_PREFIX = '{"' + ROLLBACK_KEY + '"'
+SEQ_COL = "__seq"
+
+
+def rollback_marker_line(point: dict | None) -> str:
+    """Serialize an Ogmios RollBackward point as one NDJSON marker
+    line. ``point`` carries at least ``slot`` (the last slot that
+    remains canonical); ``id`` rides along for audit."""
+    if not point or "slot" not in point:
+        raise ValueError(f"rollback point must carry a slot: {point!r}")
+    return json.dumps(
+        {ROLLBACK_KEY: {"slot": int(point["slot"]), "id": point.get("id")}},
+        separators=(",", ":"),
+    )
+
+
+def is_rollback_marker(value_col: str = "value") -> Column:
+    """Predicate: is this landed line a rollback marker? Markers are
+    the only lines the producer emits whose JSON object starts with the
+    ``py/rollback`` key (block envelopes start with ``py/state``)."""
+    return F.col(value_col).startswith(_MARKER_PREFIX)
+
+
+def file_seq() -> Column:
+    """Roll-order sequence for a landed line: the numeric index of its
+    ``part-NNNNN`` landing file (``input_file_name`` is stable per
+    row). The producer assigns file indexes monotonically and flushes
+    a marker as its own file, so comparing seqs reconstructs roll order
+    regardless of how the file source batches the files."""
+    return F.regexp_extract(F.input_file_name(), r"part-(\d+)", 1).cast(
+        "long"
+    )
+
+
+def parse_block_rows(
+    lines: DataFrame,
+    cols: Sequence[str] = ("id", "slot", "height"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Default parse for :func:`rollback_aware_upsert`: block envelope
+    lines → typed rows, PRESERVING the roll-sequence column (the sink
+    stores it so late-arriving markers can still identify orphans)."""
+    j = lines.select(
+        SEQ_COL, F.from_json(F.col(value_col), BLOCK_SCHEMA).alias("json")
+    )
+    state = j["json"].getField("py/state")
+    return j.select(
+        SEQ_COL, *[state.getField(c).alias(c) for c in cols]
+    )
+
+
+def _load_markers(spark: SparkSession, store: str) -> list[tuple[int, int]]:
+    try:
+        return [
+            (r["seq"], r["slot"])
+            for r in spark.read.parquet(store).collect()
+        ]
+    except Exception:  # first batches: store not created yet
+        return []
+
+
+def rollback_aware_upsert(
+    batch_lines: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    parse_fn: Callable[[DataFrame], DataFrame] = parse_block_rows,
+    slot_col: str = "slot",
+    order_cols: Sequence[Column] | None = None,
+    value_col: str = "value",
+) -> int:
+    """foreachBatch body for a reorg-aware keyed parquet sink: record
+    every rollback marker in ``batch_lines`` (idempotent side-table
+    upsert), undo orphaned rows already sunk, drop orphaned blocks from
+    this batch, then upsert the survivors parsed by ``parse_fn``.
+    Returns rows deleted from the table this batch.
+
+    ``parse_fn`` maps a ``(value, __seq)`` DataFrame of block lines to
+    typed rows carrying ``slot_col``, ``key_cols``, AND ``__seq`` (the
+    default :func:`parse_block_rows` does). Replay-idempotent end to
+    end: marker upsert, delete predicate, and keyed block upsert all
+    converge under re-execution of the same batch.
+    """
+    spark = batch_lines.sparkSession
+    lines = batch_lines.select(F.col(value_col), file_seq().alias(SEQ_COL))
+    marker_rows = lines.where(is_rollback_marker(value_col)).collect()
+    new_markers = [
+        (int(r[SEQ_COL]), int(json.loads(r[value_col])[ROLLBACK_KEY]["slot"]))
+        for r in marker_rows
+    ]
+    store = path.rstrip("/") + "__rollbacks"
+    if new_markers:
+        upsert_parquet(
+            spark.createDataFrame(new_markers, "seq LONG, slot LONG"),
+            store,
+            ["seq"],
+        )
+    # every batch filters against ALL markers seen so far, not just
+    # this batch's — blocks can arrive after the marker that orphans
+    # them (mod-time batching), and only the store remembers it
+    markers = sorted(set(_load_markers(spark, store)))
+
+    blocks = lines.where(~is_rollback_marker(value_col))
+    n_deleted = 0
+    if markers:
+        # orphaned by marker m  ⇔  rolled forward before it AND above
+        # its rollback point — the one predicate applied to sunk rows
+        # (delete) and to this batch's own blocks (filter), making the
+        # sink order-independent: a marker arriving BEFORE some of its
+        # orphans still kills them when they land
+        def orphaned(seq: Column, slot: Column) -> Column:
+            cond = F.lit(False)
+            for mseq, mslot in markers:
+                cond = cond | (
+                    (seq < F.lit(mseq)) & (slot > F.lit(mslot))
+                )
+            return cond
+
+        if new_markers:
+            n_deleted = delete_parquet_where(
+                spark, path, orphaned(F.col(SEQ_COL), F.col(slot_col))
+            )
+        rows = parse_fn(blocks).where(
+            ~orphaned(F.col(SEQ_COL), F.col(slot_col))
+        )
+    else:
+        rows = parse_fn(blocks)
+    if rows.isEmpty():
+        return n_deleted
+    upsert_parquet(rows, path, key_cols, order_cols)
+    return n_deleted

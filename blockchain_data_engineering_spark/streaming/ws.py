@@ -34,6 +34,21 @@ _OP_CLOSE = 0x8
 _OP_PING = 0x9
 _OP_PONG = 0xA
 
+# Upper bound on a declared frame payload AND on a reassembled
+# fragmented message. Without it a buggy/malicious peer could declare a
+# 2^63-1-byte frame and _read_exact would try to buffer it all before
+# any validity check. Ogmios chain-sync messages are block documents —
+# multi-KB, a few MB at the pathological tail — so 64 MB is generous.
+MAX_MESSAGE_BYTES = 64 * 1024 * 1024
+
+
+class WsProtocolError(ConnectionError):
+    """RFC 6455 violation (oversized frame, BINARY data, interleaved
+    fragments). Unlike a plain transport drop — which ``recv_text``
+    reports as clean end-of-stream — these re-raise to the caller: a
+    peer speaking the protocol wrong must fail the stream loudly, not
+    truncate it silently."""
+
 
 def _xor_mask(data: bytes, key: bytes) -> bytes:
     """XOR ``data`` with the repeating 4-byte mask ``key`` via one
@@ -60,9 +75,15 @@ class WebSocketConnection:
     client side (the RFC rejects unmasked client frames), ``mask=False``
     for the server side."""
 
-    def __init__(self, sock: socket.socket, mask: bool):
+    def __init__(
+        self,
+        sock: socket.socket,
+        mask: bool,
+        max_message_bytes: int = MAX_MESSAGE_BYTES,
+    ):
         self._sock = sock
         self._mask = mask
+        self._max_message_bytes = max_message_bytes
         self._rfile = sock.makefile("rb")
         self.closed = False
 
@@ -85,6 +106,13 @@ class WebSocketConnection:
             (length,) = struct.unpack("!H", self._read_exact(2))
         elif length == 127:
             (length,) = struct.unpack("!Q", self._read_exact(8))
+        if length > self._max_message_bytes:
+            # reject BEFORE buffering — mirrors the oversized-head guard
+            self.closed = True
+            raise WsProtocolError(
+                f"websocket: declared frame length {length} exceeds cap "
+                f"{self._max_message_bytes}"
+            )
         if masked:
             key = self._read_exact(4)
             payload = _xor_mask(self._read_exact(length), key)
@@ -103,6 +131,8 @@ class WebSocketConnection:
         while True:
             try:
                 opcode, fin, payload = self._read_frame()
+            except WsProtocolError:
+                raise
             except (ConnectionError, OSError, ValueError):
                 self.closed = True
                 return None
@@ -120,11 +150,29 @@ class WebSocketConnection:
                         pass
                     self.closed = True
                 return None
-            if opcode in (_OP_TEXT, _OP_BINARY):
+            if opcode == _OP_BINARY:
+                # chain-sync is a text protocol; decoding arbitrary
+                # bytes as UTF-8 would corrupt, not fail (RFC §5.6)
+                self.closed = True
+                raise WsProtocolError("websocket: unexpected BINARY frame")
+            if opcode == _OP_TEXT:
+                if in_message:
+                    # new data frame inside a fragmented message is a
+                    # protocol error (RFC §5.4), not a fresh start
+                    self.closed = True
+                    raise WsProtocolError(
+                        "websocket: TEXT frame interleaved mid-fragment"
+                    )
                 buf = payload
                 in_message = True
             elif opcode == _OP_CONT and in_message:
                 buf += payload
+                if len(buf) > self._max_message_bytes:
+                    # per-frame cap alone wouldn't bound the reassembly
+                    self.closed = True
+                    raise WsProtocolError(
+                        "websocket: fragmented message exceeds cap"
+                    )
             else:
                 raise ValueError(f"websocket: unexpected opcode {opcode:#x}")
             if fin and in_message:

@@ -115,6 +115,63 @@ def test_ws_framing_roundtrip_fragmentation_ping_and_lengths():
     b.close()
 
 
+def test_ws_protocol_violations_raise_loudly():
+    """RFC 6455 violations must fail the stream, not silently truncate
+    or corrupt it: BINARY data frames (§5.6 — chain-sync is text-only),
+    a new TEXT frame interleaved mid-fragment (§5.4), a declared frame
+    length over the cap (buffered-before-validation DoS), and a
+    fragmented reassembly that crosses the cap frame-by-frame."""
+    import socket as _socket
+
+    from blockchain_data_engineering_spark.streaming.ws import (
+        WebSocketConnection,
+        WsProtocolError,
+    )
+
+    def pair(**kw):
+        a, b = _socket.socketpair()
+        return (
+            WebSocketConnection(a, mask=True, **kw),
+            WebSocketConnection(b, mask=False, **kw),
+            a,
+            b,
+        )
+
+    def raw(sock, fin, opcode, payload):
+        h = bytearray([(0x80 if fin else 0) | opcode, len(payload)])
+        sock.sendall(bytes(h) + payload)
+
+    # BINARY frame
+    client, server, a, b = pair()
+    server._send_frame(0x2, b"\xff\xfe")
+    with pytest.raises(WsProtocolError, match="BINARY"):
+        client.recv_text()
+    a.close(), b.close()
+
+    # TEXT frame while a fragmented message is open
+    client, server, a, b = pair()
+    raw(b, 0, 0x1, b"part1-")
+    raw(b, 1, 0x1, b"fresh")
+    with pytest.raises(WsProtocolError, match="interleaved"):
+        client.recv_text()
+    a.close(), b.close()
+
+    # declared length over the cap: rejected before buffering
+    client, server, a, b = pair(max_message_bytes=64)
+    server.send_text("x" * 100)
+    with pytest.raises(WsProtocolError, match="exceeds cap"):
+        client.recv_text()
+    a.close(), b.close()
+
+    # reassembled fragments over the cap (each frame individually fine)
+    client, server, a, b = pair(max_message_bytes=64)
+    raw(b, 0, 0x1, b"y" * 50)
+    raw(b, 1, 0x0, b"y" * 50)
+    with pytest.raises(WsProtocolError, match="fragmented"):
+        client.recv_text()
+    a.close(), b.close()
+
+
 def test_chain_sync_to_pipeline_matches_batch(spark, chain, tmp_path):
     # live path: node → producer → NDJSON dir
     node = MockChainSyncNode(chain.lines).start()
@@ -261,4 +318,24 @@ def test_chain_sync_datasource_restart_replay(chain):
     it2, end2 = r2.read({"n": 7})
     assert [t[0] for t in it2] == chain.lines[7:14] and end2 == {"n": 14}
     r2.stop()
+    node.close()
+
+
+def test_chain_sync_replay_gap_raises(chain):
+    """A committed range that can no longer be replayed in full is an
+    exactly-once violation — readBetweenOffsets must raise, not return
+    a silently short batch."""
+    from blockchain_data_engineering_spark.streaming.datasource import (
+        ChainSyncSimpleStreamReader,
+    )
+
+    node = MockChainSyncNode(chain.lines, transport="ws", max_conns=2).start()
+    opts = {"host": node.host, "port": str(node.port), "transport": "ws"}
+    r = ChainSyncSimpleStreamReader(opts)
+    # in-range replay still works …
+    ok = [t[0] for t in r.readBetweenOffsets({"n": 0}, {"n": 5})]
+    assert ok == chain.lines[:5]
+    # … but a range past the chain tip fails loudly
+    with pytest.raises(ConnectionError, match="replay gap"):
+        r.readBetweenOffsets({"n": 0}, {"n": len(chain.lines) + 5})
     node.close()

@@ -42,9 +42,30 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clean_cache_slate(spark):
+    # isolate the per-query leak sweep below from caches earlier test
+    # modules may have left behind
+    spark.catalog.clearCache()
+    yield
+
+
+def _cache_empty(spark) -> bool:
+    # CacheManager tracks every df.cache()/persist(); localCheckpoint
+    # persistence is RDD-level and intentionally NOT flagged here
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 @pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     spark_df = ALL_QUERIES[name](spark, sf_dir).toPandas()
+    # cache-lifetime convention: no query may leak a DataFrame cache
+    # past its own execution (the sweep that catches the r2 kcore /
+    # r3 graph_neighborhood class of defect)
+    leaked = not _cache_empty(spark)
+    if leaked:
+        spark.catalog.clearCache()  # don't cascade into later params
+    assert not leaked, f"{name}: leaked df.cache()/persist() past the call"
     if name not in ALL_ORACLES:
         # rows-only check (non-SQL-expressible op)
         assert spark_df is not None

@@ -494,6 +494,101 @@ def test_compact_parquet_refuses_partitioned_and_bucketed(spark, tmp_path):
         compact_parquet(spark, flat)
 
 
+def test_compact_parquet_bucketed_reduces_files_keeps_layout(spark, tmp_path):
+    import glob
+    import io
+    from contextlib import redirect_stdout
+
+    from blockchain_data_engineering_spark.sources import (
+        compact_parquet_bucketed,
+        upsert_parquet_bucketed,
+    )
+
+    local = str(tmp_path / "idx")
+    path = "file://" + local  # maintenance must go through Hadoop FS
+    # micro-batch accretion: each upsert rewrites its touched buckets
+    # through the shuffle, leaving one file per writing task per
+    # bucket. At test row counts AQE would coalesce that shuffle to a
+    # single task and mask the accretion real batch sizes produce, so
+    # pin it off while building the fixture.
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        for i in range(6):
+            batch = spark.createDataFrame(
+                [(k, i) for k in range(i * 10, i * 10 + 10)],
+                "k LONG, batch LONG",
+            )
+            upsert_parquet_bucketed(batch, path, ["k"], n_buckets=4)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    n_buckets = len(glob.glob(f"{local}/__bucket=*"))
+    before = len(glob.glob(f"{local}/__bucket=*/*.parquet"))
+    assert before > n_buckets, "fixture must accrete multiple files/bucket"
+    marker = json.load(open(f"{local}/_bucketing.json"))
+
+    res = compact_parquet_bucketed(spark, path)
+    after = len(glob.glob(f"{local}/__bucket=*/*.parquet"))
+    assert after == sum(res.values()) and after < before
+    assert after == n_buckets  # tiny buckets → one file each
+    # layout marker untouched; no stage/aside residue
+    assert json.load(open(f"{local}/_bucketing.json")) == marker
+    assert not glob.glob(f"{local}/_compact_*")
+
+    # identical rows, and the table is still a live upsert target with
+    # the same conflict semantics
+    got = {r["k"]: r["batch"] for r in spark.read.parquet(path).collect()}
+    assert len(got) == 60 and got[0] == 0 and got[59] == 5
+    upsert_parquet_bucketed(
+        spark.createDataFrame([(0, 99)], "k LONG, batch LONG"),
+        path,
+        ["k"],
+        n_buckets=4,
+    )
+    got2 = {r["k"]: r["batch"] for r in spark.read.parquet(path).collect()}
+    assert got2[0] == 99 and len(got2) == 60
+
+    # partition pruning still reaches the scan post-compaction — the
+    # property the bucketed layout exists for
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        spark.read.parquet(path).where(F.col("__bucket") == 0).explain(
+            "formatted"
+        )
+    assert "PartitionFilters" in buf.getvalue()
+    assert "__bucket" in buf.getvalue()
+
+
+def test_compact_parquet_bucketed_recovers_interrupted_bucket_swap(
+    spark, tmp_path
+):
+    import glob
+    import os
+
+    from blockchain_data_engineering_spark.sources import (
+        compact_parquet_bucketed,
+        upsert_parquet_bucketed,
+    )
+
+    local = str(tmp_path / "idx2")
+    v = spark.createDataFrame([(k, 0) for k in range(50)], "k LONG, b LONG")
+    upsert_parquet_bucketed(v, local, ["k"], n_buckets=4)
+    total = spark.read.parquet(local).count()
+    bucket_dirs = sorted(glob.glob(f"{local}/__bucket=*"))
+    # simulate a crash between the two per-bucket renames: live dir
+    # renamed aside, replacement never landed
+    victim = bucket_dirs[0]
+    n = victim.split("__bucket=")[1]
+    os.rename(victim, f"{local}/_compact_old_{n}")
+    # plus stage garbage from the same crashed run
+    os.makedirs(f"{local}/_compact_tmp_{n}", exist_ok=True)
+
+    compact_parquet_bucketed(spark, local)
+    assert os.path.isdir(victim)
+    assert not glob.glob(f"{local}/_compact_*")
+    assert spark.read.parquet(local).count() == total
+
+
 def test_compact_parquet_recovers_from_interrupted_swap(spark, tmp_path):
     import os
 

@@ -766,3 +766,222 @@ def test_incremental_novelty_foreachbatch(spark, tmp_path):
     # the index holds each batch's fps exactly once (upsert, not append)
     n_fps = spark.read.parquet(index).select("fp").distinct().count()
     assert n_fps == spark.read.parquet(index).count()
+
+
+def test_reorg_rollback_stream_converges_to_post_reorg_batch(spark, tmp_path):
+    """Mid-stream RollBackward (chain reorg): the producer lands 16
+    chain-A blocks, a rollback marker to slot(block 11), then a 5-block
+    replacement fork; a rollback-aware keyed sink replaying the landing
+    dir micro-batched must converge to the IDENTICAL table a one-shot
+    batch over the post-reorg chain (A[0:12] + fork) produces —
+    orphaned blocks A[12:16] deleted, fork blocks present."""
+    from blockchain_data_engineering_spark.streaming.chain_sync import (
+        ChainSyncProducer,
+        MockChainSyncNode,
+    )
+    from blockchain_data_engineering_spark.streaming.rollback import (
+        rollback_aware_upsert,
+    )
+
+    chain_a = generate_chain(n_blocks=16, seed=21)
+    anchor = chain_a.blocks[11]["py/state"]  # last canonical A block
+    point = {"slot": anchor["slot"], "id": anchor["id"]}
+    fork = generate_chain(
+        n_blocks=5,
+        seed=97,
+        start_height=anchor["height"] + 1,
+        start_slot=anchor["slot"] + 7,
+    )
+    node = MockChainSyncNode(
+        chain_a.lines,
+        transport="ws",
+        reorg={"after": 16, "point": point, "blocks": fork.lines},
+    ).start()
+    land = str(tmp_path / "landing")
+    n = ChainSyncProducer(
+        node.host,
+        node.port,
+        land,
+        rotate_every=3,
+        transport="ws",
+        emit_rollbacks=True,
+    ).run()
+    node.close()
+    assert n == 21  # 16 A blocks + 5 fork blocks (marker not counted)
+
+    table = str(tmp_path / "blocks_tbl")
+    deleted: list[int] = []
+
+    def sink(batch_df, batch_id):
+        deleted.append(rollback_aware_upsert(batch_df, table, ["id"]))
+
+    # 2 files per trigger: batches mix orphans/marker/fork blocks (and
+    # the file source orders by MODIFICATION TIME, ms resolution, so
+    # composition varies run to run) — the sink must converge anyway
+    stream = SRC.ndjson_file_stream(spark, land, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    post_reorg_lines = chain_a.lines[:12] + fork.lines
+    parsed = B.parse_block_lines(
+        spark.createDataFrame([(l,) for l in post_reorg_lines], ["value"])
+    )
+    expected = {
+        (r["id"], r["slot"], r["height"])
+        for r in parsed.select("id", "slot", "height").collect()
+    }
+    got = {
+        (r["id"], r["slot"], r["height"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got == expected
+    # the reorg must have been APPLIED (either as a delete of sunk
+    # orphans or as a pre-upsert filter, depending on file batching) —
+    # the side table must remember it either way
+    assert spark.read.parquet(table + "__rollbacks").count() == 1
+
+
+def test_reorg_marker_before_orphans_still_converges(spark, tmp_path):
+    """Order-independence, pinned deterministically: the file stream
+    source batches by modification time (ms resolution), so a marker
+    can be DELIVERED before some blocks it orphans. Feed the landed
+    files to the sink in exactly that adversarial order and the side
+    table + per-row seq must still converge to the post-reorg chain."""
+    import glob
+
+    from blockchain_data_engineering_spark.streaming.chain_sync import (
+        ChainSyncProducer,
+        MockChainSyncNode,
+    )
+    from blockchain_data_engineering_spark.streaming.rollback import (
+        rollback_aware_upsert,
+    )
+
+    chain_a = generate_chain(n_blocks=12, seed=13)
+    anchor = chain_a.blocks[7]["py/state"]
+    fork = generate_chain(
+        n_blocks=4,
+        seed=41,
+        start_height=anchor["height"] + 1,
+        start_slot=anchor["slot"] + 7,
+    )
+    node = MockChainSyncNode(
+        chain_a.lines,
+        reorg={
+            "after": 12,
+            "point": {"slot": anchor["slot"], "id": anchor["id"]},
+            "blocks": fork.lines,
+        },
+    ).start()
+    land = str(tmp_path / "landing")
+    ChainSyncProducer(
+        node.host, node.port, land, rotate_every=4, emit_rollbacks=True
+    ).run()
+    node.close()
+    files = sorted(glob.glob(land + "/part-*.ndjson"))
+    assert len(files) == 5  # 3 A files, the marker file, 1 fork file
+
+    table = str(tmp_path / "tbl")
+    # adversarial delivery: first A file, then the MARKER+fork batch,
+    # THEN the remaining A files (which contain the orphans)
+    for batch_files in ([files[0]], files[3:5], files[1:3]):
+        rollback_aware_upsert(spark.read.text(batch_files), table, ["id"])
+
+    expected = {
+        (r["id"], r["slot"])
+        for r in B.parse_block_lines(
+            spark.createDataFrame(
+                [(l,) for l in chain_a.lines[:8] + fork.lines], ["value"]
+            )
+        ).select("id", "slot").collect()
+    }
+    got = {
+        (r["id"], r["slot"]) for r in spark.read.parquet(table).collect()
+    }
+    assert got == expected
+
+
+def test_reorg_default_producer_stops_at_rollback(spark, tmp_path):
+    """emit_rollbacks=False preserves the reference streamer's
+    forward-only behavior: stop at the first backward roll."""
+    from blockchain_data_engineering_spark.streaming.chain_sync import (
+        ChainSyncProducer,
+        MockChainSyncNode,
+    )
+
+    chain_a = generate_chain(n_blocks=8, seed=5)
+    anchor = chain_a.blocks[3]["py/state"]
+    node = MockChainSyncNode(
+        chain_a.lines,
+        reorg={
+            "after": 6,
+            "point": {"slot": anchor["slot"], "id": anchor["id"]},
+            "blocks": chain_a.lines[:2],
+        },
+    ).start()
+    out = str(tmp_path / "landing")
+    n = ChainSyncProducer(node.host, node.port, out, rotate_every=4).run()
+    node.close()
+    assert n == 6
+    import glob
+
+    landed = []
+    for f in sorted(glob.glob(out + "/part-*.ndjson")):
+        landed += [ln for ln in open(f).read().splitlines() if ln]
+    assert landed == chain_a.lines[:6]  # no marker, no fork
+
+
+def test_reorg_datasource_emits_marker_rows(spark, tmp_path):
+    """The chain_sync data source surfaces backward rolls as marker
+    rows (offsets count rolls, so checkpoint replay reproduces the
+    reorg exactly); the same rollback-aware sink then applies them."""
+    from blockchain_data_engineering_spark.streaming.chain_sync import (
+        MockChainSyncNode,
+    )
+    from blockchain_data_engineering_spark.streaming.datasource import (
+        ChainSyncDataSource,
+    )
+    from blockchain_data_engineering_spark.streaming.rollback import (
+        ROLLBACK_KEY,
+    )
+
+    chain_a = generate_chain(n_blocks=6, seed=31)
+    anchor = chain_a.blocks[2]["py/state"]
+    fork = generate_chain(
+        n_blocks=2,
+        seed=77,
+        start_height=anchor["height"] + 1,
+        start_slot=anchor["slot"] + 7,
+    )
+    node = MockChainSyncNode(
+        chain_a.lines,
+        transport="ws",
+        reorg={
+            "after": 6,
+            "point": {"slot": anchor["slot"], "id": anchor["id"]},
+            "blocks": fork.lines,
+        },
+    ).start()
+    spark.dataSource.register(ChainSyncDataSource)
+    rows = [
+        r["value"]
+        for r in spark.read.format("chain_sync")
+        .option("host", node.host)
+        .option("port", str(node.port))
+        .option("transport", "ws")
+        .load()
+        .collect()
+    ]
+    node.close()
+    assert len(rows) == 9  # 6 forward + 1 marker + 2 fork
+    markers = [r for r in rows if ROLLBACK_KEY in r]
+    assert len(markers) == 1
+    import json as _json
+
+    assert _json.loads(markers[0])[ROLLBACK_KEY]["slot"] == anchor["slot"]
+    assert set(rows) - set(markers) == set(chain_a.lines) | set(fork.lines)
