@@ -184,9 +184,9 @@ def neighborhood(
     Each level is eagerly persisted: the frontier is referenced twice
     (the union AND the next expansion join), so an uncached loop
     re-evaluates level k's subtree ~2^(depth-k) times — the same 2^k
-    lineage blowup the CC loop documents. Caches are released as each
-    level's successor materializes; the final result stays cached for
-    the returned plan.
+    lineage blowup the CC loop documents. The result is finalized
+    (checkpoint-then-release) so no cache outlives the call — the
+    engine-wide contract enforced by the parity suite's cache sweep.
     """
     frontier = edges.where(F.col(src) == node).persist()
     result = frontier
@@ -199,11 +199,7 @@ def neighborhood(
         result = result.unionByName(nxt).distinct()
         frontier = nxt
         cached.append(nxt)
-    result = result.persist()
-    result.count()
-    for c in cached:
-        c.unpersist()
-    return result
+    return finalize(result, *cached)
 
 
 def connected_components(

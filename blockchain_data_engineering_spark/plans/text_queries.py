@@ -1286,11 +1286,17 @@ def _bpe_round_ctes(r: int) -> list[str]:
       GROUP BY 1, 2
     )""",
         f"""b{r} AS (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1)""",
+        # LEFT JOIN + COALESCE, NOT a cross join: when a merge round
+        # runs dry (b{r} empty — corpus smaller than the merge budget)
+        # the Spark trainer breaks and keeps the last segmentation; a
+        # cross join with an empty b{r} would instead empty w{r} and
+        # every round after it, zeroing the oracle while Spark still
+        # returns counts.
         f"""w{r} AS (
       SELECT w, wf,
-             replace(seg, '{_S}' || a || '{_S2}' || b || '{_S}',
-                          '{_S}' || a || b || '{_S}') AS seg
-      FROM {prev}, b{r}
+             COALESCE(replace(seg, '{_S}' || a || '{_S2}' || b || '{_S}',
+                          '{_S}' || a || b || '{_S}'), seg) AS seg
+      FROM {prev} LEFT JOIN b{r} ON TRUE
     )""",
     ]
 

@@ -287,6 +287,12 @@ def upsert_parquet(
     """
     spark = df.sparkSession
     keys = list(key_cols)
+    missing = [k for k in keys if k not in df.columns]
+    if missing:  # catch it on the FIRST write too, not just merges
+        raise ValueError(
+            f"upsert_parquet: key columns {missing} missing from the "
+            "incoming batch"
+        )
     base = path.rstrip("/")
     fs, HPath, hpath = _hadoop_fs(spark, base)
     hold = HPath(base + "__old")
@@ -408,6 +414,12 @@ def upsert_parquet_bucketed(
 
     spark = df.sparkSession
     keys = list(key_cols)
+    missing = [k for k in keys if k not in df.columns]
+    if missing:  # catch it on the FIRST write too, not just merges
+        raise ValueError(
+            f"upsert_parquet_bucketed: key columns {missing} missing "
+            "from the incoming batch"
+        )
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
         "int"
     )
@@ -775,8 +787,15 @@ def delete_parquet_where(
     # NULL-condition rows don't MATCH the delete predicate — they
     # survive (a bare ~condition would silently drop them too)
     survivors = df.where(~condition | condition.isNull())
-    n_total = df.count()
-    n_keep = survivors.count()
+    # ONE counting scan (map-side partial agg) for both totals — the
+    # naive df.count() + survivors.count() pair costs two extra full
+    # table reads before the rewrite scan
+    counts = df.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(condition, 1).otherwise(0)).alias("n_del"),
+    ).first()
+    n_total = counts["n_total"]
+    n_keep = n_total - (counts["n_del"] or 0)
     if n_keep == n_total:
         return 0
     tmp = base + "__tmp"

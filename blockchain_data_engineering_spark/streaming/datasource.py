@@ -10,12 +10,17 @@ becomes
          .load()                      # batch: sync to tip
     spark.readStream.format("chain_sync")...load()   # micro-batches
 
-Rows are ``(value string)`` NDJSON block documents — the same shape
-the socket/file sources produce, so every downstream parse stage is
-source-agnostic. Backward rolls (reorgs) surface as rollback MARKER
-rows (``streaming.rollback.rollback_marker_line``), the same format
-the NDJSON landing path uses, so one reorg-aware consumer
-(``streaming.rollback.rollback_aware_upsert``) serves both sources.
+Rows are ``(value string, seq long)``: the NDJSON block document plus
+the cumulative roll index (the stream-offset counter), so every
+downstream parse stage is source-agnostic on ``value``. Backward
+rolls (reorgs) surface as rollback MARKER rows
+(``streaming.rollback.rollback_marker_line``), the same format the
+NDJSON landing path uses, so one reorg-aware consumer serves both
+sources — the landing path recovers roll order from part-file numbers
+(``rollback.file_seq``), while rows from this source carry it in the
+``seq`` column (pass ``seq_col="seq"`` to
+``rollback.rollback_aware_upsert``; ``input_file_name`` is empty for
+Python-datasource rows, so the file-derived default cannot apply).
 
 Scale posture (documented, deliberate): a chain is a SINGLE ordered
 upstream conversation, so the batch reader exposes one input
@@ -56,7 +61,12 @@ class ChainSyncDataSource(DataSource):
         return "chain_sync"
 
     def schema(self) -> str:
-        return "value string"
+        # seq = the cumulative roll index (same counter the stream
+        # offsets use). The NDJSON landing path encodes roll order in
+        # part-file numbers (rollback.file_seq); rows from this source
+        # have no landing file, so they carry the order EXPLICITLY —
+        # pass seq_col="seq" to rollback.rollback_aware_upsert.
+        return "value string, seq long"
 
     def reader(self, schema: StructType) -> "ChainSyncBatchReader":
         return ChainSyncBatchReader(dict(self.options))
@@ -121,7 +131,7 @@ class ChainSyncBatchReader(DataSourceReader):
                 row = _next_row(client)
                 if row is None:
                     break
-                yield (row,)
+                yield (row, n)
                 n += 1
         finally:
             client.close()
@@ -151,7 +161,7 @@ class ChainSyncSimpleStreamReader(SimpleDataSourceStreamReader):
             row = _next_row(self._client)
             if row is None:
                 break
-            rows.append((row,))
+            rows.append((row, start["n"] + len(rows)))
         self._pos = start["n"] + len(rows)
         return iter(rows), {"n": self._pos}
 
@@ -162,8 +172,10 @@ class ChainSyncSimpleStreamReader(SimpleDataSourceStreamReader):
         client = _connect(self._opts, skip=start["n"])
         try:
             rows = [
-                (b,)
-                for b in (_next_row(client) for _ in range(want))
+                (b, start["n"] + i)
+                for i, b in enumerate(
+                    _next_row(client) for _ in range(want)
+                )
                 if b is not None
             ]
         finally:

@@ -80,8 +80,14 @@ def file_seq() -> Column:
     row). The producer assigns file indexes monotonically and flushes
     a marker as its own file, so comparing seqs reconstructs roll order
     regardless of how the file source batches the files."""
-    return F.regexp_extract(F.input_file_name(), r"part-(\d+)", 1).cast(
-        "long"
+    # try_cast, not cast: rows with no landing file (e.g. the
+    # chain_sync data source) extract '' — under ANSI mode a plain
+    # cast('') throws an opaque CAST_INVALID_INPUT mid-scan; try_cast
+    # yields NULL, which rollback_aware_upsert turns into a clear
+    # "pass seq_col=..." error instead
+    return F.expr(
+        r"try_cast(regexp_extract(input_file_name(), 'part-(\\d+)', 1)"
+        " AS LONG)"
     )
 
 
@@ -103,13 +109,44 @@ def parse_block_rows(
 
 
 def _load_markers(spark: SparkSession, store: str) -> list[tuple[int, int]]:
-    try:
-        return [
-            (r["seq"], r["slot"])
-            for r in spark.read.parquet(store).collect()
-        ]
-    except Exception:  # first batches: store not created yet
+    """All rollback markers recorded so far. A missing store is the
+    normal first-batches case (no reorg seen yet) and reads as "no
+    markers" — detected via an explicit Hadoop-FS existence probe, NOT
+    a blanket except: a corrupt or permission-broken store must raise
+    loudly, because silently reading it as "no reorgs ever" would skip
+    the undo and retain orphaned rows — the exact failure this module
+    exists to prevent."""
+    from blockchain_data_engineering_spark.sources.io import _hadoop_fs
+
+    fs, _, hstore = _hadoop_fs(spark, store)
+    if not fs.exists(hstore):
         return []
+    return [
+        (r["seq"], r["slot"])
+        for r in spark.read.parquet(store).collect()
+    ]
+
+
+class DerivedTable:
+    """A table DERIVED from landed blocks that must roll back with
+    them: each of its rows carries the ``(seq, slot)`` of the single
+    block that contributed it, so the same orphan predicate that undoes
+    the landing table undoes the derivation — fingerprint/n-gram
+    indexes, per-block rollup contributions, edge tables.
+
+    Exactness contract: the undo is exact when every derived row has
+    ONE contributing block (the ``(seq, slot)`` it carries). A row
+    merged from several blocks (e.g. a keep-first index entry two
+    blocks both produced) loses the surviving contributor when the
+    stamped one is orphaned — store such state at per-contributor
+    grain, exactly as Delta ``DELETE WHERE`` would require."""
+
+    def __init__(
+        self, path: str, slot_col: str = "slot", seq_col: str = SEQ_COL
+    ):
+        self.path = path
+        self.slot_col = slot_col
+        self.seq_col = seq_col
 
 
 def rollback_aware_upsert(
@@ -120,22 +157,59 @@ def rollback_aware_upsert(
     slot_col: str = "slot",
     order_cols: Sequence[Column] | None = None,
     value_col: str = "value",
+    seq_col: str | None = None,
+    derived: Sequence[DerivedTable] = (),
+    sink_fn: Callable[[DataFrame], None] | None = None,
 ) -> int:
     """foreachBatch body for a reorg-aware keyed parquet sink: record
     every rollback marker in ``batch_lines`` (idempotent side-table
-    upsert), undo orphaned rows already sunk, drop orphaned blocks from
+    upsert), undo orphaned rows already sunk — from the landing table
+    AND every registered ``derived`` table — drop orphaned blocks from
     this batch, then upsert the survivors parsed by ``parse_fn``.
-    Returns rows deleted from the table this batch.
+    Returns rows deleted from the landing table this batch.
 
     ``parse_fn`` maps a ``(value, __seq)`` DataFrame of block lines to
     typed rows carrying ``slot_col``, ``key_cols``, AND ``__seq`` (the
     default :func:`parse_block_rows` does). Replay-idempotent end to
     end: marker upsert, delete predicate, and keyed block upsert all
     converge under re-execution of the same batch.
+
+    Roll order: by default recovered from the landing part-file number
+    (:func:`file_seq` — the NDJSON landing path). Rows from the
+    ``chain_sync`` Python data source have NO landing file
+    (``input_file_name`` is empty), so they carry an explicit roll
+    column instead — pass ``seq_col="seq"``. A NULL roll sequence on
+    any row is a LOUD error, never a silent drop: a NULL seq would
+    both crash marker decoding and make the orphan predicate
+    three-valued (orphaned blocks silently retained).
+
+    Derived state: ``derived`` tables get the SAME orphan delete the
+    landing table gets whenever a new marker lands; ``sink_fn`` (if
+    given) receives the batch's canonical survivor rows — already
+    marker-filtered, carrying ``__seq`` and ``slot_col``, eagerly
+    materialized — so the consumer updates its derived tables from
+    exactly the rows that landed. Keep derived sinks KEYED (idempotent
+    upserts) so batch replays converge, same contract as the landing
+    table.
     """
     spark = batch_lines.sparkSession
-    lines = batch_lines.select(F.col(value_col), file_seq().alias(SEQ_COL))
-    marker_rows = lines.where(is_rollback_marker(value_col)).collect()
+    seq_expr = F.col(seq_col) if seq_col else file_seq()
+    lines = batch_lines.select(F.col(value_col), seq_expr.alias(SEQ_COL))
+    # ONE driver collect serves both marker decoding and the NULL-seq
+    # guard (markers are O(reorgs); NULL seqs are a caller error)
+    flagged = lines.where(
+        is_rollback_marker(value_col) | F.col(SEQ_COL).isNull()
+    ).collect()
+    null_seq = [r for r in flagged if r[SEQ_COL] is None]
+    if null_seq:
+        raise ValueError(
+            "rollback_aware_upsert: NULL roll sequence on "
+            f"{len(null_seq)} row(s) (first: {null_seq[0][value_col]!r:.80}). "
+            "Rows not landed as part-NNNNN files carry no file-derived "
+            "seq — pass seq_col=<explicit roll column> (the chain_sync "
+            "data source emits one as 'seq')."
+        )
+    marker_rows = flagged
     new_markers = [
         (int(r[SEQ_COL]), int(json.loads(r[value_col])[ROLLBACK_KEY]["slot"]))
         for r in marker_rows
@@ -172,6 +246,15 @@ def rollback_aware_upsert(
             n_deleted = delete_parquet_where(
                 spark, path, orphaned(F.col(SEQ_COL), F.col(slot_col))
             )
+            # derived tables roll back with the landing table: the
+            # identical predicate over THEIR (seq, slot) stamps — a
+            # reorg-rare O(table) rewrite each, same trade as above
+            for d in derived:
+                delete_parquet_where(
+                    spark,
+                    d.path,
+                    orphaned(F.col(d.seq_col), F.col(d.slot_col)),
+                )
         rows = parse_fn(blocks).where(
             ~orphaned(F.col(SEQ_COL), F.col(slot_col))
         )
@@ -179,5 +262,13 @@ def rollback_aware_upsert(
         rows = parse_fn(blocks)
     if rows.isEmpty():
         return n_deleted
+    if sink_fn is not None:
+        # the survivors are read by the landing upsert AND the derived
+        # sinks; materialize once so both see identical rows and the
+        # derived sinks never lazily re-read a landing dir the stream
+        # may have moved past (docs/SCALE.md read-then-rewrite rule)
+        rows = rows.localCheckpoint(eager=True)
     upsert_parquet(rows, path, key_cols, order_cols)
+    if sink_fn is not None:
+        sink_fn(rows)
     return n_deleted

@@ -106,6 +106,46 @@ def test_bpe_first_merge_is_most_frequent_pair(spark):
     assert rows[0]["n_occurrences"] == 6
 
 
+def test_bpe_oracle_survives_dry_merge_rounds(spark):
+    """A merge budget beyond the corpus's pair inventory runs the
+    trainer dry: _bpe_learn breaks and keeps the last segmentation.
+    The unrolled DuckDB oracle must replay a dry round as a NO-OP
+    (LEFT JOIN + COALESCE on the empty best-pair relation) — a plain
+    cross join against the empty b{r} would empty w{r} and every CTE
+    after it, zeroing the oracle while Spark still returns counts."""
+    import duckdb
+
+    from blockchain_data_engineering_spark.plans.text_queries import (
+        _bpe_token_counts_oracle,
+        _bpe_train_oracle,
+    )
+
+    # one learnable merge ('ab'), then every later round is dry
+    df = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab")], ["doc_id", "text"]
+    )
+    n = 5
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'ab ab'), (2, 'ab')) t(doc_id, text)"
+    )
+    train_spark = TX.bpe_train_merges(df, n_merges=n).collect()
+    train_duck = con.execute(_bpe_train_oracle(n)).fetchall()
+    assert len(train_spark) == 1 == len(train_duck)  # dry rounds emit nothing
+    assert (train_spark[0]["pair_a"], train_spark[0]["pair_b"]) == ("a", "b")
+
+    counts_spark = {
+        r["doc_id"]: r["n_tokens_bpe"]
+        for r in TX.bpe_token_counts(df, n_merges=n).collect()
+    }
+    counts_duck = dict(
+        con.execute(_bpe_token_counts_oracle(n)).fetchall()
+    )
+    assert counts_spark == {1: 2, 2: 1}
+    assert counts_duck == counts_spark
+
+
 # ------------------------------------------------------- PQ ANN ---
 
 

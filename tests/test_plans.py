@@ -451,8 +451,9 @@ def test_no_unpartitioned_windows_in_package_source():
                 if bad.search(line):
                     offenders.append(f"{path}:{i}")
     assert not offenders, (
-        "unpartitioned/empty-spec Window found (use "
-        f"Window.partitionBy(F.lit(0)) for bounded frames): {offenders}"
+        "unpartitioned/empty-spec/foldable-key Window found (use "
+        "Window.partitionBy(bounded_window_key()) from functions.scalar "
+        f"for bounded frames — lit(0) gets constant-folded): {offenders}"
     )
 
 

@@ -356,3 +356,172 @@ def test_upsert_parquet_matches_dict_model(spark, tmp_path):
             assert got[k][0] == ts, (scenario, k)
             if v is not None:
                 assert got[k][1] == v, (scenario, k)
+
+
+def test_upsert_merge_schema_matches_dict_model(spark, tmp_path):
+    """Schema EVOLUTION semantics (merge_schema=True) against an
+    executable model, flat AND bucketed layouts: random batches each
+    carrying a random SUBSET of the value columns must leave exactly
+    the table a Python dict predicts — new batch beats existing per
+    key, the winning row NULL-fills every column its batch lacked
+    (BOTH evolution directions: batch-adds-column and
+    batch-missing-column), and the table's column set is the union of
+    everything seen (sources/io.py merge_schema)."""
+    import random
+
+    from blockchain_data_engineering_spark.sources import (
+        upsert_parquet,
+        upsert_parquet_bucketed,
+    )
+
+    cols = ["v1", "v2", "v3"]
+    rng = random.Random(77)
+    for variant, fn in (("flat", None), ("bucketed", None)):
+        for scenario in range(3):
+            path = "file://" + str(tmp_path / f"{variant}{scenario}")
+            model: dict[int, dict[str, int | None]] = {}
+            seen_cols: set[str] = set()
+            for batch_no in range(rng.randint(2, 4)):
+                # every batch carries a random non-empty column subset;
+                # unique keys per batch (intra-batch dup resolution is
+                # model-tested separately)
+                sub = sorted(rng.sample(cols, rng.randint(1, 3)))
+                keys = rng.sample(range(6), rng.randint(1, 4))
+                rows = [
+                    tuple([k] + [rng.randint(0, 99) for _ in sub])
+                    for k in keys
+                ]
+                schema = ", ".join(
+                    ["k LONG"] + [f"{c} LONG" for c in sub]
+                )
+                df = spark.createDataFrame(rows, schema)
+                if variant == "flat":
+                    upsert_parquet(df, path, ["k"], merge_schema=True)
+                else:
+                    upsert_parquet_bucketed(
+                        df, path, ["k"], n_buckets=4, merge_schema=True
+                    )
+                seen_cols |= set(sub)
+                for row in rows:
+                    model[row[0]] = dict(zip(sub, row[1:]))
+            got_df = spark.read.parquet(path)
+            data_cols = [c for c in got_df.columns if c not in ("k", "__bucket")]
+            assert set(data_cols) == seen_cols, (variant, scenario)
+            got = {
+                r["k"]: {c: r[c] for c in data_cols}
+                for r in got_df.collect()
+            }
+            expected = {
+                k: {c: vals.get(c) for c in seen_cols}
+                for k, vals in model.items()
+            }
+            assert got == expected, (variant, scenario)
+
+
+def test_upsert_schema_guard_error_paths(spark, tmp_path):
+    """Without merge_schema, a column-set difference must be a CLEAR
+    refusal naming the added/absent columns (never a silent drop); a
+    key column missing on either side is always an error (it would
+    null out and collapse every row onto one conflict group); pure
+    column REORDER needs no flag (unionByName)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from blockchain_data_engineering_spark.sources import (
+        upsert_parquet,
+        upsert_parquet_bucketed,
+    )
+
+    for variant in ("flat", "bucketed"):
+        path = "file://" + str(tmp_path / f"g_{variant}")
+
+        def up(df, **kw):
+            if variant == "flat":
+                upsert_parquet(df, path, ["k"], **kw)
+            else:
+                upsert_parquet_bucketed(df, path, ["k"], n_buckets=4, **kw)
+
+        up(spark.createDataFrame([(1, 10, 20)], "k LONG, a LONG, b LONG"))
+        # reorder-only: fine without the flag, values stay aligned
+        up(spark.createDataFrame([(30, 2, 40)], "a LONG, k LONG, b LONG"))
+        got = {r["k"]: (r["a"], r["b"])
+               for r in spark.read.parquet(path).collect()}
+        assert got == {1: (10, 20), 2: (30, 40)}, variant
+        # column-set difference without merge_schema: loud refusal
+        with _pytest.raises(ValueError, match=r"new columns \['c'\]"):
+            up(spark.createDataFrame([(3, 1, 2, 9)],
+                                     "k LONG, a LONG, b LONG, c LONG"))
+        with _pytest.raises(ValueError, match=r"absent columns \['b'\]"):
+            up(spark.createDataFrame([(3, 1)], "k LONG, a LONG"))
+        # the refusal left the table untouched
+        assert spark.read.parquet(path).count() == 2, variant
+        # missing key col: error regardless of merge_schema
+        with _pytest.raises(ValueError, match=r"key columns \['k'\]"):
+            up(
+                spark.createDataFrame([(1, 2)], "a LONG, b LONG"),
+                merge_schema=True,
+            )
+    # first write with a missing key col is the same clear refusal —
+    # not a downstream AnalysisException from the window spec
+    with _pytest.raises(ValueError, match=r"key columns \['k'\]"):
+        upsert_parquet(
+            spark.createDataFrame([(1,)], "a LONG"),
+            "file://" + str(tmp_path / "nokey"),
+            ["k"],
+        )
+    with _pytest.raises(ValueError, match=r"key columns \['k'\]"):
+        upsert_parquet_bucketed(
+            spark.createDataFrame([(1,)], "a LONG"),
+            "file://" + str(tmp_path / "nokey_b"),
+            ["k"],
+            n_buckets=4,
+        )
+
+
+def test_bucketed_evolution_preserves_layout_and_pruning(spark, tmp_path):
+    """A merge_schema evolution batch pays the full-table rewrite but
+    must leave the bucketed layout intact: _bucketing.json survives,
+    file schemas are homogeneous (plain read needs no mergeSchema),
+    and the NEXT steady-state batch is back to the O(touched-buckets)
+    pruned merge."""
+    import json as _json
+
+    from blockchain_data_engineering_spark.sources import (
+        upsert_parquet_bucketed,
+    )
+    from blockchain_data_engineering_spark.sources.io import (
+        _hadoop_fs,
+        _read_text_file,
+    )
+
+    path = "file://" + str(tmp_path / "evo")
+    upsert_parquet_bucketed(
+        spark.createDataFrame([(k, k * 10) for k in range(8)],
+                              "k LONG, v LONG"),
+        path, ["k"], n_buckets=4,
+    )
+    # evolution batch: adds column w
+    upsert_parquet_bucketed(
+        spark.createDataFrame([(1, 11, 7), (99, 990, 8)],
+                              "k LONG, v LONG, w LONG"),
+        path, ["k"], n_buckets=4, merge_schema=True,
+    )
+    fs, HPath, _ = _hadoop_fs(spark, path)
+    marker = _json.loads(
+        _read_text_file(fs, HPath(path[7:] + "/_bucketing.json"))
+    )
+    assert marker == {"n_buckets": 4, "key_cols": ["k"]}
+    got = spark.read.parquet(path)  # no mergeSchema option needed
+    assert set(got.columns) == {"k", "v", "w", "__bucket"}
+    vals = {r["k"]: (r["v"], r["w"]) for r in got.collect()}
+    assert vals[1] == (11, 7) and vals[0] == (0, None) and vals[99] == (990, 8)
+    # steady-state batch after evolution: still pruned + merged
+    upsert_parquet_bucketed(
+        spark.createDataFrame([(2, 22, 9)], "k LONG, v LONG, w LONG"),
+        path, ["k"], n_buckets=4,
+    )
+    vals = {
+        r["k"]: (r["v"], r["w"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert vals[2] == (22, 9) and len(vals) == 9  # 8 initial + key 99

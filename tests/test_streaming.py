@@ -985,3 +985,212 @@ def test_reorg_datasource_emits_marker_rows(spark, tmp_path):
 
     assert _json.loads(markers[0])[ROLLBACK_KEY]["slot"] == anchor["slot"]
     assert set(rows) - set(markers) == set(chain_a.lines) | set(fork.lines)
+
+
+def test_corrupt_marker_store_raises_not_silently_empty(spark, tmp_path):
+    """A corrupt/unreadable __rollbacks store must FAIL the batch, not
+    read as "no reorgs ever" — silently skipping the undo would retain
+    orphaned rows, the exact failure the module exists to prevent.
+    Only a genuinely missing store (no reorg seen yet) reads as []."""
+    from blockchain_data_engineering_spark.streaming.rollback import (
+        _load_markers,
+    )
+
+    store = tmp_path / "tbl__rollbacks"
+    assert _load_markers(spark, "file://" + str(store)) == []  # missing: fine
+    store.mkdir()
+    (store / "part-00000.parquet").write_text("this is not parquet")
+    with pytest.raises(Exception):
+        _load_markers(spark, "file://" + str(store))
+
+
+def test_rollback_upsert_null_seq_is_loud(spark, tmp_path):
+    """Rows with no recoverable roll sequence (not landed as part-NNNNN
+    files, no explicit seq_col) must raise a clear error — a NULL seq
+    would silently retain orphaned blocks (three-valued predicate) and
+    crash marker decoding."""
+    from blockchain_data_engineering_spark.streaming.rollback import (
+        rollback_aware_upsert,
+    )
+
+    chain = generate_chain(n_blocks=2, seed=3)
+    df = spark.createDataFrame([(ln,) for ln in chain.lines], ["value"])
+    with pytest.raises(ValueError, match="NULL roll sequence"):
+        rollback_aware_upsert(df, "file://" + str(tmp_path / "t"), ["id"])
+
+
+def test_reorg_datasource_rows_converge_via_seq_col(spark, tmp_path):
+    """ADVICE r4 (medium): chain_sync data-source rows have no landing
+    file, so the file-derived seq cannot apply — the source emits an
+    explicit roll-index column and the sink accepts seq_col='seq'.
+    Replaying the source's rows through the reorg-aware sink in two
+    batches (orphans land and are DELETED when the marker batch
+    arrives) must converge to the post-reorg chain."""
+    from blockchain_data_engineering_spark.streaming.chain_sync import (
+        MockChainSyncNode,
+    )
+    from blockchain_data_engineering_spark.streaming.datasource import (
+        ChainSyncDataSource,
+    )
+    from blockchain_data_engineering_spark.streaming.rollback import (
+        rollback_aware_upsert,
+    )
+
+    chain_a = generate_chain(n_blocks=6, seed=31)
+    anchor = chain_a.blocks[2]["py/state"]
+    fork = generate_chain(
+        n_blocks=2,
+        seed=77,
+        start_height=anchor["height"] + 1,
+        start_slot=anchor["slot"] + 7,
+    )
+    node = MockChainSyncNode(
+        chain_a.lines,
+        reorg={
+            "after": 6,
+            "point": {"slot": anchor["slot"], "id": anchor["id"]},
+            "blocks": fork.lines,
+        },
+    ).start()
+    spark.dataSource.register(ChainSyncDataSource)
+    rolls = (
+        spark.read.format("chain_sync")
+        .option("host", node.host)
+        .option("port", str(node.port))
+        .load()
+        .localCheckpoint(eager=True)  # one conversation, replayed below
+    )
+    node.close()
+    assert rolls.count() == 9  # 6 A + marker + 2 fork
+    table = "file://" + str(tmp_path / "tbl")
+    # batch 1: all 6 A blocks land (incl. the 3 the fork will orphan);
+    # batch 2: the marker + fork rows -> sunk orphans must be deleted
+    rollback_aware_upsert(
+        rolls.where(F.col("seq") < 6), table, ["id"], seq_col="seq"
+    )
+    assert spark.read.parquet(table).count() == 6
+    n_del = rollback_aware_upsert(
+        rolls.where(F.col("seq") >= 6), table, ["id"], seq_col="seq"
+    )
+    assert n_del == 3
+    expected = {
+        (r["id"], r["slot"], r["height"])
+        for r in B.parse_block_lines(
+            spark.createDataFrame(
+                [(l,) for l in chain_a.lines[:3] + fork.lines], ["value"]
+            )
+        ).select("id", "slot", "height").collect()
+    }
+    got = {
+        (r["id"], r["slot"], r["height"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got == expected
+
+
+def test_reorg_undo_propagates_to_derived_tables(spark, tmp_path):
+    """r4 verdict ask #2: after a RollBackward, state DERIVED from
+    landed blocks (fingerprint index, per-block rollup contributions)
+    must converge too, not just the landing table. Derived tables
+    register via DerivedTable (rows stamped with their contributing
+    block's (seq, slot)); the survivors hook maintains them per batch.
+    Adversarial delivery (marker BEFORE some orphans) included: the
+    whole pipeline — landing + index + rollup — must equal a one-shot
+    batch run over the post-reorg chain."""
+    import glob
+
+    from blockchain_data_engineering_spark.sources.io import upsert_parquet
+    from blockchain_data_engineering_spark.streaming.chain_sync import (
+        ChainSyncProducer,
+        MockChainSyncNode,
+    )
+    from blockchain_data_engineering_spark.streaming.rollback import (
+        DerivedTable,
+        rollback_aware_upsert,
+    )
+
+    chain_a = generate_chain(n_blocks=12, seed=13)
+    anchor = chain_a.blocks[7]["py/state"]
+    fork = generate_chain(
+        n_blocks=4,
+        seed=41,
+        start_height=anchor["height"] + 1,
+        start_slot=anchor["slot"] + 7,
+    )
+    node = MockChainSyncNode(
+        chain_a.lines,
+        reorg={
+            "after": 12,
+            "point": {"slot": anchor["slot"], "id": anchor["id"]},
+            "blocks": fork.lines,
+        },
+    ).start()
+    land = str(tmp_path / "landing")
+    ChainSyncProducer(
+        node.host, node.port, land, rotate_every=4, emit_rollbacks=True
+    ).run()
+    node.close()
+    files = sorted(glob.glob(land + "/part-*.ndjson"))
+    assert len(files) == 5  # 3 A files, the marker file, 1 fork file
+
+    table = "file://" + str(tmp_path / "tbl")
+    idx = "file://" + str(tmp_path / "fp_index")
+    roll = "file://" + str(tmp_path / "block_rollup")
+
+    def derived_sink(rows):
+        # fingerprint index: one row per block (single contributor —
+        # the DerivedTable exactness contract), stamped (seq, slot)
+        upsert_parquet(
+            rows.select(F.md5("id").alias("fp"), "__seq", "slot"),
+            idx,
+            ["fp"],
+        )
+        # per-block rollup CONTRIBUTIONS (block grain, aggregate on
+        # read) — the layout that makes an aggregate reorg-undoable
+        upsert_parquet(
+            rows.select(
+                "id", "__seq", "slot", (F.col("height") % 5).alias("n_tx")
+            ),
+            roll,
+            ["id"],
+        )
+
+    derived = [DerivedTable(idx), DerivedTable(roll)]
+    # adversarial delivery: first A file, then MARKER+fork, THEN the
+    # remaining A files containing blocks the marker already orphaned
+    for batch_files in ([files[0]], files[3:5], files[1:3]):
+        rollback_aware_upsert(
+            spark.read.text(batch_files),
+            table,
+            ["id"],
+            derived=derived,
+            sink_fn=derived_sink,
+        )
+
+    canon = B.parse_block_lines(
+        spark.createDataFrame(
+            [(l,) for l in chain_a.lines[:8] + fork.lines], ["value"]
+        )
+    ).select("id", "slot", "height").localCheckpoint(eager=True)
+    exp_blocks = {(r["id"], r["slot"]) for r in canon.collect()}
+    exp_fps = {r[0] for r in canon.select(F.md5("id")).collect()}
+    exp_roll = {
+        (r["id"], r["n_tx"])
+        for r in canon.select(
+            "id", (F.col("height") % 5).alias("n_tx")
+        ).collect()
+    }
+    got_blocks = {
+        (r["id"], r["slot"]) for r in spark.read.parquet(table).collect()
+    }
+    got_fps = {r["fp"] for r in spark.read.parquet(idx).collect()}
+    got_roll = {
+        (r["id"], r["n_tx"]) for r in spark.read.parquet(roll).collect()
+    }
+    assert got_blocks == exp_blocks
+    assert got_fps == exp_fps  # orphaned fps deleted, fork fps present
+    assert got_roll == exp_roll
+    # the aggregate view over contributions equals the batch aggregate
+    exp_total = sum(n for _, n in exp_roll)
+    got_total = spark.read.parquet(roll).agg(F.sum("n_tx")).first()[0]
+    assert got_total == exp_total
