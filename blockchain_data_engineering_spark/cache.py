@@ -23,6 +23,60 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame
 
 _LAZY_PLANS = False
+_DEFER_STACK: list["DeferredFinalize"] = []
+
+
+class DeferredFinalize:
+    """Collector for :func:`deferred_finalize` — holds the caches
+    inner :func:`finalize` calls would otherwise have released, so the
+    composed pipeline pays ONE materialization at the outer boundary
+    instead of one per stage."""
+
+    def __init__(self) -> None:
+        self._caches: list[DataFrame] = []
+        self._closed = False
+
+    def finalize(self, result: DataFrame) -> DataFrame:
+        """The outer boundary: checkpoint ``result`` once (while every
+        deferred stage cache is still live), release them all, and
+        mark the deferral settled."""
+        out = result.localCheckpoint(eager=True)
+        self._release()
+        return out
+
+    def _release(self) -> None:
+        for c in self._caches:
+            c.unpersist()
+        self._caches.clear()
+        self._closed = True
+
+
+@contextmanager
+def deferred_finalize():
+    """Caller-owned cache mode for COMPOSED pipelines (docs/SCALE.md
+    §cache-lifetime): inside the context, every :func:`finalize` call
+    becomes a deferral — the result passes through lazy (no per-stage
+    ``localCheckpoint``) and its caches accumulate on the yielded
+    collector instead of being released. The caller settles the
+    composition with ``d.finalize(outer_result)``: one materialization,
+    all stage caches released together.
+
+    The cache-empty invariant survives either way: if the caller never
+    settles (early return, exception), the context exit releases every
+    deferred cache — downstream actions on unsettled lazy results then
+    recompute against uncached inputs, which is the safe direction
+    (correct, slower), never a leak.
+
+    Nesting composes: the innermost active context collects.
+    """
+    d = DeferredFinalize()
+    _DEFER_STACK.append(d)
+    try:
+        yield d
+    finally:
+        _DEFER_STACK.pop()
+        if not d._closed:
+            d._release()
 
 
 @contextmanager
@@ -50,6 +104,12 @@ def finalize(result: DataFrame, *caches: DataFrame) -> DataFrame:
     whole pipeline against uncached inputs.
     """
     if _LAZY_PLANS:
+        return result
+    if _DEFER_STACK:
+        # composed-pipeline opt-out (deferred_finalize): keep the
+        # stage caches live for the outer stages, skip the per-stage
+        # materialization; the collector settles them at the boundary
+        _DEFER_STACK[-1]._caches.extend(caches)
         return result
     out = result.localCheckpoint(eager=True)
     for c in caches:

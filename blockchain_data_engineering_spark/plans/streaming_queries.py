@@ -161,3 +161,71 @@ def stream_dedup_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .select("user_id", "event_type", "event_id", "ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chain-reorg retraction replay (r5): the events table read as a roll
+# log — event_id is the roll sequence, a deterministic data predicate
+# marks RollBackward rows, each marker's rollback point is derived
+# from its own payload — and the canonical survivor set is exactly
+# what streaming.rollback.rollback_aware_upsert converges a keyed sink
+# to incrementally (tests/test_streaming.py proves the incremental
+# path; this query gate-verifies the SEMANTICS against SQL). The
+# oracle expresses the suffix-min cut as a reversed running-min
+# window; the Spark plan instead collects the O(markers) marker list
+# and evaluates a narrow vectorized expression per row — no
+# global-sort window, no non-equi join (rollback.canonical_rows).
+# ---------------------------------------------------------------------------
+REORG_POINT_MOD = 50
+
+
+@query(
+    "stream_reorg_replay",
+    oracle=f"""
+    WITH log AS (
+      SELECT event_id AS seq, event_type, value,
+             (event_type = 'error' AND value > 150) AS is_marker,
+             CASE WHEN (event_type = 'error' AND value > 150)
+                  THEN event_id
+                       - (CAST(floor(value) AS BIGINT) % {REORG_POINT_MOD})
+             END AS pt
+      FROM events
+    ),
+    cut AS (
+      SELECT *, min(pt) OVER (ORDER BY seq DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cut
+      FROM log
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_canonical,
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT)
+             AS value_floor_sum
+    FROM cut
+    WHERE NOT is_marker AND (cut IS NULL OR seq <= cut)
+    GROUP BY event_type
+    """,
+)
+def stream_reorg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.streaming.rollback import (
+        canonical_rows,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    is_marker = (F.col("event_type") == "error") & (F.col("value") > 150)
+    # floor, never cast(double as int): Spark truncates, DuckDB rounds
+    point = F.col("event_id") - F.pmod(
+        F.floor(F.col("value")).cast("long"), F.lit(REORG_POINT_MOD)
+    )
+    log = ev.select(
+        F.col("event_id").alias("seq"),
+        F.col("event_id").alias("slot"),  # the log IS the slot line here
+        "event_type",
+        "value",
+        is_marker.alias("is_marker"),
+        F.when(is_marker, point).alias("pt"),
+    )
+    surv = canonical_rows(log)
+    return surv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.sum(F.floor(F.col("value")).cast("long")).alias("value_floor_sum"),
+    )

@@ -5,6 +5,7 @@ from blockchain_data_engineering_spark.sources.io import (  # noqa: F401
     load_prices_dim,
     compact_parquet,
     compact_parquet_bucketed,
+    maybe_compact_bucketed,
     delete_parquet_where,
     read_jdbc,
     read_ndjson_blocks,

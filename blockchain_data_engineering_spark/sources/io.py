@@ -144,6 +144,50 @@ def write_jdbc(
     out.write.jdbc(url, table, mode=mode, properties=properties or {})
 
 
+def _jdbc_sql_type(spark_type: str) -> str:
+    """ANSI SQL column type for a Spark simpleString type — for the
+    ``ALTER TABLE ADD COLUMN`` schema-evolution path (Derby/Postgres
+    both accept these)."""
+    t = spark_type.lower()
+    mapping = {
+        "long": "BIGINT",
+        "bigint": "BIGINT",
+        "int": "INTEGER",
+        "integer": "INTEGER",
+        "smallint": "SMALLINT",
+        "double": "DOUBLE",
+        "float": "REAL",
+        "string": "VARCHAR(32672)",
+        "boolean": "BOOLEAN",
+        "timestamp": "TIMESTAMP",
+        "date": "DATE",
+        "binary": "BLOB",
+    }
+    if t in mapping:
+        return mapping[t]
+    if t.startswith("decimal"):
+        return t.upper()
+    raise ValueError(f"no JDBC type mapping for Spark type {spark_type!r}")
+
+
+def _jdbc_table_columns(conn, table: str) -> list[str]:
+    """Column names of ``table`` via driver metadata ([] when the
+    table doesn't exist). Unquoted identifiers fold per the database's
+    own rule (Derby/Postgres disagree on the direction), so probe
+    verbatim, upper, and lower."""
+    md = conn.getMetaData()
+    name = table.split(".")[-1]
+    for probe in (name, name.upper(), name.lower()):
+        rs = md.getColumns(None, None, probe, None)
+        cols: list[str] = []
+        while rs.next():
+            cols.append(rs.getString("COLUMN_NAME"))
+        rs.close()
+        if cols:
+            return cols
+    return []
+
+
 def upsert_jdbc(
     df: DataFrame,
     url: str,
@@ -151,6 +195,7 @@ def upsert_jdbc(
     key_cols: Sequence[str],
     properties: dict | None = None,
     staging_table: str | None = None,
+    merge_schema: bool = False,
 ) -> None:
     """JDBC upsert: the reference's ``INSERT ... ON CONFLICT (pk) DO
     UPDATE`` (airflow/archive/dags/etl_vol_dag.py:24-39) as
@@ -162,11 +207,72 @@ def upsert_jdbc(
     connection, no per-row round-trips). Duplicate keys within ``df``
     must be pre-resolved (``dedup_keep_last``) — MERGE requires a
     unique source per key, same contract as the reference's upsert.
+
+    Schema guard (same contract as :func:`upsert_parquet`): a missing
+    target table is created from the batch; a column-set difference
+    against an existing table is a clear :class:`ValueError` naming
+    the added/absent columns instead of an opaque SQL error from the
+    MERGE. ``merge_schema=True`` evolves the table in place: batch-new
+    columns are ``ALTER TABLE ADD COLUMN``-ed (existing rows NULL),
+    table-only columns are simply left out of the MERGE's SET/INSERT
+    lists (NULL for inserted rows) — both directions NULL-fill,
+    matching the parquet family.
     """
     props = dict(properties or {})
     staging = staging_table or f"{table}_staging"
-    cols = df.columns
     keys = list(key_cols)
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(
+            f"upsert_jdbc: key columns {missing} missing from the "
+            "incoming batch"
+        )
+    jvm = df.sparkSession._jvm
+    if "driver" in props:
+        jvm.Class.forName(props["driver"])
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        if k != "driver":
+            jprops.setProperty(k, str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+    try:
+        existing_cols = _jdbc_table_columns(conn, table)
+        if not existing_cols:
+            # first write: the batch creates the table (caller has
+            # pre-resolved duplicate keys, per the contract above)
+            write_jdbc(df, url, table, mode="overwrite", properties=props)
+            return
+        _check_upsert_schema(
+            df.columns, existing_cols, keys, merge_schema, "upsert_jdbc"
+        )
+        added = [c for c in df.columns if c not in existing_cols]
+        if added:  # merge_schema=True (the guard raised otherwise)
+            st = conn.createStatement()
+            try:
+                for f in df.schema.fields:
+                    if f.name in added:
+                        st.execute(
+                            f'ALTER TABLE {table} ADD COLUMN "{f.name}" '
+                            + _jdbc_sql_type(f.dataType.simpleString())
+                        )
+            finally:
+                st.close()
+        _merge_jdbc_staged(df, url, table, staging, keys, props, conn, jvm)
+    finally:
+        conn.close()
+
+
+def _merge_jdbc_staged(
+    df: DataFrame,
+    url: str,
+    table: str,
+    staging: str,
+    keys: list[str],
+    props: dict,
+    conn,
+    jvm,
+) -> None:
+    cols = df.columns
     write_jdbc(df, url, staging, mode="overwrite", properties=props)
 
     # Spark's JDBC writer quotes COLUMN identifiers (case-preserving)
@@ -197,22 +303,11 @@ def upsert_jdbc(
         f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
     )
-    jvm = df.sparkSession._jvm
-    if "driver" in props:
-        jvm.Class.forName(props["driver"])
-    # the MERGE connection must carry the same credentials/options the
-    # staging write used (user/password etc.), not the bare URL
-    jprops = jvm.java.util.Properties()
-    for k, v in props.items():
-        if k != "driver":
-            jprops.setProperty(k, str(v))
-    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+    st = conn.createStatement()
     try:
-        st = conn.createStatement()
         st.execute(merge)
-        st.close()
     finally:
-        conn.close()
+        st.close()
 
 
 def _check_upsert_schema(
@@ -927,6 +1022,47 @@ def compact_parquet_bucketed(
         fs.delete(hold, True)
         results[b] = n_files
     return results
+
+
+def maybe_compact_bucketed(
+    spark: SparkSession,
+    path: str,
+    max_files_per_bucket: int = 16,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[int, int] | None:
+    """Threshold-triggered compaction for streaming upsert loops: the
+    piece that makes :func:`compact_parquet_bucketed` self-maintaining.
+    Call it at the END of each foreachBatch body (after every read of
+    the table — rewriting the path invalidates cached plans reading
+    it, docs/SCALE.md read-then-rewrite rule); it is a cheap pure
+    file-LISTING probe (no data read, no Spark job) until some bucket
+    exceeds ``max_files_per_bucket`` parquet files, then one compaction
+    pass. Returns the compaction result, or ``None`` when nothing
+    needed doing (including: table not yet created / not bucketed).
+
+    Sizing: a per-batch upsert adds ~1 file per writing task to each
+    touched bucket, so after B batches an unmaintained bucket holds
+    O(B) files and the index scan cost becomes file listing + footer
+    reads instead of IO. The threshold bounds steady-state files per
+    bucket at ``max_files_per_bucket + (batches between probes ×
+    files/batch)`` — listing stays O(files), the probe O(buckets).
+    """
+    base = path.rstrip("/")
+    fs, HPath, hpath = _hadoop_fs(spark, base)
+    if not fs.exists(HPath(base + "/_bucketing.json")):
+        return None  # first batches / flat layout: nothing to maintain
+    worst = 0
+    for name in _child_names(fs, hpath):
+        if name.startswith("__bucket="):
+            n = sum(
+                1
+                for c in _child_names(fs, HPath(f"{base}/{name}"))
+                if c.endswith(".parquet")
+            )
+            worst = max(worst, n)
+    if worst <= max_files_per_bucket:
+        return None
+    return compact_parquet_bucketed(spark, path, target_file_bytes)
 
 
 def write_edge_list(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -272,3 +272,64 @@ def rollback_aware_upsert(
     if sink_fn is not None:
         sink_fn(rows)
     return n_deleted
+
+
+def canonical_rows(
+    log: DataFrame,
+    seq_col: str = "seq",
+    slot_col: str = "slot",
+    marker_col: str = "is_marker",
+    point_col: str = "pt",
+) -> DataFrame:
+    """Batch replay of the reorg retraction semantics over a FULL roll
+    log: a block row survives iff no later marker rolls back below it
+    (``NOT EXISTS m: m.seq > row.seq AND row.slot > m.point``) — the
+    same orphan predicate :func:`rollback_aware_upsert` applies
+    incrementally, evaluated over the whole history at once. Returns
+    the canonical (surviving, non-marker) rows.
+
+    Scale shape: the cut for a row is the MIN rollback point among
+    markers after it — a suffix-min step function of seq. Markers are
+    reorg events (a handful per day on a real chain), so the marker
+    table is collected driver-side (bounded O(markers), the same
+    budget as the rollback side table), suffix-min'd in Python, and
+    embedded as two aligned literal arrays; each row's cut is then a
+    narrow vectorized O(|markers|) expression (count boundaries ≤ seq,
+    index the suffix-min array). NO global-sort window over the log,
+    NO non-equi join — the plan stays embarrassingly parallel, the
+    only shuffle is whatever aggregation the caller adds.
+    """
+    marker_pts = sorted(
+        (r[seq_col], r[point_col])
+        for r in log.where(F.col(marker_col))
+        .select(seq_col, point_col)
+        .collect()
+    )
+    m = len(marker_pts)
+    # sufmin[i] = min point of markers[i:], sufmin[m] = no marker after
+    sufmin: list[int | None] = [None] * (m + 1)
+    for i in range(m - 1, -1, -1):
+        nxt = sufmin[i + 1]
+        sufmin[i] = (
+            marker_pts[i][1]
+            if nxt is None
+            else min(marker_pts[i][1], nxt)
+        )
+    if m:
+        bounds = F.array(*[F.lit(int(s)) for s, _ in marker_pts])
+    else:
+        bounds = F.array().cast("array<bigint>")
+    suf = F.array(
+        *[
+            F.lit(int(v)) if v is not None else F.lit(None).cast("bigint")
+            for v in sufmin
+        ]
+    )
+    # markers with m.seq > row.seq start at index (count of m.seq ≤ seq)
+    idx = F.size(
+        F.filter(bounds, lambda x: x <= F.col(seq_col).cast("bigint"))
+    )
+    cut = F.element_at(suf, idx + F.lit(1))  # arrays are 1-indexed
+    return log.where(
+        (~F.col(marker_col)) & (cut.isNull() | (F.col(slot_col) <= cut))
+    )

@@ -40,6 +40,7 @@ from blockchain_data_engineering_spark.operators import text as TX
 from blockchain_data_engineering_spark.session import get_spark
 from blockchain_data_engineering_spark.sources import (
     bucketed_table_exists,
+    maybe_compact_bucketed,
     upsert_parquet_bucketed,
 )
 
@@ -172,6 +173,15 @@ def main(work: str) -> None:
         upsert_parquet_bucketed(
             fps.select("fp").distinct(), ngram_index, ["fp"], n_buckets=8
         )
+        # layout maintenance: each upsert adds ~1 file per writing
+        # task to every touched bucket, so an unmaintained index
+        # accretes files without bound over a long replay. The probe
+        # is a pure file listing per batch; compaction triggers only
+        # past the threshold. MUST run after every read of the index
+        # this batch (rewrite invalidates cached plans reading the
+        # path — docs/SCALE.md read-then-rewrite rule).
+        for idx_path in (doc_index, ngram_index):
+            maybe_compact_bucketed(s, idx_path, max_files_per_bucket=8)
 
     q = (
         spark.readStream.option("maxFilesPerTrigger", 1)  # source option:

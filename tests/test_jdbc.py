@@ -92,3 +92,88 @@ def test_jdbc_upsert_foreachbatch_shape(spark, derby_url):
         for r in read_jdbc(spark, derby_url, "balances", properties=PROPS).collect()
     }
     assert again == got
+
+
+def test_jdbc_upsert_creates_missing_table(spark, derby_url):
+    """A first upsert against a table that doesn't exist yet creates
+    it from the batch (same first-write semantics as upsert_parquet)
+    instead of failing the MERGE with an opaque SQL error."""
+    schema = "addr string, balance bigint"
+    batch = spark.createDataFrame([("a1", 5), ("a2", 9)], schema)
+    upsert_jdbc(batch, derby_url, "fresh_tbl", ["addr"], properties=PROPS)
+    got = {
+        (r.addr): r.balance
+        for r in read_jdbc(
+            spark, derby_url, "fresh_tbl", properties=PROPS
+        ).collect()
+    }
+    assert got == {"a1": 5, "a2": 9}
+    # and the next batch goes through the MERGE path
+    upsert_jdbc(
+        spark.createDataFrame([("a2", 11), ("a3", 1)], schema),
+        derby_url,
+        "fresh_tbl",
+        ["addr"],
+        properties=PROPS,
+    )
+    got = {
+        (r.addr): r.balance
+        for r in read_jdbc(
+            spark, derby_url, "fresh_tbl", properties=PROPS
+        ).collect()
+    }
+    assert got == {"a1": 5, "a2": 11, "a3": 1}
+
+
+def test_jdbc_upsert_schema_guard_and_evolution(spark, derby_url):
+    """The shared schema guard (r4 verdict ask #7): a column-set
+    mismatch is a clear ValueError BEFORE any SQL runs, a missing key
+    column is always refused, and merge_schema=True evolves the table
+    via ALTER TABLE ADD COLUMN with NULL-fill in both directions —
+    the same contract as the parquet upsert family."""
+    base = spark.createDataFrame(
+        [("a1", 100), ("a2", 200)], "addr string, balance bigint"
+    )
+    upsert_jdbc(base, derby_url, "evo", ["addr"], properties=PROPS)
+
+    widened = spark.createDataFrame(
+        [("a2", 250, 3), ("a3", 7, 1)],
+        "addr string, balance bigint, epoch bigint",
+    )
+    with pytest.raises(ValueError, match=r"new columns \['epoch'\]"):
+        upsert_jdbc(widened, derby_url, "evo", ["addr"], properties=PROPS)
+    with pytest.raises(ValueError, match=r"key columns \['addr'\]"):
+        upsert_jdbc(
+            spark.createDataFrame([(1,)], "balance bigint"),
+            derby_url,
+            "evo",
+            ["addr"],
+            properties=PROPS,
+        )
+
+    # evolution: new column ALTERed in, pre-existing rows NULL-filled
+    upsert_jdbc(
+        widened, derby_url, "evo", ["addr"], properties=PROPS,
+        merge_schema=True,
+    )
+    got = {
+        r.addr: (r.balance, r.epoch)
+        for r in read_jdbc(spark, derby_url, "evo", properties=PROPS).collect()
+    }
+    assert got == {"a1": (100, None), "a2": (250, 3), "a3": (7, 1)}
+
+    # the other direction: a narrower batch leaves absent columns NULL
+    # for inserted rows, untouched for updated rows
+    upsert_jdbc(
+        spark.createDataFrame([("a4", 40)], "addr string, balance bigint"),
+        derby_url,
+        "evo",
+        ["addr"],
+        properties=PROPS,
+        merge_schema=True,
+    )
+    got = {
+        r.addr: (r.balance, r.epoch)
+        for r in read_jdbc(spark, derby_url, "evo", properties=PROPS).collect()
+    }
+    assert got["a4"] == (40, None) and got["a2"] == (250, 3)

@@ -499,3 +499,16 @@ def test_leakage_free_split_adds_no_joins_over_corpus_dedup(spark, sf_dir):
         )
     )
     assert n_joins(split) == n_joins(base), (n_joins(split), n_joins(base))
+
+
+def test_reorg_replay_avoids_global_window_and_joins(spark, sf_dir):
+    """stream_reorg_replay's scale contract (rollback.canonical_rows):
+    the suffix-min cut is an embedded O(markers) literal-array
+    expression, NOT a global-sort window over the full roll log and
+    NOT a non-equi marker join — the plan must carry no Window, no
+    Sort, no join at all; the only exchange is the final aggregation's."""
+    plan = _plan(spark, sf_dir, "stream_reorg_replay")
+    assert "Window" not in plan, plan
+    assert "Sort" not in plan, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan

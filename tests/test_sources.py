@@ -660,3 +660,67 @@ def test_neo4j_connector_option_shape(spark, monkeypatch):
     assert opts["relationship.properties"] == (
         "tx_hash,unit,value,value_adj:value_ada"
     )
+
+
+def test_maybe_compact_bounds_files_over_long_replay(spark, tmp_path):
+    """r4 verdict ask #6: with threshold-triggered compaction wired
+    into the ingest loop, a long replay keeps the per-bucket file
+    count BOUNDED (threshold + per-batch increment) instead of O(B)
+    after B batches, while conflict semantics, the layout marker, and
+    partition pruning all survive every compaction pass."""
+    import glob
+    import io
+    from contextlib import redirect_stdout
+
+    from blockchain_data_engineering_spark.sources import (
+        maybe_compact_bucketed,
+        upsert_parquet_bucketed,
+    )
+
+    local = str(tmp_path / "idx")
+    path = "file://" + local
+    threshold = 3
+    # probe on a missing/flat table is a clean no-op
+    assert maybe_compact_bucketed(spark, path, threshold) is None
+
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    compactions = 0
+    worst_seen = 0
+    try:
+        for i in range(14):  # long replay: every batch touches bucket(s)
+            batch = spark.createDataFrame(
+                [(k, i) for k in range(i * 5, i * 5 + 5)] + [(0, i)],
+                "k LONG, batch LONG",
+            )
+            upsert_parquet_bucketed(batch, path, ["k"], n_buckets=2)
+            if maybe_compact_bucketed(spark, path, threshold) is not None:
+                compactions += 1
+            worst = max(
+                len(glob.glob(f"{local}/__bucket={b}/*.parquet"))
+                for b in (0, 1)
+            )
+            worst_seen = max(worst_seen, worst)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    assert compactions >= 2, "threshold never tripped — fixture too small"
+    # bounded: post-maintenance worst is ≤ threshold (compaction runs
+    # the same batch the threshold trips), so across the whole replay
+    # the worst ever observed stays ≤ threshold + one batch's files,
+    # NOT O(n_batches)
+    per_batch_files = spark.sparkContext.defaultParallelism
+    assert worst_seen <= threshold + per_batch_files
+    assert (
+        max(len(glob.glob(f"{local}/__bucket={b}/*.parquet")) for b in (0, 1))
+        <= threshold
+    )
+    # correctness across 14 replayed batches + every compaction
+    got = {r["k"]: r["batch"] for r in spark.read.parquet(path).collect()}
+    assert len(got) == 70 and got[0] == 13 and got[69] == 13
+    # pruning still reaches the scan (the property the layout buys)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        spark.read.parquet(path).where(F.col("__bucket") == 0).explain(
+            "formatted"
+        )
+    assert "PartitionFilters" in buf.getvalue()
