@@ -184,8 +184,8 @@ REORG_POINT_MOD = 50
     oracle=f"""
     WITH log AS (
       SELECT event_id AS seq, event_type, value,
-             (event_type = 'error' AND value > 150) AS is_marker,
-             CASE WHEN (event_type = 'error' AND value > 150)
+             (event_type = 'error' AND value > 185 AND event_id % 5 = 0) AS is_marker,
+             CASE WHEN (event_type = 'error' AND value > 185 AND event_id % 5 = 0)
                   THEN event_id
                        - (CAST(floor(value) AS BIGINT) % {REORG_POINT_MOD})
              END AS pt
@@ -211,7 +211,11 @@ def stream_reorg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    is_marker = (F.col("event_type") == "error") & (F.col("value") > 150)
+    is_marker = (
+        (F.col("event_type") == "error")
+        & (F.col("value") > 185)
+        & (F.col("event_id") % 5 == 0)
+    )
     # floor, never cast(double as int): Spark truncates, DuckDB rounds
     point = F.col("event_id") - F.pmod(
         F.floor(F.col("value")).cast("long"), F.lit(REORG_POINT_MOD)

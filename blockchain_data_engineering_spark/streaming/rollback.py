@@ -289,15 +289,16 @@ def canonical_rows(
     the canonical (surviving, non-marker) rows.
 
     Scale shape: the cut for a row is the MIN rollback point among
-    markers after it — a suffix-min step function of seq. Markers are
+    markers after it — a suffix-min STEP FUNCTION of seq. Markers are
     reorg events (a handful per day on a real chain), so the marker
     table is collected driver-side (bounded O(markers), the same
     budget as the rollback side table), suffix-min'd in Python, and
-    embedded as two aligned literal arrays; each row's cut is then a
-    narrow vectorized O(|markers|) expression (count boundaries ≤ seq,
-    index the suffix-min array). NO global-sort window over the log,
-    NO non-equi join — the plan stays embarrassingly parallel, the
-    only shuffle is whatever aggregation the caller adds.
+    embedded as a chained CASE over the marker boundaries — whole-stage
+    codegen'd branches (a higher-order-function formulation over a
+    literal array was measured 2× slower: HOFs evaluate interpreted,
+    boxing the array per row). NO global-sort window over the log, NO
+    non-equi join — the plan stays embarrassingly parallel, the only
+    shuffle is whatever aggregation the caller adds.
     """
     marker_pts = sorted(
         (r[seq_col], r[point_col])
@@ -306,30 +307,37 @@ def canonical_rows(
         .collect()
     )
     m = len(marker_pts)
-    # sufmin[i] = min point of markers[i:], sufmin[m] = no marker after
-    sufmin: list[int | None] = [None] * (m + 1)
+    # sufmin[i] = min point of markers[i:]
+    sufmin: list[int] = [0] * m
     for i in range(m - 1, -1, -1):
-        nxt = sufmin[i + 1]
         sufmin[i] = (
             marker_pts[i][1]
-            if nxt is None
-            else min(marker_pts[i][1], nxt)
+            if i == m - 1
+            else min(marker_pts[i][1], sufmin[i + 1])
         )
-    if m:
-        bounds = F.array(*[F.lit(int(s)) for s, _ in marker_pts])
-    else:
-        bounds = F.array().cast("array<bigint>")
-    suf = F.array(
-        *[
-            F.lit(int(v)) if v is not None else F.lit(None).cast("bigint")
-            for v in sufmin
-        ]
-    )
-    # markers with m.seq > row.seq start at index (count of m.seq ≤ seq)
-    idx = F.size(
-        F.filter(bounds, lambda x: x <= F.col(seq_col).cast("bigint"))
-    )
-    cut = F.element_at(suf, idx + F.lit(1))  # arrays are 1-indexed
+    # cut(seq) = sufmin[first i with seq < marker_seq[i]]; no such
+    # marker → NULL (nothing after this row ever rolls back).
+    # Embedded as a BALANCED BINARY DECISION TREE of CaseWhens —
+    # O(log markers) comparisons per row at depth ~log2(m), which both
+    # whole-stage-codegens and keeps the column-conversion recursion
+    # shallow. Rejected alternatives, both measured slower/broken: a
+    # higher-order filter over a literal array evaluates interpreted
+    # (boxes the array per row, 2× wall), a flat m-branch CaseWhen
+    # evaluates O(m) per row, and an m-deep .otherwise() nesting
+    # overflows the JVM stack during conversion.
+    def _cut(lo: int, hi: int) -> Column:
+        # answer index (first i with seq < bound[i]) is in [lo, hi];
+        # index m means "no marker after" → NULL
+        if lo == hi:
+            if lo == m:
+                return F.lit(None).cast("bigint")
+            return F.lit(int(sufmin[lo]))
+        mid = (lo + hi) // 2
+        return F.when(
+            F.col(seq_col) < F.lit(int(marker_pts[mid][0])), _cut(lo, mid)
+        ).otherwise(_cut(mid + 1, hi))
+
+    cut = _cut(0, m)
     return log.where(
         (~F.col(marker_col)) & (cut.isNull() | (F.col(slot_col) <= cut))
     )

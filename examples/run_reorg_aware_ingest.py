@@ -1,0 +1,173 @@
+"""End-to-end demo: chain ingestion that SURVIVES a reorg — the undo
+story the reference streamer lacks (it requests forward rolls only,
+src/cardano_streamer/main.py:42-47, so a reorg silently leaves
+orphaned-block rows in its sinks).
+
+A mock Ogmios node serves 16 blocks of chain A, then a RollBackward to
+block 11 and a 5-block replacement fork. The producer lands blocks AND
+the rollback marker as NDJSON; a micro-batched foreachBatch sink then
+maintains THREE tables through the reorg:
+
+  blocks       — the keyed landing table (rollback_aware_upsert)
+  fp_index     — a fingerprint index DERIVED from landed blocks
+                 (DerivedTable: rows stamped with their contributing
+                 block's roll seq + slot, undone by the same orphan
+                 predicate)
+  block_rollup — per-block rollup CONTRIBUTIONS (block grain so the
+                 aggregate is reorg-undoable; aggregate on read)
+
+At the end every table is compared against a one-shot batch run over
+the post-reorg chain — byte-identical convergence, printed as OK/FAIL.
+
+    python examples/run_reorg_aware_ingest.py [work_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from blockchain_data_engineering_spark.domain import blocks as B
+from blockchain_data_engineering_spark.domain.synthetic import generate_chain
+from blockchain_data_engineering_spark.session import get_spark
+from blockchain_data_engineering_spark.sources.io import upsert_parquet
+from blockchain_data_engineering_spark.streaming import sources as SRC
+from blockchain_data_engineering_spark.streaming.chain_sync import (
+    ChainSyncProducer,
+    MockChainSyncNode,
+)
+from blockchain_data_engineering_spark.streaming.rollback import (
+    DerivedTable,
+    rollback_aware_upsert,
+)
+
+
+def main(work: str) -> None:
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+
+    # --- a chain with a scripted reorg ---------------------------------
+    chain_a = generate_chain(n_blocks=16, seed=21)
+    anchor = chain_a.blocks[11]["py/state"]  # last block that stays
+    fork = generate_chain(
+        n_blocks=5,
+        seed=97,
+        start_height=anchor["height"] + 1,
+        start_slot=anchor["slot"] + 7,
+    )
+    node = MockChainSyncNode(
+        chain_a.lines,
+        reorg={
+            "after": 16,
+            "point": {"slot": anchor["slot"], "id": anchor["id"]},
+            "blocks": fork.lines,
+        },
+    ).start()
+    land = os.path.join(work, "landing")
+    n = ChainSyncProducer(
+        node.host, node.port, land, rotate_every=3, emit_rollbacks=True
+    ).run()
+    node.close()
+    print(f"landed {n} blocks (+1 rollback marker)")
+
+    # --- the reorg-aware micro-batched pipeline ------------------------
+    blocks_tbl = os.path.join(work, "blocks")
+    fp_index = os.path.join(work, "fp_index")
+    rollup_tbl = os.path.join(work, "block_rollup")
+
+    def derived_sink(rows):
+        # rows = this batch's CANONICAL survivors, stamped (__seq, slot)
+        upsert_parquet(
+            rows.select(F.md5("id").alias("fp"), "__seq", "slot"),
+            fp_index,
+            ["fp"],
+        )
+        upsert_parquet(
+            rows.select(
+                "id", "__seq", "slot", (F.col("height") % 5).alias("n_tx")
+            ),
+            rollup_tbl,
+            ["id"],
+        )
+
+    def sink(batch_df, batch_id):
+        rollback_aware_upsert(
+            batch_df,
+            blocks_tbl,
+            ["id"],
+            derived=[DerivedTable(fp_index), DerivedTable(rollup_tbl)],
+            sink_fn=derived_sink,
+        )
+
+    q = (
+        SRC.ndjson_file_stream(spark, land, max_files_per_trigger=2)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # --- converge check vs a one-shot post-reorg batch run -------------
+    canon = B.parse_block_lines(
+        spark.createDataFrame(
+            [(l,) for l in chain_a.lines[:12] + fork.lines], ["value"]
+        )
+    ).select("id", "slot", "height").localCheckpoint(eager=True)
+
+    got_blocks = {
+        (r["id"], r["slot"])
+        for r in spark.read.parquet(blocks_tbl).collect()
+    }
+    exp_blocks = {(r["id"], r["slot"]) for r in canon.collect()}
+    got_fps = {r["fp"] for r in spark.read.parquet(fp_index).collect()}
+    exp_fps = {r[0] for r in canon.select(F.md5("id")).collect()}
+    got_rollup = {
+        (r["id"], r["n_tx"])
+        for r in spark.read.parquet(rollup_tbl).collect()
+    }
+    exp_rollup = {
+        (r["id"], r["n_tx"])
+        for r in canon.select(
+            "id", (F.col("height") % 5).alias("n_tx")
+        ).collect()
+    }
+    n_markers = spark.read.parquet(blocks_tbl + "__rollbacks").count()
+
+    def verdict(name, ok):
+        print(f"  {name:<14} {'OK — converged' if ok else 'FAIL'}")
+        return ok
+
+    print(f"reorg markers recorded: {n_markers}")
+    print("post-reorg convergence vs one-shot batch:")
+    all_ok = all(
+        [
+            verdict("blocks", got_blocks == exp_blocks),
+            verdict("fp_index", got_fps == exp_fps),
+            verdict("block_rollup", got_rollup == exp_rollup),
+        ]
+    )
+    total = spark.read.parquet(rollup_tbl).agg(F.sum("n_tx")).first()[0]
+    print(f"rollup aggregate (post-reorg): sum(n_tx) = {total}")
+    print(f"wall: {time.time() - t0:.1f}s")
+    if not all_ok:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1:
+        main(sys.argv[1])
+    else:
+        work = tempfile.mkdtemp(prefix="reorg_demo_")
+        try:
+            main(work)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)

@@ -525,3 +525,45 @@ def test_bucketed_evolution_preserves_layout_and_pruning(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert vals[2] == (22, 9) and len(vals) == 9  # 8 initial + key 99
+
+
+def test_canonical_rows_matches_python_model(spark):
+    """streaming.rollback.canonical_rows (the batch retraction replay
+    behind stream_reorg_replay) against a brute-force Python model:
+    a row survives iff NO later marker rolls back below it — checked
+    on random logs with random marker density/points, including the
+    no-marker and all-markers edges."""
+    import random
+
+    from blockchain_data_engineering_spark.streaming.rollback import (
+        canonical_rows,
+    )
+
+    rng = random.Random(11)
+    for scenario in range(6):
+        n = rng.randint(1, 60)
+        rows = []
+        for seq in range(n):
+            is_m = rng.random() < (0.0, 0.15, 1.0)[
+                0 if scenario == 0 else (2 if scenario == 5 else 1)
+            ]
+            slot = seq * 2 + rng.randint(0, 1)  # non-trivial slot axis
+            pt = slot - rng.randint(0, 20) if is_m else None
+            rows.append((seq, slot, is_m, pt))
+        df = spark.createDataFrame(
+            rows, "seq LONG, slot LONG, is_marker BOOLEAN, pt LONG"
+        )
+        got = {
+            r["seq"] for r in canonical_rows(df).select("seq").collect()
+        }
+        expected = {
+            seq
+            for seq, slot, is_m, _ in rows
+            if not is_m
+            and not any(
+                m_seq > seq and slot > m_pt
+                for m_seq, _, m_is, m_pt in rows
+                if m_is
+            )
+        }
+        assert got == expected, (scenario, sorted(got ^ expected))
