@@ -1005,3 +1005,113 @@ def quality_classifier_scores(
     )
     # release the feature matrix and the final weight round with the call
     return finalize(out, fx, w)
+
+
+def bpe_vocab(
+    df: DataFrame, n_merges: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """The VOCABULARY a trained BPE tokenizer ships: every token the
+    learned segmentation produces, with its corpus occurrence count —
+    (token, n_occurrences). Complements :func:`bpe_train_merges` (the
+    merge rules) and :func:`bpe_token_counts` (per-doc counts): rules +
+    vocab are the two artifacts a tokenizer package serializes.
+
+    Scale shape: training touches only the vocabulary-sized word
+    table; the readout is one explode over that same table (weighted
+    by word frequency) + a map-side-combined aggregate over ≤(distinct
+    chars + n_merges) token groups — corpus-size independent
+    throughout."""
+    words = _bpe_words_with_seg(df, text_col).persist()
+    try:
+        merges = _bpe_learn(words, n_merges)
+        seg = F.col("seg")
+        for _, a, b, _n in merges:
+            seg = F.replace(
+                seg,
+                F.lit(BPE_SEP + a + _BPE_SEP2 + b + BPE_SEP),
+                F.lit(BPE_SEP + a + b + BPE_SEP),
+            )
+        vocab = (
+            words.select(
+                F.explode(_bpe_seg_tokens(seg)).alias("token"), "wf"
+            )
+            .groupBy("token")
+            .agg(F.sum("wf").cast("long").alias("n_occurrences"))
+        )
+        return finalize(vocab, words)
+    except BaseException:
+        words.unpersist()
+        raise
+
+
+def bpe_encode(
+    df: DataFrame,
+    n_merges: int = 6,
+    max_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENCODE every document under the learned BPE tokenizer: the
+    per-doc token STREAM (id, pos, token), truncated at ``max_tokens``
+    — i.e. actually tokenize the corpus, not just count it
+    (:func:`bpe_token_counts`). ``pos`` is 1-based over the doc's
+    whole-word token concatenation in document order.
+
+    Scale shape: training stays vocabulary-sized; encoding is the
+    corpus word stream equi-joined (broadcast-eligible) against the
+    ≤|vocab|-row word→tokens table, ONE per-doc window (running token
+    offset over word positions — partitioned by doc, never global),
+    then a narrow bounded posexplode. The ``max_tokens`` cut prunes
+    the explode fan-out to O(docs · max_tokens)."""
+    words = _bpe_words_with_seg(df, text_col).persist()
+    try:
+        merges = _bpe_learn(words, n_merges)
+        seg = F.col("seg")
+        for _, a, b, _n in merges:
+            seg = F.replace(
+                seg,
+                F.lit(BPE_SEP + a + _BPE_SEP2 + b + BPE_SEP),
+                F.lit(BPE_SEP + a + b + BPE_SEP),
+            )
+        word_toks = finalize(
+            words.select(
+                "w",
+                _bpe_seg_tokens(seg).alias("toks"),
+                F.size(_bpe_seg_tokens(seg)).alias("n_tok"),
+            ),
+            words,
+        )
+    except BaseException:
+        words.unpersist()
+        raise
+    stream = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("word_pos", "w"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("word_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_base = (
+        stream.join(F.broadcast(word_toks), "w")
+        .withColumn("base", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        # words starting at/after the cut contribute nothing — prune
+        # BEFORE the explode so fan-out is bounded by max_tokens
+        .where(F.col("base") < F.lit(max_tokens))
+    )
+    return (
+        with_base.select(
+            id_col,
+            F.col("base"),
+            F.posexplode("toks").alias("ti", "token"),
+        )
+        .select(
+            id_col,
+            (F.col("base") + F.col("ti") + 1).cast("long").alias("pos"),
+            "token",
+        )
+        .where(F.col("pos") <= F.lit(max_tokens))
+    )

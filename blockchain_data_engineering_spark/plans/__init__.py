@@ -91,6 +91,8 @@ GATE_ORDER = [
     #    set rollback_aware_upsert converges a keyed sink to,
     #    gate-verified against a reversed-running-min SQL oracle --
     "stream_reorg_replay",
+    "text_bpe_vocab",
+    "text_bpe_encode",
     # -- new in round 4 (judge asks #6/#7): full BPE tokenizer training
     #    (trajectory oracle-replayed), per-doc token counts under the
     #    learned vocab, and RefinedWeb paragraph-level exact dedup --
@@ -111,7 +113,9 @@ GATE_ORDER = [
     #    so even a row-capped gate reaches them) --
     "basket_part_pairs",
     "dedup_minhash_containment",
-    "dedup_simhash_hamming",
+    # r5 rotation: dedup_simhash_hamming (r3-green) demoted to parity
+    # in exchange for text_bpe_encode — the simhash family stays
+    # gate-witnessed by dedup_simhash_multiblock.
     "emb_label_centroids",
     "sim_ivf_ann",
     "sim_lsh_ann",
@@ -123,7 +127,9 @@ GATE_ORDER = [
     "graph_kcore",
     "emb_random_projection",
     "dedup_duplicated_spans",
-    "text_bpe_pair_counts",
+    # r5 rotation: text_bpe_pair_counts (r2-green) demoted to parity in
+    # exchange for text_bpe_vocab — its round-1 pair ranking runs
+    # inside the gate-witnessed text_bpe_train loop.
     "sim_pq_ann",
     "sim_semantic_dedup",
     "dedup_span_removal",

@@ -1342,6 +1342,90 @@ def _bpe_token_counts_oracle(n_merges: int) -> str:
     )
 
 
+BPE_ENCODE_MAX = 32
+
+
+def _bpe_encode_oracle(n_merges: int, max_tokens: int) -> str:
+    ctes = [_bpe_words_cte()]
+    for r in range(1, n_merges + 1):
+        ctes += _bpe_round_ctes(r)
+    ctes.append(
+        f"""wt AS (
+      SELECT w, string_split(trim(seg, '{_S}'), '{_S2}') AS toks,
+             len(string_split(trim(seg, '{_S}'), '{_S2}')) AS n_tok
+      FROM w{n_merges}
+    )"""
+    )
+    ctes.append(
+        """dw AS (
+      SELECT doc_id, i AS word_pos, words[i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents),
+           UNNEST(generate_series(1, len(words))) g(i)
+    )"""
+    )
+    ctes.append(
+        """wb AS (
+      SELECT doc_id, word_pos, toks, n_tok,
+             COALESCE(sum(n_tok) OVER (PARTITION BY doc_id
+                 ORDER BY word_pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS base
+      FROM dw JOIN wt USING (w)
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT doc_id, CAST(base + ti AS BIGINT) AS pos, toks[ti] AS token
+    FROM wb, UNNEST(generate_series(1, n_tok)) t(ti)
+    WHERE base + ti <= {max_tokens}
+    """
+    )
+
+
+@query(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(BPE_MERGES, 32),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actually TOKENIZE the corpus under the learned BPE: the per-doc
+    token stream (doc_id, pos, token) truncated at 32 tokens — the
+    training-data artifact packing/sharding consumes. The oracle
+    replays training, joins the word stream to the final segmentation,
+    and reconstructs positions with the same per-doc running offset."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TX.bpe_encode(docs, n_merges=BPE_MERGES, max_tokens=BPE_ENCODE_MAX)
+
+
+def _bpe_vocab_oracle(n_merges: int) -> str:
+    ctes = [_bpe_words_cte()]
+    for r in range(1, n_merges + 1):
+        ctes += _bpe_round_ctes(r)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT token, CAST(sum(wf) AS BIGINT) AS n_occurrences
+    FROM (SELECT wf, unnest(string_split(trim(seg, '{_S}'), '{_S2}'))
+                   AS token
+          FROM w{n_merges})
+    GROUP BY token
+    """
+    )
+
+
+@query("text_bpe_vocab", oracle=_bpe_vocab_oracle(BPE_MERGES))
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned tokenizer's VOCABULARY with corpus occurrence
+    counts — the second artifact (next to the merge table) a BPE
+    package serializes; the oracle replays the full training
+    trajectory and reads the final segmentation off w{n}."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TX.bpe_vocab(docs, n_merges=BPE_MERGES)
+
+
 @query("text_bpe_token_counts", oracle=_bpe_token_counts_oracle(BPE_MERGES))
 def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))

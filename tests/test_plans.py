@@ -512,3 +512,12 @@ def test_reorg_replay_avoids_global_window_and_joins(spark, sf_dir):
     assert "Sort" not in plan, plan
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
+def test_bpe_encode_plan_shape(spark, sf_dir):
+    """text_bpe_encode: the word→tokens attachment must be a broadcast
+    hash join (vocabulary-sized right side) and the running-offset
+    window must partition by doc (never a global/unpartitioned sort)."""
+    plan = _plan(spark, sf_dir, "text_bpe_encode")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

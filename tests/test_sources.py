@@ -724,3 +724,159 @@ def test_maybe_compact_bounds_files_over_long_replay(spark, tmp_path):
             "formatted"
         )
     assert "PartitionFilters" in buf.getvalue()
+
+
+def test_upsert_crash_anywhere_then_retry_recovers(spark, tmp_path, monkeypatch):
+    """Durability property: a crash at ANY filesystem-mutation
+    boundary inside upsert_parquet / delete_parquet_where (before each
+    rename/delete — a crash between ops i and i+1 is a crash before
+    op i+1) must leave the table recoverable: the NEXT call restores
+    the preserved copy and completes, ending in exactly the state a
+    crash-free run produces. Exercises every boundary by running the
+    same scenario once per fs-op budget 0..N."""
+    from blockchain_data_engineering_spark.sources import io as IO
+
+    real_hadoop_fs = IO._hadoop_fs
+
+    class FlakyFS:
+        """Delegating fs wrapper: mutating ops crash once the shared
+        budget runs out (simulating driver death at that boundary)."""
+
+        def __init__(self, real, state):
+            self._real = real
+            self._state = state
+
+        def __getattr__(self, name):
+            attr = getattr(self._real, name)
+            if name in ("rename", "delete"):
+                def wrapped(*a, **k):
+                    if self._state["left"] <= 0:
+                        raise IOError("injected crash")
+                    self._state["left"] -= 1
+                    return attr(*a, **k)
+
+                return wrapped
+            return attr
+
+    def run_scenario(path):
+        df1 = spark.createDataFrame(
+            [(1, 10), (2, 20)], "k LONG, v LONG"
+        )
+        df2 = spark.createDataFrame(
+            [(2, 22), (3, 33)], "k LONG, v LONG"
+        )
+        IO.upsert_parquet(df1, path, ["k"])
+        IO.upsert_parquet(df2, path, ["k"])
+        IO.delete_parquet_where(
+            spark, path, IO.F.col("k") == IO.F.lit(1)
+        )
+        return {
+            r["k"]: r["v"] for r in spark.read.parquet(path).collect()
+        }
+
+    expected = run_scenario("file://" + str(tmp_path / "clean"))
+    assert expected == {2: 22, 3: 33}
+
+    budget = 0
+    while budget < 40:
+        path = "file://" + str(tmp_path / f"crash{budget}")
+        state = {"left": budget}
+
+        def flaky(spark_, p):
+            fs, HPath, hpath = real_hadoop_fs(spark_, p)
+            return FlakyFS(fs, state), HPath, hpath
+
+        monkeypatch.setattr(IO, "_hadoop_fs", flaky)
+        crashed = False
+        try:
+            run_scenario(path)
+        except IOError:
+            crashed = True
+        finally:
+            monkeypatch.setattr(IO, "_hadoop_fs", real_hadoop_fs)
+        if not crashed:
+            break  # budget exceeded the scenario's total fs ops
+        # retry with a healthy fs: recovery + completion must converge
+        got = run_scenario(path)
+        assert got == expected, f"budget {budget}: {got}"
+        budget += 1
+    assert budget < 40, "scenario never completed crash-free"
+    assert budget > 5, "too few injection points exercised"
+
+
+def test_bucketed_upsert_crash_anywhere_then_retry_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """Same crash-anywhere property for the bucketed upsert family,
+    including a schema-EVOLUTION batch (whole-directory staged swap)
+    and the steady-state pruned merge after it."""
+    from blockchain_data_engineering_spark.sources import io as IO
+
+    real_hadoop_fs = IO._hadoop_fs
+
+    class FlakyFS:
+        def __init__(self, real, state):
+            self._real = real
+            self._state = state
+
+        def __getattr__(self, name):
+            attr = getattr(self._real, name)
+            if name in ("rename", "delete"):
+                def wrapped(*a, **k):
+                    if self._state["left"] <= 0:
+                        raise IOError("injected crash")
+                    self._state["left"] -= 1
+                    return attr(*a, **k)
+
+                return wrapped
+            return attr
+
+    def run_scenario(path):
+        # merge_schema on every batch: an evolving pipeline enables it
+        # pipeline-wide, and a full replay (batch 1 re-running against
+        # the already-evolved table) must then converge, not refuse
+        IO.upsert_parquet_bucketed(
+            spark.createDataFrame([(k, k) for k in range(6)], "k LONG, v LONG"),
+            path, ["k"], n_buckets=3, merge_schema=True,
+        )
+        IO.upsert_parquet_bucketed(  # evolution: adds w, full swap
+            spark.createDataFrame([(1, 11, 7)], "k LONG, v LONG, w LONG"),
+            path, ["k"], n_buckets=3, merge_schema=True,
+        )
+        IO.upsert_parquet_bucketed(  # steady-state pruned merge
+            spark.createDataFrame([(2, 22, 8)], "k LONG, v LONG, w LONG"),
+            path, ["k"], n_buckets=3, merge_schema=True,
+        )
+        return {
+            r["k"]: (r["v"], r["w"])
+            for r in spark.read.parquet(path).collect()
+        }
+
+    expected = run_scenario("file://" + str(tmp_path / "clean"))
+    assert expected[1] == (11, 7) and expected[2] == (22, 8)
+
+    budget, exercised = 0, 0
+    while budget < 40:
+        path = "file://" + str(tmp_path / f"crash{budget}")
+        state = {"left": budget}
+
+        def flaky(spark_, p):
+            fs, HPath, hpath = real_hadoop_fs(spark_, p)
+            return FlakyFS(fs, state), HPath, hpath
+
+        monkeypatch.setattr(IO, "_hadoop_fs", flaky)
+        crashed = False
+        try:
+            run_scenario(path)
+        except IOError:
+            crashed = True
+        finally:
+            monkeypatch.setattr(IO, "_hadoop_fs", real_hadoop_fs)
+        if not crashed:
+            break
+        exercised += 1
+        got = run_scenario(path)
+        assert got == expected, f"budget {budget}: {got}"
+        budget += 1
+    assert budget < 40, "scenario never completed crash-free"
+    assert exercised > 3, "too few injection points exercised"
