@@ -1115,3 +1115,81 @@ def bpe_encode(
         )
         .where(F.col("pos") <= F.lit(max_tokens))
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    span_len: int = 3,
+    period: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T5-style span-corruption denoising pairs (Raffel et al. 2020
+    §3.1.4) with a DETERMINISTIC mask: tokens group into consecutive
+    ``span_len``-token blocks and every ``period``-th block is
+    corrupted (corruption rate 1/period, span length span_len) — the
+    reproducible twin of the paper's random spans, so the whole
+    construction is engine-portable and SQL-oracle-checkable.
+
+    Returns (id, inputs, targets):
+      inputs  — the original text with each corrupted block collapsed
+                to its sentinel ``<extra_id_K>`` (K = corrupted-block
+                ordinal, closed-form ``block div period`` — never a
+                rank over the corpus)
+      targets — per corrupted block, sentinel + the block's tokens,
+                concatenated in document order ('' when the doc is too
+                short to reach a corrupted block)
+
+    Scale shape: one narrow posexplode + ONE doc-keyed aggregate;
+    document order is restored inside the aggregate by sorting the
+    (pos, piece) structs — no window, no second shuffle."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p", "tok"),
+    ).select(
+        id_col,
+        "p",
+        "tok",
+        F.expr(f"p div {span_len}").alias("b"),
+        (F.col("p") % span_len == 0).alias("bstart"),
+    )
+    masked = F.col("b") % period == period - 1
+    sentinel = F.concat(
+        F.lit("<extra_id_"),
+        F.expr(f"b div {period}").cast("string"),
+        F.lit(">"),
+    )
+    pieces = toks.select(
+        id_col,
+        "p",
+        F.when(~masked, F.col("tok"))
+        .when(F.col("bstart"), sentinel)
+        .alias("in_piece"),
+        F.when(
+            masked & F.col("bstart"),
+            F.concat(sentinel, F.lit(" "), F.col("tok")),
+        )
+        .when(masked, F.col("tok"))
+        .alias("tgt_piece"),
+    )
+
+    def _joined(piece_col: str) -> Column:
+        return F.array_join(
+            F.transform(
+                F.filter(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col("p"), F.col(piece_col).alias("x"))
+                        )
+                    ),
+                    lambda s: s.getField("x").isNotNull(),
+                ),
+                lambda s: s.getField("x"),
+            ),
+            " ",
+        )
+
+    return pieces.groupBy(id_col).agg(
+        _joined("in_piece").alias("inputs"),
+        _joined("tgt_piece").alias("targets"),
+    )

@@ -93,6 +93,7 @@ GATE_ORDER = [
     "stream_reorg_replay",
     "text_bpe_vocab",
     "text_bpe_encode",
+    "text_span_corruption",
     # -- new in round 4 (judge asks #6/#7): full BPE tokenizer training
     #    (trajectory oracle-replayed), per-doc token counts under the
     #    learned vocab, and RefinedWeb paragraph-level exact dedup --
@@ -125,7 +126,10 @@ GATE_ORDER = [
     "text_quality_classifier",
     "text_cms_heavy_hitters",
     "graph_kcore",
-    "emb_random_projection",
+    # r5 rotation: emb_random_projection (r2-green) demoted to parity
+    # in exchange for text_span_corruption — the quantized projection
+    # plan family stays gate-witnessed by emb_kmeans_centroids and
+    # sim_pq_ann, and the JL distortion bound stays pinned in pytest.
     "dedup_duplicated_spans",
     # r5 rotation: text_bpe_pair_counts (r2-green) demoted to parity in
     # exchange for text_bpe_vocab — its round-1 pair ranking runs

@@ -1342,6 +1342,44 @@ def _bpe_token_counts_oracle(n_merges: int) -> str:
     )
 
 
+_SPAN_CORRUPTION_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, i - 1 AS p, toks[i] AS tok, (i - 1) // 3 AS b
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+           UNNEST(generate_series(1, len(toks))) g(i)
+    ),
+    m AS (
+      SELECT *, (b % 5 = 4) AS masked, b // 5 AS k,
+             (p % 3 = 0) AS bstart
+      FROM t
+    )
+    SELECT doc_id,
+      COALESCE(string_agg(
+        CASE WHEN NOT masked THEN tok
+             WHEN bstart THEN '<extra_id_' || k || '>' END, ' '
+        ORDER BY p)
+        FILTER (WHERE NOT masked OR bstart), '') AS inputs,
+      COALESCE(string_agg(
+        CASE WHEN masked AND bstart
+               THEN '<extra_id_' || k || '> ' || tok
+             WHEN masked THEN tok END, ' '
+        ORDER BY p)
+        FILTER (WHERE masked), '') AS targets
+    FROM m GROUP BY doc_id
+"""
+
+
+@query("text_span_corruption", oracle=_SPAN_CORRUPTION_ORACLE)
+def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style denoising pairs over the corpus (deterministic mask:
+    every 5th 3-token block corrupted) — the (inputs, targets)
+    training-example construction a denoising pretraining pipeline
+    ships; see operators.text.span_corruption for the scale shape."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TX.span_corruption(docs, span_len=3, period=5)
+
+
 BPE_ENCODE_MAX = 32
 
 

@@ -291,8 +291,26 @@ class ChainSyncProducer:
         # backward roll (src/cardano_streamer/main.py:42-47).
         self.emit_rollbacks = emit_rollbacks
 
-    def run(self, start_point: str = "origin", max_blocks: int | None = None) -> int:
-        """Sync until tip (or ``max_blocks``); returns blocks written."""
+    def run(
+        self,
+        start_point: str = "origin",
+        max_blocks: int | None = None,
+        resume: bool = False,
+    ) -> int:
+        """Sync until tip (or ``max_blocks`` NEW blocks); returns
+        blocks written this run.
+
+        ``resume=True`` makes a producer RESTART continue where the
+        last run stopped instead of re-landing the chain from the
+        start: every landed line is one roll, so the landing dir
+        itself records the protocol position — skip that many rolls
+        after connecting. Correct against any upstream that replays
+        the same roll sequence per conversation (the mock node, replay
+        fixtures); against a live Ogmios node prefer passing the last
+        landed block's ``(slot, id)`` as ``start_point`` (the
+        protocol's own ``find_intersection``) — cheaper than
+        re-streaming, and exact across real forks.
+        """
         import os
 
         os.makedirs(self.out_dir, exist_ok=True)
@@ -310,6 +328,11 @@ class ChainSyncProducer:
         file_idx = (
             max(int(f[5:10]) for f in existing) + 1 if existing else 0
         )
+        landed_rolls = 0
+        if resume:
+            for fname in existing:
+                with open(os.path.join(self.out_dir, fname)) as fh:
+                    landed_rolls += sum(1 for ln in fh if ln.strip())
 
         def flush() -> None:
             nonlocal pending, file_idx
@@ -333,6 +356,12 @@ class ChainSyncProducer:
             self.host, self.port, self.transport, start_point
         ).connect()
         try:
+            skipped = 0
+            while skipped < landed_rolls:
+                direction, _ = client.next_roll()
+                if direction == "tip":
+                    break  # upstream shorter than the landing dir
+                skipped += 1
             while max_blocks is None or n < max_blocks:
                 direction, payload = client.next_roll()
                 if direction == "tip":

@@ -339,3 +339,51 @@ def test_chain_sync_replay_gap_raises(chain):
     with pytest.raises(ConnectionError, match="replay gap"):
         r.readBetweenOffsets({"n": 0}, {"n": len(chain.lines) + 5})
     node.close()
+
+
+def test_producer_resume_continues_without_duplicates(spark, tmp_path):
+    """A producer RESTART with resume=True continues from the landing
+    dir's own roll position: no line lands twice, file numbering stays
+    monotone, and the concatenation equals the full chain exactly —
+    including when the resumed stretch contains the reorg marker."""
+    import glob
+
+    chain = generate_chain(n_blocks=10, seed=9)
+    anchor = chain.blocks[5]["py/state"]
+    fork = generate_chain(
+        n_blocks=3,
+        seed=23,
+        start_height=anchor["height"] + 1,
+        start_slot=anchor["slot"] + 7,
+    )
+    reorg = {
+        "after": 10,
+        "point": {"slot": anchor["slot"], "id": anchor["id"]},
+        "blocks": fork.lines,
+    }
+    out = str(tmp_path / "landing")
+
+    # run 1: stop after 4 blocks (producer crash mid-chain)
+    node = MockChainSyncNode(chain.lines, reorg=reorg, max_conns=2).start()
+    n1 = ChainSyncProducer(
+        node.host, node.port, out, rotate_every=3, emit_rollbacks=True
+    ).run(max_blocks=4)
+    assert n1 == 4
+    # run 2: resume to tip over a fresh conversation
+    n2 = ChainSyncProducer(
+        node.host, node.port, out, rotate_every=3, emit_rollbacks=True
+    ).run(resume=True)
+    node.close()
+    assert n1 + n2 == 13  # 10 chain-A + 3 fork blocks, no block twice
+
+    landed = []
+    for f in sorted(glob.glob(out + "/part-*.ndjson")):
+        landed += [ln for ln in open(f).read().splitlines() if ln]
+    from blockchain_data_engineering_spark.streaming.rollback import (
+        ROLLBACK_KEY,
+    )
+
+    markers = [ln for ln in landed if ROLLBACK_KEY in ln]
+    assert len(markers) == 1
+    blocks = [ln for ln in landed if ROLLBACK_KEY not in ln]
+    assert blocks == chain.lines + fork.lines  # order kept, no dupes

@@ -455,3 +455,37 @@ def test_quality_classifier_matches_python_and_separates(spark):
         assert got[i][0] == want[i][0], (i, got[i], want[i])
         assert got[i][1] == want[i][1]
         assert got[i][1] == ys[i], f"doc {i} misclassified"
+
+
+def test_span_corruption_roundtrip_reconstructs_text(spark):
+    """Denoising-pair invariant: substituting each sentinel in
+    `inputs` with its span from `targets` reconstructs the original
+    document exactly — so the pair losslessly partitions the text."""
+    import re
+
+    docs = [
+        (1, " ".join(f"w{i}" for i in range(32))),  # crosses 2 masked blocks
+        (2, "a b c"),  # too short to reach a masked block
+        (3, " ".join(f"x{i}" for i in range(13))),  # partial masked block
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["inputs"], r["targets"])
+        for r in TX.span_corruption(df, span_len=3, period=5).collect()
+    }
+    for doc_id, text in docs:
+        inputs, targets = out[doc_id]
+        # parse targets into {k: span tokens}
+        spans = {}
+        for part in re.split(r"<extra_id_(\d+)> ", targets):
+            pass
+        chunks = re.split(r"<extra_id_(\d+)>", targets)
+        # chunks = ['', k0, ' span0 ', k1, ' span1 ', ...]
+        for i in range(1, len(chunks), 2):
+            spans[chunks[i]] = chunks[i + 1].strip()
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans[m.group(1)], inputs
+        )
+        assert rebuilt == text, doc_id
+    assert out[2] == (docs[1][1], "")  # short doc: untouched, empty target
+    assert "<extra_id_0>" in out[1][0] and "<extra_id_1>" in out[1][0]
