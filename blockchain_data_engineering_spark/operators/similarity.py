@@ -1211,3 +1211,63 @@ def random_projection_quantized(
         "j",
         (F.col("comp_q").cast("double") / F.lit(_SCALE)).alias("comp"),
     )
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training
+    (DPR/Contriever recipe): for every anchor, the top-k most
+    cosine-similar candidates carrying a DIFFERENT label — maximally
+    confusing negatives, the examples that actually move a retriever.
+
+    Same scale shape as :func:`brute_force_topk` (broadcast anchor
+    set against the candidate scan, exact-quanta cosine, one per-anchor
+    rank shuffle); the label-mismatch filter runs BEFORE ranking, so
+    positives never crowd out the negative shortlist. For corpus-scale
+    anchor sets swap the candidate pass for the IVF/LSH shortlists and
+    keep this as the exact re-rank."""
+    q = with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("q_label"),
+            F.col(vec_col).alias("q_vec"),
+        ),
+        "q_vec",
+    ).withColumnRenamed("norm_q", "q_norm_q")
+    c = with_norm(
+        candidates.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(label_col).alias("c_label"),
+            F.col(vec_col).alias("c_vec"),
+        ),
+        "c_vec",
+    ).withColumnRenamed("norm_q", "c_norm_q")
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_label") != F.col("c_label"))
+    )
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        F.col("c_label").alias("neg_label"),
+        cosine_from_quanta(
+            dot_quanta(F.col("q_vec"), F.col("c_vec")),
+            F.col("q_norm_q"),
+            F.col("c_norm_q"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "neg_label", "cosine", "rank")
+    )

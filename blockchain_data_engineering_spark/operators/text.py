@@ -1193,3 +1193,44 @@ def span_corruption(
         _joined("in_piece").alias("inputs"),
         _joined("tgt_piece").alias("targets"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    prefix_pct: int = 40,
+    middle_pct: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022, the
+    code-LLM pretraining reorder): split each document's token stream
+    into prefix/middle/suffix at DETERMINISTIC integer token cuts
+    (``prefix_pct`` / ``middle_pct`` of the token count, floor
+    division — reproducible, engine-portable) and emit the PSM
+    rendering ``<fim_prefix> P <fim_suffix> S <fim_middle> M``.
+
+    Scale shape: a single narrow projection — split, two integer cut
+    points, three array slices, one concat. No explode, no shuffle,
+    whole-stage codegen end to end."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    p_end = F.expr(f"size(split({text_col}, ' ')) * {prefix_pct} div 100")
+    m_end = F.expr(
+        f"size(split({text_col}, ' ')) * {prefix_pct + middle_pct} div 100"
+    )
+    prefix = F.array_join(F.slice(toks, F.lit(1), p_end), " ")
+    middle = F.array_join(
+        F.slice(toks, p_end + F.lit(1), m_end - p_end), " "
+    )
+    suffix = F.array_join(F.slice(toks, m_end + F.lit(1), n - m_end), " ")
+    return df.select(
+        F.col(id_col),
+        F.concat(
+            F.lit("<fim_prefix> "),
+            prefix,
+            F.lit(" <fim_suffix> "),
+            suffix,
+            F.lit(" <fim_middle> "),
+            middle,
+        ).alias("fim_text"),
+    )

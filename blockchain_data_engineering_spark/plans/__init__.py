@@ -94,6 +94,8 @@ GATE_ORDER = [
     "text_bpe_vocab",
     "text_bpe_encode",
     "text_span_corruption",
+    "text_fim_transform",
+    "emb_hard_negatives",
     # -- new in round 4 (judge asks #6/#7): full BPE tokenizer training
     #    (trajectory oracle-replayed), per-doc token counts under the
     #    learned vocab, and RefinedWeb paragraph-level exact dedup --
@@ -124,7 +126,10 @@ GATE_ORDER = [
     "text_repetition_ratio",
     # -- green in round 2 --
     "text_quality_classifier",
-    "text_cms_heavy_hitters",
+    # r5 rotation: text_cms_heavy_hitters (r2-green) demoted to parity
+    # in exchange for text_fim_transform — the CMS register math stays
+    # pinned by pytest + the streaming sketch suite, HLL keeps the
+    # sketch family gate-witnessed.
     "graph_kcore",
     # r5 rotation: emb_random_projection (r2-green) demoted to parity
     # in exchange for text_span_corruption — the quantized projection
@@ -143,7 +148,9 @@ GATE_ORDER = [
     "emb_kmeans_centroids",
     "sim_ivf_ann_trained",
     "graph_triangle_count",
-    "dedup_embedding_cosine",
+    # r5 rotation: dedup_embedding_cosine (r2-green) demoted to parity
+    # in exchange for emb_hard_negatives — sim_semantic_dedup keeps
+    # the exact-quanta cosine family gate-witnessed.
     "dedup_simhash_multiblock",
     "pipeline_corpus_dedup",
     "sim_lsh_ann_multitable",

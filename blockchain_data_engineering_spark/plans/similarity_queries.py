@@ -65,6 +65,49 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(queries, emb, k=TOPK)
 
 
+@query(
+    "emb_hard_negatives",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, CAST(sum({_NORM_Q}) AS BIGINT) AS norm_q
+      FROM embeddings, generate_series(1, {DIM}) AS t(i) GROUP BY 1
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             c.label AS neg_label,
+             CAST(sum({_DOT_Q}) AS BIGINT) AS dot_q
+      FROM embeddings q
+      JOIN embeddings c
+        ON q.vec_id < {N_QUERIES} AND q.label <> c.label,
+           generate_series(1, {DIM}) AS t(i)
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT query_id, cand_id, neg_label,
+             (CAST(dot_q AS DOUBLE) / {_SCALE})
+               / (sqrt(CAST(nq.norm_q AS DOUBLE) / {_SCALE})
+                  * sqrt(CAST(nc.norm_q AS DOUBLE) / {_SCALE})) AS cosine
+      FROM dots
+      JOIN n nq ON nq.vec_id = query_id
+      JOIN n nc ON nc.vec_id = cand_id
+    )
+    SELECT query_id, cand_id, neg_label, cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (DPR/Contriever): per anchor, the top-3
+    most-similar DIFFERENT-label vectors — the label filter runs
+    before ranking so positives never crowd the negative shortlist
+    (operators.similarity.hard_negative_topk)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    anchors = emb.where(F.col("vec_id") < N_QUERIES)
+    return SIM.hard_negative_topk(anchors, emb, k=3)
+
+
 # ---------------------------------------------------------------------------
 # Sign-LSH ANN: bucket every vector by an 8-bit random-hyperplane sign
 # signature (Rademacher planes derived from md5 — reproducible in SQL),

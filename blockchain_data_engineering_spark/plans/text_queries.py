@@ -1342,6 +1342,35 @@ def _bpe_token_counts_oracle(n_merges: int) -> str:
     )
 
 
+_FIM_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    cuts AS (
+      SELECT doc_id, toks, n,
+             (n * 40) // 100 AS p_end, (n * 60) // 100 AS m_end
+      FROM t
+    )
+    SELECT doc_id,
+           '<fim_prefix> ' || array_to_string(toks[1:p_end], ' ')
+           || ' <fim_suffix> ' || array_to_string(toks[m_end + 1:n], ' ')
+           || ' <fim_middle> '
+           || array_to_string(toks[p_end + 1:m_end], ' ') AS fim_text
+    FROM cuts
+"""
+
+
+@query("text_fim_transform", oracle=_FIM_ORACLE)
+def text_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle PSM reordering (Bavarian et al. 2022) at
+    deterministic 40/20/40 token cuts — a single narrow projection,
+    no shuffle (operators.text.fim_transform)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TX.fim_transform(docs, prefix_pct=40, middle_pct=20)
+
+
 _SPAN_CORRUPTION_ORACLE = """
     WITH t AS (
       SELECT doc_id, i - 1 AS p, toks[i] AS tok, (i - 1) // 3 AS b

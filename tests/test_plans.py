@@ -82,7 +82,7 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
     # accidental O(N²).
     allowed_bnlj = {"sim_ivf_ann", "agg_hll_distinct", "text_vocab_coverage",
                     "sim_cosine_topk", "sim_ivf_ann_nprobe2", "events_funnel",
-                    "flagship_volume_stack"}
+                    "flagship_volume_stack", "emb_hard_negatives"}
     for name in sorted(QUERIES):
         plan = _plan(spark, sf_dir, name)
         if name not in allowed_python:

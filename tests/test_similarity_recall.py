@@ -153,3 +153,38 @@ def test_random_projection_matches_numpy_and_preserves_distances(spark, sf_dir):
     ratio = d_proj / d_orig
     assert 0.85 < ratio.mean() < 1.15, ratio.mean()
     assert ratio.min() > 0.2 and ratio.max() < 2.2, (ratio.min(), ratio.max())
+
+
+def test_hard_negatives_are_cross_label_and_hardest(spark):
+    """Hard-negative mining semantics: every mined negative carries a
+    label different from its anchor, and rank 1 is the globally most
+    similar cross-label vector (planted construction: the anchor's
+    nearest overall neighbor shares its label, so mining must SKIP it
+    and return the nearest other-label vector instead)."""
+    import numpy as np
+
+    from blockchain_data_engineering_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.uniform(-1, 1, 16)
+    rows = [
+        # anchor (label 0)
+        (0, [float(x) for x in base], 0),
+        # same-label near-duplicate: closest overall, must be skipped
+        (1, [float(x) for x in base + 0.01], 0),
+        # other-label close vector: the true hard negative
+        (2, [float(x) for x in base + 0.05], 1),
+        # other-label far vector
+        (3, [float(-x) for x in base], 1),
+        (4, [float(x) for x in rng.uniform(-1, 1, 16)], 2),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = hard_negative_topk(
+        df.where("vec_id = 0"), df, k=3
+    ).collect()
+    assert [r["cand_id"] for r in out] != []
+    assert all(r["neg_label"] != 0 for r in out)
+    assert out[0]["cand_id"] == 2 and out[0]["rank"] == 1
+    assert 1 not in {r["cand_id"] for r in out}  # same-label skipped
