@@ -561,3 +561,65 @@ def kcore(
         # the small result and truncates the plan to a flat scan.
         out = finalize(out, alive)
     return out
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Multi-source BFS over the directed edge list: ``(node, dist)``
+    where ``dist`` is the fewest hops from ANY seed (seeds at 0);
+    nodes unreachable within ``max_hops`` are omitted. The wallet
+    use: taint/exposure analysis — how many hops funds from a set of
+    flagged wallets can have traveled. (The reference's Neo4j store
+    would express this as a variable-length Cypher match; here it is
+    the standard frontier-expansion join loop.)
+
+    Delta-frontier discipline: each hop joins ONLY the newly reached
+    frontier against the edge list, distincts the successors, and
+    anti-joins the visited set — so a node enters the result exactly
+    once, at its minimal distance (which makes the output identical
+    to the recursive-CTE oracle's ``min(dist)`` without a final
+    aggregate). One shuffle per hop for the distinct; the frontier
+    and visited sets are ≤|V| rows (broadcast by default,
+    ``broadcast=False`` + edges pre-partitioned by ``src`` at
+    billion-node scale — see :func:`_hint`). Early exit when a
+    frontier empties: the per-round ``count()`` doubles as the
+    persist materialization the loop needs anyway.
+    """
+    pieces = [
+        seeds.select("node")
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("dist"))
+        .persist()
+    ]
+    frontier = pieces[0]
+    for h in range(1, max_hops + 1):
+        visited = pieces[0]
+        for p in pieces[1:]:
+            visited = visited.union(p)
+        nxt = (
+            edges.join(
+                _hint(frontier.select(F.col("node").alias(src)), broadcast),
+                src,
+                "left_semi",
+            )
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(_hint(visited.select("node"), broadcast), "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("dist"))
+            .persist()
+        )
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        pieces.append(nxt)
+        frontier = nxt
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return finalize(out, *pieces)

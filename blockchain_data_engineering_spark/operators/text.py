@@ -1234,3 +1234,65 @@ def fim_transform(
             middle,
         ).alias("fim_text"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church &
+    Hanks 1990), the standard phrase-detection pass (word2vec's
+    ``min_count``/``threshold`` phrasing step uses the same score):
+    for each adjacent word pair, ``lift = p(ab) / (p(a)·p(b))``
+    estimated from bigram-position counts — n_ab·N / (n_a·n_b) with
+    n_a = bigrams starting with ``a``, n_b = bigrams ending with
+    ``b``, N = total bigrams. PMI = ln(lift); the engines' ``ln``
+    differ in the last ulp, so the returned ``lift`` column stays in
+    exact-integer-operand IEEE space (each count cast to double, one
+    multiply chain — bit-identical everywhere) and ranks identically.
+
+    Scale shape: one explode over token positions, three map-side-
+    combined count aggregates (pair / left-unigram / right-unigram),
+    two vocabulary-keyed equi joins, a 1-row total broadcast via
+    cross join. ``min_count`` prunes the pair table BEFORE the joins,
+    so the join inputs are the frequent-pair set, not the long tail.
+    """
+    toks = F.split(F.col(text_col), " ")
+    pairs = (
+        df.select(
+            toks.alias("tk"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+            ).alias("i"),
+        )
+        .where(F.col("i") + 1 <= F.size(F.col("tk")))
+        .select(
+            F.element_at(F.col("tk"), F.col("i")).alias("w1"),
+            F.element_at(F.col("tk"), F.col("i") + 1).alias("w2"),
+        )
+    )
+    pair_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    left_counts = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n_a"))
+    right_counts = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("n_b"))
+    total = pairs.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        pair_counts.where(F.col("n_ab") >= min_count)
+        .join(left_counts, "w1")
+        .join(right_counts, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            (
+                F.col("n_ab").cast("double")
+                * F.col("n_total").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("w1"), F.col("w2")
+    ).limit(top_k)

@@ -96,6 +96,8 @@ GATE_ORDER = [
     "text_span_corruption",
     "text_fim_transform",
     "emb_hard_negatives",
+    "text_pmi_collocations",
+    "graph_bfs_levels",
     # -- new in round 4 (judge asks #6/#7): full BPE tokenizer training
     #    (trajectory oracle-replayed), per-doc token counts under the
     #    learned vocab, and RefinedWeb paragraph-level exact dedup --
@@ -120,8 +122,11 @@ GATE_ORDER = [
     # in exchange for text_bpe_encode — the simhash family stays
     # gate-witnessed by dedup_simhash_multiblock.
     "emb_label_centroids",
-    "sim_ivf_ann",
-    "sim_lsh_ann",
+    # r5 rotation: sim_ivf_ann and sim_lsh_ann (both r3-green) demoted
+    # to parity in exchange for text_pmi_collocations and
+    # graph_bfs_levels — the IVF family stays gate-witnessed by
+    # sim_ivf_ann_trained + sim_ivf_ann_nprobe2, the sign-LSH family
+    # by sim_lsh_ann_multitable.
     "stream_sliding_window",
     "text_repetition_ratio",
     # -- green in round 2 --

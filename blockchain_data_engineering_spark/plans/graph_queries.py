@@ -402,3 +402,38 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges_df(spark, sf_dir)
     return finalize(G.kcore(edges, k=KCORE_K, rounds=KCORE_ROUNDS), edges)
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS distance: fewest hops from the seed wallets.
+# The oracle is a genuine recursive CTE (DuckDB's UNION-dedup
+# recursion, capped by the same max_hops) rather than an unrolled
+# chain — states are (node, dist) pairs, so min(dist) is the level a
+# node FIRST entered the frontier, exactly what the delta-frontier
+# Spark loop emits.
+# ---------------------------------------------------------------------------
+BFS_HOPS = 4
+
+_BFS_ORACLE = f"""
+    WITH RECURSIVE e AS ({_EDGES_SQL}),
+    seeds(node) AS (VALUES ('c1'), ('c2'), ('c3')),
+    bfs(node, dist) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, b.dist + 1
+      FROM bfs b JOIN e ON e.src = b.node
+      WHERE b.dist < {BFS_HOPS}
+    )
+    SELECT node, CAST(min(dist) AS INTEGER) AS dist
+    FROM bfs GROUP BY 1
+"""
+
+
+@query("graph_bfs_levels", oracle=_BFS_ORACLE)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taint/exposure reach: hop distance from seed wallets c1-c3
+    (operators.graph.bfs_levels — delta-frontier join loop, one
+    shuffle per hop, early exit on empty frontier)."""
+    edges = _edges_df(spark, sf_dir)
+    seeds = spark.createDataFrame([("c1",), ("c2",), ("c3",)], "node string")
+    return finalize(G.bfs_levels(edges, seeds, max_hops=BFS_HOPS), edges)

@@ -1887,3 +1887,45 @@ def sample_token_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_picks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: the phrase-mining pass (Church & Hanks 1990 /
+# word2vec's phrasing step). The score column is the PMI *lift*
+# (exp(PMI)) — a single IEEE multiply chain over exact integer counts,
+# bit-identical across engines where ln() is not.
+# ---------------------------------------------------------------------------
+@query(
+    "text_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    pairs AS (
+      SELECT tk[CAST(i AS INTEGER)]     AS w1,
+             tk[CAST(i AS INTEGER) + 1] AS w2
+      FROM (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, greatest(len(tk) - 1, 1))) AS i
+        FROM toks
+      )
+      WHERE CAST(i AS INTEGER) + 1 <= len(tk)
+    ),
+    pc AS (SELECT w1, w2, count(*) AS n_ab FROM pairs GROUP BY 1, 2),
+    lc AS (SELECT w1, count(*) AS n_a FROM pairs GROUP BY 1),
+    rc AS (SELECT w2, count(*) AS n_b FROM pairs GROUP BY 1),
+    tot AS (SELECT count(*) AS n_total FROM pairs)
+    SELECT w1, w2, n_ab,
+           CAST(n_ab AS DOUBLE) * CAST(n_total AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS lift
+    FROM pc JOIN lc USING (w1) JOIN rc USING (w2) CROSS JOIN tot
+    WHERE n_ab >= 5
+    ORDER BY lift DESC, w1, w2 LIMIT 50
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-pair collocations by PMI lift with min_count=5
+    (operators.text.pmi_collocations) — explode, three count aggs,
+    two vocab-keyed joins, a 1-row total broadcast."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TX.pmi_collocations(docs, min_count=5, top_k=50)

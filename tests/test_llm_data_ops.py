@@ -489,3 +489,56 @@ def test_span_corruption_roundtrip_reconstructs_text(spark):
         assert rebuilt == text, doc_id
     assert out[2] == (docs[1][1], "")  # short doc: untouched, empty target
     assert "<extra_id_0>" in out[1][0] and "<extra_id_1>" in out[1][0]
+
+
+def test_bfs_levels_min_distance_and_early_exit(spark):
+    """Planted-path semantics: dist is the MINIMUM hop count over all
+    paths (diamond graph), seeds sit at 0 even when also reachable
+    later, unreachable-within-cap nodes are omitted, and the loop
+    early-exits on an exhausted frontier (chain shorter than the cap)."""
+    from blockchain_data_engineering_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [
+            # diamond: a -> b -> d and a -> c -> d, plus a shortcut a -> d
+            ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d"),
+            # tail past the cap: d -> e -> f -> g -> h
+            ("d", "e"), ("e", "f"), ("f", "g"), ("g", "h"),
+            # back-edge into the seed: must NOT demote a's dist from 0
+            ("b", "a"),
+        ],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["dist"] for r in bfs_levels(edges, seeds, max_hops=3).collect()}
+    assert out == {"a": 0, "b": 1, "c": 1, "d": 1, "e": 2, "f": 3}
+    # disconnected seed: frontier dies immediately, early exit
+    lone = spark.createDataFrame([("z",)], "node string")
+    out2 = {r["node"]: r["dist"] for r in bfs_levels(edges, lone, max_hops=4).collect()}
+    assert out2 == {"z": 0}
+
+
+def test_pmi_collocations_ranks_exclusive_pairs_first(spark):
+    """PMI lift semantics: a pair whose words appear ONLY together
+    outranks a frequent pair of promiscuous words, min_count prunes
+    rare pairs, and the lift value equals the exact count ratio."""
+    from blockchain_data_engineering_spark.operators.text import pmi_collocations
+
+    docs = [
+        # 6 docs of "hong kong" (exclusive collocation)
+        *[("hong kong",)] * 6,
+        # "the cat" / "the dog" / "cat the" — 'the' is everywhere
+        *[("the cat the dog cat the",)] * 6,
+        # a rare pair below min_count
+        ("rare pair",), ("rare pair",),
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    out = pmi_collocations(df, min_count=5, top_k=10).collect()
+    pairs = [(r["w1"], r["w2"]) for r in out]
+    assert pairs[0] == ("hong", "kong")
+    assert ("rare", "pair") not in pairs
+    top = out[0]
+    # hong->kong: n_ab=6, n_a=6, n_b=6, N = 6 + 6*5 + 2 = 38
+    # → lift = 6*38/(6*6), exact same IEEE ops as the operator
+    assert top["n_ab"] == 6 and top["lift"] == 6.0 * 38.0 / (6.0 * 6.0)
+    assert all(out[i]["lift"] >= out[i + 1]["lift"] for i in range(len(out) - 1))

@@ -82,7 +82,11 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
     # accidental O(N²).
     allowed_bnlj = {"sim_ivf_ann", "agg_hll_distinct", "text_vocab_coverage",
                     "sim_cosine_topk", "sim_ivf_ann_nprobe2", "events_funnel",
-                    "flagship_volume_stack", "emb_hard_negatives"}
+                    "flagship_volume_stack", "emb_hard_negatives",
+                    # 1-row broadcast total (n_total) cross-joined onto
+                    # the frequent-pair table — same audited shape as
+                    # agg_hll_distinct's cardinality scalar
+                    "text_pmi_collocations"}
     for name in sorted(QUERIES):
         plan = _plan(spark, sf_dir, name)
         if name not in allowed_python:
