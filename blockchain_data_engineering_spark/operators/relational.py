@@ -524,3 +524,57 @@ def cms_estimate(
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history from a change log
+    (Kimball's versioned-dimension pattern): one row per
+    (key, attribute-state) RUN, with ``valid_from`` / ``valid_to``
+    half-open validity intervals and an ``is_current`` flag on the
+    open row. Consecutive change records with identical attributes
+    collapse into one version (re-stating the same state is not a new
+    version); ``valid_to`` is the next version's ``valid_from``
+    (NULL for current). Ties on the timestamp are broken by
+    ``tiebreak_cols`` so the history is deterministic.
+
+    The reference's stores are overwrite-only (latest state); SCD2 is
+    what a warehouse consumer builds ON the engine's upsert stream
+    when history must be queryable ("what was this customer's
+    priority tier when the order shipped" — an as-of join against
+    this table answers it).
+
+    Scale shape: exactly ONE shuffle — both window passes (change
+    detection via lag, interval close via lead) share the same
+    partitioning on ``key_cols``, so Catalyst reuses the exchange;
+    the change-row filter between them is narrow. State per key is
+    the version count, not the change count.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    versions = (
+        changes.withColumn("__prev", F.lag(attrs).over(w))
+        # null-safe struct inequality: a NULL attribute value must
+        # still compare (NULL -> 'x' IS a change; NULL -> NULL is not)
+        .where(~attrs.eqNullSafe(F.col("__prev")))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        versions.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            *key_cols,
+            *attr_cols,
+            "valid_from",
+            "valid_to",
+            "is_current",
+        )
+    )

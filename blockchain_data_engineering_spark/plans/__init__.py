@@ -30,6 +30,7 @@ from blockchain_data_engineering_spark.plans import dedup_queries  # noqa: F401,
 from blockchain_data_engineering_spark.plans import similarity_queries  # noqa: F401,E402
 from blockchain_data_engineering_spark.plans import streaming_queries  # noqa: F401,E402
 from blockchain_data_engineering_spark.plans import multimodal_queries  # noqa: F401,E402
+from blockchain_data_engineering_spark.plans import linkage_queries  # noqa: F401,E402
 
 # The 50 gate queries (the driver gate records ~50 rows per round).
 # Queries without an official gate row come first so even a row-capped
@@ -98,6 +99,8 @@ GATE_ORDER = [
     "emb_hard_negatives",
     "text_pmi_collocations",
     "graph_bfs_levels",
+    "er_fuzzy_part_pairs",
+    "scd2_order_priority",
     # -- new in round 4 (judge asks #6/#7): full BPE tokenizer training
     #    (trajectory oracle-replayed), per-doc token counts under the
     #    learned vocab, and RefinedWeb paragraph-level exact dedup --
@@ -159,7 +162,10 @@ GATE_ORDER = [
     "dedup_simhash_multiblock",
     "pipeline_corpus_dedup",
     "sim_lsh_ann_multitable",
-    "sim_ivf_ann_nprobe2",
+    # r5 rotation: sim_ivf_ann_nprobe2 (r2-green) demoted to parity in
+    # exchange for er_fuzzy_part_pairs — the IVF family stays
+    # gate-witnessed by sim_ivf_ann_trained (same probe plan, trained
+    # centroids), and the nprobe recall property stays pinned in pytest.
     # r5 rotation: stream_session_window (r2-green) demoted to parity
     # in exchange for stream_reorg_replay — sliding windows + watermark
     # dedup keep the streaming-window family gate-witnessed.
@@ -168,7 +174,10 @@ GATE_ORDER = [
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "netflow_decimal",
-    "sample_temperature_mix",
+    # r5 rotation: sample_temperature_mix (r2-green) demoted to parity
+    # in exchange for scd2_order_priority — the sampling family stays
+    # gate-witnessed by sample_token_weighted + sample_shard_shuffle +
+    # sample_split_leakage_free.
     "dedup_incremental_batch",
     "events_funnel",
     "sample_token_weighted",

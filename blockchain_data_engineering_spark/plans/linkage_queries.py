@@ -1,0 +1,109 @@
+"""Record-linkage and dimension-history queries: fuzzy entity
+resolution (multi-pass blocking + edit-distance verify) and SCD
+Type 2 versioning — the warehouse-maintenance layer a consumer of the
+engine's upsert stream builds when history and near-duplicate
+entities must be queryable. The reference has no fuzzy or versioned
+surface (exact keys, overwrite-only stores — e.g. the latest-state
+upserts in src/etl_vol_transfers/main.py); these extend the
+training-data/warehouse superset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blockchain_data_engineering_spark.catalog import load_table, spread
+from blockchain_data_engineering_spark.operators import linkage as L
+from blockchain_data_engineering_spark.operators.relational import scd2_history
+from blockchain_data_engineering_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity resolution over part names: multi-pass blocking (first
+# token ∪ last token — either token may be the corrupted one), ONE
+# equi-self-join per pass, Levenshtein ≤ 3 verification on the
+# candidate set only. F.levenshtein and DuckDB's levenshtein are the
+# same integer metric, so the pairs are exactly oracle-checkable.
+# ---------------------------------------------------------------------------
+ER_MAX_DIST = 3
+
+
+@query(
+    "er_fuzzy_part_pairs",
+    oracle=f"""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    keyed AS (
+      SELECT p_name,
+             string_split(p_name, ' ')[1]  AS k1,
+             string_split(p_name, ' ')[-1] AS k2
+      FROM names
+    ),
+    cand AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM keyed a JOIN keyed b ON a.k1 = b.k1 AND a.p_name < b.p_name
+      UNION
+      SELECT a.p_name, b.p_name
+      FROM keyed a JOIN keyed b ON a.k2 = b.k2 AND a.p_name < b.p_name
+    )
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INTEGER) AS edit_dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= {ER_MAX_DIST}
+    """,
+)
+def er_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part-name pairs (operators.linkage.fuzzy_pairs):
+    blocking passes on first and last name token, union-dedup,
+    native-Levenshtein verify — no cartesian anywhere (plan-tested)."""
+    part = spread(load_table(spark, sf_dir, "part"))
+    first_tok = lambda df: F.element_at(F.split(F.col("p_name"), " "), 1)  # noqa: E731
+    last_tok = lambda df: F.element_at(F.split(F.col("p_name"), " "), -1)  # noqa: E731
+    return L.fuzzy_pairs(
+        part,
+        name_col="p_name",
+        block_keys=[first_tok, last_tok],
+        max_distance=ER_MAX_DIST,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 dimension history from the orders change log: per
+# customer, the run-length-collapsed priority timeline with half-open
+# validity intervals. Both engines run the identical two-window plan:
+# lag-based change detection, lead-based interval close, ties broken
+# by o_orderkey.
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_order_priority",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    versions AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM ordered
+      WHERE prev IS NULL OR prev <> o_orderpriority
+    )
+    SELECT o_custkey, o_orderpriority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w2 AS valid_to,
+           lead(o_orderdate) OVER w2 IS NULL AS is_current
+    FROM versions
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned order-priority dimension per customer
+    (operators.relational.scd2_history): ONE shuffle — both window
+    passes share the o_custkey partitioning, exchange reused."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    return scd2_history(
+        orders,
+        key_cols=["o_custkey"],
+        attr_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+    )
