@@ -578,3 +578,98 @@ def scd2_history(
             "is_current",
         )
     )
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: Sequence[str],
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    suffix: str = "_ff",
+) -> DataFrame:
+    """Last-observation-carried-forward (LOCF) gap fill: for each key,
+    replace NULLs in ``cols`` with the most recent non-NULL value in
+    ``order_cols`` order. The standard repair for sparse sensor /
+    price / state streams before resampling or as-of joining (the
+    reference's price join at src/etl_vol_transfers/main.py:61-67
+    assumes dense quotes; LOCF is what makes a sparse quote stream
+    dense).
+
+    Scale shape: ONE shuffle on ``key_cols`` — every filled column
+    shares the same running window (``last(ignorenulls=True)`` over
+    unbounded-preceding), so Catalyst computes all fills in a single
+    WindowExec pass over a single exchange. State per row is one
+    value per filled column (the running carry), independent of gap
+    length.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.last(F.col(c), ignorenulls=True).over(w)
+        )
+    return out
+
+
+# Hash space of the 60-bit md5 prefix used by kmv_bottom_k: hashes are
+# uniform draws from [0, 2^60); 2^60 is exactly representable as a
+# double, so the estimate arithmetic is engine-portable.
+KMV_HASH_SPACE = float(1 << 60)
+
+
+def kmv_bottom_k(df: DataFrame, col: str, k: int) -> DataFrame:
+    """The k-minimum-values (KMV / bottom-k) distinct sketch state
+    (Bar-Yossef et al. 2002): the k smallest distinct 60-bit md5-prefix
+    hashes of ``col``. Engine-portable by construction — md5 is
+    identical everywhere and fixed-width lowercase hex preserves
+    numeric order, the same trick the MinHash operator uses
+    (operators/dedup.py).
+
+    Scale shape: ONE map-side-combined distinct shuffle over hashes,
+    then TakeOrderedAndProject (per-partition k-heaps merged on the
+    driver) — never a global sort. The state is k longs and is
+    MERGEABLE: union sketches by re-taking the bottom k of the union,
+    which is how a 100 TB scan or a streaming store maintains it
+    per-partition/per-batch (cf. streaming/sketches.py registers).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_count_distinct(df: DataFrame, col: str, k: int) -> DataFrame:
+    """KMV cardinality estimate: with the k-th smallest of n uniform
+    hash draws at fraction f = h_k / 2^60 of the hash space, the
+    unbiased estimator is (k-1)/f. Returns one row:
+    (k_actual, kth_hash, est_distinct) — when the column has fewer
+    than k distinct values the sketch IS the exact distinct set and
+    k_actual reports it.
+
+    The final arithmetic runs on identical IEEE operands in any
+    engine ((k-1)·2^60 is exact: k ≤ 2^53-60ish), so the estimate is
+    bit-identical — same portability contract as hll_count_distinct.
+    """
+    ks = kmv_bottom_k(df, col, k)
+    return ks.agg(
+        F.count(F.lit(1)).alias("k_actual"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        "k_actual",
+        "kth_hash",
+        (
+            (F.col("k_actual") - F.lit(1)).cast("double")
+            * F.lit(KMV_HASH_SPACE)
+            / F.col("kth_hash").cast("double")
+        ).alias("est_distinct"),
+    )

@@ -101,6 +101,8 @@ GATE_ORDER = [
     "graph_bfs_levels",
     "er_fuzzy_part_pairs",
     "scd2_order_priority",
+    "agg_kmv_distinct",
+    "events_forward_fill",
     # -- new in round 4 (judge asks #6/#7): full BPE tokenizer training
     #    (trajectory oracle-replayed), per-doc token counts under the
     #    learned vocab, and RefinedWeb paragraph-level exact dedup --
@@ -119,12 +121,16 @@ GATE_ORDER = [
     "text_corpus_datasheet",
     # -- never officially gate-verified before round 3 (front-loaded
     #    so even a row-capped gate reaches them) --
-    "basket_part_pairs",
+    # r5 rotation: basket_part_pairs (r3-green) demoted to parity in
+    # exchange for agg_kmv_distinct — the explode+self-join pair-mining
+    # family stays gate-witnessed by text_pmi_collocations.
     "dedup_minhash_containment",
     # r5 rotation: dedup_simhash_hamming (r3-green) demoted to parity
     # in exchange for text_bpe_encode — the simhash family stays
     # gate-witnessed by dedup_simhash_multiblock.
-    "emb_label_centroids",
+    # r5 rotation: emb_label_centroids (r3-green) demoted to parity in
+    # exchange for events_forward_fill — the per-label centroid agg
+    # plan family stays gate-witnessed by emb_kmeans_centroids.
     # r5 rotation: sim_ivf_ann and sim_lsh_ann (both r3-green) demoted
     # to parity in exchange for text_pmi_collocations and
     # graph_bfs_levels — the IVF family stays gate-witnessed by

@@ -708,3 +708,95 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "p1", "p2")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch vs exact: the distinct-count twin of
+# agg_hll_distinct with a different accuracy/state trade (k longs,
+# mergeable by re-taking the bottom k of a union). The estimate
+# arithmetic runs on identical IEEE operands in both engines — see
+# operators.relational.kmv_count_distinct.
+# ---------------------------------------------------------------------------
+_KMV_K = 256
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle=f"""
+    WITH dh AS (
+      SELECT DISTINCT
+        CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+             AS BIGINT) AS h
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    ks AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_actual,
+             max(h) AS kth_hash
+      FROM (SELECT h FROM dh ORDER BY h LIMIT {_KMV_K})
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM dh)
+    SELECT k_actual, kth_hash,
+           CAST(k_actual - 1 AS DOUBLE) * 1152921504606846976.0
+             / CAST(kth_hash AS DOUBLE) AS est_distinct,
+           n_exact
+    FROM ks, tot
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k distinct estimate of ordering customers, with the
+    exact count for side-by-side error measurement (drop in
+    production — the exact side is the expensive one). The 1-row
+    scalar join is the audited agg_hll_distinct shape."""
+    from blockchain_data_engineering_spark.operators import relational as R
+
+    orders = load_table(spark, sf_dir, "orders")
+    est = R.kmv_count_distinct(orders, "o_custkey", _KMV_K)
+    n = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .agg(F.count_distinct("o_custkey").alias("n_exact"))
+    )
+    return est.crossJoin(F.broadcast(n))
+
+
+# ---------------------------------------------------------------------------
+# LOCF forward fill: treat 'error' events as sensor dropouts (value
+# masked to NULL) and carry the last good reading forward per user.
+# No arithmetic touches the carried value, so the filled doubles are
+# the stored parquet bits in both engines — exact parity without
+# quantization.
+# ---------------------------------------------------------------------------
+@query(
+    "events_forward_fill",
+    oracle="""
+    SELECT user_id, event_id,
+           last_value(CASE WHEN event_type <> 'error' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_ff
+    FROM events
+    """,
+)
+def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap repair (operators.relational.forward_fill): one
+    shuffle on user_id, one WindowExec pass; leading-NULL runs stay
+    NULL (nothing to carry) — the oracle window is the definition."""
+    from blockchain_data_engineering_spark.operators.relational import (
+        forward_fill,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.withColumn(
+        "value_good",
+        F.when(F.col("event_type") != "error", F.col("value")),
+    )
+    return forward_fill(
+        masked,
+        cols=["value_good"],
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("value_good_ff").alias("value_ff"),
+    )

@@ -80,7 +80,8 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
     # or the fixed N_QUERIES query side of the exact-ANN baselines.
     # Anywhere else a BNLJ means a join lost its equi-key — the classic
     # accidental O(N²).
-    allowed_bnlj = {"sim_ivf_ann", "agg_hll_distinct", "text_vocab_coverage",
+    allowed_bnlj = {"sim_ivf_ann", "agg_hll_distinct", "agg_kmv_distinct",
+                    "text_vocab_coverage",
                     "sim_cosine_topk", "sim_ivf_ann_nprobe2", "events_funnel",
                     "flagship_volume_stack", "emb_hard_negatives",
                     # 1-row broadcast total (n_total) cross-joined onto

@@ -269,3 +269,87 @@ def test_price_dim_deduplicates_providers(spark):
     rows = {r["unit"]: r for r in dim.collect()}
     assert dim.count() == 2  # one row per unit, not per provider
     assert rows["u1"]["pricing_provider"] == "provA"  # deterministic
+
+
+def test_forward_fill_semantics(spark):
+    """LOCF: gaps take the last non-NULL in order, leading NULLs stay
+    NULL, keys never leak into each other, and ties in the order
+    columns resolve by the full order tuple."""
+    rows = [
+        # key a: leading NULL, then fill across a two-NULL gap
+        ("a", 1, None), ("a", 2, 10.0), ("a", 3, None), ("a", 4, None),
+        ("a", 5, 20.0),
+        # key b: starts dense — key a's carry must not leak here
+        ("b", 1, 99.0), ("b", 2, None),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, t LONG, v DOUBLE")
+    out = R.forward_fill(df, cols=["v"], key_cols=["k"], order_cols=["t"])
+    got = {(r["k"], r["t"]): r["v_ff"] for r in out.collect()}
+    assert got[("a", 1)] is None          # nothing to carry yet
+    assert got[("a", 2)] == 10.0
+    assert got[("a", 3)] == 10.0          # carried
+    assert got[("a", 4)] == 10.0          # carried across the gap
+    assert got[("a", 5)] == 20.0          # fresh observation wins
+    assert got[("b", 1)] == 99.0
+    assert got[("b", 2)] == 99.0          # b fills from b, not from a
+
+
+def test_forward_fill_multi_column_single_window(spark):
+    """All filled columns share one window spec — a single exchange +
+    WindowExec in the plan."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0, None), ("a", 2, None, 5.0)],
+        "k STRING, t LONG, x DOUBLE, y DOUBLE",
+    )
+    out = R.forward_fill(df, cols=["x", "y"], key_cols=["k"], order_cols=["t"])
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    # one Window pass and one exchange for its partitioning, not one
+    # per filled column (formatted explain lists each node twice:
+    # tree line + numbered section — count the section headers)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    got = {r["t"]: (r["x_ff"], r["y_ff"]) for r in out.collect()}
+    assert got[2] == (1.0, 5.0)
+
+
+def test_kmv_exact_below_k_and_estimate_above_k(spark):
+    """Below k distinct values the sketch IS the exact set (k_actual =
+    n, and the estimate is irrelevant); above k the (k-1)/f estimate
+    lands within the ~1/sqrt(k) relative-error envelope."""
+    small = spark.range(0, 40).select(F.col("id").alias("v"))
+    est = R.kmv_count_distinct(small, "v", k=256).collect()[0]
+    assert est["k_actual"] == 40
+
+    n_true = 20_000
+    big = spark.range(0, n_true * 3).select((F.col("id") % n_true).alias("v"))
+    row = R.kmv_count_distinct(big, "v", k=256).collect()[0]
+    assert row["k_actual"] == 256
+    rel_err = abs(row["est_distinct"] - n_true) / n_true
+    assert rel_err < 0.25, rel_err  # 1/sqrt(256) ≈ 6%; generous bound
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """Union-of-sketches re-bottom-k == sketch of the union — the
+    property that lets a 100 TB scan keep one k-long heap per
+    partition and merge once."""
+    k = 64
+    left = spark.range(0, 5000).select((F.col("id") * 2).alias("v"))
+    right = spark.range(0, 5000).select((F.col("id") * 2 + 1).alias("v"))
+    merged_sketches = (
+        R.kmv_bottom_k(left, "v", k)
+        .unionAll(R.kmv_bottom_k(right, "v", k))
+        .orderBy("h")
+        .limit(k)
+    )
+    direct = R.kmv_bottom_k(left.unionAll(right), "v", k)
+    assert [r["h"] for r in merged_sketches.collect()] == [
+        r["h"] for r in direct.collect()
+    ]
