@@ -148,3 +148,38 @@ def deterministic_id(*cols: Column | str) -> Column:
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     parts = [F.coalesce(c.cast("string"), F.lit("\x00")) for c in cs]
     return F.sha2(F.concat_ws("\x1f", *parts), 256)
+
+
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton / Z-order interleave of the low ``bits`` bits of each
+    column: bit i of column j lands at position ``i·len(cols)+j`` of
+    the key. Rows sorted by this key are clustered so that a range
+    predicate on ANY of the interleaved dimensions touches a small,
+    contiguous-ish subset of files — multi-dimensional data skipping
+    from one-dimensional file layout (the technique behind
+    Delta/Iceberg OPTIMIZE ZORDER BY).
+
+    Inputs must already be non-negative and < 2^bits (callers bucket
+    with pmod); the result fits a long for bits·len(cols) ≤ 63. The
+    expression is a balanced tree of shift/and/multiply terms — pure
+    integer arithmetic, whole-stage-codegen friendly, and expressible
+    verbatim in any SQL engine (see plans/lake_queries.zorder_sql).
+    """
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"zorder_key: {bits} bits x {n} cols overflows long")
+    cs = [(F.col(c) if isinstance(c, str) else c).cast("long") for c in cols]
+    terms = [
+        F.shiftright(c, i).bitwiseAND(F.lit(1)) * F.lit(1 << (i * n + j))
+        for i in range(bits)
+        for j, c in enumerate(cs)
+    ]
+    # balanced reduction: a flat left-lean chain nests the expression
+    # tree bits·n deep (JVM stack risk at high widths, see the r5
+    # CaseWhen note in streaming/rollback.py)
+    while len(terms) > 1:
+        terms = [
+            terms[k] + terms[k + 1] if k + 1 < len(terms) else terms[k]
+            for k in range(0, len(terms), 2)
+        ]
+    return terms[0]

@@ -673,3 +673,99 @@ def kmv_count_distinct(df: DataFrame, col: str, k: int) -> DataFrame:
             / F.col("kth_hash").cast("double")
         ).alias("est_distinct"),
     )
+
+
+def kmv_intersection(
+    left: DataFrame, right: DataFrame, col: str, k: int
+) -> DataFrame:
+    """Theta-sketch-style set-INTERSECTION estimate from two KMV
+    sketches (Dasgupta et al., DataSketches): with
+    theta = min(kth_left, kth_right), every sketch hash below theta is
+    a uniform sample of its set at rate theta/2^60, so
+    |A∩B| ≈ |{h < theta: h in both sketches}| · 2^60/theta.
+
+    Why it matters at scale: set overlap between two 100 TB-side
+    populations (wallets active in two eras, documents in two crawls)
+    without ever co-shuffling the full sets — each side keeps k longs,
+    the estimate is a k-row join. Returns one row
+    (n_sample, theta, est_intersection); exact and engine-portable
+    given the shared md5 hash line.
+    """
+    ls = kmv_bottom_k(left, col, k)
+    rs = kmv_bottom_k(right, col, k)
+    lagg = ls.agg(F.max("h").alias("kth_l"))
+    ragg = rs.agg(F.max("h").alias("kth_r"))
+    theta = lagg.crossJoin(ragg).select(
+        F.least("kth_l", "kth_r").alias("theta")
+    )
+    both = ls.join(rs, "h")  # k-row equi join on the hash
+    # grand agg (never groupBy) so a disjoint pair still yields ONE
+    # row with n_sample = 0, not an empty frame
+    n_s = (
+        both.crossJoin(F.broadcast(theta))
+        .where(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_sample"))
+    )
+    return n_s.crossJoin(F.broadcast(theta)).select(
+        "n_sample",
+        "theta",
+        (
+            F.col("n_sample").cast("double")
+            * F.lit(KMV_HASH_SPACE)
+            / F.col("theta").cast("double")
+        ).alias("est_intersection"),
+    )
+
+
+def max_concurrent_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Sweep-line maximum interval overlap per key: the peak number of
+    simultaneously-open [start, end) intervals — concurrent sessions,
+    open positions, in-flight requests. Each interval contributes a
+    (+1 at start, -1 at end) event; the running sum over time-ordered
+    events is the live concurrency and its max is the answer.
+
+    Half-open semantics: at equal timestamps the -1 sorts FIRST
+    (delta ascending), so an interval ending exactly when another
+    starts never counts as overlap.
+
+    Scale shape: ONE shuffle on ``key_cols`` — the explode is narrow
+    (2 rows per interval), the running sum and its max ride a single
+    window partitioning, and per-key state is one counter. The max of
+    the running sum is order-invariant among same-(t, delta) rows, so
+    ``tiebreak_cols`` are only needed if callers also read the
+    per-event ``concurrency`` column deterministically.
+    """
+    points = df.select(
+        *key_cols,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).alias("t"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col(end_col).alias("t"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("ev"),
+        *tiebreak_cols,
+    ).select(*key_cols, "ev.t", "ev.delta", *tiebreak_cols)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(
+            F.col("t").asc(),
+            F.col("delta").asc(),
+            *[F.col(c).asc() for c in tiebreak_cols],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = points.withColumn("concurrency", F.sum("delta").over(w))
+    return running.groupBy(*key_cols).agg(
+        F.max("concurrency").alias("max_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )

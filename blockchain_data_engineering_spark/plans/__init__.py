@@ -31,6 +31,7 @@ from blockchain_data_engineering_spark.plans import similarity_queries  # noqa: 
 from blockchain_data_engineering_spark.plans import streaming_queries  # noqa: F401,E402
 from blockchain_data_engineering_spark.plans import multimodal_queries  # noqa: F401,E402
 from blockchain_data_engineering_spark.plans import linkage_queries  # noqa: F401,E402
+from blockchain_data_engineering_spark.plans import lake_queries  # noqa: F401,E402
 
 # The 50 gate queries (the driver gate records ~50 rows per round).
 # Queries without an official gate row come first so even a row-capped
@@ -103,6 +104,12 @@ GATE_ORDER = [
     "scd2_order_priority",
     "agg_kmv_distinct",
     "events_forward_fill",
+    "lake_zorder_ranges",
+    "agg_rollup_two_level",
+    "graph_link_prediction",
+    "agg_kmv_intersection",
+    "events_twap",
+    "events_max_concurrency",
     # -- new in round 4 (judge asks #6/#7): full BPE tokenizer training
     #    (trajectory oracle-replayed), per-doc token counts under the
     #    learned vocab, and RefinedWeb paragraph-level exact dedup --
@@ -124,7 +131,11 @@ GATE_ORDER = [
     # r5 rotation: basket_part_pairs (r3-green) demoted to parity in
     # exchange for agg_kmv_distinct — the explode+self-join pair-mining
     # family stays gate-witnessed by text_pmi_collocations.
-    "dedup_minhash_containment",
+    # r5 rotation: dedup_minhash_containment (r3-green) demoted to
+    # parity in exchange for lake_zorder_ranges — the minhash family
+    # stays gate-witnessed by dedup_minhash_lsh +
+    # dedup_incremental_batch (same shingle/band plan, containment
+    # threshold pinned in pytest).
     # r5 rotation: dedup_simhash_hamming (r3-green) demoted to parity
     # in exchange for text_bpe_encode — the simhash family stays
     # gate-witnessed by dedup_simhash_multiblock.
@@ -137,7 +148,11 @@ GATE_ORDER = [
     # sim_ivf_ann_trained + sim_ivf_ann_nprobe2, the sign-LSH family
     # by sim_lsh_ann_multitable.
     "stream_sliding_window",
-    "text_repetition_ratio",
+    # r5 rotation: text_repetition_ratio (r3-green) demoted to parity
+    # in exchange for events_max_concurrency — the repetition-quality
+    # family stays gate-witnessed by text_quality_classifier and the
+    # datasheet rollup (same exact-integer ratio plan; the Gopher
+    # thresholds stay pinned in pytest parity).
     # -- green in round 2 --
     "text_quality_classifier",
     # r5 rotation: text_cms_heavy_hitters (r2-green) demoted to parity
@@ -155,10 +170,20 @@ GATE_ORDER = [
     # inside the gate-witnessed text_bpe_train loop.
     "sim_pq_ann",
     "sim_semantic_dedup",
-    "dedup_span_removal",
-    "graph_label_propagation",
+    # r5 rotation: dedup_span_removal (r2-green) demoted to parity in
+    # exchange for agg_rollup_two_level — the duplicated-span family
+    # stays gate-witnessed by dedup_duplicated_spans (same
+    # position-stamped n-gram plan; the removal rebuild is pinned in
+    # pytest parity).
+    # r5 rotation: graph_label_propagation (r2-green) demoted to
+    # parity in exchange for graph_link_prediction — the per-round
+    # join/argmax iterative-graph family stays gate-witnessed by
+    # graph_pagerank + graph_kcore + graph_bfs_levels.
     "agg_hll_distinct",
-    "text_vocab_coverage",
+    # r5 rotation: text_vocab_coverage (r2-green) demoted to parity in
+    # exchange for agg_kmv_intersection — the vocab/token-coverage
+    # family stays gate-witnessed by text_bpe_vocab +
+    # text_bpe_token_counts + text_bpe_encode.
     "emb_kmeans_centroids",
     "sim_ivf_ann_trained",
     "graph_triangle_count",
@@ -176,7 +201,10 @@ GATE_ORDER = [
     # in exchange for stream_reorg_replay — sliding windows + watermark
     # dedup keep the streaming-window family gate-witnessed.
     "stream_dedup_first_touch",
-    "multimodal_binary_metadata",
+    # r5 rotation: multimodal_binary_metadata (r2-green) demoted to
+    # parity in exchange for events_twap — the multimodal family stays
+    # gate-witnessed by multimodal_feature_extract +
+    # multimodal_frame_sample (same binary-column plumbing).
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "netflow_decimal",

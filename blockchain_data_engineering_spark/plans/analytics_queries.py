@@ -800,3 +800,210 @@ def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.col("value_good_ff").alias("value_ff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-level incremental rollup math: the Spark side folds the SAME
+# (key, slot-bucket) partials streaming.incremental_agg.IncrementalRollup
+# materializes on disk; the oracle is the direct one-level groupBy.
+# Gate-green here means the maintained rollup's split aggregation is
+# exactly the batch aggregate — the associativity the incremental
+# refresh (and its reorg re-refresh) relies on.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_rollup_two_level",
+    oracle=f"""
+    SELECT event_type,
+           CAST(sum({quanta_sql('value', 4)}) AS BIGINT) AS sum_vq,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.streaming.incremental_agg import (
+        final_rollup,
+        partial_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    part = partial_rollup(
+        ev,
+        key_cols=["event_type"],
+        slot_col="event_id",
+        measures={"sum_vq": quanta(F.col("value"), 4)},
+        bucket_slots=1000,
+    )
+    return final_rollup(part, ["event_type"], ["sum_vq"])
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set intersection from two KMV sketches: overlap between
+# the urgent-order and high-order customer populations, estimated from
+# two k-long sketches instead of co-shuffling the full sets (the
+# 100 TB shape for cross-era wallet overlap). Exact intersection
+# joined on for error measurement.
+# ---------------------------------------------------------------------------
+def _kmv_set_sql(pred: str) -> str:
+    return f"""
+      SELECT h FROM (
+        SELECT DISTINCT
+          CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+               AS BIGINT) AS h
+        FROM orders WHERE {pred} AND o_custkey IS NOT NULL
+      ) ORDER BY h LIMIT {_KMV_K}
+    """
+
+
+_KMV_A = "o_orderpriority = '1-URGENT'"
+_KMV_B = "o_orderpriority = '2-HIGH'"
+
+
+@query(
+    "agg_kmv_intersection",
+    oracle=f"""
+    WITH la AS ({_kmv_set_sql(_KMV_A)}),
+    lb AS ({_kmv_set_sql(_KMV_B)}),
+    th AS (
+      SELECT least((SELECT max(h) FROM la), (SELECT max(h) FROM lb))
+               AS theta
+    ),
+    samp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sample
+      FROM la JOIN lb USING (h), th WHERE la.h < th.theta
+    ),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact FROM
+        (SELECT DISTINCT o_custkey FROM orders WHERE {_KMV_A})
+        JOIN (SELECT DISTINCT o_custkey FROM orders WHERE {_KMV_B})
+        USING (o_custkey)
+    )
+    SELECT n_sample, theta,
+           CAST(n_sample AS DOUBLE) * 1152921504606846976.0
+             / CAST(theta AS DOUBLE) AS est_intersection,
+           n_exact
+    FROM samp, th, ex
+    """,
+)
+def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.relational.kmv_intersection over the two priority
+    populations + the exact overlap (semi-join of distinct keys) for
+    the error column — all 1-row scalar combinations, audited shape."""
+    from blockchain_data_engineering_spark.operators import relational as R
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    b = orders.where(F.col("o_orderpriority") == "2-HIGH")
+    est = R.kmv_intersection(a, b, "o_custkey", _KMV_K)
+    exact = (
+        a.select("o_custkey")
+        .distinct()
+        .join(b.select("o_custkey").distinct(), "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+# ---------------------------------------------------------------------------
+# TWAP (time-weighted average): each observation holds until the next
+# one, so its weight is the gap to the successor — the correct mean
+# for irregularly-sampled prices/levels, where the arithmetic mean
+# over-weights bursts. Weights and value-quanta are exact integers;
+# one window shuffle + one groupBy on the same key (exchange reused).
+# Weights are MILLISECONDS: at the fixture's 30-day span, vq_max*span
+# in us would breach int64 (1.4e19); ms keeps the sum bound at ~1e16
+# (headroom rule from plans/parity.py).
+# ---------------------------------------------------------------------------
+@query(
+    "events_twap",
+    oracle=f"""
+    WITH tl AS (
+      SELECT event_type,
+             {quanta_sql('value', 4)} AS vq,
+             epoch_ms(ts) AS t,
+             lead(epoch_ms(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS t_next
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(sum(vq * (t_next - t)) AS BIGINT) AS wsum_q,
+           CAST(sum(t_next - t) AS BIGINT) AS wtot,
+           CAST(CAST(sum(vq * (t_next - t)) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(t_next - t) AS BIGINT) AS DOUBLE)
+             / 10000.0 AS twap
+    FROM tl WHERE t_next IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    tl = ev.select(
+        "event_type",
+        quanta(F.col("value"), 4).alias("vq"),
+        F.unix_millis(F.col("ts")).alias("t"),
+        F.lead(F.unix_millis(F.col("ts"))).over(w).alias("t_next"),
+    ).where(F.col("t_next").isNotNull())
+    return tl.groupBy("event_type").agg(
+        F.sum(F.col("vq") * (F.col("t_next") - F.col("t"))).alias("wsum_q"),
+        F.sum(F.col("t_next") - F.col("t")).alias("wtot"),
+        (
+            F.sum(F.col("vq") * (F.col("t_next") - F.col("t"))).cast("double")
+            / F.sum(F.col("t_next") - F.col("t")).cast("double")
+            / F.lit(10000.0)
+        ).alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval overlap: peak concurrent 30-minute activity
+# windows per event_type (sessions opened by each event). The overlap
+# count is exact integer arithmetic over a single keyed window — the
+# interval-join family's aggregate cousin (range_join_click_attribution
+# holds the join side).
+# ---------------------------------------------------------------------------
+@query(
+    "events_max_concurrency",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events
+    ),
+    run AS (
+      SELECT event_type,
+             sum(delta) OVER (
+               PARTITION BY event_type ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM pts
+    )
+    SELECT event_type,
+           CAST(max(c) AS BIGINT) AS max_concurrent,
+           CAST(count(*) / 2 AS BIGINT) AS n_intervals
+    FROM run GROUP BY event_type
+    """,
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.relational.max_concurrent_intervals with
+    end = ts + 30 min: one explode (2 rows/event), one event_type
+    shuffle shared by the running sum and the final max."""
+    from blockchain_data_engineering_spark.operators.relational import (
+        max_concurrent_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    out = max_concurrent_intervals(
+        ev, key_cols=["event_type"], start_col="s", end_col="e"
+    )
+    return out.select(
+        "event_type",
+        F.col("max_concurrent").cast("long").alias("max_concurrent"),
+        "n_intervals",
+    )

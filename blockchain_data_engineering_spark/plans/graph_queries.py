@@ -437,3 +437,84 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges_df(spark, sf_dir)
     seeds = spark.createDataFrame([("c1",), ("c2",), ("c3",)], "node string")
     return finalize(G.bfs_levels(edges, seeds, max_hops=BFS_HOPS), edges)
+
+
+# ---------------------------------------------------------------------------
+# Link prediction by Resource Allocation index (Zhou/Lü/Zhang 2009 —
+# the integer-exact sibling of Adamic-Adar, 1/deg instead of 1/log
+# deg, chosen so the score is a SUM OF EXACT INTEGER QUANTA and
+# engine-portable; AA's log() is libm-dependent): suppliers are
+# "likely partners" when they co-supply many low-degree parts.
+#
+# Scale shape: the pair fan-out is Σ_part deg², bounded because part
+# degree (suppliers per part) is naturally small and hub parts
+# contribute ~0 to RA anyway — the HUB_CAP both bounds the worst case
+# and drops only negligible-score mass (the same degree-cap trade
+# every production AA/RA implementation makes). One distinct + one
+# self-equi-join on l_partkey + one groupBy; top-k via
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+_RA_QUANTA = 1_000_000
+_RA_HUB_CAP = 64
+_RA_TOPK = 30
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    deg AS (
+      SELECT p, count(*) AS d FROM ps GROUP BY p
+    ),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2, d.d
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+      JOIN deg d ON d.p = a.p
+      WHERE d.d <= {_RA_HUB_CAP}
+    )
+    SELECT s1, s2,
+           CAST(count(*) AS BIGINT) AS n_common,
+           CAST(sum(CAST(floor({_RA_QUANTA}.0 / CAST(d AS DOUBLE))
+                         AS BIGINT)) AS BIGINT) AS ra_quanta
+    FROM pairs GROUP BY s1, s2
+    ORDER BY ra_quanta DESC, s1, s2 LIMIT {_RA_TOPK}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier pairs by RA index over the co-supply bipartite
+    graph. floor(QUANTA/deg) is exact in IEEE doubles (correctly
+    rounded division of exactly-representable operands), so the
+    summed score is an order-independent integer in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    # distinct key name: deg shares ps's lineage, so an un-renamed
+    # `p` would be ambiguous against the self-join aliases
+    deg = ps.groupBy("p").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("p").alias("dp"), "d"
+    )
+    a = ps.alias("a")
+    b = ps.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .join(deg.where(F.col("d") <= _RA_HUB_CAP), F.col("a.p") == F.col("dp"))
+        .select(
+            F.col("a.s").alias("s1"),
+            F.col("b.s").alias("s2"),
+            F.floor(
+                F.lit(float(_RA_QUANTA)) / F.col("d").cast("double")
+            ).alias("w"),
+        )
+    )
+    return (
+        pairs.groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("w").alias("ra_quanta"),
+        )
+        .orderBy(F.col("ra_quanta").desc(), "s1", "s2")
+        .limit(_RA_TOPK)
+    )

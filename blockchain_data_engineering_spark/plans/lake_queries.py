@@ -1,0 +1,94 @@
+"""Lake-layout queries: Z-order (Morton) clustering for
+multi-dimensional data skipping. The reference writes its stores as
+unsorted overwrite parquet (src/etl_vol_transfers/main.py:137-141);
+at 100 TB the layout IS the index — these queries gate-verify the
+key math that sources.io.write_zordered clusters files by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blockchain_data_engineering_spark.catalog import load_table
+from blockchain_data_engineering_spark.functions.scalar import zorder_key
+from blockchain_data_engineering_spark.plans.registry import query
+
+_Z_BITS = 10  # each dimension bucketed to [0, 1024)
+_Z_PREFIX = 6  # files = the 2^6 top-prefix regions of the 20-bit key
+
+
+def zorder_sql(exprs: list[str], bits: int) -> str:
+    """SQL twin of functions.scalar.zorder_key — the identical
+    shift/and/multiply interleave, engine-portable integer ops."""
+    n = len(exprs)
+    return " + ".join(
+        f"(((({e}) >> {i}) & 1) * {1 << (i * n + j)})"
+        for i in range(bits)
+        for j, e in enumerate(exprs)
+    )
+
+
+_X_SQL = "(o_custkey % 1024)"
+_Y_SQL = (
+    "(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 1024)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Z-order file-range audit: interleave (customer, order-day) into a
+# 20-bit Morton key, assign rows to the 64 top-prefix key regions
+# (what write_zordered's range partitioner converges to on uniform
+# keys — NO global sort, file boundaries are fixed key-space
+# prefixes), and report each region's min/max per dimension. Fixing
+# the top 6 interleaved bits fixes the top 3 bits of BOTH dimensions,
+# so every file's span is ≤ 1/8 of each domain — the min-max stats a
+# scan prunes on for range predicates on EITHER column.
+# ---------------------------------------------------------------------------
+@query(
+    "lake_zorder_ranges",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT ({zorder_sql([_X_SQL, _Y_SQL], _Z_BITS)})
+               >> {2 * _Z_BITS - _Z_PREFIX} AS file_id,
+             {_X_SQL} AS x, {_Y_SQL} AS y
+      FROM orders
+    )
+    SELECT file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max,
+           max(x) - min(x) AS x_span,
+           max(y) - min(y) AS y_span
+    FROM keyed GROUP BY file_id
+    """,
+)
+def lake_zorder_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file dimension ranges under Z-order layout: one narrow
+    integer projection + ONE groupBy shuffle over ≤ 64 groups; the
+    span columns are the pruning guarantee (≤ 127 of a 1024 domain)."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 1024).alias("x")
+    y = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.to_date(F.lit("1992-01-01")),
+        )
+        % 1024
+    ).alias("y")
+    keyed = orders.select(x, y).select(
+        F.shiftright(
+            zorder_key(["x", "y"], bits=_Z_BITS), 2 * _Z_BITS - _Z_PREFIX
+        ).alias("file_id"),
+        "x",
+        "y",
+    )
+    return keyed.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+        (F.max("x") - F.min("x")).alias("x_span"),
+        (F.max("y") - F.min("y")).alias("y_span"),
+    )

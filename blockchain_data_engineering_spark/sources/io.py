@@ -1176,3 +1176,37 @@ def write_neo4j_admin_export(
         f"--relationships={out_dir}/relationships_header.csv,"
         f"{out_dir}/relationships/part-.* neo4j"
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet sink: range-partition by the Morton
+    key of ``zorder_cols`` (low ``bits`` bits each, callers pre-bucket
+    wider domains) and sort within each partition, so every output
+    file covers a compact hyper-rectangle-ish region of the key space.
+    Parquet's per-file/rowgroup min-max stats on the ORIGINAL columns
+    then prune reads for range predicates on ANY z-ordered dimension —
+    the multi-dimensional generalization of sorting by one column
+    (Delta/Iceberg's OPTIMIZE ZORDER BY; here as a plain parquet
+    layout primitive).
+
+    Scale shape: ``repartitionByRange`` samples the key (one pass),
+    then one range shuffle; the within-partition sort spills, never
+    OOMs. No global sort and no driver materialization at any table
+    size.
+    """
+    from blockchain_data_engineering_spark.functions.scalar import zorder_key
+
+    zk = zorder_key(list(zorder_cols), bits=bits)
+    (
+        df.repartitionByRange(n_files, zk)
+        .sortWithinPartitions(zk)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -353,3 +353,45 @@ def test_kmv_sketch_is_mergeable(spark):
     assert [r["h"] for r in merged_sketches.collect()] == [
         r["h"] for r in direct.collect()
     ]
+
+
+def test_kmv_intersection_disjoint_and_overlap(spark):
+    """Disjoint sets must yield ONE row with n_sample = 0 (not an
+    empty frame); a known 50% overlap estimates within the sketch's
+    error envelope."""
+    evens = spark.range(0, 4000).select((F.col("id") * 2).alias("v"))
+    odds = spark.range(0, 4000).select((F.col("id") * 2 + 1).alias("v"))
+    row = R.kmv_intersection(evens, odds, "v", k=128).collect()
+    assert len(row) == 1 and row[0]["n_sample"] == 0
+    assert row[0]["est_intersection"] == 0.0
+
+    # A = [0, 8000), B = [4000, 12000): |A∩B| = 4000
+    a = spark.range(0, 8000).select(F.col("id").alias("v"))
+    b = spark.range(4000, 12000).select(F.col("id").alias("v"))
+    est = R.kmv_intersection(a, b, "v", k=256).collect()[0]
+    assert est["n_sample"] > 0
+    rel_err = abs(est["est_intersection"] - 4000) / 4000
+    # intersection sampling has ~1/sqrt(n_sample) error; generous
+    assert rel_err < 0.5, (est["est_intersection"], rel_err)
+
+
+def test_max_concurrent_intervals_half_open(spark):
+    """Known overlap pattern: three overlapping intervals peak at 3;
+    an interval starting EXACTLY when another ends does not overlap it
+    (half-open [start, end))."""
+    rows = [
+        ("k", 0, 10),
+        ("k", 5, 15),   # overlaps first
+        ("k", 9, 12),   # all three live at t in [9, 10)
+        ("k", 10, 20),  # starts exactly at first's end: no overlap with it
+        ("q", 0, 1),
+        ("q", 1, 2),    # chain of touching intervals: never concurrent
+    ]
+    df = spark.createDataFrame(rows, "g STRING, s LONG, e LONG")
+    out = {
+        r["g"]: (r["max_concurrent"], r["n_intervals"])
+        for r in R.max_concurrent_intervals(
+            df, ["g"], "s", "e"
+        ).collect()
+    }
+    assert out == {"k": (3, 4), "q": (1, 2)}

@@ -880,3 +880,52 @@ def test_bucketed_upsert_crash_anywhere_then_retry_recovers(
         budget += 1
     assert budget < 40, "scenario never completed crash-free"
     assert exercised > 3, "too few injection points exercised"
+
+
+def test_write_zordered_enables_file_skipping(spark, tmp_path):
+    """Z-order layout must make per-file min-max stats selective: a
+    narrow range predicate on EITHER interleaved dimension should
+    intersect a small fraction of the clustered files, vs ~all files
+    under insert-order layout. (Per-file worst case is NOT asserted:
+    files straddling a top z-bit boundary legitimately hull opposite
+    corners of the key space — the aggregate skip rate is the
+    operational property, same acceptance as Delta's OPTIMIZE ZORDER.)
+    """
+    from pyspark.sql import functions as F
+
+    from blockchain_data_engineering_spark.sources.io import write_zordered
+
+    n = 64 * 1024
+    dom = 1024
+    # two independent uniform dims in insert order (worst case: row
+    # order correlates with NEITHER dim)
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(dom)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id") + 7), F.lit(dom)).alias("y"),
+    )
+    n_files = 64
+
+    def files_hit(path, col, lo, hi):
+        stats = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+            .collect()
+        )
+        return len(stats), sum(1 for r in stats if r["mx"] >= lo and r["mn"] < hi)
+
+    z_path = "file://" + str(tmp_path / "zordered")
+    write_zordered(df, z_path, ["x", "y"], n_files=n_files, bits=10)
+    base_path = "file://" + str(tmp_path / "unordered")
+    df.repartition(n_files).write.parquet(base_path)
+
+    for col in ("x", "y"):
+        nf, hit_z = files_hit(z_path, col, 300, 400)
+        assert nf == n_files
+        _, hit_base = files_hit(base_path, col, 300, 400)
+        # insert order: every file spans the domain, nothing skips
+        assert hit_base >= n_files - 2, (col, hit_base)
+        # z-order: a 10% predicate on either dim reads under half the
+        # files (aligned cells give 25% + boundary-straddler slack)
+        assert hit_z <= n_files // 2, (col, hit_z)
