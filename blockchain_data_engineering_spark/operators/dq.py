@@ -1,0 +1,181 @@
+"""Data-quality expectation checks (the Deequ/Great-Expectations
+pattern re-expressed as plain aggregates): validate a table against a
+constraint suite BEFORE publishing it — the gate every 100 TB ingest
+runs between "computed" and "consumers read it".
+
+The reference publishes its stores unvalidated (overwrite sinks,
+src/etl_vol_transfers/main.py:137-141); a malformed upstream batch
+lands silently. These operators make the check one scan.
+
+Scale shape: row-level expectations compile to a SINGLE grand
+aggregate over the scan (count + one conditional sum per check — all
+map-side combined, no shuffle beyond the 1-row agg), then a constant
+``stack`` unpivot of that one row. Uniqueness is the only check that
+genuinely needs a shuffle (one groupBy on the key). Nothing here is
+per-check passes over the data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RESULT_COLS = ("check_name", "n_rows", "n_pass", "n_fail")
+
+
+def row_expectations(
+    df: DataFrame, checks: dict[str, Column]
+) -> DataFrame:
+    """Evaluate per-row boolean ``checks`` in ONE pass: returns one
+    row per check — (check_name, n_rows, n_pass, n_fail). NULL
+    predicate results count as FAIL (three-valued logic never hides a
+    violation)."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(
+                F.when(cond, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"__p_{i}")
+            for i, cond in enumerate(checks.values())
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{name}', __p_{i}" for i, name in enumerate(checks)
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(checks)}, {stack_args}) AS (check_name, n_pass)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "check_name",
+        "n_rows",
+        F.coalesce(F.col("n_pass"), F.lit(0)).alias("n_pass"),
+        (
+            F.col("n_rows") - F.coalesce(F.col("n_pass"), F.lit(0))
+        ).alias("n_fail"),
+    )
+
+
+def unique_expectation(
+    df: DataFrame, key_cols: Sequence[str], name: str | None = None
+) -> DataFrame:
+    """Key-uniqueness check: one groupBy on the key; ``n_fail`` is the
+    number of ROWS participating in a duplicated key (so a publisher
+    can quantify the blast radius, not just detect it)."""
+    label = name or "unique:" + ",".join(key_cols)
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__c"))
+    return per_key.agg(
+        F.lit(label).alias("check_name"),
+        F.sum("__c").alias("n_rows"),
+        F.sum(F.when(F.col("__c") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .alias("n_pass"),
+        F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(F.lit(0)))
+        .alias("n_fail"),
+    )
+
+
+def expectation_suite(
+    df: DataFrame,
+    checks: dict[str, Column],
+    unique_keys: Sequence[Sequence[str]] = (),
+) -> DataFrame:
+    """Full suite = row-level checks (one scan) ∪ one uniqueness check
+    per key set (one groupBy each). The result is the publish gate:
+    ``suite.where("n_fail > 0").isEmpty()`` before the swap."""
+    out = row_expectations(df, checks)
+    for keys in unique_keys:
+        out = out.unionByName(unique_expectation(df, keys))
+    return out
+
+
+def profile_columns(
+    df: DataFrame, numeric_cols: Sequence[str]
+) -> DataFrame:
+    """One-pass numeric column profile — (column, n_rows, n_null,
+    n_distinct, min_v, max_v) per column — the describe() every
+    publish step should attach to its output (and diff against the
+    previous snapshot to catch upstream drift).
+
+    All stats for all columns ride ONE grand aggregate (count, nulls,
+    exact distinct, min/max per column), then a constant unpivot.
+    Exact count_distinct keeps the profile oracle-checkable; swap in
+    kmv_count_distinct / hll per column when exactness stops being
+    worth the shuffle at full scale.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(numeric_cols):
+        col = F.col(c)
+        aggs += [
+            F.sum(
+                F.when(col.isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"__null_{i}"),
+            F.count_distinct(col).alias(f"__nd_{i}"),
+            F.min(col).cast("double").alias(f"__mn_{i}"),
+            F.max(col).cast("double").alias(f"__mx_{i}"),
+        ]
+    agg = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __null_{i}, __nd_{i}, __mn_{i}, __mx_{i}"
+        for i, c in enumerate(numeric_cols)
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(numeric_cols)}, {stack_args})"
+            " AS (column_name, n_null, n_distinct, min_v, max_v)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "column_name", "n_rows", "n_null", "n_distinct", "min_v", "max_v"
+    )
+
+
+def gated_upsert(
+    batch: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    checks: dict[str, Column],
+    quarantine_path: str,
+    batch_id: int,
+    unique_keys: Sequence[Sequence[str]] = (),
+) -> bool:
+    """Expectation-gated foreachBatch sink: run the suite on the batch
+    BEFORE touching the table; a clean batch upserts as usual, a
+    failing batch is diverted WHOLE to ``quarantine_path`` (stamped
+    with the failing check names) and the table is left untouched.
+    Returns True when the batch landed.
+
+    All-or-nothing on purpose: a batch that violates its contract is
+    evidence of an upstream defect — publishing its passing subset
+    would both mask the defect and make the quarantine unreplayable.
+
+    Replay-idempotent END TO END: the landing side is a keyed upsert,
+    and the quarantine writes to a ``__batch_id=<id>`` partition with
+    dynamic overwrite — a re-driven failing batch rewrites its OWN
+    partition instead of appending a duplicate (the
+    streaming/sketches.py store pattern; plain append would double the
+    quarantine on every checkpoint replay).
+    """
+    from blockchain_data_engineering_spark.sources.io import upsert_parquet
+
+    suite = expectation_suite(batch, checks, unique_keys)
+    failing = [
+        r["check_name"]
+        for r in suite.where(F.col("n_fail") > 0).collect()
+    ]
+    if not failing:
+        upsert_parquet(batch, path, key_cols)
+        return True
+    (
+        batch.withColumn(
+            "__failed_checks", F.lit(",".join(sorted(failing)))
+        )
+        .withColumn("__batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(quarantine_path)
+    )
+    return False

@@ -110,6 +110,9 @@ GATE_ORDER = [
     "agg_kmv_intersection",
     "events_twap",
     "events_max_concurrency",
+    "dq_orders_expectations",
+    "dq_orders_profile",
+    "scd2_asof_lookup",
     # -- new in round 4 (judge asks #6/#7): full BPE tokenizer training
     #    (trajectory oracle-replayed), per-doc token counts under the
     #    learned vocab, and RefinedWeb paragraph-level exact dedup --
@@ -168,7 +171,11 @@ GATE_ORDER = [
     # r5 rotation: text_bpe_pair_counts (r2-green) demoted to parity in
     # exchange for text_bpe_vocab — its round-1 pair ranking runs
     # inside the gate-witnessed text_bpe_train loop.
-    "sim_pq_ann",
+    # r5 rotation: sim_pq_ann (r2-green) demoted to parity in exchange
+    # for dq_orders_expectations — the quantized-ANN family stays
+    # gate-witnessed by sim_ivf_ann_trained + emb_kmeans_centroids
+    # (same codebook/broadcast-ADC plan pieces; PQ recall stays pinned
+    # in pytest parity + test_similarity_recall).
     "sim_semantic_dedup",
     # r5 rotation: dedup_span_removal (r2-green) demoted to parity in
     # exchange for agg_rollup_two_level — the duplicated-span family
@@ -184,7 +191,10 @@ GATE_ORDER = [
     # exchange for agg_kmv_intersection — the vocab/token-coverage
     # family stays gate-witnessed by text_bpe_vocab +
     # text_bpe_token_counts + text_bpe_encode.
-    "emb_kmeans_centroids",
+    # r5 rotation: emb_kmeans_centroids (r2-green) demoted to parity
+    # in exchange for scd2_asof_lookup — the quantized-Lloyd training
+    # loop stays gate-witnessed inside sim_ivf_ann_trained and the
+    # assignment plan inside pipeline_cluster_quality.
     "sim_ivf_ann_trained",
     "graph_triangle_count",
     # r5 rotation: dedup_embedding_cosine (r2-green) demoted to parity
@@ -200,7 +210,11 @@ GATE_ORDER = [
     # r5 rotation: stream_session_window (r2-green) demoted to parity
     # in exchange for stream_reorg_replay — sliding windows + watermark
     # dedup keep the streaming-window family gate-witnessed.
-    "stream_dedup_first_touch",
+    # r5 rotation: stream_dedup_first_touch (r3-green) demoted to
+    # parity in exchange for dq_orders_profile — streaming stays
+    # gate-witnessed by stream_sliding_window + stream_reorg_replay,
+    # and the keep-first window election runs inside gate-witnessed
+    # dedup_paragraph_exact.
     # r5 rotation: multimodal_binary_metadata (r2-green) demoted to
     # parity in exchange for events_twap — the multimodal family stays
     # gate-witnessed by multimodal_feature_extract +

@@ -92,3 +92,98 @@ def lake_zorder_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("x") - F.min("x")).alias("x_span"),
         (F.max("y") - F.min("y")).alias("y_span"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Publish-gate expectation suite over orders: one scan for the
+# row-level checks + one groupBy for key uniqueness
+# (operators.dq.expectation_suite). Spark predicates and oracle SQL
+# are generated from the SAME spec table so the suite stays twin-safe.
+# ---------------------------------------------------------------------------
+_DQ_CHECKS: list[tuple[str, str]] = [
+    ("not_null:o_orderkey", "o_orderkey IS NOT NULL"),
+    ("positive:o_totalprice", "o_totalprice > 0"),
+    (
+        "in_range:o_orderdate",
+        "o_orderdate >= TIMESTAMP '1992-01-01'"
+        " AND o_orderdate < TIMESTAMP '1999-01-01'",
+    ),
+    ("in_set:o_orderstatus", "o_orderstatus IN ('O', 'F', 'P')"),
+]
+
+
+def _dq_oracle() -> str:
+    preds = ",\n             ".join(
+        f"sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS p{i}"
+        for i, (_n, pred) in enumerate(_DQ_CHECKS)
+    )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT '{name}' AS check_name, n AS n_rows,"
+        f" CAST(coalesce(p{i}, 0) AS BIGINT) AS n_pass,"
+        f" CAST(n - coalesce(p{i}, 0) AS BIGINT) AS n_fail FROM agg"
+        for i, (name, _p) in enumerate(_DQ_CHECKS)
+    )
+    return f"""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {preds}
+      FROM orders
+    ),
+    per_key AS (
+      SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+    )
+    {rows}
+    UNION ALL
+    SELECT 'unique:o_orderkey',
+           CAST(sum(c) AS BIGINT),
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+    FROM per_key
+    """
+
+
+@query("dq_orders_expectations", oracle=_dq_oracle())
+def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.dq import (
+        expectation_suite,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    checks = {name: F.expr(pred) for name, pred in _DQ_CHECKS}
+    return expectation_suite(
+        orders, checks, unique_keys=[["o_orderkey"]]
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass numeric column profile (operators.dq.profile_columns): the
+# describe() a publish step attaches to its output. min/max surface as
+# doubles (bit-identical: no arithmetic, just the stored values);
+# distinct counts are exact here so the profile is oracle-checkable.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
+
+
+def _profile_oracle() -> str:
+    rows = "\n    UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS DOUBLE) AS min_v,
+           CAST(max({c}) AS DOUBLE) AS max_v
+    FROM orders"""
+        for c in _PROFILE_COLS
+    )
+    return rows
+
+
+@query("dq_orders_profile", oracle=_profile_oracle())
+def dq_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.dq import (
+        profile_columns,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(orders, _PROFILE_COLS)

@@ -107,3 +107,92 @@ def scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="o_orderdate",
         tiebreak_cols=["o_orderkey"],
     )
+
+
+# ---------------------------------------------------------------------------
+# The SCD2 dimension IN USE: "what was this customer's priority tier
+# when the line item shipped" — an as-of lookup of the versioned dim
+# (the exact question scd2_history's docstring promises to answer).
+# The dim is first made unique per (customer, day) (keep-last by
+# orderkey — two same-day orders collapse to the day's end state) so
+# the as-of match is deterministic in both engines; DuckDB's native
+# ASOF JOIN is the oracle for Spark's union-sort as-of operator.
+# A deterministic 5% orderkey slice keeps the gate compare bounded
+# without weakening the per-row witness.
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH day_state AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey
+      FROM orders
+      QUALIFY row_number() OVER (
+        PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1
+    ),
+    ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             lag(o_orderpriority) OVER w AS prev
+      FROM day_state
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+    ),
+    dim AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from
+      FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority
+    ),
+    ships AS (
+      SELECT l_orderkey, l_linenumber, o_custkey, l_shipdate AS ship_ts
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_orderkey % 20 = 0
+    )
+    SELECT s.l_orderkey, s.l_linenumber, s.o_custkey, s.ship_ts,
+           d.o_orderpriority AS priority_at_ship
+    FROM ships s ASOF LEFT JOIN dim d
+      ON s.o_custkey = d.o_custkey AND s.ship_ts >= d.valid_from
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.relational import (
+        asof_join_backward,
+        dedup_keep_last,
+    )
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    li = load_table(spark, sf_dir, "lineitem")
+    day_state = dedup_keep_last(
+        orders,
+        ["o_custkey", "o_orderdate"],
+        [F.col("o_orderkey").desc()],
+    )
+    dim = scd2_history(
+        day_state,
+        key_cols=["o_custkey"],
+        attr_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+    ).select(
+        "o_custkey", "valid_from", "o_orderpriority"
+    )
+    ships = (
+        li.where(F.col("l_orderkey") % 20 == 0)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_custkey",
+            F.col("l_shipdate").alias("ship_ts"),
+        )
+    )
+    out = asof_join_backward(
+        ships,
+        dim,
+        by_cols=["o_custkey"],
+        left_ts="ship_ts",
+        right_ts="valid_from",
+        right_vals=["o_orderpriority"],
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "ship_ts",
+        F.col("o_orderpriority_asof").alias("priority_at_ship"),
+    )

@@ -15,6 +15,11 @@ maintains THREE tables through the reorg:
                  predicate)
   block_rollup — per-block rollup CONTRIBUTIONS (block grain so the
                  aggregate is reorg-undoable; aggregate on read)
+  agg_rollup   — a MATERIALIZED per-(height%5) aggregate maintained by
+                 streaming.incremental_agg.IncrementalRollup: bucket
+                 partials recomputed FROM the landing table per batch
+                 (idempotent by construction), reorg-converged because
+                 the replayed fork re-touches the orphaned buckets
 
 At the end every table is compared against a one-shot batch run over
 the post-reorg chain — byte-identical convergence, printed as OK/FAIL.
@@ -42,6 +47,9 @@ from blockchain_data_engineering_spark.streaming import sources as SRC
 from blockchain_data_engineering_spark.streaming.chain_sync import (
     ChainSyncProducer,
     MockChainSyncNode,
+)
+from blockchain_data_engineering_spark.streaming.incremental_agg import (
+    IncrementalRollup,
 )
 from blockchain_data_engineering_spark.streaming.rollback import (
     DerivedTable,
@@ -82,6 +90,13 @@ def main(work: str) -> None:
     blocks_tbl = os.path.join(work, "blocks")
     fp_index = os.path.join(work, "fp_index")
     rollup_tbl = os.path.join(work, "block_rollup")
+    agg_rollup = IncrementalRollup(
+        os.path.join(work, "agg_rollup"),
+        key_cols=["n_tx"],
+        slot_col="slot",
+        measures={"sum_height": F.col("height")},
+        bucket_slots=50,
+    )
 
     def derived_sink(rows):
         # rows = this batch's CANONICAL survivors, stamped (__seq, slot)
@@ -96,6 +111,12 @@ def main(work: str) -> None:
             ),
             rollup_tbl,
             ["id"],
+        )
+        # the materialized aggregate: recompute the slot buckets this
+        # batch touched from the (already converged) landing table
+        landing_now = rows.sparkSession.read.parquet(blocks_tbl)
+        agg_rollup.sync_batch(
+            landing_now.withColumn("n_tx", F.col("height") % 5), rows
         )
 
     def sink(batch_df, batch_id):
@@ -140,6 +161,17 @@ def main(work: str) -> None:
             "id", (F.col("height") % 5).alias("n_tx")
         ).collect()
     }
+    got_agg = {tuple(r) for r in agg_rollup.final(spark).collect()}
+    exp_agg = {
+        tuple(r)
+        for r in canon.withColumn("n_tx", F.col("height") % 5)
+        .groupBy("n_tx")
+        .agg(
+            F.sum("height").alias("sum_height"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
     n_markers = spark.read.parquet(blocks_tbl + "__rollbacks").count()
 
     def verdict(name, ok):
@@ -153,6 +185,7 @@ def main(work: str) -> None:
             verdict("blocks", got_blocks == exp_blocks),
             verdict("fp_index", got_fps == exp_fps),
             verdict("block_rollup", got_rollup == exp_rollup),
+            verdict("agg_rollup", got_agg == exp_agg),
         ]
     )
     total = spark.read.parquet(rollup_tbl).agg(F.sum("n_tx")).first()[0]
