@@ -113,6 +113,7 @@ GATE_ORDER = [
     "dq_orders_expectations",
     "dq_orders_profile",
     "scd2_asof_lookup",
+    "text_ccnet_buckets",
     # -- new in round 4 (judge asks #6/#7): full BPE tokenizer training
     #    (trajectory oracle-replayed), per-doc token counts under the
     #    learned vocab, and RefinedWeb paragraph-level exact dedup --
@@ -220,7 +221,10 @@ GATE_ORDER = [
     # gate-witnessed by multimodal_feature_extract +
     # multimodal_frame_sample (same binary-column plumbing).
     "multimodal_feature_extract",
-    "multimodal_frame_sample",
+    # r5 rotation: multimodal_frame_sample (r2-green) demoted to
+    # parity in exchange for text_ccnet_buckets — the mapInPandas
+    # binary/Arrow plumbing stays gate-witnessed by
+    # multimodal_feature_extract (same seam, same batch shape).
     "netflow_decimal",
     # r5 rotation: sample_temperature_mix (r2-green) demoted to parity
     # in exchange for scd2_order_priority — the sampling family stays

@@ -1929,3 +1929,50 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     two vocab-keyed joins, a 1-row total broadcast."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return TX.pmi_collocations(docs, min_count=5, top_k=50)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3, the
+# head/middle/tail split LLaMA-class pipelines filter with): per
+# language, rank documents by in-corpus bigram perplexity and cut into
+# terciles. The LM score is bit-identical across engines
+# (text_lm_perplexity), so the ntile ranking — tie-broken by doc_id —
+# is too.
+# ---------------------------------------------------------------------------
+@query(
+    "text_ccnet_buckets",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM (
+      SELECT b.doc_id, d.lang,
+             ntile(3) OVER (
+               PARTITION BY d.lang
+               ORDER BY b.avg_neg_log2p, b.doc_id) AS tercile
+      FROM ({_LM_ORACLE}) b JOIN documents d USING (doc_id)
+    )
+    """,
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One lang-keyed window over the (already bit-identical) LM
+    scores; the ntile cut is the streaming-friendly alternative to a
+    global percentile sort — per-language partitions rank
+    independently, so no global ordering ever materializes."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scores = TX.lm_bigram_score(docs)
+    w = Window.partitionBy("lang").orderBy("avg_neg_log2p", "doc_id")
+    return (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("tercile", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("tercile") == 1, F.lit("head"))
+            .when(F.col("tercile") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )

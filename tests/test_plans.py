@@ -527,3 +527,26 @@ def test_bpe_encode_plan_shape(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_bpe_encode")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_r5_window_ops_single_keyed_exchange(spark, sf_dir):
+    """The round-5 window-family queries each promise ONE keyed
+    shuffle: both SCD2 window passes share an exchange, TWAP's lead
+    window and final groupBy ride the same event_type partitioning,
+    and the sweep-line running sum + max reuse theirs. Pin it — a
+    regression here doubles the dominant cost at scale."""
+    import re
+
+    # (query, max hash exchanges) — spread()'s RoundRobin repartition
+    # is deliberate scan spreading, not a keyed shuffle; count only
+    # hashpartitioning exchanges
+    cases = {
+        "scd2_order_priority": 1,
+        "events_twap": 1,
+        "events_max_concurrency": 1,
+        "events_forward_fill": 1,
+    }
+    for name, max_hash_ex in cases.items():
+        plan = _plan(spark, sf_dir, name)
+        n = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n <= max_hash_ex, (name, n, plan[:2000])
