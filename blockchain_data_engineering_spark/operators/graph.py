@@ -623,3 +623,77 @@ def bfs_levels(
     for p in pieces[1:]:
         out = out.union(p)
     return finalize(out, *pieces)
+
+
+def sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Round-bounded single/multi-source shortest paths (Bellman-Ford
+    with a delta frontier): ``(node, dist)`` where ``dist`` is the
+    minimum total ``weight`` over paths of ≤ ``rounds`` edges from any
+    seed. The weighted generalization of :func:`bfs_levels` — "the
+    cheapest way flagged funds can have reached this wallet", with
+    integer weights so results are exact in every engine.
+
+    Delta-frontier discipline: a round relaxes ONLY the nodes whose
+    distance improved in the previous round (standard BF invariant:
+    every shortest ≤k-edge path has strictly improving prefixes, so
+    relaxing deltas reaches the same fixpoint as relaxing everything).
+    Per round: one edge join + one min-groupBy + one left-join merge
+    against the running table — all keyed, distance table ≤ |V| rows
+    (broadcast by default; ``broadcast=False`` with src-partitioned
+    edges at billion-node scale). Early exit when no distance
+    improves.
+    """
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .persist()
+    )
+    delta = dist
+    caches = [dist]
+    for _ in range(rounds):
+        cand = (
+            edges.join(
+                _hint(
+                    delta.select(
+                        F.col("node").alias(src), F.col("dist").alias("__d")
+                    ),
+                    broadcast,
+                ),
+                src,
+            )
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("__d") + F.col(weight)).alias("__cand"),
+            )
+            .groupBy("node")
+            .agg(F.min("__cand").alias("__cand"))
+        )
+        improved = (
+            cand.join(_hint(dist, broadcast), "node", "left")
+            .where(F.col("dist").isNull() | (F.col("__cand") < F.col("dist")))
+            .select("node", F.col("__cand").alias("dist"))
+            .persist()
+        )
+        if improved.isEmpty():
+            improved.unpersist()
+            break
+        merged = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+        merged.count()
+        caches.append(improved)
+        caches.append(merged)
+        dist, delta = merged, improved
+    return finalize(dist, *caches)

@@ -114,6 +114,7 @@ GATE_ORDER = [
     "dq_orders_profile",
     "scd2_asof_lookup",
     "text_ccnet_buckets",
+    "graph_sssp_cheapest_route",
     # -- new in round 4 (judge asks #6/#7): full BPE tokenizer training
     #    (trajectory oracle-replayed), per-doc token counts under the
     #    learned vocab, and RefinedWeb paragraph-level exact dedup --
@@ -187,7 +188,11 @@ GATE_ORDER = [
     # parity in exchange for graph_link_prediction — the per-round
     # join/argmax iterative-graph family stays gate-witnessed by
     # graph_pagerank + graph_kcore + graph_bfs_levels.
-    "agg_hll_distinct",
+    # r5 rotation: agg_hll_distinct (r2-green) demoted to parity in
+    # exchange for graph_sssp_cheapest_route — the portable-sketch
+    # family stays gate-witnessed by agg_kmv_distinct +
+    # agg_kmv_intersection, and the HLL register math stays pinned in
+    # pytest parity + the streaming sketch-store suite.
     # r5 rotation: text_vocab_coverage (r2-green) demoted to parity in
     # exchange for agg_kmv_intersection — the vocab/token-coverage
     # family stays gate-witnessed by text_bpe_vocab +

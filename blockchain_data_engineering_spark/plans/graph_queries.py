@@ -518,3 +518,78 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ra_quanta").desc(), "s1", "s2")
         .limit(_RA_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths, round-bounded (operators.graph.sssp):
+# cheapest ≤K-edge route from the seed wallets over min-quantity
+# weighted transfer edges — BFS's weighted sibling ("the cheapest way
+# flagged funds can have reached this wallet"). Integer weights
+# (floor of the min contributing quantity) keep every relaxation
+# exact; the oracle unrolls the SAME K Bellman-Ford rounds as CTEs
+# (full relaxation — the delta-frontier loop reaches the identical
+# fixpoint, the invariant the operator docstring states).
+# ---------------------------------------------------------------------------
+SSSP_ROUNDS = 4
+
+_WEDGES_SQL = """
+      SELECT src, dst, min(w) AS w FROM (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst,
+               CAST(floor(l_quantity) AS BIGINT) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_returnflag <> 'R'
+        UNION ALL
+        SELECT 's' || CAST(l_suppkey AS VARCHAR),
+               'c' || CAST(o_custkey AS VARCHAR),
+               CAST(floor(l_quantity) AS BIGINT)
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_returnflag = 'R'
+      ) GROUP BY src, dst
+"""
+
+
+def _sssp_oracle() -> str:
+    ctes = [
+        "d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds)"
+    ]
+    for k in range(1, SSSP_ROUNDS + 1):
+        ctes.append(
+            f"""c{k} AS (
+      SELECT e.dst AS node, min(d{k - 1}.dist + e.w) AS dist
+      FROM d{k - 1} JOIN e ON e.src = d{k - 1}.node GROUP BY e.dst
+    ),
+    d{k} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT * FROM d{k - 1} UNION ALL SELECT * FROM c{k}
+      ) GROUP BY node
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH e AS ({{edges}}),
+    seeds(node) AS (VALUES ('c1'), ('c2'), ('c3')),
+    {joined}
+    SELECT node, dist FROM d{SSSP_ROUNDS}
+    """.format(edges=_WEDGES_SQL)
+
+
+@query("graph_sssp_cheapest_route", oracle=_sssp_oracle())
+def graph_sssp_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey, "inner")
+    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    is_ret = F.col("l_returnflag") == "R"
+    wedges = (
+        j.select(
+            F.when(is_ret, s).otherwise(c).alias("src"),
+            F.when(is_ret, c).otherwise(s).alias("dst"),
+            F.floor(F.col("l_quantity")).cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    seeds = spark.createDataFrame([("c1",), ("c2",), ("c3",)], "node string")
+    return G.sssp(wedges, seeds, rounds=SSSP_ROUNDS)

@@ -542,3 +542,38 @@ def test_pmi_collocations_ranks_exclusive_pairs_first(spark):
     # → lift = 6*38/(6*6), exact same IEEE ops as the operator
     assert top["n_ab"] == 6 and top["lift"] == 6.0 * 38.0 / (6.0 * 6.0)
     assert all(out[i]["lift"] >= out[i + 1]["lift"] for i in range(len(out) - 1))
+
+
+def test_sssp_prefers_cheap_multi_hop_and_respects_round_bound(spark):
+    """A 3-hop path of weight 3 must beat the direct weight-10 edge;
+    nodes beyond the round budget stay unreached; a second seed's
+    cheaper route wins."""
+    from blockchain_data_engineering_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "z", 10),          # direct but expensive
+            ("a", "b", 1), ("b", "c", 1), ("c", "z", 1),  # cheap detour
+            ("z", "far", 1),
+            ("far", "beyond", 1),
+            ("s2", "z", 2),          # second seed, even cheaper to z
+        ],
+        "src STRING, dst STRING, w LONG",
+    )
+    seeds = spark.createDataFrame([("a",), ("s2",)], "node STRING")
+
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp(edges, seeds, rounds=4).collect()
+    }
+    assert got["a"] == 0 and got["s2"] == 0
+    assert got["z"] == 2          # via s2, not 3 (detour) nor 10 (direct)
+    assert got["b"] == 1 and got["c"] == 2
+    assert got["far"] == 3 and got["beyond"] == 4
+
+    # round budget: with 1 round only direct relaxations exist
+    got1 = {
+        r["node"]: r["dist"] for r in sssp(edges, seeds, rounds=1).collect()
+    }
+    assert got1["z"] == 2 and got1["b"] == 1
+    assert "c" not in got1 and "far" not in got1
