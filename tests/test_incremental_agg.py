@@ -194,3 +194,34 @@ def test_rollup_converges_through_reorg_stream(spark, tmp_path):
     }
     got = {tuple(r) for r in ru.final(spark).collect()}
     assert got == expected
+
+
+def test_refresh_recovers_from_partial_write(spark, tmp_path):
+    """Crash recovery by recompute: whatever state a died refresh left
+    behind (a missing bucket partition, a bucket overwritten with
+    partial data), simply re-running the SAME refresh converges the
+    store — recompute-from-landing needs no journal. Simulate the two
+    observable crash outcomes directly on the partition directories."""
+    import shutil
+
+    path = str(tmp_path / "rollup")
+    ru = _mk_rollup("file://" + path, bucket_slots=10)
+    landing = _landing(
+        spark, [("a", 5, 1), ("a", 15, 2), ("b", 15, 5), ("a", 25, 4)]
+    )
+    ru.refresh(landing, [0, 1, 2])
+    healthy = sorted(map(tuple, ru.final(spark).collect()))
+
+    # crash outcome 1: a bucket partition vanished mid-swap
+    shutil.rmtree(os.path.join(path, f"{BUCKET_COL}=1"))
+    ru.refresh(landing, [0, 1, 2])
+    assert sorted(map(tuple, ru.final(spark).collect())) == healthy
+
+    # crash outcome 2: a bucket holds stale/partial rows (simulate by
+    # refreshing it from a corrupted landing view, as a half-applied
+    # batch would) — the next honest refresh must overwrite it whole
+    corrupted = _landing(spark, [("a", 15, 999), ("zzz", 16, 1)])
+    ru.refresh(corrupted, [1])
+    assert sorted(map(tuple, ru.final(spark).collect())) != healthy
+    ru.refresh(landing, [1])
+    assert sorted(map(tuple, ru.final(spark).collect())) == healthy
