@@ -659,3 +659,43 @@ def remove_duplicated_spans(
             .alias("n_removed"),
         )
     )
+
+
+def tune_lsh_params(
+    threshold: float,
+    n_hashes: int,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Choose (bands, rows_per_band) for MinHash LSH from the target
+    Jaccard ``threshold`` — the datasketch/"Mining of Massive
+    Datasets" §3.4 recipe: the probability a pair at similarity s
+    collides is the S-curve 1-(1-s^r)^b; pick the (b, r) with
+    b·r ≤ n_hashes minimizing the weighted false-positive area
+    (∫ below threshold) + false-negative area (∫ above).
+
+    Pure driver-side arithmetic (deterministic fixed-step Riemann
+    sums) — tune once, then feed the result to lsh_bands(); at 100 TB
+    the wrong (b, r) is the difference between candidate sets that
+    fit in a shuffle and quadratic blowup, which is why this knob
+    deserves a solver rather than folklore defaults.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    steps = 1000
+    best, best_err = (1, n_hashes), float("inf")
+    for r in range(1, n_hashes + 1):
+        for b in range(1, n_hashes // r + 1):
+            fp = fn = 0.0
+            dx = threshold / steps
+            for i in range(steps):
+                s = (i + 0.5) * dx
+                fp += (1.0 - (1.0 - s**r) ** b) * dx
+            dx = (1.0 - threshold) / steps
+            for i in range(steps):
+                s = threshold + (i + 0.5) * dx
+                fn += (1.0 - (1.0 - (1.0 - s**r) ** b)) * dx
+            err = fp_weight * fp + fn_weight * fn
+            if err < best_err:
+                best, best_err = (b, r), err
+    return best

@@ -769,3 +769,36 @@ def max_concurrent_intervals(
         F.max("concurrency").alias("max_concurrent"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
     )
+
+
+def skew_report(
+    df: DataFrame, key_cols: Sequence[str], top_k: int = 10
+) -> DataFrame:
+    """Pre-join skew diagnostic: the ``top_k`` heaviest keys with
+    their share of all rows and their multiple of the mean key size —
+    the two numbers that decide whether a join on these keys needs
+    salting / AQE skew handling (SURVEY §7.4) before you burn a
+    cluster-day discovering it.
+
+    One groupBy + a TakeOrderedAndProject over the key counts + one
+    1-row broadcast of the totals; run it on a sample at lake scale.
+    ``x_mean >> shuffle-partition count`` ⇒ one task owns the key and
+    AQE can only split it so far — that is the salting signal.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    top = counts.orderBy(F.col("n").desc(), *key_cols).limit(top_k)
+    return top.crossJoin(F.broadcast(totals)).select(
+        *key_cols,
+        "n",
+        (F.col("n").cast("double") / F.col("__total").cast("double"))
+        .alias("share"),
+        (
+            F.col("n").cast("double")
+            * F.col("__n_keys").cast("double")
+            / F.col("__total").cast("double")
+        ).alias("x_mean"),
+    )

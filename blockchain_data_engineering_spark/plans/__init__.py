@@ -115,6 +115,7 @@ GATE_ORDER = [
     "scd2_asof_lookup",
     "text_ccnet_buckets",
     "graph_sssp_cheapest_route",
+    "dq_join_skew_report",
     # -- new in round 4 (judge asks #6/#7): full BPE tokenizer training
     #    (trajectory oracle-replayed), per-doc token counts under the
     #    learned vocab, and RefinedWeb paragraph-level exact dedup --
@@ -125,7 +126,10 @@ GATE_ORDER = [
     #    n-gram novelty vs a reference corpus, SemDeDup-then-filter
     #    per-cluster quality aggregation, deterministic shard shuffle,
     #    and the component-keyed leakage-free train/val split --
-    "text_novelty_score",
+    # r5 rotation: text_novelty_score (r3-green) demoted to parity in
+    # exchange for dq_join_skew_report — the winnowing-fingerprint
+    # equi-join family stays gate-witnessed by
+    # text_contamination_matrix (same fp-keyed plan).
     "pipeline_cluster_quality",
     "sample_shard_shuffle",
     "sample_split_leakage_free",

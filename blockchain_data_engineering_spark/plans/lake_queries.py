@@ -187,3 +187,38 @@ def dq_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return profile_columns(orders, _PROFILE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Join-skew diagnostic (operators.relational.skew_report): heaviest
+# join keys with share-of-rows and multiple-of-mean — run before any
+# big join lands on a cluster. EXTRA-tier (pytest parity): the plan
+# family (groupBy + TakeOrderedAndProject + 1-row broadcast) is
+# gate-witnessed by topk_semi_join + agg_kmv_distinct.
+# ---------------------------------------------------------------------------
+@query(
+    "dq_join_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    totals AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM counts
+    )
+    SELECT l_suppkey, n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(n AS DOUBLE) * CAST(n_keys AS DOUBLE)
+             / CAST(total AS DOUBLE) AS x_mean
+    FROM (SELECT * FROM counts ORDER BY n DESC, l_suppkey LIMIT 10), totals
+    """,
+)
+def dq_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.relational import (
+        skew_report,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_report(li, ["l_suppkey"], top_k=10)

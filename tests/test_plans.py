@@ -81,7 +81,7 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
     # Anywhere else a BNLJ means a join lost its equi-key — the classic
     # accidental O(N²).
     allowed_bnlj = {"sim_ivf_ann", "agg_hll_distinct", "agg_kmv_distinct",
-                    "agg_kmv_intersection",
+                    "agg_kmv_intersection", "dq_join_skew_report",
                     "text_vocab_coverage",
                     "sim_cosine_topk", "sim_ivf_ann_nprobe2", "events_funnel",
                     "flagship_volume_stack", "emb_hard_negatives",

@@ -395,3 +395,38 @@ def test_max_concurrent_intervals_half_open(spark):
         ).collect()
     }
     assert out == {"k": (3, 4), "q": (1, 2)}
+
+
+def test_skew_report_flags_hot_key(spark):
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.col("id")))
+        .alias("k")
+    )
+    rows = R.skew_report(df, ["k"], top_k=3).collect()
+    assert rows[0]["k"] == "hot"
+    assert rows[0]["n"] == 900
+    assert abs(rows[0]["share"] - 0.9) < 1e-12
+    # 101 distinct keys, mean ~9.9 rows → hot is ~91x the mean
+    assert rows[0]["x_mean"] > 80
+    assert all(r["n"] == 1 for r in rows[1:])
+
+
+def test_tune_lsh_params_matches_repo_choice_and_monotonicity(spark):
+    from blockchain_data_engineering_spark.operators.dedup import (
+        tune_lsh_params,
+    )
+
+    # the repo's own 9-hash/0.5-threshold configuration is optimal
+    assert tune_lsh_params(0.5, 9) == (3, 3)
+    # higher threshold → more selective bands (rows per band grows)
+    _, r_low = tune_lsh_params(0.3, 64)
+    _, r_high = tune_lsh_params(0.8, 64)
+    assert r_high > r_low
+    # budget respected
+    b, r = tune_lsh_params(0.6, 50)
+    assert b * r <= 50
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tune_lsh_params(1.5, 9)
