@@ -697,3 +697,90 @@ def sssp(
         caches.append(merged)
         dist, delta = merged, improved
     return finalize(dist, *caches)
+
+
+def earliest_arrival(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    time: str = "t",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Round-bounded TIME-RESPECTING reachability over a timestamped
+    edge list: ``(node, arr)`` where ``arr`` is the earliest time a
+    flow started at any seed (each carrying its own start time in the
+    seeds' ``arr`` column) can have reached the node using ≤ ``rounds``
+    edges, with every edge usable only at its own timestamp — hop k's
+    edge time must be ≥ the arrival time at its source
+    (``e.t >= arr(u)``, the temporal-path constraint of
+    Wu et al., "Path Problems in Temporal Graphs", VLDB 2014). The
+    temporal sibling of :func:`sssp`: same delta-frontier loop, but the
+    relaxation candidate is the EDGE TIME itself instead of
+    ``dist + w``, and eligibility depends on the current arrival —
+    so parallel (src, dst) edges must stay distinct rows (a static
+    min-weight pre-collapse would discard later edges that become the
+    only eligible ones under a late arrival).
+
+    The wallet reading: "given these wallets were flagged at time T,
+    when is the earliest each downstream wallet could have received
+    tainted funds?" — :func:`bfs_levels` answers *how many hops*,
+    :func:`sssp` *how cheaply*, this *how soon*, respecting that a
+    transfer cannot forward funds it has not yet received.
+
+    Delta-frontier validity (the :func:`sssp` invariant, adapted): on
+    any optimal ≤k-edge temporal path the arrival strictly improves at
+    every node along it, each improvement lands its node in that
+    round's delta, and a LOWER arrival at the source only widens edge
+    eligibility (``t >= arr`` is monotone in ``arr``) — so relaxing
+    deltas only reaches the same bounded fixpoint as relaxing the full
+    table. Per round: one eligibility join (equi on ``src`` + the one
+    range predicate evaluated post-join), one min-groupBy, one keyed
+    merge; the arrival table is ≤|V| rows (broadcast by default,
+    ``broadcast=False`` + src-partitioned edges at billion-node scale).
+    """
+    arr = (
+        seeds.select("node", F.col("arr").cast("long").alias("arr"))
+        .groupBy("node")
+        .agg(F.min("arr").alias("arr"))
+        .persist()
+    )
+    delta = arr
+    caches = [arr]
+    for _ in range(rounds):
+        cand = (
+            edges.join(
+                _hint(
+                    delta.select(
+                        F.col("node").alias(src), F.col("arr").alias("__a")
+                    ),
+                    broadcast,
+                ),
+                src,
+            )
+            .where(F.col(time) >= F.col("__a"))
+            .select(F.col(dst).alias("node"), F.col(time).alias("__cand"))
+            .groupBy("node")
+            .agg(F.min("__cand").alias("__cand"))
+        )
+        improved = (
+            cand.join(_hint(arr, broadcast), "node", "left")
+            .where(F.col("arr").isNull() | (F.col("__cand") < F.col("arr")))
+            .select("node", F.col("__cand").alias("arr"))
+            .persist()
+        )
+        if improved.isEmpty():
+            improved.unpersist()
+            break
+        merged = (
+            arr.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("arr").alias("arr"))
+            .persist()
+        )
+        merged.count()
+        caches.append(improved)
+        caches.append(merged)
+        arr, delta = merged, improved
+    return finalize(arr, *caches)

@@ -88,6 +88,25 @@ from blockchain_data_engineering_spark.plans import lake_queries  # noqa: F401,E
 # never-gated = registry − (r1 ∪ r2 ∪ current gate) from the
 # CORRECTNESS_r*.json files and asserts it empty.
 GATE_ORDER = [
+    # -- new in round 5, batch 2: time-respecting (earliest-arrival)
+    #    reachability over timestamped edges — the temporal completion
+    #    of the bfs/sssp taint family (unrolled-rounds oracle); OHLC
+    #    bar downsampling (min_by/max_by argmin-aggregate family, new
+    #    to the gate); robust median+MAD anomaly counting (two exact
+    #    rank-selection passes composed). Displaced in exchange, all
+    #    green r4-or-earlier, families still gate-witnessed:
+    #    graph_pagerank (iterative-graph loops stay witnessed by
+    #    graph_kcore + graph_bfs_levels + graph_sssp_cheapest_route +
+    #    graph_temporal_reachability + graph_triangle_count),
+    #    dedup_minhash_lsh (the shingle→band→verify plan runs inside
+    #    gate-witnessed dedup_incremental_batch, pipeline_corpus_dedup
+    #    and sample_split_leakage_free), events_funnel (per-key
+    #    ordered-window sequence family stays witnessed by events_twap
+    #    + stream_sliding_window; funnel itself stays pinned in pytest
+    #    parity). --
+    "graph_temporal_reachability",
+    "events_ohlc_bars",
+    "events_anomaly_mad",
     # -- new in round 5 (judge ask #8): chain-reorg retraction
     #    semantics as a batch-replay query — the canonical survivor
     #    set rollback_aware_upsert converges a keyed sink to,
@@ -240,11 +259,8 @@ GATE_ORDER = [
     # gate-witnessed by sample_token_weighted + sample_shard_shuffle +
     # sample_split_leakage_free.
     "dedup_incremental_batch",
-    "events_funnel",
     "sample_token_weighted",
     "flagship_volume_stack",
-    "graph_pagerank",
-    "dedup_minhash_lsh",
 ]
 
 assert len(GATE_ORDER) == 50, len(GATE_ORDER)

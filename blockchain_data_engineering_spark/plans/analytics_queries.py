@@ -1007,3 +1007,142 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_concurrent").cast("long").alias("max_concurrent"),
         "n_intervals",
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bar downsampling: the classic time-series resample every market
+# data store runs (per (series, hour): open / high / low / close /
+# volume). open/close are argmin/argmax-by-timestamp aggregates
+# (min_by / max_by — one shuffle, map-side combinable), NOT a window
+# sort: at 100 TB the bar table is tiny next to the tick table and the
+# plan stays a single hash aggregate. Values ride as exact integer
+# quanta; event timestamps are unique at every SF (generator
+# microsecond jitter), making min_by/max_by deterministic — a
+# composite (ts, id) tiebreak is the production-grain variant.
+# ---------------------------------------------------------------------------
+@query(
+    "events_ohlc_bars",
+    oracle=f"""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bar_ts,
+           arg_min({quanta_sql('value', 4)}, ts) AS open_q,
+           max({quanta_sql('value', 4)}) AS high_q,
+           min({quanta_sql('value', 4)}) AS low_q,
+           arg_max({quanta_sql('value', 4)}, ts) AS close_q,
+           CAST(sum({quanta_sql('value', 4)}) AS BIGINT) AS vol_q,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+        quanta(F.col("value"), 4).alias("vq"),
+        "ts",
+    )
+    return ev.groupBy("event_type", "bar_ts").agg(
+        F.min_by("vq", "ts").alias("open_q"),
+        F.max("vq").alias("high_q"),
+        F.min("vq").alias("low_q"),
+        F.max_by("vq", "ts").alias("close_q"),
+        F.sum("vq").alias("vol_q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly counting: median + MAD (median absolute deviation)
+# per series, flagging |v - med| > 3·MAD — the outlier rule that, unlike
+# mean/stddev z-scores, is not itself dragged by the outliers it hunts.
+# Composition of two exact discrete-median selections (the
+# events_value_quantiles rank-selection plan, run once over values and
+# once over deviations) with the 5-row median/MAD tables broadcast back
+# — integer arithmetic end to end, so the flag threshold is
+# engine-exact. At 100 TB: two sort-within-key shuffles over the fact
+# table and two broadcast joins; the approx_percentile sketch is the
+# one-pass trade when exactness can go.
+# ---------------------------------------------------------------------------
+@query(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, {quanta_sql('value', 4)} AS v FROM events
+    ),
+    r1 AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM q
+    ),
+    med AS (
+      SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+      FROM r1 GROUP BY 1
+    ),
+    dev AS (
+      SELECT q.event_type, abs(v - med) AS d, med
+      FROM q JOIN med USING (event_type)
+    ),
+    r2 AS (
+      SELECT event_type, d,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN d END) AS mad
+      FROM r2 GROUP BY 1
+    )
+    SELECT dev.event_type,
+           any_value(dev.med) AS med_q,
+           any_value(mad.mad) AS mad_q,
+           CAST(sum(CASE WHEN d > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           count(*) AS n
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY 1
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", quanta(F.col("value"), 4).alias("v")
+    )
+
+    def discrete_median(df: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col)
+        wn = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            col,
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        return ranked.groupBy("event_type").agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) div 2"), F.col(col)
+                ).otherwise(F.lit(None))
+            ).alias(f"med_{col}")
+        )
+
+    med = discrete_median(ev, "v").withColumnRenamed("med_v", "med")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("med")).alias("d"), "med"
+    )
+    mad = discrete_median(
+        dev.select("event_type", "d"), "d"
+    ).withColumnRenamed("med_d", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value(F.col("med")).alias("med_q"),
+            F.any_value(F.col("mad")).alias("mad_q"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

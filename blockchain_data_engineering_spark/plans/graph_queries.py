@@ -593,3 +593,79 @@ def graph_sssp_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = spark.createDataFrame([("c1",), ("c2",), ("c3",)], "node string")
     return G.sssp(wedges, seeds, rounds=SSSP_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Time-respecting reachability (earliest arrival) over timestamped
+# transfer edges: every hop's edge time must be >= the arrival time at
+# its source — funds cannot be forwarded before they were received.
+# The temporal completion of the taint family: graph_bfs_levels
+# answers hop distance, graph_sssp_cheapest_route cheapest cost, this
+# the earliest *time*. Edge times are integer days (exact in every
+# engine); the oracle replays the identical bounded rounds as an
+# unrolled CTE chain, the same trajectory-replay pattern as the
+# PageRank/CC/k-core/SSSP oracles.
+# ---------------------------------------------------------------------------
+TEMPORAL_ROUNDS = 4
+_TEMPORAL_T0 = 1000  # seeds flagged at day 1000: earlier edges unusable
+
+
+def _temporal_edges_sql() -> str:
+    return """
+    SELECT DISTINCT
+      CASE WHEN l_returnflag = 'R' THEN 's' || CAST(l_suppkey AS VARCHAR)
+           ELSE 'c' || CAST(o_custkey AS VARCHAR) END AS src,
+      CASE WHEN l_returnflag = 'R' THEN 'c' || CAST(o_custkey AS VARCHAR)
+           ELSE 's' || CAST(l_suppkey AS VARCHAR) END AS dst,
+      CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS t
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    """
+
+
+def _temporal_oracle() -> str:
+    ctes = [
+        f"e AS ({_temporal_edges_sql()})",
+        "d0 AS (SELECT * FROM (VALUES "
+        f"('c1', CAST({_TEMPORAL_T0} AS BIGINT)), ('c2', {_TEMPORAL_T0}), "
+        f"('c3', {_TEMPORAL_T0})) s(node, arr))",
+    ]
+    for k in range(1, TEMPORAL_ROUNDS + 1):
+        ctes.append(
+            f"""c{k} AS (
+      SELECT e.dst AS node, min(e.t) AS arr
+      FROM d{k - 1} JOIN e ON e.src = d{k - 1}.node AND e.t >= d{k - 1}.arr
+      GROUP BY e.dst
+    ),
+    d{k} AS (
+      SELECT node, min(arr) AS arr FROM (
+        SELECT * FROM d{k - 1} UNION ALL SELECT * FROM c{k}
+      ) GROUP BY node
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"WITH {joined}\n    SELECT node, arr FROM d{TEMPORAL_ROUNDS}"
+
+
+@query("graph_temporal_reachability", oracle=_temporal_oracle())
+def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey, "inner")
+    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    is_ret = F.col("l_returnflag") == "R"
+    # parallel (src, dst) edges stay DISTINCT rows (no min-t collapse):
+    # which parallel edge is usable depends on the arrival time, which
+    # the loop only discovers round by round
+    tedges = j.select(
+        F.when(is_ret, s).otherwise(c).alias("src"),
+        F.when(is_ret, c).otherwise(s).alias("dst"),
+        F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).distinct()
+    seeds = spark.createDataFrame(
+        [("c1", _TEMPORAL_T0), ("c2", _TEMPORAL_T0), ("c3", _TEMPORAL_T0)],
+        "node string, arr long",
+    )
+    return G.earliest_arrival(tedges, seeds, rounds=TEMPORAL_ROUNDS)

@@ -577,3 +577,56 @@ def test_sssp_prefers_cheap_multi_hop_and_respects_round_bound(spark):
     }
     assert got1["z"] == 2 and got1["b"] == 1
     assert "c" not in got1 and "far" not in got1
+
+
+def test_earliest_arrival_respects_time_order_and_parallel_edges(spark):
+    """Temporal-path semantics: an edge dated BEFORE the arrival at its
+    source is unusable (funds can't be forwarded before they're
+    received); among parallel (src, dst) edges the usable-earliest one
+    wins, and which one is usable depends on the discovered arrival —
+    the reason the operator must NOT pre-collapse parallel edges to
+    min(t)."""
+    from blockchain_data_engineering_spark.operators.graph import (
+        earliest_arrival,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 5),
+            # b->c has two parallel edges: t=3 predates arrival at b
+            # (5) and MUST be skipped; t=8 is the usable one
+            ("b", "c", 3),
+            ("b", "c", 8),
+            # c->d only before c's arrival: d unreachable
+            ("c", "d", 7),
+            # second seed flagged later: its direct edge to b (t=6)
+            # loses to a's earlier route (t=5)
+            ("s2", "b", 6),
+        ],
+        "src STRING, dst STRING, t LONG",
+    )
+    seeds = spark.createDataFrame(
+        [("a", 0), ("s2", 4)], "node STRING, arr LONG"
+    )
+
+    got = {
+        r["node"]: r["arr"]
+        for r in earliest_arrival(edges, seeds, rounds=4).collect()
+    }
+    assert got == {"a": 0, "s2": 4, "b": 5, "c": 8}
+
+    # a LATER flagging time prunes the early route: with a flagged at
+    # t=6 the a->b edge (t=5) is unusable and b is reached via s2@6
+    late = spark.createDataFrame([("a", 6), ("s2", 4)], "node STRING, arr LONG")
+    got_late = {
+        r["node"]: r["arr"]
+        for r in earliest_arrival(edges, late, rounds=4).collect()
+    }
+    assert got_late["b"] == 6 and got_late["c"] == 8
+
+    # round budget: 1 round reaches b only
+    got1 = {
+        r["node"]: r["arr"]
+        for r in earliest_arrival(edges, seeds, rounds=1).collect()
+    }
+    assert "c" not in got1 and got1["b"] == 5
