@@ -31,19 +31,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "flagship_volume_stack",
     "netflow_decimal",
-    "dedup_minhash_lsh",
     "dedup_incremental_batch",
     "pipeline_corpus_dedup",
-    "sim_ivf_ann_nprobe2",
-    "graph_pagerank",
+    "sim_ivf_ann_trained",
+    "sim_lsh_ann_multitable",
+    "graph_sssp_cheapest_route",
+    "graph_bfs_levels",
+    "graph_temporal_reachability",
     "graph_kcore",
     "graph_triangle_count",
     "text_quality_classifier",
-    "text_novelty_score",
+    "text_bpe_train",
     "pipeline_cluster_quality",
     "sample_split_leakage_free",
-    "events_funnel",
-    "sample_token_weighted",
 ]
 
 
