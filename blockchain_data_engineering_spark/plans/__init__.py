@@ -104,9 +104,18 @@ GATE_ORDER = [
     #    ordered-window sequence family stays witnessed by events_twap
     #    + stream_sliding_window; funnel itself stays pinned in pytest
     #    parity). --
+    #    Also new in batch 2: out-of-fold target encoding (leakage-safe
+    #    leave-fold-out mean on md5 folds — the feature-engineering
+    #    sibling of sample_train_val_split). Displaced in exchange:
+    #    text_corpus_datasheet (r3-green; the multi-aggregate profiling
+    #    family stays gate-witnessed by dq_orders_profile, and the
+    #    corpus token/quality stats it rolls up are each gate-witnessed
+    #    via text_bpe_token_counts / text_ccnet_buckets; the datasheet
+    #    stays pinned in pytest parity).
     "graph_temporal_reachability",
     "events_ohlc_bars",
     "events_anomaly_mad",
+    "ml_target_encoding",
     # -- new in round 5 (judge ask #8): chain-reorg retraction
     #    semantics as a batch-replay query — the canonical survivor
     #    set rollback_aware_upsert converges a keyed sink to,
@@ -153,7 +162,6 @@ GATE_ORDER = [
     "sample_shard_shuffle",
     "sample_split_leakage_free",
     "text_contamination_matrix",
-    "text_corpus_datasheet",
     # -- never officially gate-verified before round 3 (front-loaded
     #    so even a row-capped gate reaches them) --
     # r5 rotation: basket_part_pairs (r3-green) demoted to parity in

@@ -16,6 +16,7 @@ from blockchain_data_engineering_spark.operators.pandas_escape import (
 )
 from blockchain_data_engineering_spark.plans.parity import (
     dsum_sql,
+    md5_bucket_sql,
     quanta,
     quanta_sql,
 )
@@ -1145,4 +1146,89 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold target encoding: the leakage-safe categorical feature
+# every tabular/quality-classifier training pipeline derives — encode
+# category c for rows in fold f as the target mean over c's rows in
+# ALL OTHER folds (a row never sees its own target). Folds are
+# deterministic md5 buckets (reproducible across engines, runs, and
+# cluster sizes — the sample_train_val_split stance); the
+# leave-fold-out mean is (sum_cat − sum_fold) / (cnt_cat − cnt_fold)
+# on exact integer quanta, so both engines divide identical operands.
+# Scale shape: ONE (category, fold) hash agg over the fact table
+# (map-side combinable, |cats|·K result rows), then a |cats|-partition
+# window sum — encoding joins back to the facts as a broadcast.
+# ---------------------------------------------------------------------------
+_TE_FOLDS = 5
+
+
+@query(
+    "ml_target_encoding",
+    oracle=f"""
+    WITH q AS (
+      SELECT o_orderpriority AS cat,
+             {md5_bucket_sql("'fold:' || CAST(o_orderkey AS VARCHAR)", _TE_FOLDS)}
+               AS fold,
+             {quanta_sql('o_totalprice', 2)} AS tq
+      FROM orders
+    ),
+    per AS (
+      SELECT cat, fold, sum(tq) AS s_f, count(*) AS c_f
+      FROM q GROUP BY 1, 2
+    )
+    SELECT cat, CAST(fold AS INTEGER) AS fold,
+           CAST(c_f AS BIGINT) AS n_in_fold,
+           CASE WHEN sum(c_f) OVER (PARTITION BY cat) > c_f THEN
+             CAST(CAST(sum(s_f) OVER (PARTITION BY cat) - s_f AS BIGINT)
+                  AS DOUBLE)
+             / CAST(CAST(sum(c_f) OVER (PARTITION BY cat) - c_f AS BIGINT)
+                    AS DOUBLE)
+             / 100.0
+           END AS enc
+    FROM per
+    """,
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("fold:"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % _TE_FOLDS
+    )
+    q = orders.select(
+        F.col("o_orderpriority").alias("cat"),
+        fold.alias("fold"),
+        quanta(F.col("o_totalprice"), 2).alias("tq"),
+    )
+    per = q.groupBy("cat", "fold").agg(
+        F.sum("tq").alias("s_f"), F.count(F.lit(1)).alias("c_f")
+    )
+    w = Window.partitionBy("cat")
+    s_c, c_c = F.sum("s_f").over(w), F.sum("c_f").over(w)
+    return per.select(
+        "cat",
+        F.col("fold").cast("int").alias("fold"),
+        F.col("c_f").cast("long").alias("n_in_fold"),
+        F.when(
+            c_c > F.col("c_f"),
+            (s_c - F.col("s_f")).cast("long").cast("double")
+            / (c_c - F.col("c_f")).cast("long").cast("double")
+            / F.lit(100.0),
+        ).alias("enc"),
     )

@@ -87,3 +87,23 @@ def davg_sql(expr: str, digits: int) -> str:
         f"(CAST(sum({quanta_sql(expr, digits)}) AS DOUBLE)"
         f" / (CAST(count(*) AS DOUBLE) * {scale}))"
     )
+
+
+# hex digit → int as portable SQL (DuckDB lacks conv(); a CASE table
+# keeps md5-derived uniform draws engine-identical). Shared by every
+# md5-bucketing oracle (shard shuffle, fold assignment).
+HEX_DIGIT_SQL = (
+    "CASE {col} "
+    + " ".join(f"WHEN '{d}' THEN {int(d, 16)}" for d in "0123456789abcdef")
+    + " END"
+)
+
+
+def md5_bucket_sql(expr: str, n: int) -> str:
+    """First-two-hex-digits md5 bucket of ``expr`` in [0, n) — DuckDB
+    twin of ``conv(substr(md5(expr), 1, 2), 16, 10) % n``."""
+    h = f"md5({expr})"
+    return (
+        f"(16 * ({HEX_DIGIT_SQL.format(col=f'substr({h}, 1, 1)')})"
+        f" + ({HEX_DIGIT_SQL.format(col=f'substr({h}, 2, 1)')})) % {n}"
+    )

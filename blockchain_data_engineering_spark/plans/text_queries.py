@@ -14,18 +14,17 @@ from pyspark.sql import functions as F
 from blockchain_data_engineering_spark.catalog import load_table, spread
 from blockchain_data_engineering_spark.functions.scalar import bounded_window_key
 from blockchain_data_engineering_spark.operators import text as TX
-from blockchain_data_engineering_spark.plans.parity import dsum, dsum_sql
+from blockchain_data_engineering_spark.plans.parity import (
+    HEX_DIGIT_SQL,
+    dsum,
+    dsum_sql,
+)
 from blockchain_data_engineering_spark.plans.registry import query
 
 _BPE_PAT = TX.TOKEN_PATTERN
 
-# hex digit → int as portable SQL (DuckDB lacks conv(); a CASE table
-# keeps the md5-derived uniform draws engine-identical)
-_HEX_DIGIT_SQL = (
-    "CASE {col} "
-    + " ".join(f"WHEN '{d}' THEN {int(d, 16)}" for d in "0123456789abcdef")
-    + " END"
-)
+# hex digit → int portable SQL: shared recipe, see plans/parity.py
+_HEX_DIGIT_SQL = HEX_DIGIT_SQL
 
 
 # ---------------------------------------------------------------------------
