@@ -430,3 +430,120 @@ def test_tune_lsh_params_matches_repo_choice_and_monotonicity(spark):
 
     with _pytest.raises(ValueError):
         tune_lsh_params(1.5, 9)
+
+
+def test_variant_json_extraction_matches_duckdb(spark, duck, sf_dir):
+    """Spark 4 VARIANT path over the semi-structured events.props JSON
+    column: parse once, extract typed fields lazily — the modern
+    replacement for rigid from_json schemas when payloads drift. Checked
+    cell-for-cell against DuckDB's JSON extraction."""
+    from blockchain_data_engineering_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = (
+        ev.select(
+            "event_type",
+            F.try_variant_get(
+                F.parse_json(F.col("props")), "$.k", "int"
+            ).alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count_if(F.col("k").isNull()).alias("n_null"),
+        )
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(
+            """
+            SELECT event_type,
+                   sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+                   count(*) FILTER (json_extract(props, '$.k') IS NULL)
+                     AS n_null
+            FROM events GROUP BY 1 ORDER BY 1
+            """
+        )
+        .fetchdf()
+        .reset_index(drop=True)
+    )
+    assert list(got["event_type"]) == list(want["event_type"])
+    assert [int(x) for x in got["sum_k"]] == [int(x) for x in want["sum_k"]]
+    assert [int(x) for x in got["n_null"]] == [int(x) for x in want["n_null"]]
+
+
+def test_cube_and_unpivot_match_duckdb(spark, duck, sf_dir):
+    """CUBE completes the rollup/grouping-sets family (A6/A7) with the
+    all-combinations lattice, and DataFrame.unpivot is the wide→long
+    reshape (the dq profile uses its one-row stack form). Both checked
+    against DuckDB on lineitem."""
+    from blockchain_data_engineering_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cube = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.grouping_id().alias("gid"),
+        )
+        .toPandas()
+        .fillna("∅")
+        .sort_values(["gid", "l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    cube_want = (
+        duck.execute(
+            """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY gid, l_returnflag, l_linestatus
+            """
+        )
+        .fetchdf()
+        .fillna("∅")
+        .reset_index(drop=True)
+    )
+    assert len(cube) == len(cube_want)
+    for col in ("l_returnflag", "l_linestatus"):
+        assert list(cube[col]) == list(cube_want[col]), col
+    assert [int(x) for x in cube["qty"]] == [int(x) for x in cube_want["qty"]]
+    assert [int(x) for x in cube["gid"]] == [int(x) for x in cube_want["gid"]]
+
+    wide = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+    long = (
+        wide.unpivot("l_returnflag", ["n_rows", "sum_qty"], "metric", "value")
+        .toPandas()
+        .sort_values(["l_returnflag", "metric"])
+        .reset_index(drop=True)
+    )
+    long_want = (
+        duck.execute(
+            """
+            WITH w AS (
+              SELECT l_returnflag, count(*) AS n_rows,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+              FROM lineitem GROUP BY 1
+            )
+            SELECT l_returnflag, 'n_rows' AS metric,
+                   CAST(n_rows AS BIGINT) AS value FROM w
+            UNION ALL
+            SELECT l_returnflag, 'sum_qty', CAST(sum_qty AS BIGINT) FROM w
+            ORDER BY 1, 2
+            """
+        )
+        .fetchdf()
+        .reset_index(drop=True)
+    )
+    assert list(long["l_returnflag"]) == list(long_want["l_returnflag"])
+    assert list(long["metric"]) == list(long_want["metric"])
+    assert [int(x) for x in long["value"]] == [
+        int(x) for x in long_want["value"]
+    ]
