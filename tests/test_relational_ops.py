@@ -547,3 +547,47 @@ def test_cube_and_unpivot_match_duckdb(spark, duck, sf_dir):
     assert [int(x) for x in long["value"]] == [
         int(x) for x in long_want["value"]
     ]
+
+
+def test_python_udtf_matches_native_posexplode_twin(spark, sf_dir):
+    """Spark 4 Python UDTF (table-valued function) — the last
+    Python-extension surface next to pandas UDFs / mapInPandas /
+    applyInPandasWithState / the DataSource API. Demonstrated as an
+    escape hatch ONLY: the same paragraph split is expressed natively
+    with posexplode(split(...)), and the two must agree row-for-row —
+    the native form is the hot path (whole-stage codegen; the UDTF
+    runs row-at-a-time Python and shows up as a BatchEvalPythonUDTF
+    node, which is why no relational operator in the package uses
+    one)."""
+    from pyspark.sql.functions import udtf
+
+    from blockchain_data_engineering_spark.catalog import load_table
+
+    @udtf(returnType="pos: int, para: string")
+    class ParagraphSplit:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            if text is None:
+                return
+            for pos, para in enumerate(text.split(". ")):
+                yield pos, para
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.createOrReplaceTempView("__udtf_docs")
+    spark.udtf.register("paragraph_split", ParagraphSplit)
+    got = spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.para
+        FROM __udtf_docs d, LATERAL paragraph_split(d.doc_id, d.text) s
+        """
+    ).toPandas()
+
+    native = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\. ")).alias("pos", "para"),
+    ).toPandas()
+
+    key = lambda df: df.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    got, native = key(got), key(native)
+    assert len(got) == len(native) and len(got) > 0
+    assert (got["para"] == native["para"]).all()
+    spark.catalog.dropTempView("__udtf_docs")
