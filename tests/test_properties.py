@@ -763,3 +763,101 @@ def test_max_concurrency_spark_matches_python_model(spark):
         for r in max_concurrent_intervals(df, ["k"], "s", "e").collect()
     }
     assert got == py_max_concurrency(intervals)
+
+
+def test_earliest_arrival_matches_synchronous_relaxation_model(spark):
+    """Random temporal digraphs: the operator's delta-frontier loop
+    must equal the obvious synchronous model (relax EVERY edge from the
+    previous round's table, keep the min) at every round bound — the
+    documented invariant that relaxing only improved nodes loses
+    nothing (operators/graph.earliest_arrival)."""
+    import random
+
+    from blockchain_data_engineering_spark.operators.graph import (
+        earliest_arrival,
+    )
+
+    rng = random.Random(20260815)
+    for case in range(4):
+        n = rng.randint(4, 9)
+        nodes = [f"n{i}" for i in range(n)]
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes), rng.randint(0, 20))
+            for _ in range(rng.randint(5, 22))
+        ]
+        seeds = {
+            node: rng.randint(0, 10)
+            for node in rng.sample(nodes, rng.randint(1, 2))
+        }
+
+        def model(rounds: int) -> dict[str, int]:
+            arr = dict(seeds)
+            for _ in range(rounds):
+                new = dict(arr)
+                for u, v, t in edges:
+                    if u in arr and t >= arr[u]:
+                        if v not in new or t < new[v]:
+                            new[v] = t
+                arr = new
+            return arr
+
+        edf = spark.createDataFrame(edges, "src STRING, dst STRING, t LONG")
+        sdf = spark.createDataFrame(
+            list(seeds.items()), "node STRING, arr LONG"
+        )
+        for rounds in (1, 3):
+            got = {
+                r["node"]: r["arr"]
+                for r in earliest_arrival(edf, sdf, rounds=rounds).collect()
+            }
+            assert got == model(rounds), (
+                f"case {case} rounds {rounds}: {got} != {model(rounds)} "
+                f"(edges={edges}, seeds={seeds})"
+            )
+
+
+def test_target_encoding_is_leakage_free_by_construction(spark, sf_dir):
+    """For every (category, fold) cell: enc must equal the target mean
+    over the category's rows in ALL OTHER folds — recomputed here
+    directly from the raw table with the same md5 fold assignment; and
+    a category's fold cells must partition its rows
+    (plans/analytics_queries.ml_target_encoding)."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb as _duck
+
+    from blockchain_data_engineering_spark.plans import (
+        EXTRA_QUERIES,
+        QUERIES,
+    )
+
+    fn = {**QUERIES, **EXTRA_QUERIES}["ml_target_encoding"]
+    got = {
+        (r["cat"], r["fold"]): r
+        for r in fn(spark, sf_dir).collect()
+    }
+
+    rows = _duck.sql(
+        f"SELECT o_orderkey, o_orderpriority, "
+        f"CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS tq "
+        f"FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    sums: dict[tuple, int] = defaultdict(int)
+    cnts: dict[tuple, int] = defaultdict(int)
+    for key, cat, tq in rows:
+        fold = int(
+            hashlib.md5(f"fold:{key}".encode()).hexdigest()[:2], 16
+        ) % 5
+        sums[(cat, fold)] += tq
+        cnts[(cat, fold)] += 1
+
+    assert set(got) == set(cnts)
+    for (cat, fold), row in got.items():
+        assert row["n_in_fold"] == cnts[(cat, fold)]
+        out_sum = sum(v for (c, f), v in sums.items() if c == cat and f != fold)
+        out_cnt = sum(v for (c, f), v in cnts.items() if c == cat and f != fold)
+        if out_cnt == 0:
+            assert row["enc"] is None
+        else:
+            assert row["enc"] == float(out_sum) / float(out_cnt) / 100.0
