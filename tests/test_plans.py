@@ -550,3 +550,27 @@ def test_r5_window_ops_single_keyed_exchange(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         n = len(re.findall(r"Exchange hashpartitioning", plan))
         assert n <= max_hash_ex, (name, n, plan[:2000])
+
+
+def test_ohlc_bars_is_one_hash_aggregate_no_window(spark, sf_dir):
+    """OHLC downsampling must stay a single hash aggregate over the
+    tick table (min_by/max_by argmin-aggregates) — the moment a window
+    sort sneaks in, the plan sorts the full fact table per bar key
+    instead of map-side combining (plans/analytics_queries
+    events_ohlc_bars)."""
+    plan = _plan(spark, sf_dir, "events_ohlc_bars")
+    assert "Window" not in plan, plan
+    # one shuffle: the (event_type, bar_ts) aggregate exchange
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_target_encoding_windows_only_the_cell_table(spark, sf_dir):
+    """ml_target_encoding's leave-fold-out sums come from a window over
+    the (category, fold) CELL table (|cats|·K rows), never the fact
+    table: exactly one aggregate exchange over orders, and the window's
+    input must already be the aggregated cell grain."""
+    plan = _plan(spark, sf_dir, "ml_target_encoding")
+    assert "Window" in plan, plan
+    # one fact-table aggregate shuffle + one |cats|-partition window
+    # exchange — anything more means the window slid under the agg
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
