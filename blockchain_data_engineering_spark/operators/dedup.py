@@ -675,10 +675,15 @@ def tune_lsh_params(
     (∫ below threshold) + false-negative area (∫ above).
 
     Pure driver-side arithmetic (deterministic fixed-step Riemann
-    sums) — tune once, then feed the result to lsh_bands(); at 100 TB
-    the wrong (b, r) is the difference between candidate sets that
-    fit in a shuffle and quadratic blowup, which is why this knob
-    deserves a solver rather than folklore defaults.
+    sums) — tune once, then call
+    ``lsh_bands(sigs, n_hashes=b * r, band_size=r)``: the tuned
+    b·r may be SMALLER than the ``n_hashes`` budget (the optimum is
+    not always a divisor split), and lsh_bands requires band_size to
+    divide its n_hashes exactly — passing the original budget with a
+    non-divisor r is a ValueError. The unused tail hashes simply go
+    uncomputed. At 100 TB the wrong (b, r) is the difference between
+    candidate sets that fit in a shuffle and quadratic blowup, which
+    is why this knob deserves a solver rather than folklore defaults.
     """
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0,1), got {threshold}")

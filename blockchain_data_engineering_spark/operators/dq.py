@@ -25,6 +25,14 @@ from pyspark.sql import functions as F
 RESULT_COLS = ("check_name", "n_rows", "n_pass", "n_fail")
 
 
+def _sql_str(s: str) -> str:
+    """``s`` as a Spark SQL string literal — the check/column labels
+    are caller-supplied and routinely contain quotes (e.g.
+    ``in_set:'O','F'``); raw interpolation into stack() would be a
+    plan-time ParseException (or worse, silent label mangling)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def row_expectations(
     df: DataFrame, checks: dict[str, Column]
 ) -> DataFrame:
@@ -32,6 +40,8 @@ def row_expectations(
     row per check — (check_name, n_rows, n_pass, n_fail). NULL
     predicate results count as FAIL (three-valued logic never hides a
     violation)."""
+    if not checks:
+        raise ValueError("row_expectations: checks must be non-empty")
     agg = df.agg(
         F.count(F.lit(1)).alias("__n"),
         *[
@@ -42,7 +52,7 @@ def row_expectations(
         ],
     )
     stack_args = ", ".join(
-        f"'{name}', __p_{i}" for i, name in enumerate(checks)
+        f"{_sql_str(name)}, __p_{i}" for i, name in enumerate(checks)
     )
     return agg.select(
         F.expr(
@@ -105,6 +115,8 @@ def profile_columns(
     kmv_count_distinct / hll per column when exactness stops being
     worth the shuffle at full scale.
     """
+    if not numeric_cols:
+        raise ValueError("profile_columns: numeric_cols must be non-empty")
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(numeric_cols):
         col = F.col(c)
@@ -118,7 +130,7 @@ def profile_columns(
         ]
     agg = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', __null_{i}, __nd_{i}, __mn_{i}, __mx_{i}"
+        f"{_sql_str(c)}, __null_{i}, __nd_{i}, __mn_{i}, __mx_{i}"
         for i, c in enumerate(numeric_cols)
     )
     return agg.select(

@@ -187,6 +187,17 @@ def extract_features_arrow(df: DataFrame, n_buckets: int = 16) -> DataFrame:
         import numpy as np
         import pyarrow as pa
 
+        # explicit schema: from_pydict on an EMPTY batch would infer
+        # null-typed columns and fail Arrow's schema check — the same
+        # hazard sample_frames guards on the pandas side
+        out_schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_bytes", pa.int64()),
+                ("byte_histogram", pa.list_(pa.int64())),
+                ("mean_byte", pa.float64()),
+            ]
+        )
         for batch in batches:
             doc_ids = batch.column("doc_id").to_pylist()
             payloads = batch.column("payload")
@@ -212,7 +223,7 @@ def extract_features_arrow(df: DataFrame, n_buckets: int = 16) -> DataFrame:
                 out["mean_byte"].append(
                     float(buf.mean()) if len(buf) else 0.0
                 )
-            yield pa.RecordBatch.from_pydict(out)
+            yield pa.RecordBatch.from_pydict(out, schema=out_schema)
 
     return df.select("doc_id", "payload", "meta").mapInArrow(
         featurize, schema=FEATURE_SCHEMA

@@ -177,11 +177,17 @@ def _jdbc_table_columns(conn, table: str) -> list[str]:
     verbatim, upper, and lower."""
     md = conn.getMetaData()
     name = table.split(".")[-1]
+    # getColumns takes a LIKE pattern: '_' and '%' are wildcards, so an
+    # unescaped underscore-bearing name (tx_log) also matches txXlog —
+    # wrong columns back, or several tables' columns concatenated.
+    # Escape-string handling is driver-flaky (Derby reports ''), so
+    # instead keep only rows whose TABLE_NAME is EXACTLY the probe.
     for probe in (name, name.upper(), name.lower()):
         rs = md.getColumns(None, None, probe, None)
         cols: list[str] = []
         while rs.next():
-            cols.append(rs.getString("COLUMN_NAME"))
+            if rs.getString("TABLE_NAME") == probe:
+                cols.append(rs.getString("COLUMN_NAME"))
         rs.close()
         if cols:
             return cols

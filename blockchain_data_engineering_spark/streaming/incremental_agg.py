@@ -141,13 +141,16 @@ class IncrementalRollup:
         bucket_set = sorted(set(int(b) for b in buckets))
         bucket = F.floor(F.col(self.slot_col) / F.lit(self.bucket_slots))
         scoped = landing.where(bucket.cast("long").isin(bucket_set))
+        # persisted: the write AND the present-buckets collect both
+        # read the partials — uncached, each would re-run the scoped
+        # landing scan + aggregation (2× the refresh cost)
         part = partial_rollup(
             scoped,
             self.key_cols,
             self.slot_col,
             self.measures,
             self.bucket_slots,
-        )
+        ).persist()
         (
             part.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -160,6 +163,7 @@ class IncrementalRollup:
                 F.col(BUCKET_COL).alias("b")
             ).distinct().collect()
         }
+        part.unpersist()
         emptied = [b for b in bucket_set if b not in present]
         if emptied:
             from blockchain_data_engineering_spark.sources.io import (

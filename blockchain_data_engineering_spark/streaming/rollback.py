@@ -160,6 +160,7 @@ def rollback_aware_upsert(
     seq_col: str | None = None,
     derived: Sequence[DerivedTable] = (),
     sink_fn: Callable[[DataFrame], None] | None = None,
+    on_rollback: Callable[[int], None] | None = None,
 ) -> int:
     """foreachBatch body for a reorg-aware keyed parquet sink: record
     every rollback marker in ``batch_lines`` (idempotent side-table
@@ -191,6 +192,15 @@ def rollback_aware_upsert(
     exactly the rows that landed. Keep derived sinks KEYED (idempotent
     upserts) so batch replays converge, same contract as the landing
     table.
+
+    ``on_rollback`` (if given) fires AFTER the orphan deletes, once
+    per batch that lands NEW markers, with the minimum rollback slot
+    among them — the hook for state the row-delete model cannot fix:
+    MATERIALIZED aggregates (``IncrementalRollup.refresh_from``) whose
+    partials sum deleted rows. ``sink_fn`` alone is NOT enough there:
+    it only sees this batch's survivors, so a marker-only batch (reorg
+    with no replacement blocks yet) or orphans in buckets the new rows
+    don't touch would leave stale partials forever.
     """
     spark = batch_lines.sparkSession
     seq_expr = F.col(seq_col) if seq_col else file_seq()
@@ -255,6 +265,10 @@ def rollback_aware_upsert(
                     d.path,
                     orphaned(F.col(d.seq_col), F.col(d.slot_col)),
                 )
+            if on_rollback is not None:
+                # every deleted row sat strictly ABOVE the lowest new
+                # rollback point — hand that bound to the consumer
+                on_rollback(min(slot for _, slot in new_markers))
         rows = parse_fn(blocks).where(
             ~orphaned(F.col(SEQ_COL), F.col(slot_col))
         )

@@ -119,6 +119,29 @@ def main(work: str) -> None:
             landing_now.withColumn("n_tx", F.col("height") % 5), rows
         )
 
+    def on_rollback(lo_slot):
+        # the materialized aggregate's partials sum rows the undo just
+        # deleted — row deletes alone can't fix them. Recompute every
+        # bucket at/after the rollback point from the converged landing
+        # table; covers marker-only batches (no survivors, so
+        # derived_sink's sync never fires) and orphans in buckets this
+        # batch's new rows don't touch.
+        from blockchain_data_engineering_spark.sources.io import _hadoop_fs
+
+        fs, _HPath, hpath = _hadoop_fs(spark, blocks_tbl)
+        if fs.exists(hpath):
+            landing_now = spark.read.parquet(blocks_tbl)
+        else:
+            # full truncation: delete_parquet_where removed the whole
+            # landing dir — refresh against an empty frame so every
+            # stored bucket at/after the point is dropped, not retained
+            landing_now = spark.createDataFrame(
+                [], "__seq long, id string, slot long, height long"
+            )
+        agg_rollup.refresh_from(
+            spark, landing_now.withColumn("n_tx", F.col("height") % 5), lo_slot
+        )
+
     def sink(batch_df, batch_id):
         rollback_aware_upsert(
             batch_df,
@@ -126,6 +149,7 @@ def main(work: str) -> None:
             ["id"],
             derived=[DerivedTable(fp_index), DerivedTable(rollup_tbl)],
             sink_fn=derived_sink,
+            on_rollback=on_rollback,
         )
 
     q = (

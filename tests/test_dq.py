@@ -115,3 +115,27 @@ def test_profile_columns_stats(spark):
     }
     assert out["k"] == (3, 0, 2, 1.0, 2.0)
     assert out["v"] == (3, 1, 2, 2.0, 8.5)
+
+
+def test_check_labels_with_quotes_and_empty_checks_guard(spark):
+    """Check/column labels are caller-supplied and routinely quote
+    their allowed values (in_set:'O','F') — they must survive the
+    stack() round-trip verbatim; empty checks must be a clear
+    ValueError, not a stack(0,) ParseException inside the publish
+    gate."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "O"), (2, "F"), (3, "X")], "k long, s string")
+    label = "in_set:'O','F'"
+    out = {
+        r["check_name"]: r["n_fail"]
+        for r in dq.row_expectations(
+            df, {label: F.col("s").isin("O", "F")}
+        ).collect()
+    }
+    assert out == {label: 1}
+
+    with pytest.raises(ValueError, match="non-empty"):
+        dq.row_expectations(df, {})
+    with pytest.raises(ValueError, match="non-empty"):
+        dq.profile_columns(df, [])

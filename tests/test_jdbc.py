@@ -177,3 +177,27 @@ def test_jdbc_upsert_schema_guard_and_evolution(spark, derby_url):
         for r in read_jdbc(spark, derby_url, "evo", properties=PROPS).collect()
     }
     assert got["a4"] == (40, None) and got["a2"] == (250, 3)
+
+
+def test_jdbc_upsert_underscore_name_not_confused_by_like_sibling(
+    spark, derby_url
+):
+    """DatabaseMetaData.getColumns takes a LIKE pattern ('_' matches
+    any char): with a sibling table whose name matches the unescaped
+    pattern (TXALOG vs TX_LOG), the first write to tx_log must still
+    detect the table as MISSING and create it — an unescaped probe
+    reads the sibling's columns, skips CREATE, and the MERGE dies with
+    table-not-found (sources/io._jdbc_table_columns escaping)."""
+    sibling = spark.createDataFrame([(1, "x")], "k bigint, other string")
+    write_jdbc(sibling, derby_url, "txalog", mode="overwrite", properties=PROPS)
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    upsert_jdbc(df, derby_url, "tx_log", ["k"], properties=PROPS)
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "k bigint, v string")
+    upsert_jdbc(upd, derby_url, "tx_log", ["k"], properties=PROPS)
+
+    back = read_jdbc(spark, derby_url, "tx_log", properties=PROPS)
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "B"), (3, "c")]
+    # the sibling is untouched
+    sib = read_jdbc(spark, derby_url, "txalog", properties=PROPS)
+    assert sib.columns == ["k", "other"]

@@ -1194,3 +1194,69 @@ def test_reorg_undo_propagates_to_derived_tables(spark, tmp_path):
     exp_total = sum(n for _, n in exp_roll)
     got_total = spark.read.parquet(roll).agg(F.sum("n_tx")).first()[0]
     assert got_total == exp_total
+
+
+def test_on_rollback_hook_fires_once_per_new_marker_batch(spark, tmp_path):
+    """on_rollback must fire exactly when NEW markers land — including
+    a marker-only batch with zero surviving blocks (where sink_fn never
+    runs because there is nothing to sink), and NOT on marker-free
+    batches — carrying the minimum rollback slot so consumers can
+    refresh materialized aggregates from the right bound
+    (streaming/rollback.rollback_aware_upsert)."""
+    import json as _json
+
+    from blockchain_data_engineering_spark.streaming.rollback import (
+        rollback_aware_upsert,
+        rollback_marker_line,
+    )
+
+    path = "file://" + str(tmp_path / "blocks")
+
+    def block_line(bid, slot, height):
+        return _json.dumps(
+            {"py/state": {"id": bid, "slot": slot, "height": height}}
+        )
+
+    calls: list[int] = []
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "value string, seq long")
+
+    def run(rows):
+        return rollback_aware_upsert(
+            batch(rows),
+            path,
+            ["id"],
+            seq_col="seq",
+            on_rollback=calls.append,
+        )
+
+    # batch 1: plain blocks — hook must stay silent
+    run([(block_line("a", 10, 1), 0), (block_line("b", 20, 2), 1)])
+    assert calls == []
+
+    # batch 2: MARKER ONLY (reorg to slot 15, no replacement blocks
+    # yet) — zero survivors, but the hook must still fire with slot 15
+    n_deleted = run([(rollback_marker_line({"slot": 15}), 2)])
+    assert n_deleted == 1  # block b (slot 20 > 15, seq 1 < 2) undone
+    assert calls == [15]
+
+    # batch 3: two new markers — one call, minimum slot
+    run(
+        [
+            (rollback_marker_line({"slot": 12}), 3),
+            (rollback_marker_line({"slot": 5}), 4),
+        ]
+    )
+    assert calls == [15, 5]
+
+    # batch 4: marker-free replay-shaped batch — silent again
+    run([(block_line("c", 6, 3), 5)])
+    assert calls == [15, 5]
+    got = {
+        (r["id"], r["slot"])
+        for r in spark.read.parquet(path).select("id", "slot").collect()
+    }
+    # the slot-5 rollback (seq 4) also undid block a (slot 10, seq 0);
+    # c landed AFTER it (seq 5) so it survives
+    assert got == {("c", 6)}
