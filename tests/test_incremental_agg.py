@@ -225,3 +225,54 @@ def test_refresh_recovers_from_partial_write(spark, tmp_path):
     assert sorted(map(tuple, ru.final(spark).collect())) != healthy
     ru.refresh(landing, [1])
     assert sorted(map(tuple, ru.final(spark).collect())) == healthy
+
+
+def test_refresh_from_fixes_buckets_replay_never_touches(spark, tmp_path):
+    """The staleness case sync_batch alone CANNOT fix: a reorg deletes
+    landing rows in bucket B, but the replacement batch's rows all land
+    in a different bucket — sync_batch refreshes only the new rows'
+    buckets, leaving B's partials summing deleted rows forever. The
+    on_rollback → refresh_from(lo_slot) path must converge it
+    (streaming/incremental_agg.refresh_from; the reorg example wires
+    exactly this)."""
+    from blockchain_data_engineering_spark.sources.io import (
+        delete_parquet_where,
+        upsert_parquet,
+    )
+    from blockchain_data_engineering_spark.streaming.incremental_agg import (
+        IncrementalRollup,
+    )
+
+    landing = "file://" + str(tmp_path / "landing")
+    roll = IncrementalRollup(
+        "file://" + str(tmp_path / "roll"),
+        key_cols=["grp"],
+        slot_col="slot",
+        measures={"total": F.col("v")},
+        bucket_slots=10,  # slots 0-9 → bucket 0, 30-39 → bucket 3
+    )
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "id string, slot long, grp string, v long")
+        upsert_parquet(df, landing, ["id"])
+        roll.sync_batch(spark.read.parquet(landing), df)
+
+    batch([("a", 5, "g", 1), ("b", 35, "g", 100), ("c", 38, "h", 7)])
+    assert {
+        tuple(r) for r in roll.final(spark).collect()
+    } == {("g", 101, 2), ("h", 7, 1)}
+
+    # reorg to slot 20: b and c (bucket 3) are orphaned...
+    deleted = delete_parquet_where(spark, landing, F.col("slot") > 20)
+    assert deleted == 2
+    # ...and the replacement batch lands ONLY in bucket 0
+    batch([("d", 6, "g", 2)])
+    # sync_batch refreshed bucket 0 — bucket 3's partials are STALE
+    stale = {tuple(r) for r in roll.final(spark).collect()}
+    assert stale == {("g", 103, 3), ("h", 7, 1)}, stale
+
+    # the hook path: refresh everything at/after the rollback point
+    roll.refresh_from(spark, spark.read.parquet(landing), 20)
+    assert {
+        tuple(r) for r in roll.final(spark).collect()
+    } == {("g", 3, 2)}
