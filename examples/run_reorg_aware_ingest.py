@@ -95,7 +95,11 @@ def main(work: str) -> None:
         key_cols=["n_tx"],
         slot_col="slot",
         measures={"sum_height": F.col("height")},
-        bucket_slots=50,
+        # small enough that the fixture spans SEVERAL buckets — the
+        # reorg then really exercises cross-bucket refresh (orphans in
+        # buckets the replacement fork never touches are on_rollback's
+        # job, not sync_batch's)
+        bucket_slots=7,
     )
 
     def derived_sink(rows):
