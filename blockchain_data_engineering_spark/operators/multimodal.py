@@ -209,7 +209,12 @@ def extract_features_arrow(df: DataFrame, n_buckets: int = 16) -> DataFrame:
                 "mean_byte": [],
             }
             for i, doc_id in enumerate(doc_ids):
-                raw = payloads[i].as_py()  # bytes slice of the Arrow buffer
+                # as_buffer(), not as_py(): the scalar's buffer is a
+                # zero-copy VIEW into the Arrow values buffer; as_py()
+                # would copy every payload into a Python bytes object —
+                # exactly the per-cell materialization this form exists
+                # to avoid. np.frombuffer wraps the view copy-free.
+                raw = payloads[i].as_buffer()
                 buf = np.frombuffer(
                     decode_stub(raw, mimes[i], strict=False), dtype=np.uint8
                 )

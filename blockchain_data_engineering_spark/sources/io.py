@@ -181,16 +181,29 @@ def _jdbc_table_columns(conn, table: str) -> list[str]:
     # unescaped underscore-bearing name (tx_log) also matches txXlog —
     # wrong columns back, or several tables' columns concatenated.
     # Escape-string handling is driver-flaky (Derby reports ''), so
-    # instead keep only rows whose TABLE_NAME is EXACTLY the probe.
+    # instead keep only rows whose TABLE_NAME is the probe up to CASE
+    # (never wildcards): exact match would return [] on
+    # case-insensitive drivers storing mixed case (TxLog vs txlog),
+    # and a phantom [] here makes upsert_jdbc take the first-write
+    # OVERWRITE path over a live table. Distinct same-spelling tables
+    # differing only by case are ambiguous — refuse loudly.
     for probe in (name, name.upper(), name.lower()):
         rs = md.getColumns(None, None, probe, None)
-        cols: list[str] = []
+        by_table: dict[str, list[str]] = {}
         while rs.next():
-            if rs.getString("TABLE_NAME") == probe:
-                cols.append(rs.getString("COLUMN_NAME"))
+            tname = rs.getString("TABLE_NAME")
+            if tname.lower() == name.lower():
+                by_table.setdefault(tname, []).append(
+                    rs.getString("COLUMN_NAME")
+                )
         rs.close()
-        if cols:
-            return cols
+        if len(by_table) > 1:
+            raise ValueError(
+                f"_jdbc_table_columns: table name {table!r} is ambiguous — "
+                f"multiple tables match up to case: {sorted(by_table)}"
+            )
+        if by_table:
+            return next(iter(by_table.values()))
     return []
 
 

@@ -151,19 +151,23 @@ class IncrementalRollup:
             self.measures,
             self.bucket_slots,
         ).persist()
-        (
-            part.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(BUCKET_COL)
-            .parquet(self.path)
-        )
-        present = {
-            r["b"]
-            for r in part.select(
-                F.col(BUCKET_COL).alias("b")
-            ).distinct().collect()
-        }
-        part.unpersist()
+        try:
+            (
+                part.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(BUCKET_COL)
+                .parquet(self.path)
+            )
+            present = {
+                r["b"]
+                for r in part.select(
+                    F.col(BUCKET_COL).alias("b")
+                ).distinct().collect()
+            }
+        finally:
+            # this runs every micro-batch (sync_batch): a transient
+            # write failure must not pin the cached partials forever
+            part.unpersist()
         emptied = [b for b in bucket_set if b not in present]
         if emptied:
             from blockchain_data_engineering_spark.sources.io import (

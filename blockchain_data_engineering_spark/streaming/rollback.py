@@ -193,14 +193,21 @@ def rollback_aware_upsert(
     upserts) so batch replays converge, same contract as the landing
     table.
 
-    ``on_rollback`` (if given) fires AFTER the orphan deletes, once
-    per batch that lands NEW markers, with the minimum rollback slot
-    among them — the hook for state the row-delete model cannot fix:
-    MATERIALIZED aggregates (``IncrementalRollup.refresh_from``) whose
-    partials sum deleted rows. ``sink_fn`` alone is NOT enough there:
-    it only sees this batch's survivors, so a marker-only batch (reorg
-    with no replacement blocks yet) or orphans in buckets the new rows
-    don't touch would leave stale partials forever.
+    ``on_rollback`` (if given) fires once per batch that lands NEW
+    markers, with the minimum rollback slot among them, AFTER the
+    orphan deletes AND after this batch's survivors are upserted (and
+    ``sink_fn`` ran) — so the landing table the consumer reads is
+    fully converged for this batch. It is the hook for state the
+    row-delete model cannot fix: MATERIALIZED aggregates
+    (``IncrementalRollup.refresh_from``) whose partials sum deleted
+    rows. ``sink_fn`` alone is NOT enough there: it only sees this
+    batch's survivors, so a marker-only batch (reorg with no
+    replacement blocks yet) or orphans in buckets the new rows don't
+    touch would leave stale partials forever. Wired alone,
+    ``refresh_from`` from the hook is self-sufficient; paired with a
+    per-batch ``sync_batch`` in ``sink_fn``, the overlap buckets are
+    refreshed twice in the reorg batch — redundant but correct, and
+    reorg-rare.
     """
     spark = batch_lines.sparkSession
     seq_expr = F.col(seq_col) if seq_col else file_seq()
@@ -265,16 +272,25 @@ def rollback_aware_upsert(
                     d.path,
                     orphaned(F.col(d.seq_col), F.col(d.slot_col)),
                 )
-            if on_rollback is not None:
-                # every deleted row sat strictly ABOVE the lowest new
-                # rollback point — hand that bound to the consumer
-                on_rollback(min(slot for _, slot in new_markers))
         rows = parse_fn(blocks).where(
             ~orphaned(F.col(SEQ_COL), F.col(slot_col))
         )
     else:
         rows = parse_fn(blocks)
+    # the hook fires LAST — after the batch's own survivors are upserted
+    # and the derived sinks ran — so a hook-only consumer reading the
+    # landing table (refresh_from) sees THIS batch's replacement blocks
+    # too; firing at delete time would refresh from a snapshot missing
+    # them, silently undercounting until some later batch re-touched
+    # the same buckets
+    rollback_point = (
+        min(slot for _, slot in new_markers)
+        if (new_markers and on_rollback is not None)
+        else None
+    )
     if rows.isEmpty():
+        if rollback_point is not None:
+            on_rollback(rollback_point)
         return n_deleted
     if sink_fn is not None:
         # the survivors are read by the landing upsert AND the derived
@@ -285,6 +301,8 @@ def rollback_aware_upsert(
     upsert_parquet(rows, path, key_cols, order_cols)
     if sink_fn is not None:
         sink_fn(rows)
+    if rollback_point is not None:
+        on_rollback(rollback_point)
     return n_deleted
 
 

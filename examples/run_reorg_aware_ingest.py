@@ -125,11 +125,14 @@ def main(work: str) -> None:
 
     def on_rollback(lo_slot):
         # the materialized aggregate's partials sum rows the undo just
-        # deleted — row deletes alone can't fix them. Recompute every
-        # bucket at/after the rollback point from the converged landing
-        # table; covers marker-only batches (no survivors, so
-        # derived_sink's sync never fires) and orphans in buckets this
-        # batch's new rows don't touch.
+        # deleted — row deletes alone can't fix them. The hook fires
+        # AFTER this batch's survivors are upserted and derived_sink
+        # ran, so the landing table read here is fully converged;
+        # recompute every bucket at/after the rollback point. Covers
+        # marker-only batches (no survivors, so derived_sink's sync
+        # never fires) and orphans in buckets this batch's new rows
+        # don't touch. Buckets sync_batch just refreshed are re-done —
+        # redundant but correct, and reorg-rare.
         from blockchain_data_engineering_spark.sources.io import _hadoop_fs
 
         fs, _HPath, hpath = _hadoop_fs(spark, blocks_tbl)
