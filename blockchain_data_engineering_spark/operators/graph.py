@@ -804,3 +804,85 @@ def earliest_arrival(
         caches.append(merged)
         arr, delta = merged, improved
     return finalize(arr, *caches)
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst", broadcast: bool = True
+) -> DataFrame:
+    """Per-node local clustering coefficient — ``(node, degree, n_tri,
+    lcc)`` with ``lcc = 2·t(node) / (d·(d−1))`` (NULL when d < 2) —
+    the per-vertex refinement of :func:`triangle_count` ("how
+    clique-like is this wallet's neighborhood": near 1 = closed ring
+    of counterparties, near 0 = pure hub). Same degree-ordered
+    orientation + adjacency-intersection kernel (see triangle_count's
+    docstring for the plan rationale and the ``broadcast`` escape
+    hatch); the difference is the sink: each discovered triangle
+    {u, v, w} must CREDIT all three corners, so the intersection array
+    is exploded to (u, v, w) rows — O(#triangles) rows, the price of
+    per-node grain — stacked into one node-keyed count. The global
+    count falls out as Σ n_tri / 3, which is how the parity suite
+    pins this operator against the scalar one.
+
+    lcc is one IEEE division of exact integer operands (2t, d(d−1)) —
+    bit-identical in any engine, no rounding recipe needed.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    withdeg = und.join(
+        deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "da"),
+        "a",
+    ).join(
+        deg.withColumnRenamed("node", "b").withColumnRenamed("degree", "db"),
+        "b",
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).persist()
+    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    adj_u = _hint(adj, broadcast)
+    adj_v = _hint(
+        adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v")),
+        broadcast,
+    )
+    tri = (
+        oriented.join(adj_u, "u")
+        .join(adj_v, "v")
+        .select(
+            "u", "v", F.explode(F.array_intersect("nbrs", "nbrs_v")).alias("w")
+        )
+    )
+    credits = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    out = deg.join(credits, "node", "left").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+        F.when(
+            F.col("degree") >= 2,
+            (F.coalesce(F.col("n_tri"), F.lit(0)) * F.lit(2)).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        ).alias("lcc"),
+    )
+    return finalize(out, und, oriented)

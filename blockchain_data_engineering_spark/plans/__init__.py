@@ -97,7 +97,7 @@ GATE_ORDER = [
     #    green r4-or-earlier, families still gate-witnessed:
     #    graph_pagerank (iterative-graph loops stay witnessed by
     #    graph_kcore + graph_bfs_levels + graph_sssp_cheapest_route +
-    #    graph_temporal_reachability + graph_triangle_count),
+    #    graph_temporal_reachability + graph_clustering_coefficient),
     #    dedup_minhash_lsh (the shingle→band→verify plan runs inside
     #    gate-witnessed dedup_incremental_batch, pipeline_corpus_dedup
     #    and sample_split_leakage_free), events_funnel (per-key
@@ -112,6 +112,12 @@ GATE_ORDER = [
     #    corpus token/quality stats it rolls up are each gate-witnessed
     #    via text_bpe_token_counts / text_ccnet_buckets; the datasheet
     #    stays pinned in pytest parity).
+    #    Batch 3: per-node local clustering coefficient — SUBSUMES the
+    #    scalar triangle count (same degree-ordered orientation +
+    #    adjacency-intersection kernel; global count = Σ n_tri / 3),
+    #    so graph_triangle_count (r2/r4-green) demotes to parity with
+    #    its family gate-witnessed by this refinement.
+    "graph_clustering_coefficient",
     "graph_temporal_reachability",
     "events_ohlc_bars",
     "events_anomaly_mad",
@@ -233,7 +239,6 @@ GATE_ORDER = [
     # loop stays gate-witnessed inside sim_ivf_ann_trained and the
     # assignment plan inside pipeline_cluster_quality.
     "sim_ivf_ann_trained",
-    "graph_triangle_count",
     # r5 rotation: dedup_embedding_cosine (r2-green) demoted to parity
     # in exchange for emb_hard_negatives — sim_semantic_dedup keeps
     # the exact-quanta cosine family gate-witnessed.

@@ -678,3 +678,55 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node string, arr long",
     )
     return G.earliest_arrival(tedges, seeds, rounds=TEMPORAL_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Per-node local clustering coefficient — the per-vertex refinement of
+# the global triangle count (same degree-ordered orientation +
+# adjacency-intersection kernel; triangle_count = Σ n_tri / 3 falls
+# out, which is how the demoted scalar query stays witnessed). Oracle:
+# ordered wedge join over the undirected edge set — each triangle
+# x<y<z found exactly once — then each corner credited. lcc is one
+# IEEE division of exact integer operands, bit-identical everywhere.
+# ---------------------------------------------------------------------------
+_CC_ORACLE = f"""
+    WITH de AS ({_EDGES_SQL}),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM de WHERE src <> dst
+    ),
+    deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    credit AS (
+      SELECT node, count(*) AS n_tri FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY 1
+    )
+    SELECT d.node,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_tri,
+           CASE WHEN d.degree >= 2 THEN
+             CAST(coalesce(c.n_tri, 0) * 2 AS DOUBLE)
+             / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+           END AS lcc
+    FROM deg d LEFT JOIN credit c USING (node)
+"""
+
+
+@query("graph_clustering_coefficient", oracle=_CC_ORACLE)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges_df(spark, sf_dir)
+    out = G.clustering_coefficient(edges)
+    edges.unpersist()
+    return out

@@ -630,3 +630,41 @@ def test_earliest_arrival_respects_time_order_and_parallel_edges(spark):
         for r in earliest_arrival(edges, seeds, rounds=1).collect()
     }
     assert "c" not in got1 and got1["b"] == 5
+
+
+def test_clustering_coefficient_hand_case_and_subsumes_triangle_count(spark):
+    """K4 minus one edge: a-b-c triangle + d attached to a and b.
+    t(a)=t(b)=2? no — triangles are {a,b,c} and {a,b,d}: t(a)=2, t(b)=2,
+    t(c)=1, t(d)=1; degrees a=3, b=3, c=2, d=2 → lcc(a)=lcc(b)=2·2/6,
+    lcc(c)=lcc(d)=1. Σ n_tri must equal 3 × triangle_count (the
+    subsumption the gate rotation relies on)."""
+    from blockchain_data_engineering_spark.operators.graph import (
+        clustering_coefficient,
+        triangle_count,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "b")],
+        "src STRING, dst STRING",
+    )
+    rows = {
+        r["node"]: (r["degree"], r["n_tri"], r["lcc"])
+        for r in clustering_coefficient(edges).collect()
+    }
+    assert rows["a"] == (3, 2, 4.0 / 6.0)
+    assert rows["b"] == (3, 2, 4.0 / 6.0)
+    assert rows["c"] == (2, 1, 1.0)
+    assert rows["d"] == (2, 1, 1.0)
+    n_tri_total = sum(v[1] for v in rows.values())
+    scalar = triangle_count(edges).collect()[0]["n_triangles"]
+    assert n_tri_total == 3 * scalar == 6
+
+    # degree-1 node: lcc undefined (NULL), never a div-by-zero
+    star = spark.createDataFrame(
+        [("hub", "x"), ("hub", "y")], "src STRING, dst STRING"
+    )
+    srows = {
+        r["node"]: (r["degree"], r["n_tri"], r["lcc"])
+        for r in clustering_coefficient(star).collect()
+    }
+    assert srows["x"] == (1, 0, None) and srows["hub"] == (2, 0, 0.0)
