@@ -174,9 +174,15 @@ def _jdbc_table_columns(conn, table: str) -> list[str]:
     """Column names of ``table`` via driver metadata ([] when the
     table doesn't exist). Unquoted identifiers fold per the database's
     own rule (Derby/Postgres disagree on the direction), so probe
-    verbatim, upper, and lower."""
+    verbatim, upper, and lower. A schema-qualified ``table``
+    (``schema.name``) restricts matches to that schema (case-folded
+    the same way); unqualified names that match in MULTIPLE schemas
+    are ambiguous and refuse loudly — concatenating their column
+    lists would drive wrong schema-evolution ALTERs (ADVICE r5)."""
     md = conn.getMetaData()
-    name = table.split(".")[-1]
+    parts = table.split(".")
+    name = parts[-1]
+    want_schema = parts[-2] if len(parts) > 1 else None
     # getColumns takes a LIKE pattern: '_' and '%' are wildcards, so an
     # unescaped underscore-bearing name (tx_log) also matches txXlog —
     # wrong columns back, or several tables' columns concatenated.
@@ -189,18 +195,25 @@ def _jdbc_table_columns(conn, table: str) -> list[str]:
     # differing only by case are ambiguous — refuse loudly.
     for probe in (name, name.upper(), name.lower()):
         rs = md.getColumns(None, None, probe, None)
-        by_table: dict[str, list[str]] = {}
+        # keyed on (TABLE_SCHEM, TABLE_NAME): two same-named tables in
+        # different schemas must surface as DISTINCT entries (→ the
+        # ambiguity error below), not merge their column lists
+        by_table: dict[tuple[str, str], list[str]] = {}
         while rs.next():
             tname = rs.getString("TABLE_NAME")
-            if tname.lower() == name.lower():
-                by_table.setdefault(tname, []).append(
-                    rs.getString("COLUMN_NAME")
-                )
+            tschem = rs.getString("TABLE_SCHEM") or ""
+            if tname.lower() != name.lower():
+                continue
+            if want_schema is not None and tschem.lower() != want_schema.lower():
+                continue
+            by_table.setdefault((tschem, tname), []).append(
+                rs.getString("COLUMN_NAME")
+            )
         rs.close()
         if len(by_table) > 1:
             raise ValueError(
                 f"_jdbc_table_columns: table name {table!r} is ambiguous — "
-                f"multiple tables match up to case: {sorted(by_table)}"
+                f"multiple tables match up to case/schema: {sorted(by_table)}"
             )
         if by_table:
             return next(iter(by_table.values()))

@@ -21,13 +21,23 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _official_green_rows() -> set[str]:
-    """Query names with a green row in any recorded driver gate run."""
+    """Query names with a FULLY green row in any recorded driver gate
+    run. Full criteria (r5 judge ask): err is None AND rows_match AND
+    schema_match AND hash_match — a row that matched row-count but
+    failed the value hash must NOT count as covered (it would never be
+    re-gated). Oracle-less rows carry no hash/schema fields; they count
+    only when those keys are absent, never when present-and-false."""
     green: set[str] = set()
     for path in glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")):
         with open(path) as fh:
             rows = json.load(fh)
         for name, row in rows.items():
-            if row.get("err") is None and row.get("rows_match"):
+            if (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+            ):
                 green.add(name)
     return green
 
@@ -61,6 +71,51 @@ def test_front_loaded_queries_precede_already_rowed_ones():
                 f"unrowed gate query {name!r} appears after already-rowed "
                 "queries; move it to the front of GATE_ORDER"
             )
+
+
+def test_witness_map_covers_every_demoted_query_and_reaches_the_gate():
+    """Rotation-witness invariant (r5 judge ask #1), machine-checked.
+
+    ``plans.WITNESSES`` must (a) have exactly the demoted queries as
+    keys, (b) cite only registered queries as witnesses, and (c) let
+    every demoted query REACH the current gate through its witness
+    chain. Reachability is a fixpoint seeded from GATE_ORDER, so a
+    cycle of demoted queries justifying each other never becomes
+    covered — exactly the staleness mode the old prose comments
+    allowed (three r5 citations pointed at witnesses demoted in the
+    same round)."""
+    demoted = set(plans.EXTRA_QUERIES)
+    registry = demoted | set(plans.QUERIES)
+
+    assert set(plans.WITNESSES) == demoted, (
+        "WITNESSES keys must be exactly the demoted queries; "
+        f"missing={sorted(demoted - set(plans.WITNESSES))} "
+        f"stale={sorted(set(plans.WITNESSES) - demoted)}"
+    )
+    unknown = {
+        q: [w for w in ws if w not in registry]
+        for q, ws in plans.WITNESSES.items()
+        if any(w not in registry for w in ws)
+    }
+    assert not unknown, f"witnesses citing unregistered queries: {unknown}"
+    assert all(plans.WITNESSES.values()), (
+        "every demoted query needs at least one witness: "
+        f"{[q for q, ws in plans.WITNESSES.items() if not ws]}"
+    )
+
+    covered = set(plans.GATE_ORDER)
+    changed = True
+    while changed:
+        changed = False
+        for q, ws in plans.WITNESSES.items():
+            if q not in covered and any(w in covered for w in ws):
+                covered.add(q)
+                changed = True
+    unreachable = demoted - covered
+    assert not unreachable, (
+        "demoted queries whose witness chains never reach the current "
+        f"gate (stale/cyclic citations): {sorted(unreachable)}"
+    )
 
 
 def test_every_gate_query_has_an_oracle_or_documented_exemption():

@@ -201,3 +201,39 @@ def test_jdbc_upsert_underscore_name_not_confused_by_like_sibling(
     # the sibling is untouched
     sib = read_jdbc(spark, derby_url, "txalog", properties=PROPS)
     assert sib.columns == ["k", "other"]
+
+
+def test_jdbc_table_columns_cross_schema_duplicate_is_ambiguous(
+    spark, derby_url
+):
+    """Two same-named tables in DIFFERENT schemas must raise the
+    ambiguity error from an unqualified probe (merging their column
+    lists would drive wrong schema-evolution ALTERs — ADVICE r5), and
+    a schema-qualified probe must return only that schema's columns."""
+    from blockchain_data_engineering_spark.sources.io import (
+        _jdbc_table_columns,
+    )
+
+    jvm = spark._jvm
+    jprops = jvm.java.util.Properties()
+    jprops.setProperty("driver", DERBY_DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url, jprops)
+    try:
+        st = conn.createStatement()
+        st.executeUpdate("CREATE SCHEMA SCH_A")
+        st.executeUpdate("CREATE SCHEMA SCH_B")
+        st.executeUpdate("CREATE TABLE SCH_A.DUP_T (k BIGINT, va VARCHAR(8))")
+        st.executeUpdate("CREATE TABLE SCH_B.DUP_T (k BIGINT, vb VARCHAR(8))")
+        st.close()
+
+        with pytest.raises(ValueError, match="ambiguous"):
+            _jdbc_table_columns(conn, "dup_t")
+
+        cols_a = _jdbc_table_columns(conn, "sch_a.dup_t")
+        cols_b = _jdbc_table_columns(conn, "SCH_B.DUP_T")
+        assert [c.lower() for c in cols_a] == ["k", "va"]
+        assert [c.lower() for c in cols_b] == ["k", "vb"]
+        # a qualified probe for an absent schema is simply missing
+        assert _jdbc_table_columns(conn, "sch_c.dup_t") == []
+    finally:
+        conn.close()
