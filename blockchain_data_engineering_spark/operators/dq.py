@@ -191,3 +191,54 @@ def gated_upsert(
         .parquet(quarantine_path)
     )
     return False
+
+
+def referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_cols: Sequence[str],
+    pk_cols: Sequence[str],
+    relationship: str,
+) -> DataFrame:
+    """Foreign-key audit: one row
+    ``(relationship, n_child, n_orphans, n_null_fk)`` for
+    ``child.fk_cols → parent.pk_cols``. NULL FKs are counted
+    separately, not as orphans (SQL FK semantics: a NULL reference is
+    absent, not broken).
+
+    Scale shape: orphans come from a LEFT ANTI join on the key
+    (shuffle or broadcast per Catalyst/AQE — the parent's distinct key
+    projection is usually the small side), counted with a map-side
+    combinable aggregate; n_child/n_null need no join at all, so the
+    child table is scanned twice but shuffled once. Union the outputs
+    for a whole-schema audit (see plans.lake_queries
+    ``dq_referential_integrity``).
+    """
+    fk = list(fk_cols)
+    if len(fk) != len(pk_cols):
+        raise ValueError(
+            f"fk/pk arity mismatch: {fk_cols!r} vs {pk_cols!r}"
+        )
+    keys = child.select(*fk)
+    null_fk = None
+    for c in fk:
+        cond = F.col(c).isNull()
+        null_fk = cond if null_fk is None else (null_fk | cond)
+    base = keys.agg(
+        F.count(F.lit(1)).cast("long").alias("n_child"),
+        F.sum(F.when(null_fk, 1).otherwise(0)).cast("long").alias("n_null_fk"),
+    )
+    parent_keys = parent.select(
+        *[F.col(p).alias(c) for c, p in zip(fk, pk_cols)]
+    ).distinct()
+    orphans = (
+        keys.where(~null_fk)
+        .join(parent_keys, fk, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+    )
+    return base.crossJoin(orphans).select(
+        F.lit(relationship).alias("relationship"),
+        "n_child",
+        "n_orphans",
+        "n_null_fk",
+    )

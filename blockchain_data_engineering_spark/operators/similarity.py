@@ -1271,3 +1271,54 @@ def hard_negative_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "neg_label", "cosine", "rank")
     )
+
+
+def quantize_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_dims: int | None = None,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/transfer
+    format every large vector store ships (FAISS SQ8, Milvus/pgvector
+    int8): ``q_i = floor(x_i / maxabs * 127 + 0.5)`` with one scale
+    per vector, 4× smaller than float32 and ADC-compatible with the
+    PQ/IVF search path in this module.
+
+    Output is RELATIONAL grain — ``(id, dim_idx, q8)`` rows plus the
+    per-vector ``scale`` — so the result is exactly oracle-checkable
+    and directly joinable; the array-packed variant is a trivial
+    ``collect_list`` away. ``max_dims`` caps the exploded dims (audit
+    samples); None explodes all.
+
+    Engine-exactness: maxabs is comparison-only; the quantizer is a
+    fixed IEEE expression tree (divide, multiply, add, floor) over
+    float32 inputs widened to double — bit-identical in any engine
+    that evaluates the same tree, no round-half-mode ambiguity (the
+    +0.5-then-floor idiom rounds half-up everywhere). Zero vectors
+    (maxabs = 0) quantize to q = 0 with scale = 0. One narrow
+    projection, no shuffle, no UDF.
+    """
+    x = F.col("__x").cast("double")
+    maxabs = F.array_max(F.transform(F.col(vec_col), lambda v: F.abs(v)))
+    dims = F.posexplode(
+        F.slice(F.col(vec_col), 1, max_dims)
+        if max_dims is not None
+        else F.col(vec_col)
+    )
+    q = F.when(F.col("__scale") == 0.0, F.lit(0)).otherwise(
+        F.floor(x / F.col("__scale") * F.lit(127.0) + F.lit(0.5))
+    )
+    return (
+        emb.select(
+            F.col(id_col).alias("id"),
+            maxabs.cast("double").alias("__scale"),
+            dims.alias("dim_idx", "__x"),
+        )
+        .select(
+            "id",
+            F.col("dim_idx").cast("int").alias("dim_idx"),
+            q.cast("int").alias("q8"),
+            F.col("__scale").alias("scale"),
+        )
+    )

@@ -1296,3 +1296,48 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("lift").desc(), F.col("w1"), F.col("w2")
     ).limit(top_k)
+
+
+def hashed_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = 256,
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009, sklearn's
+    HashingVectorizer): term → feature index via a hash, with a second
+    hash bit supplying the ±1 sign that keeps collision noise
+    zero-mean. The vectorizer behind every train-time text featurizer
+    that cannot afford a vocabulary build: stateless, so it
+    distributes with NO global dictionary, no second pass, and
+    identical output on any cluster size — exactly what a 100 TB
+    featurization sweep needs.
+
+    Index/sign are md5-derived (``conv`` of leading hex nibbles), the
+    repo's engine-portable deterministic-hash idiom, NOT a private
+    JVM hash — so the features are exactly oracle-checkable and
+    stable across Spark versions. Output is sparse relational grain
+    ``(id, feat_idx, weight)`` with ``weight = Σ ±1`` over the doc's
+    terms (signed term counts); rows with weight 0 (exact sign
+    cancellation) are kept — dropping them is a lossy densification
+    the caller can apply.
+
+    Plan: explode(split) → ONE map-side-combinable groupBy
+    ``(id, feat_idx)``. No UDF, no vocabulary broadcast.
+    """
+    term = F.lower(F.col("__term"))
+    idx = F.conv(F.substring(F.md5(term), 1, 4), 16, 10).cast("long") % F.lit(
+        n_features
+    )
+    sign_nibble = F.conv(F.substring(F.md5(term), 5, 1), 16, 10).cast("long")
+    sign = F.when(sign_nibble % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("__term"),
+        )
+        .where(F.col("__term") != "")
+        .select("id", idx.cast("int").alias("feat_idx"), sign.alias("__s"))
+        .groupBy("id", "feat_idx")
+        .agg(F.sum("__s").cast("long").alias("weight"))
+    )

@@ -88,6 +88,30 @@ from blockchain_data_engineering_spark.plans import lake_queries  # noqa: F401,E
 # never-gated = registry − (r1 ∪ r2 ∪ current gate) from the
 # CORRECTNESS_r*.json files and asserts it empty.
 GATE_ORDER = [
+    # -- new in round 6 (all unrowed, front-loaded). Crash-window reorg
+    #    recovery drives the ACTUAL rollback_aware_upsert sink through
+    #    an injected kill between marker-store write and delete, then
+    #    a fresh-input retry (judge ask #2, gate-verified against the
+    #    canonical reversed-running-min oracle). Exact AUC (rank-sum,
+    #    distinct-score window) + confusion metrics open the model-eval
+    #    family; ER clusters close the pairs→entities transitive step;
+    #    compaction planning + FK audit extend the lake/DQ families;
+    #    int8 quantization, TF-IDF top-k, and hashing-trick features
+    #    extend the embedding/text featurization families. Displaced in
+    #    exchange (all green r5 or earlier, witnesses in WITNESSES):
+    #    text_bpe_vocab, text_span_corruption, agg_kmv_intersection,
+    #    events_forward_fill, scd2_order_priority,
+    #    dq_orders_expectations, graph_link_prediction,
+    #    emb_hard_negatives, sample_shard_shuffle. --
+    "stream_reorg_crash_recovery",
+    "ml_auc_roc",
+    "ml_confusion_metrics",
+    "er_entity_clusters",
+    "lake_compaction_plan",
+    "dq_referential_integrity",
+    "emb_int8_quantize",
+    "text_tfidf_topk",
+    "ml_feature_hashing",
     # -- new in round 5, batch 2: time-respecting (earliest-arrival)
     #    reachability over timestamped edges — the temporal completion
     #    of the bfs/sssp taint family (unrolled-rounds oracle); OHLC
@@ -127,24 +151,16 @@ GATE_ORDER = [
     #    set rollback_aware_upsert converges a keyed sink to,
     #    gate-verified against a reversed-running-min SQL oracle --
     "stream_reorg_replay",
-    "text_bpe_vocab",
     "text_bpe_encode",
-    "text_span_corruption",
     "text_fim_transform",
-    "emb_hard_negatives",
     "text_pmi_collocations",
     "graph_bfs_levels",
     "er_fuzzy_part_pairs",
-    "scd2_order_priority",
     "agg_kmv_distinct",
-    "events_forward_fill",
     "lake_zorder_ranges",
     "agg_rollup_two_level",
-    "graph_link_prediction",
-    "agg_kmv_intersection",
     "events_twap",
     "events_max_concurrency",
-    "dq_orders_expectations",
     "dq_orders_profile",
     "scd2_asof_lookup",
     "text_ccnet_buckets",
@@ -165,7 +181,6 @@ GATE_ORDER = [
     # equi-join family stays gate-witnessed by
     # text_contamination_matrix (same fp-keyed plan).
     "pipeline_cluster_quality",
-    "sample_shard_shuffle",
     "sample_split_leakage_free",
     "text_contamination_matrix",
     # -- never officially gate-verified before round 3 (front-loaded
@@ -296,6 +311,31 @@ assert len(GATE_ORDER) == 50, len(GATE_ORDER)
 # the same operator shape in the current gate; q itself stays fully
 # DuckDB-parity-checked in pytest (EXTRA_QUERIES, test_oracle_parity).
 WITNESSES: dict[str, list[str]] = {
+    # --- demoted in the r6 rotation (in exchange for the 9 new gate
+    #     queries; every witness is a live r6 gate member) ---
+    # vocab build runs inside the gate-witnessed BPE train loop, and
+    # the learned vocab is exercised by encode + token counts
+    "text_bpe_vocab": ["text_bpe_train", "text_bpe_encode"],
+    # same md5-seeded deterministic-span pure-column plan family
+    "text_span_corruption": ["text_fim_transform"],
+    # the mergeable bottom-k sketch construction is the shared kernel;
+    # the intersection estimate stays pinned in pytest parity
+    "agg_kmv_intersection": ["agg_kmv_distinct"],
+    # ordered per-key carry window family (last_value / as-of semantics)
+    "events_forward_fill": ["events_twap", "scd2_asof_lookup"],
+    # the as-of lookup builds the SCD2 history in-plan
+    "scd2_order_priority": ["scd2_asof_lookup"],
+    # one-pass multi-aggregate rule suite family + the r6 FK audit
+    "dq_orders_expectations": ["dq_orders_profile", "dq_referential_integrity"],
+    # common-neighbor adjacency-intersection kernel (RA scores) is the
+    # clustering-coefficient kernel; iterative loops stay via kcore
+    "graph_link_prediction": ["graph_clustering_coefficient", "graph_kcore"],
+    # bucketed candidate gen + exact-quanta cosine + window top-k —
+    # the same plan pieces the gate ANN queries run
+    "emb_hard_negatives": ["sim_ivf_ann_trained", "sim_lsh_ann_multitable"],
+    # md5 shard-assign + within-shard window order run inside the
+    # component-keyed split and the token-weighted sampler
+    "sample_shard_shuffle": ["sample_split_leakage_free", "sample_token_weighted"],
     # --- aggregate / sketch families ---
     # any_value collapse runs inside the gate rollup lattice
     "agg_any_value": ["agg_rollup_two_level"],

@@ -1241,3 +1241,98 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0),
         ).alias("enc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed AUC-ROC (r6): rank-sum/Mann-Whitney with average
+# ranks for ties, per order status — "how well does price rank urgent
+# orders". Computed WITHOUT a row-grain global sort: one map-side
+# combinable (status, score) aggregate collapses the facts, the rank
+# window runs over distinct scores only. Integer doubled-rank algebra
+# end to end; `auc` itself is the one IEEE division (see
+# operators/ml_eval.py). The model-eval twin every learned filter in
+# the LLM-data stack (quality classifier, dedup verifiers) needs at
+# corpus scale — a driver-side sklearn sample mis-ranks tail-heavy
+# errors by construction.
+# ---------------------------------------------------------------------------
+_AUC_LABEL_SQL = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+
+
+def _auc_oracle() -> str:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        auc_exact_sql,
+    )
+
+    return auc_exact_sql(
+        _AUC_LABEL_SQL,
+        quanta_sql("o_totalprice", 2),
+        "orders",
+        ["o_orderstatus"],
+    )
+
+
+@query("ml_auc_roc", oracle=_auc_oracle())
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.ml_eval import auc_exact
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    return auc_exact(
+        orders,
+        label=F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        score=quanta(F.col("o_totalprice"), 2),
+        keys=["o_orderstatus"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Confusion-matrix metrics (r6): the threshold-classifier evaluation
+# for the same label — predict "urgent" when the order total clears
+# 150,000.00 — in ONE hash aggregate per status: exact tp/fp/fn/tn
+# counts, precision/recall/f1 each a single IEEE division of exact
+# integers (NULL on empty denominators, never NaN).
+# ---------------------------------------------------------------------------
+_CONF_THRESHOLD_Q = 150_000_00  # o_totalprice quanta(2)
+
+
+@query(
+    "ml_confusion_metrics",
+    oracle=f"""
+    WITH flags AS (
+      SELECT o_orderstatus,
+             {_AUC_LABEL_SQL} AS y,
+             {quanta_sql('o_totalprice', 2)} > {_CONF_THRESHOLD_Q} AS p
+      FROM orders
+    ),
+    agg AS (
+      SELECT o_orderstatus,
+             CAST(sum(CASE WHEN y AND p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN NOT y AND p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN y AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN NOT y AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM flags GROUP BY 1
+    )
+    SELECT o_orderstatus, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+             AS precision,
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+             AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+           END AS f1
+    FROM agg
+    """,
+)
+def ml_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        confusion_counts,
+    )
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    return confusion_counts(
+        orders,
+        label=F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        pred=quanta(F.col("o_totalprice"), 2) > F.lit(_CONF_THRESHOLD_Q),
+        keys=["o_orderstatus"],
+    )

@@ -222,3 +222,134 @@ def dq_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return skew_report(li, ["l_suppkey"], top_k=10)
+
+
+# ---------------------------------------------------------------------------
+# Compaction PLANNING (r6): bin-pack the small-file listing into
+# ≈target-byte rewrite groups — the decision layer OPTIMIZE runs in
+# front of the physical rewrite (sources.io.compact_parquet /
+# maybe_compact_bucketed, which this repo already executes in ingest).
+# File stats are derived deterministically from the events table (one
+# "file" per (event_type, day) with a byte-size proxy), so the
+# cumulative-sum binning — one window over the METADATA grain, never
+# over data — is exactly oracle-checkable. Files already ≥ target are
+# skipped (bin NULL), the standard OPTIMIZE rule.
+# ---------------------------------------------------------------------------
+_COMPACT_TARGET = 16384
+
+
+@query(
+    "lake_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') || '.parquet'
+               AS file,
+             CAST(sum(length(props) + 32) AS BIGINT) AS size_bytes
+      FROM events GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT *, size_bytes >= {_COMPACT_TARGET} AS big FROM files
+    ),
+    cum AS (
+      SELECT event_type, file, size_bytes, big,
+             coalesce(sum(CASE WHEN big THEN 0 ELSE size_bytes END)
+               OVER (PARTITION BY event_type ORDER BY file
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cb
+      FROM flagged
+    )
+    SELECT event_type, file, size_bytes,
+           CASE WHEN NOT big
+                THEN CAST(floor(CAST(cb AS DOUBLE)
+                          / {_COMPACT_TARGET}) AS BIGINT) END AS bin
+    FROM cum
+    """,
+)
+def lake_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.sources.io import compaction_plan
+
+    ev = load_table(spark, sf_dir, "events")
+    files = ev.groupBy(
+        "event_type",
+        F.concat(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"),
+            F.lit(".parquet"),
+        ).alias("file"),
+    ).agg(
+        F.sum(F.length("props") + F.lit(32)).cast("long").alias("size_bytes")
+    )
+    return compaction_plan(
+        files,
+        target_bytes=_COMPACT_TARGET,
+        size_col="size_bytes",
+        order_col="file",
+        group_cols=["event_type"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (r6): FK orphan counts for the schema's
+# natural relationships, plus a curated-dimension check (customer
+# restricted to a "gold" subset) that demonstrably catches orphans.
+# One LEFT ANTI join per relationship on the parent's distinct keys
+# (broadcast-eligible), one map-side count; union of 1-row outputs.
+# ---------------------------------------------------------------------------
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS relationship,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(sum(CASE WHEN l_orderkey IS NOT NULL
+                          AND o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans,
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_fk
+    FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders)
+      ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NOT NULL
+                          AND c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer)
+      ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer_gold',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NOT NULL
+                          AND g IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders LEFT JOIN (
+      SELECT DISTINCT c_custkey AS g FROM customer WHERE c_custkey % 3 != 0
+    ) ON o_custkey = g
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.dq import (
+        referential_integrity,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    gold = cust.where(F.col("c_custkey") % 3 != 0)
+    return (
+        referential_integrity(
+            li, orders, ["l_orderkey"], ["o_orderkey"],
+            "lineitem.l_orderkey->orders",
+        )
+        .unionByName(
+            referential_integrity(
+                orders, cust, ["o_custkey"], ["c_custkey"],
+                "orders.o_custkey->customer",
+            )
+        )
+        .unionByName(
+            referential_integrity(
+                orders, gold, ["o_custkey"], ["c_custkey"],
+                "orders.o_custkey->customer_gold",
+            )
+        )
+    )

@@ -196,3 +196,94 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ship_ts",
         F.col("o_orderpriority_asof").alias("priority_at_ship"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ER pairs → entity clusters (r6): the transitive-closure step after
+# pair verification — A≈B and B≈C must put A, B, C in ONE cluster even
+# though A–C never met in any block. Connected components over the
+# match graph (pointer jumping, operators.linkage.entity_clusters →
+# operators.graph), cluster id = lexicographically smallest member.
+# The oracle replays the ER pair CTE and unrolls the same
+# propagate+jump rounds.
+# ---------------------------------------------------------------------------
+ER_CLUSTER_ROUNDS = 3
+
+_ER_PAIRS_SQL = f"""
+    names AS (SELECT DISTINCT p_name FROM part),
+    keyed AS (
+      SELECT p_name,
+             string_split(p_name, ' ')[1]  AS k1,
+             string_split(p_name, ' ')[-1] AS k2
+      FROM names
+    ),
+    cand AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM keyed a JOIN keyed b ON a.k1 = b.k1 AND a.p_name < b.p_name
+      UNION
+      SELECT a.p_name, b.p_name
+      FROM keyed a JOIN keyed b ON a.k2 = b.k2 AND a.p_name < b.p_name
+    ),
+    pairs AS (
+      SELECT name_a, name_b FROM cand
+      WHERE levenshtein(name_a, name_b) <= {ER_MAX_DIST}
+    )"""
+
+
+def _er_cluster_oracle(rounds: int) -> str:
+    ctes = [
+        _ER_PAIRS_SQL.strip(),
+        "und AS (SELECT name_a AS a, name_b AS b FROM pairs"
+        " UNION SELECT name_b, name_a FROM pairs"
+        " UNION SELECT name_a, name_a FROM pairs"
+        " UNION SELECT name_b, name_b FROM pairs)",
+        "nodes AS (SELECT name_a AS node FROM pairs"
+        " UNION SELECT name_b FROM pairs)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"l{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+      SELECT u.a AS node, min(p.label) AS label
+      FROM und u JOIN {prev} p ON u.b = p.node GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"""l{i} AS (
+      SELECT a.node, b.label FROM p{i} a JOIN p{i} b ON a.label = b.node
+    )"""
+        )
+    last = f"l{rounds}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    sizes AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM {last} GROUP BY 1
+    )
+    SELECT t.node AS entity, t.label AS cluster_id, s.cluster_size
+    FROM {last} t JOIN sizes s ON t.label = s.label
+    """
+    )
+
+
+@query("er_entity_clusters", oracle=_er_cluster_oracle(ER_CLUSTER_ROUNDS))
+def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy part-name pairs (same blocking + Levenshtein as
+    er_fuzzy_part_pairs) resolved into entity clusters."""
+    from blockchain_data_engineering_spark.cache import deferred_finalize
+
+    part = spread(load_table(spark, sf_dir, "part"))
+    first_tok = lambda df: F.element_at(F.split(F.col("p_name"), " "), 1)  # noqa: E731
+    last_tok = lambda df: F.element_at(F.split(F.col("p_name"), " "), -1)  # noqa: E731
+    with deferred_finalize() as d:
+        pairs = L.fuzzy_pairs(
+            part,
+            name_col="p_name",
+            block_keys=[first_tok, last_tok],
+            max_distance=ER_MAX_DIST,
+        )
+        out = L.entity_clusters(pairs, rounds=ER_CLUSTER_ROUNDS)
+        return d.finalize(out)

@@ -880,3 +880,43 @@ def pipeline_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_quality",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (r6): the symmetric per-vector SQ8
+# format vector stores ship (FAISS SQ8 / pgvector int8) — 4× smaller
+# than float32, ADC-compatible with the IVF/PQ search path above.
+# Relational output grain (id, dim_idx, q8, scale) keeps it exactly
+# oracle-checkable; engine-exact because the quantizer is one fixed
+# IEEE expression tree over float32 inputs widened to double, and the
+# +0.5-then-floor idiom rounds half-up identically everywhere (see
+# operators/similarity.quantize_int8). One narrow projection — no
+# shuffle, no UDF — so it streams at any corpus size.
+# ---------------------------------------------------------------------------
+@query(
+    "emb_int8_quantize",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x)))
+                  AS DOUBLE) AS scale
+      FROM embeddings
+    ),
+    exploded AS (
+      SELECT vec_id, scale, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM base
+    )
+    SELECT vec_id AS id,
+           CAST(i - 1 AS INTEGER) AS dim_idx,
+           CAST(CASE WHEN scale = 0 THEN 0
+                     ELSE floor(CAST(embedding[i] AS DOUBLE) / scale
+                                * 127.0 + 0.5) END AS INTEGER) AS q8,
+           scale
+    FROM exploded
+    """,
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.quantize_int8(emb, id_col="vec_id", vec_col="embedding")

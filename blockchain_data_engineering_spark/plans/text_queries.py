@@ -1975,3 +1975,125 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ppl_bucket"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document (r6): the per-document keyword
+# extraction every retrieval/labeling pipeline runs before BM25-style
+# search (text_bm25_search covers the query-side scoring; this is the
+# corpus-side signature). idf rides log-free as the exact rational
+# N/df — tf·N/df ranks identically to tf·log-idf within a document
+# for the argmax region and keeps the score ONE IEEE division of
+# exact integers (the repo float contract; log() is libm-dependent
+# across engines). Plan: explode → (doc, term) count → term df — both
+# map-side combinable — broadcast 1-row N, per-doc top-3 window with
+# (score DESC, term) determinism. No vocabulary build, no UDF.
+# ---------------------------------------------------------------------------
+_TFIDF_K = 3
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, token
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
+      WHERE token <> ''
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token AS term, tf.tf, df.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)
+               AS score
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {_TFIDF_K}
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))  # 1-row broadcast spine
+        .select(
+            "doc_id",
+            F.col("token").alias("term"),
+            "tf",
+            "df",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick featurization (r6): term → signed feature bucket via
+# md5 (Weinberger et al. 2009; sklearn HashingVectorizer semantics
+# with a portable hash). Stateless — no vocabulary build, no second
+# pass, identical output at any cluster size — the featurizer shape a
+# 100 TB sweep needs. Sparse relational output (id, feat_idx, weight);
+# plan = explode → ONE map-side-combinable (id, feat_idx) aggregate
+# (operators.text.hashed_features).
+# ---------------------------------------------------------------------------
+_N_HASH_FEATURES = 256
+
+
+@query(
+    "ml_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lower(token) AS term
+      FROM documents, unnest(string_split(text, ' ')) AS t(token)
+      WHERE token <> ''
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(term), 1, 4) AS BIGINT)
+                  % {_N_HASH_FEATURES} AS INTEGER) AS feat_idx,
+             CASE WHEN CAST('0x' || substr(md5(term), 5, 1) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM toks
+    )
+    SELECT doc_id AS id, feat_idx, CAST(sum(s) AS BIGINT) AS weight
+    FROM hashed GROUP BY 1, 2
+    """,
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TX.hashed_features(
+        docs, id_col="doc_id", text_col="text", n_features=_N_HASH_FEATURES
+    )

@@ -1242,3 +1242,54 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    size_col: str = "size_bytes",
+    order_col: str = "file",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Small-file compaction PLANNING: assign files to rewrite groups
+    of ≈ ``target_bytes`` each — the decision layer in front of
+    :func:`compact_parquet` (which rewrites a whole directory) and the
+    OPTIMIZE file-binning step every lakehouse table service runs.
+
+    Deterministic cumulative-sum binning, not first-fit-decreasing:
+    files are taken in ``order_col`` order (name order ≈ write order,
+    so a bin holds temporally adjacent files — what compaction wants
+    for downstream time-range pruning) and
+    ``bin = floor(cum_bytes_before / target_bytes)``. The greedy FFD
+    packing is marginally tighter but sequentially dependent and
+    engine-ambiguous; cumsum binning is one window expression,
+    reproducible anywhere, and never overshoots a bin by more than one
+    file — the same guarantee Delta's OPTIMIZE bin-packing gives.
+
+    ``group_cols`` scopes bins (per partition/bucket — files are never
+    compacted across partition boundaries). Scale shape: ONE window
+    over the file LISTING (metadata grain, millions of rows at most,
+    partitioned by ``group_cols``), never over data. Files already at
+    or above ``target_bytes`` get ``bin = NULL`` (leave in place — the
+    standard OPTIMIZE skip rule) and don't consume bin budget.
+    """
+    from pyspark.sql.window import Window
+
+    gcols = list(group_cols)
+    big = F.col(size_col) >= F.lit(int(target_bytes))
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.when(big, 0).otherwise(F.col(size_col))).over(w), F.lit(0)
+    )
+    return files.select(
+        *gcols,
+        order_col,
+        F.col(size_col).cast("long").alias(size_col),
+        F.when(
+            ~big, F.floor(cum_before / F.lit(int(target_bytes)))
+        ).cast("long").alias("bin"),
+    )

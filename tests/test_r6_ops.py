@@ -1,0 +1,196 @@
+"""Round-6 operator unit tests: known-value and property checks for
+the model-eval aggregates, compaction planner, int8 quantizer,
+hashing-trick featurizer, ER clustering, and the FK audit — beyond
+the DuckDB parity the registered queries already get."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_auc_exact_known_values_with_ties(spark):
+    """Hand-computed Mann-Whitney AUC on a 4-row fixture with a tie
+    straddling the classes: scores [1,2,2,3], labels [-,-,+,+] →
+    ranks [1, 2.5, 2.5, 4], Σ2r over positives = 5+8 = 13,
+    AUC = (13 − 2·3) / (2·2·2) = 7/8."""
+    from blockchain_data_engineering_spark.operators.ml_eval import auc_exact
+
+    df = spark.createDataFrame(
+        [(1, False), (2, False), (2, True), (3, True)], "s long, y boolean"
+    )
+    row = auc_exact(df, F.col("y"), F.col("s")).first()
+    assert (row.n_pos, row.n_neg) == (2, 2)
+    assert (row.auc_num, row.auc_den) == (7, 8)
+    assert row.auc == 7 / 8
+
+    # perfect separation → 1.0; inverted → 0.0; one-class → NULL
+    perfect = spark.createDataFrame(
+        [(1, False), (2, True)], "s long, y boolean"
+    )
+    assert auc_exact(perfect, F.col("y"), F.col("s")).first().auc == 1.0
+    inverted = spark.createDataFrame(
+        [(2, False), (1, True)], "s long, y boolean"
+    )
+    assert auc_exact(inverted, F.col("y"), F.col("s")).first().auc == 0.0
+    one_class = spark.createDataFrame([(1, True), (2, True)], "s long, y boolean")
+    r = auc_exact(one_class, F.col("y"), F.col("s")).first()
+    assert r.auc is None and r.auc_den == 0
+
+
+def test_confusion_counts_known_values(spark):
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        confusion_counts,
+    )
+
+    df = spark.createDataFrame(
+        # (label, pred): 3 TP, 1 FP, 2 FN, 4 TN
+        [(True, True)] * 3 + [(False, True)] + [(True, False)] * 2
+        + [(False, False)] * 4,
+        "y boolean, p boolean",
+    )
+    r = confusion_counts(df, F.col("y"), F.col("p")).first()
+    assert (r.tp, r.fp, r.fn, r.tn) == (3, 1, 2, 4)
+    assert r.precision == 3 / 4 and r.recall == 3 / 5
+    assert r.f1 == 6 / 9
+
+
+def test_compaction_plan_bins_and_big_file_skip(spark):
+    """Cumsum binning: bins fill to ≈ target in file order, a file
+    already ≥ target is skipped (bin NULL) and consumes no budget,
+    and no bin's total overshoots target by more than one file."""
+    from blockchain_data_engineering_spark.sources.io import compaction_plan
+
+    files = spark.createDataFrame(
+        [
+            ("a", "f01", 40),
+            ("a", "f02", 40),
+            ("a", "f03", 200),  # ≥ target → skip
+            ("a", "f04", 40),
+            ("a", "f05", 40),
+            ("a", "f06", 40),
+            ("b", "f01", 90),
+            ("b", "f02", 90),
+        ],
+        "part string, file string, size_bytes long",
+    )
+    got = {
+        (r.part, r.file): r.bin
+        for r in compaction_plan(
+            files, target_bytes=100, group_cols=["part"]
+        ).collect()
+    }
+    # group a: cumsum over small files 0,40,80,120,160 → bins 0,0,1,1,1 ; f03 skipped
+    assert got[("a", "f01")] == 0 and got[("a", "f02")] == 0
+    assert got[("a", "f03")] is None
+    assert got[("a", "f04")] == 0  # cum_before = 80 < 100
+    assert got[("a", "f05")] == 1 and got[("a", "f06")] == 1
+    # group b bins independently
+    assert got[("b", "f01")] == 0 and got[("b", "f02")] == 0
+
+    # bound property: every bin's byte total < target + max member size
+    rows = compaction_plan(files, target_bytes=100, group_cols=["part"]).where(
+        F.col("bin").isNotNull()
+    )
+    per_bin = rows.groupBy("part", "bin").agg(
+        F.sum("size_bytes").alias("tot"), F.max("size_bytes").alias("mx")
+    )
+    assert per_bin.where(F.col("tot") >= 100 + F.col("mx")).count() == 0
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    from blockchain_data_engineering_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0]),  # zero vector
+            (3, [2.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = quantize_int8(df).collect()
+    byid = {}
+    for r in out:
+        byid.setdefault(r.id, {})[r.dim_idx] = (r.q8, r.scale)
+    # vec 1: scale 1.0 → q = [64, -127, 32, 0] (floor(x·127+0.5))
+    assert [byid[1][i][0] for i in range(4)] == [64, -127, 32, 0]
+    assert byid[1][0][1] == 1.0
+    # zero vector → all q 0, scale 0
+    assert [byid[2][i] for i in range(2)] == [(0, 0.0), (0, 0.0)]
+    # max element maps exactly to 127
+    assert byid[3][0] == (127, 2.0)
+    # dequantization bound: |x − q·scale/127| ≤ scale/254 (+ float eps)
+    for vid, vec in ((1, [0.5, -1.0, 0.25, 0.0]), (3, [2.0])):
+        scale = byid[vid][0][1]
+        for i, x in enumerate(vec):
+            q = byid[vid][i][0]
+            assert abs(x - q * scale / 127) <= scale / 254 + 1e-6
+
+
+def test_hashed_features_deterministic_and_bounded(spark):
+    from blockchain_data_engineering_spark.operators.text import hashed_features
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "THE CAT"), (3, "")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, hashed_features(docs).collect()))
+    b = sorted(map(tuple, hashed_features(docs).collect()))
+    assert a == b and a  # deterministic, non-empty
+    # case folding: doc 2's terms hash identically to doc 1's
+    feats = {(r.id, r.feat_idx): r.weight for r in hashed_features(docs).collect()}
+    d1 = {k[1] for k in feats if k[0] == 1}
+    d2 = {k[1] for k in feats if k[0] == 2}
+    assert d2 <= d1
+    # Σ|weight| ≤ token count per doc
+    tot1 = sum(abs(v) for k, v in feats.items() if k[0] == 1)
+    assert tot1 <= 6
+    # empty doc → no rows
+    assert not [k for k in feats if k[0] == 3]
+    # all indexes within range
+    assert all(0 <= k[1] < 256 for k in feats)
+
+
+def test_entity_clusters_transitive_closure(spark):
+    """A≈B and B≈C (A–C never paired) must land all three in ONE
+    cluster keyed by the lexicographic minimum."""
+    from blockchain_data_engineering_spark.operators.linkage import (
+        entity_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")],
+        "name_a string, name_b string",
+    )
+    got = {
+        r.entity: (r.cluster_id, r.cluster_size)
+        for r in entity_clusters(pairs).collect()
+    }
+    assert got == {
+        "a": ("a", 3),
+        "b": ("a", 3),
+        "c": ("a", 3),
+        "x": ("x", 2),
+        "y": ("x", 2),
+    }
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_referential_integrity_orphans_and_null_fks(spark):
+    from blockchain_data_engineering_spark.operators.dq import (
+        referential_integrity,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (99,), (None,)], "fk bigint"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk bigint")
+    r = referential_integrity(child, parent, ["fk"], ["pk"], "c->p").first()
+    assert (r.relationship, r.n_child, r.n_orphans, r.n_null_fk) == (
+        "c->p", 4, 1, 1,
+    )
+    with pytest.raises(ValueError, match="arity"):
+        referential_integrity(child, parent, ["fk"], ["pk", "pk2"], "bad")
