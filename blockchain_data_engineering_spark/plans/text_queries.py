@@ -2005,8 +2005,7 @@ _TFIDF_K = 3
       FROM toks GROUP BY 1, 2
     ),
     df AS (
-      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-      FROM toks GROUP BY 1
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
     ),
     n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
@@ -2031,12 +2030,17 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
     ).where(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+    # one explode, one (doc, term) aggregate; df FALLS OUT of tf (the
+    # tf table has one row per (doc, term), so counting rows per term
+    # IS the document frequency) — no second corpus explode and no
+    # count_distinct. tf is persisted because df and the scored join
+    # both read it; released via the module cache contract.
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
     )
-    df = toks.groupBy("token").agg(
-        F.count_distinct("doc_id").cast("long").alias("df")
-    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, "token")
@@ -2053,11 +2057,14 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
-    return (
+    out = (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _TFIDF_K)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
+    from blockchain_data_engineering_spark.cache import finalize
+
+    return finalize(out, tf)
 
 
 # ---------------------------------------------------------------------------

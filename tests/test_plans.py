@@ -88,7 +88,12 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
                     # 1-row broadcast total (n_total) cross-joined onto
                     # the frequent-pair table — same audited shape as
                     # agg_hll_distinct's cardinality scalar
-                    "text_pmi_collocations"}
+                    "text_pmi_collocations",
+                    # r6: 1-row corpus-size N spine onto the tf·idf join
+                    "text_tfidf_topk",
+                    # r6: each relationship joins two 1-row count
+                    # aggregates (n_child/n_null × n_orphans)
+                    "dq_referential_integrity"}
     for name in sorted(QUERIES):
         plan = _plan(spark, sf_dir, name)
         if name not in allowed_python:
@@ -648,3 +653,67 @@ def test_target_encoding_windows_only_the_cell_table(spark, sf_dir):
     # one fact-table aggregate shuffle + one |cats|-partition window
     # exchange — anything more means the window slid under the agg
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+
+
+def test_auc_window_runs_over_distinct_score_grain(spark, sf_dir):
+    """The AUC rank window must consume the (status, score) AGGREGATE,
+    not the fact table: a HashAggregate (partial+final pair) must sit
+    below the Window node, and no row-grain global sort may appear —
+    that is the whole reason auc_exact scales."""
+    import re
+
+    plan = _plan(spark, sf_dir, "ml_auc_roc")
+    win = plan.find("Window")
+    assert win != -1, plan
+    # formatted plans list leaves LAST: the aggregate feeding the
+    # window appears after (below) it in the node dump
+    aggs_below = [m.start() for m in re.finditer(r"\(\d+\) HashAggregate", plan)]
+    assert any(pos > win for pos in aggs_below), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_single_explode_and_df_from_tf(spark, sf_dir):
+    """df must FALL OUT of the tf aggregate (one corpus explode total):
+    exactly one Generate (explode) node, no count(distinct ...) expand,
+    and the only nested-loop join is the sanctioned 1-row broadcast N
+    spine."""
+    import re
+
+    plan = _plan(spark, sf_dir, "text_tfidf_topk")
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    assert "Expand" not in plan, plan  # count_distinct would plant one
+    assert "CartesianProduct" not in plan
+
+
+def test_feature_hashing_is_one_shuffle_aggregate(spark, sf_dir):
+    """hashed_features = explode → ONE keyed aggregate: a partial and a
+    final HashAggregate around a single Exchange, nothing else."""
+    import re
+
+    plan = _plan(spark, sf_dir, "ml_feature_hashing")
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2, plan
+    # exactly one REQUIRED shuffle (the keyed aggregate); the input
+    # spread() round-robin repartition is a local-parallelism choice,
+    # not part of the operator's shuffle budget
+    assert plan.count("ENSURE_REQUIREMENTS") == 1, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+
+
+def test_int8_quantize_is_shuffle_free(spark, sf_dir):
+    """Quantization is a narrow projection: NO Exchange anywhere — it
+    must stream at any corpus size."""
+    plan = _plan(spark, sf_dir, "emb_int8_quantize")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_compaction_plan_windows_over_metadata_grain(spark, sf_dir):
+    """The binning window must consume the per-file AGGREGATE (listing
+    grain), never the raw events: HashAggregate below the Window."""
+    import re
+
+    plan = _plan(spark, sf_dir, "lake_compaction_plan")
+    win = plan.find("Window")
+    assert win != -1, plan
+    aggs_below = [m.start() for m in re.finditer(r"\(\d+\) HashAggregate", plan)]
+    assert any(pos > win for pos in aggs_below), plan
