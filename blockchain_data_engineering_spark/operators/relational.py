@@ -802,3 +802,114 @@ def skew_report(
             / F.col("__total").cast("double")
         ).alias("x_mean"),
     )
+
+
+def bloom_bits(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 65536,
+    k_hashes: int = 2,
+) -> DataFrame:
+    """Build-side of a Bloom-filter semi-join reduction: the key set
+    packed into an ``m_bits``-bit filter as ``(word, bits)`` rows —
+    32 bits per BIGINT word (shift ≤ 31 keeps the math portable: no
+    engine-divergent sign-bit shifts; DuckDB refuses ``1 << 63``
+    outright). Hash family is the repo's portable md5 idiom
+    (``conv(substr(md5(i || '|' || key), 1, 8), 16, 10) % m``), so the
+    filter is engine-reproducible and oracle-checkable — NOT a private
+    JVM hash.
+
+    This is the EXPLICIT form of what runtime row-level filtering /
+    Delta bloom indexes do implicitly: at 100 TB, shipping a ≤
+    m/32-row word table (m=2^16 → 2 KB-grain, broadcast-trivial) to
+    prefilter the probe side BEFORE its shuffle is the difference
+    between shuffling the whole fact table and shuffling the ~matching
+    slice. Plan: one explode(k) + ONE map-side-combinable bit_or
+    aggregate over the (small) build side.
+    """
+    hashes = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(str(i)), F.lit("|"), F.col(key_col).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(m_bits)
+            for i in range(k_hashes)
+        ]
+    )
+    idx = F.explode(hashes).alias("__idx")
+    return (
+        keys.select(idx)
+        .select(
+            (F.col("__idx") / F.lit(32)).cast("long").alias("word"),
+            # 2^bit with bit ≤ 31: exactly representable, so the
+            # pow→long round-trip is the portable shiftleft (Spark's
+            # shiftleft builtin takes only a LITERAL bit count)
+            F.pow(F.lit(2.0), (F.col("__idx") % 32).cast("int"))
+            .cast("long")
+            .alias("__mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    m_bits: int = 65536,
+    k_hashes: int = 2,
+) -> DataFrame:
+    """Probe-side test: keep rows whose key MIGHT be in the filter
+    (all ``k_hashes`` bits set — false positives possible at the
+    standard (1−e^{−kn/m})^k rate, false negatives impossible, the
+    property the companion test pins). ``k_hashes`` broadcast joins
+    against the word table, no shuffle of the probe side, NULL keys
+    dropped (a NULL never equi-joins anyway)."""
+    out = probe.where(F.col(key_col).isNotNull())
+    for i in range(k_hashes):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(str(i)), F.lit("|"), F.col(key_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") % F.lit(m_bits)
+        out = (
+            out.withColumn("__w", (h / F.lit(32)).cast("long"))
+            .withColumn(
+                "__m", F.pow(F.lit(2.0), (h % 32).cast("int")).cast("long")
+            )
+            .join(
+                F.broadcast(
+                    bits.select(
+                        F.col("word").alias("__w"),
+                        F.col("bits").alias(f"__b{i}"),
+                    )
+                ),
+                "__w",
+                "left",
+            )
+            .where(
+                F.col(f"__b{i}").isNotNull()
+                & (F.col(f"__b{i}").bitwiseAND(F.col("__m")) != 0)
+            )
+            .drop("__w", "__m", f"__b{i}")
+        )
+    return out

@@ -103,6 +103,14 @@ GATE_ORDER = [
     #    events_forward_fill, scd2_order_priority,
     #    dq_orders_expectations, graph_link_prediction,
     #    emb_hard_negatives, sample_shard_shuffle. --
+    #    Batch 2: Bloom-filter join prefilter (explicit semi-join
+    #    reduction: portable-md5 2^16-bit filter, one bit_or aggregate,
+    #    broadcast word table, no-false-negative contract pinned).
+    #    Displaced: dq_join_skew_report (r5-green; the DQ report-
+    #    aggregate family stays gate-witnessed by dq_orders_profile +
+    #    dq_referential_integrity, and the key-frequency top-N plan by
+    #    the gate's window top-k members).
+    "join_bloom_prefilter",
     "stream_reorg_crash_recovery",
     "ml_auc_roc",
     "ml_confusion_metrics",
@@ -165,7 +173,6 @@ GATE_ORDER = [
     "scd2_asof_lookup",
     "text_ccnet_buckets",
     "graph_sssp_cheapest_route",
-    "dq_join_skew_report",
     # -- new in round 4 (judge asks #6/#7): full BPE tokenizer training
     #    (trajectory oracle-replayed), per-doc token counts under the
     #    learned vocab, and RefinedWeb paragraph-level exact dedup --
@@ -336,6 +343,9 @@ WITNESSES: dict[str, list[str]] = {
     # md5 shard-assign + within-shard window order run inside the
     # component-keyed split and the token-weighted sampler
     "sample_shard_shuffle": ["sample_split_leakage_free", "sample_token_weighted"],
+    # one-pass report-aggregate family (profile + FK audit); the
+    # key-frequency top-N plan is the gate's window top-k shape
+    "dq_join_skew_report": ["dq_orders_profile", "dq_referential_integrity"],
     # --- aggregate / sketch families ---
     # any_value collapse runs inside the gate rollup lattice
     "agg_any_value": ["agg_rollup_two_level"],

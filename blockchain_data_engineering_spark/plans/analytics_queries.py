@@ -1336,3 +1336,92 @@ def ml_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred=quanta(F.col("o_totalprice"), 2) > F.lit(_CONF_THRESHOLD_Q),
         keys=["o_orderstatus"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join prefilter (r6): the EXPLICIT semi-join reduction —
+# build a 2^16-bit / 2-hash Bloom filter over the urgent orders' keys
+# (one explode + one map-side bit_or aggregate, ≤ 2048 BIGINT words),
+# broadcast it, and prefilter the lineitem probe side BEFORE any
+# shuffle. At 100 TB this is the difference between shuffling the
+# whole fact table and shuffling the ~matching slice (what runtime
+# row-level filtering / Delta bloom indexes do implicitly — here as an
+# engine-checkable operator with the portable md5 hash family). The
+# summary row pins the contract: n_match ≤ n_pass ≤ n_probe with NO
+# false negatives (n_pass counts every true match), false positives =
+# n_pass − n_match at the textbook (1−e^{−kn/m})^k rate.
+# ---------------------------------------------------------------------------
+_BLOOM_M = 65536
+_BLOOM_HASH_SQL = (
+    "(CAST('0x' || substr(md5('{i}|' || CAST({key} AS VARCHAR)), 1, 8)"
+    f" AS BIGINT) % {_BLOOM_M})"
+)
+
+
+def _bloom_oracle() -> str:
+    h = _BLOOM_HASH_SQL
+    return f"""
+    WITH build AS (
+      SELECT DISTINCT o_orderkey AS key FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    idx AS (
+      SELECT {h.format(i=0, key='key')} AS i FROM build
+      UNION ALL
+      SELECT {h.format(i=1, key='key')} FROM build
+    ),
+    bits AS (
+      SELECT i // 32 AS word,
+             bit_or(1::BIGINT << CAST(i % 32 AS INTEGER)) AS bits
+      FROM idx GROUP BY 1
+    ),
+    probe AS (
+      SELECT l_orderkey AS key FROM lineitem WHERE l_orderkey IS NOT NULL
+    ),
+    ph AS (
+      SELECT key, {h.format(i=0, key='key')} AS h0,
+                  {h.format(i=1, key='key')} AS h1
+      FROM probe
+    ),
+    passed AS (
+      SELECT ph.key FROM ph
+      JOIN bits b0 ON b0.word = h0 // 32
+        AND (b0.bits & (1::BIGINT << CAST(h0 % 32 AS INTEGER))) != 0
+      JOIN bits b1 ON b1.word = h1 // 32
+        AND (b1.bits & (1::BIGINT << CAST(h1 % 32 AS INTEGER))) != 0
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_probe,
+           (SELECT CAST(count(*) AS BIGINT) FROM passed) AS n_pass,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM probe p JOIN build b ON p.key = b.key) AS n_match
+    """
+
+
+@query("join_bloom_prefilter", oracle=_bloom_oracle())
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.cache import finalize
+    from blockchain_data_engineering_spark.operators.relational import (
+        bloom_bits,
+        bloom_prefilter,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    build = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+    )
+    bits = bloom_bits(build, "key", m_bits=_BLOOM_M, k_hashes=2).persist()
+    probe = li.where(F.col("l_orderkey").isNotNull()).select(
+        F.col("l_orderkey").alias("key")
+    )
+    passed = bloom_prefilter(probe, "key", bits, m_bits=_BLOOM_M, k_hashes=2)
+    n_probe = probe.agg(F.count(F.lit(1)).cast("long").alias("n_probe"))
+    n_pass = passed.agg(F.count(F.lit(1)).cast("long").alias("n_pass"))
+    n_match = (
+        probe.join(F.broadcast(build), "key", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
+    )
+    out = n_probe.crossJoin(n_pass).crossJoin(n_match)  # three 1-row aggs
+    return finalize(out, bits)

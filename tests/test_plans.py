@@ -93,7 +93,10 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
                     "text_tfidf_topk",
                     # r6: each relationship joins two 1-row count
                     # aggregates (n_child/n_null × n_orphans)
-                    "dq_referential_integrity"}
+                    "dq_referential_integrity",
+                    # r6: three 1-row count aggregates composed into
+                    # the summary row
+                    "join_bloom_prefilter"}
     for name in sorted(QUERIES):
         plan = _plan(spark, sf_dir, name)
         if name not in allowed_python:

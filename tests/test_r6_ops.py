@@ -194,3 +194,28 @@ def test_referential_integrity_orphans_and_null_fks(spark):
     )
     with pytest.raises(ValueError, match="arity"):
         referential_integrity(child, parent, ["fk"], ["pk", "pk2"], "bad")
+
+
+def test_bloom_prefilter_no_false_negatives_and_fp_bounded(spark):
+    """Bloom contract: every true member passes (NO false negatives —
+    the property that makes the prefilter safe to compose with the
+    real join), non-members pass only at the false-positive rate, and
+    the word table stays ≤ m/32 rows."""
+    from blockchain_data_engineering_spark.operators.relational import (
+        bloom_bits,
+        bloom_prefilter,
+    )
+
+    build = spark.range(0, 500).select((F.col("id") * 3).alias("key"))
+    bits = bloom_bits(build, "key", m_bits=8192, k_hashes=2)
+    assert bits.count() <= 8192 // 32
+    probe = spark.range(0, 3000).select(F.col("id").alias("key"))
+    passed = {r.key for r in bloom_prefilter(
+        probe, "key", bits, m_bits=8192, k_hashes=2
+    ).collect()}
+    members = {i * 3 for i in range(500)}
+    assert members <= passed  # no false negatives
+    fp = len(passed - members)
+    # n=500, m=8192, k=2 → fp rate ≈ (1−e^(−2·500/8192))^2 ≈ 1.3%;
+    # 2500 non-members → expect ~33, assert a generous ceiling
+    assert fp < 2500 * 0.05, fp
