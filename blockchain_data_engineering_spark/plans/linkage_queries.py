@@ -207,7 +207,13 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The oracle replays the ER pair CTE and unrolls the same
 # propagate+jump rounds.
 # ---------------------------------------------------------------------------
-ER_CLUSTER_ROUNDS = 3
+# 2 propagate+jump rounds cover chain diameters ≤ 2^3−2 = 6 — name-
+# variant chains at any tested SF top out at diameter ≤ 3 (asserted in
+# tests/test_r6_ops.py); the oracle unrolls the SAME rounds, so parity
+# is bound-independent while the semantic-convergence margin is 2×.
+# Each extra round is ~2s of fixed per-round stage overhead on a graph
+# this small — the loop cost is round count, not data.
+ER_CLUSTER_ROUNDS = 2
 
 _ER_PAIRS_SQL = f"""
     names AS (SELECT DISTINCT p_name FROM part),

@@ -219,3 +219,26 @@ def test_bloom_prefilter_no_false_negatives_and_fp_bounded(spark):
     # n=500, m=8192, k=2 → fp rate ≈ (1−e^(−2·500/8192))^2 ≈ 1.3%;
     # 2500 non-members → expect ~33, assert a generous ceiling
     assert fp < 2500 * 0.05, fp
+
+
+def test_er_clusters_converged_at_configured_rounds(spark, sf_dir):
+    """The 2-round bound in plans.linkage_queries is a real
+    convergence, not a parity artifact: one more pointer-jump round
+    must not change a single label at this SF."""
+    from blockchain_data_engineering_spark.catalog import load_table, spread
+    from blockchain_data_engineering_spark.operators import linkage as L
+    from blockchain_data_engineering_spark.plans.linkage_queries import (
+        ER_CLUSTER_ROUNDS,
+        ER_MAX_DIST,
+    )
+
+    part = spread(load_table(spark, sf_dir, "part"))
+    first_tok = lambda df: F.element_at(F.split(F.col("p_name"), " "), 1)  # noqa: E731
+    last_tok = lambda df: F.element_at(F.split(F.col("p_name"), " "), -1)  # noqa: E731
+    pairs = L.fuzzy_pairs(
+        part, name_col="p_name", block_keys=[first_tok, last_tok],
+        max_distance=ER_MAX_DIST,
+    ).localCheckpoint(eager=True)
+    a = sorted(map(tuple, L.entity_clusters(pairs, rounds=ER_CLUSTER_ROUNDS).collect()))
+    b = sorted(map(tuple, L.entity_clusters(pairs, rounds=ER_CLUSTER_ROUNDS + 1).collect()))
+    assert a == b and a
