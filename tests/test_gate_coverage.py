@@ -102,6 +102,8 @@ def test_witness_map_covers_every_demoted_query_and_reaches_the_gate():
         "every demoted query needs at least one witness: "
         f"{[q for q, ws in plans.WITNESSES.items() if not ws]}"
     )
+    self_cited = [q for q, ws in plans.WITNESSES.items() if q in ws]
+    assert not self_cited, f"queries citing themselves as witness: {self_cited}"
 
     covered = set(plans.GATE_ORDER)
     changed = True

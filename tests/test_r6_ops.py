@@ -242,3 +242,30 @@ def test_er_clusters_converged_at_configured_rounds(spark, sf_dir):
     a = sorted(map(tuple, L.entity_clusters(pairs, rounds=ER_CLUSTER_ROUNDS).collect()))
     b = sorted(map(tuple, L.entity_clusters(pairs, rounds=ER_CLUSTER_ROUNDS + 1).collect()))
     assert a == b and a
+
+
+def test_auc_exact_sql_generator_matches_spark_without_keys(spark):
+    """The oracle generator's empty-keys branch (global AUC) must
+    produce the same numbers as the Spark operator on one fixture —
+    keeps the generator honest where no registered query exercises
+    it."""
+    import duckdb
+
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        auc_exact,
+        auc_exact_sql,
+    )
+
+    rows = [(3, True), (1, False), (2, True), (2, False), (5, False)]
+    sp = auc_exact(
+        spark.createDataFrame(rows, "s long, y boolean"),
+        F.col("y"),
+        F.col("s"),
+    ).first()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ", ".join(f"({s}, {str(y).lower()})" for s, y in rows) +
+                ") v(s, y)")
+    dk = con.execute(auc_exact_sql("y", "s", "t")).fetchone()
+    con.close()
+    assert (sp.n_pos, sp.n_neg, sp.auc_num, sp.auc_den, sp.auc) == dk
