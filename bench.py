@@ -46,6 +46,11 @@ HEADLINE = [
     "text_bpe_train",
     "pipeline_cluster_quality",
     "sample_split_leakage_free",
+    # r6 additions worth tracking round-over-round: the ER closure
+    # (iterative CC over the match graph) and the bloom prefilter
+    # (broadcast semi-join reduction)
+    "er_entity_clusters",
+    "join_bloom_prefilter",
 ]
 
 
