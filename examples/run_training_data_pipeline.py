@@ -212,11 +212,39 @@ def main(sf_dir: str) -> None:
         .orderBy("split", "bucket")
     )
 
+    # 8. featurize + evaluate (r6 ops): hashing-trick features and
+    # TF-IDF keywords for the kept docs, int8-quantized embeddings
+    # for the vector store, and an exact-AUC readout of how well the
+    # heuristic quality score ranks the English slice (the
+    # train-a-filter → EVALUATE-the-filter loop, at corpus scale)
+    from blockchain_data_engineering_spark.operators.ml_eval import auc_exact
+    from blockchain_data_engineering_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    kept_docs = docs.join(final.select("doc_id"), "doc_id", "left_semi")
+    n_feat = TX.hashed_features(kept_docs, n_features=256).count()
+    q8_rows = quantize_int8(emb).count()
+    auc = auc_exact(
+        feats.select(
+            (F.col("lang") == "en").alias("y"),
+            F.col("quality_score").alias("s"),
+        ),
+        F.col("y"),
+        F.col("s"),
+    ).first()
+
     print(f"documents in:           {n0}")
     print(f"after curation:         {n_final}  ({n_final / n0:.1%} kept)")
     print(f"embedding near-dup prs: {n_emb_dups}")
     print(f"residual dup-span toks: {span_tokens}")
     print(f"mean novelty vs ref:    {nov:.3f}")
+    print(f"hashed feature rows:    {n_feat}")
+    print(f"int8 vector cells:      {q8_rows}")
+    print(
+        f"quality-vs-en AUC:      {auc.auc:.3f} "
+        f"({auc.n_pos} pos / {auc.n_neg} neg)"
+    )
     print("packing histogram (split, bucket, n_docs, tokens):")
     for r in packing.collect():
         print(f"  {r['split']:5s} b{int(r['bucket']):2d}  {r['n_docs']:5d}  {int(r['tokens']):8d}")

@@ -861,3 +861,72 @@ def test_target_encoding_is_leakage_free_by_construction(spark, sf_dir):
             assert row["enc"] is None
         else:
             assert row["enc"] == float(out_sum) / float(out_cnt) / 100.0
+
+
+# ------------------------------------------------------------- r6 ops ---
+# Property checks for the round-6 operators: exact AUC against the
+# brute-force pair-counting definition, and the compaction planner's
+# bin-size bound — random inputs, exact invariants.
+
+
+@settings(deadline=None, max_examples=12)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=6), st.booleans()),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda xs: any(y for _, y in xs) and any(not y for _, y in xs))
+)
+def test_auc_exact_matches_pair_counting_definition(spark, rows):
+    """AUC is, by definition, P(score_pos > score_neg) + ½·P(tie) over
+    all (pos, neg) pairs. The rank-sum implementation must equal the
+    O(n²) brute force as an exact rational on ANY mixed-label input —
+    the tight score range (0..6) forces heavy tie coverage."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from blockchain_data_engineering_spark.operators.ml_eval import auc_exact
+
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    want = Fraction(2 * wins + ties, 2 * len(pos) * len(neg))
+
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    got = auc_exact(df, F.col("y"), F.col("s")).first()
+    assert Fraction(got.auc_num, got.auc_den) == want
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+
+
+@settings(deadline=None, max_examples=10)
+@given(
+    st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=30),
+    st.integers(min_value=50, max_value=200),
+)
+def test_compaction_plan_bin_bound_property(spark, sizes, target):
+    """For ANY file sizes and target: small files are binned in order,
+    every bin's total stays < target + its largest member (the
+    one-file-overshoot guarantee), bins are contiguous starting at 0,
+    and files ≥ target are exactly the NULL-bin set."""
+    from pyspark.sql import functions as F
+
+    from blockchain_data_engineering_spark.sources.io import compaction_plan
+
+    files = [(f"f{i:03d}", s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(files, "file string, size_bytes long")
+    rows = compaction_plan(df, target_bytes=target).collect()
+    got = {r.file: (r.size_bytes, r.bin) for r in rows}
+    assert {f for f, (s, b) in got.items() if b is None} == {
+        f for f, s in files if s >= target
+    }
+    bins: dict[int, list[int]] = {}
+    for f, s in files:
+        b = got[f][1]
+        if b is not None:
+            bins.setdefault(b, []).append(s)
+    if bins:
+        assert sorted(bins) == list(range(max(bins) + 1))  # contiguous
+        for members in bins.values():
+            assert sum(members) < target + max(members)
