@@ -36,7 +36,8 @@ HEADLINE = [
     "sim_ivf_ann_trained",
     "sim_lsh_ann_multitable",
     "graph_sssp_cheapest_route",
-    "graph_bfs_levels",
+    # graph_bfs_levels demoted r6 — sssp (its w=1 generalization) and
+    # temporal reachability carry the delta-frontier series
     "graph_temporal_reachability",
     "graph_kcore",
     # graph_triangle_count demoted r5; its subsuming refinement is the
@@ -44,7 +45,8 @@ HEADLINE = [
     "graph_clustering_coefficient",
     "text_quality_classifier",
     "text_bpe_train",
-    "pipeline_cluster_quality",
+    # pipeline_cluster_quality demoted r6 — pipeline_corpus_dedup
+    # carries the multi-stage composition series
     "sample_split_leakage_free",
     # r6 additions worth tracking round-over-round: the ER closure
     # (iterative CC over the match graph) and the bloom prefilter
@@ -158,12 +160,15 @@ def main() -> None:
         dt = float("nan")
         runs: list[float] = []
         try:
-            # min of 2, plus a 3rd when the first two disagree >1.5x —
-            # this host shows ~2x wall-clock swings under external
-            # load, and a noisy max would otherwise leak into the
-            # recorded min for exactly the queries that ran unlucky
+            # min of 2, plus up to two more runs while the samples
+            # disagree >1.3x — this host shows 2-4x wall-clock swings
+            # under external load, and TWO consecutively-inflated runs
+            # can agree with each other (r6: dedup_incremental_batch
+            # recorded [12.0, 8.6] in-bench vs 3.6 isolated); a wider
+            # retry window catches the settle without rerunning the
+            # tight-sample majority
             while len(runs) < 2 or (
-                len(runs) == 2 and max(runs) > 1.5 * min(runs)
+                len(runs) < 4 and max(runs) > 1.3 * min(runs)
             ):
                 t0 = time.perf_counter()
                 df = QUERIES[name](spark, SF_DIR)

@@ -110,6 +110,20 @@ GATE_ORDER = [
     #    aggregate family stays gate-witnessed by dq_orders_profile +
     #    dq_referential_integrity, and the key-frequency top-N plan by
     #    the gate's window top-k members).
+    #    Batch 3: multi-class confusion matrix (lang-ID vs declared
+    #    label — the k-class eval sibling of ml_confusion_metrics) and
+    #    sequence-dataset construction (lag-feature next-event rows,
+    #    ONE user-keyed window). Displaced: graph_bfs_levels (r5-green;
+    #    the delta-frontier loop family stays gate-witnessed by
+    #    graph_sssp_cheapest_route — BFS is its w=1 case — and
+    #    graph_temporal_reachability, plus graph_kcore's peeling) and
+    #    pipeline_cluster_quality (r3-green; the kmeans-assignment
+    #    plan runs inside gate-witnessed sim_ivf_ann_trained, the
+    #    quality aggregate inside text_quality_classifier, and the
+    #    multi-stage pipeline composition stays gate-witnessed by
+    #    pipeline_corpus_dedup).
+    "ml_multiclass_confusion",
+    "ml_sequence_dataset",
     "join_bloom_prefilter",
     "stream_reorg_crash_recovery",
     "ml_auc_roc",
@@ -162,7 +176,6 @@ GATE_ORDER = [
     "text_bpe_encode",
     "text_fim_transform",
     "text_pmi_collocations",
-    "graph_bfs_levels",
     "er_fuzzy_part_pairs",
     "agg_kmv_distinct",
     "lake_zorder_ranges",
@@ -187,7 +200,6 @@ GATE_ORDER = [
     # exchange for dq_join_skew_report — the winnowing-fingerprint
     # equi-join family stays gate-witnessed by
     # text_contamination_matrix (same fp-keyed plan).
-    "pipeline_cluster_quality",
     "sample_split_leakage_free",
     "text_contamination_matrix",
     # -- never officially gate-verified before round 3 (front-loaded
@@ -346,6 +358,21 @@ WITNESSES: dict[str, list[str]] = {
     # one-pass report-aggregate family (profile + FK audit); the
     # key-frequency top-N plan is the gate's window top-k shape
     "dq_join_skew_report": ["dq_orders_profile", "dq_referential_integrity"],
+    # BFS is sssp's w=1 case; the delta-frontier/anti-join loop family
+    # stays gate-run by the weighted and temporal siblings + kcore
+    "graph_bfs_levels": [
+        "graph_sssp_cheapest_route",
+        "graph_temporal_reachability",
+        "graph_kcore",
+    ],
+    # kmeans assignment runs inside the trained-IVF gate query, the
+    # quality aggregate inside the classifier, the multi-stage
+    # pipeline composition inside corpus dedup
+    "pipeline_cluster_quality": [
+        "sim_ivf_ann_trained",
+        "text_quality_classifier",
+        "pipeline_corpus_dedup",
+    ],
     # --- aggregate / sketch families ---
     # any_value collapse runs inside the gate rollup lattice
     "agg_any_value": ["agg_rollup_two_level"],

@@ -1425,3 +1425,54 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = n_probe.crossJoin(n_pass).crossJoin(n_match)  # three 1-row aggs
     return finalize(out, bits)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-dataset construction (r6): next-event-prediction training
+# rows — per user, features = the two previous event types + the gap
+# to the last event, label = the current type; rows without full
+# history are dropped, exactly how a sequence-model dataset builder
+# windows a clickstream. ONE user-keyed window (all three lags share
+# the frame) — no self-joins, no global sort; at 100 TB the shuffle is
+# one hash partitioning on user_id and the window state is per-user.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_sequence_dataset",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             lag(event_type, 1) OVER w AS prev1,
+             lag(event_type, 2) OVER w AS prev2,
+             lag(ts, 1) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, prev2, prev1,
+           CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us,
+           event_type AS label
+    FROM seq WHERE prev2 IS NOT NULL
+    """,
+)
+def ml_sequence_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
+        ).alias("gap_us"),
+    )
+    return seq.where(F.col("prev2").isNotNull()).select(
+        "user_id",
+        "event_id",
+        "prev2",
+        "prev1",
+        "gap_us",
+        F.col("event_type").alias("label"),
+    )

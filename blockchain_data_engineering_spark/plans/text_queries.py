@@ -2104,3 +2104,45 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.hashed_features(
         docs, id_col="doc_id", text_col="text", n_features=_N_HASH_FEATURES
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-class confusion matrix (r6): the language-ID heuristic
+# evaluated against the declared label — (actual, predicted, n,
+# frac_of_actual), the per-class recall readout. ONE map-side
+# combinable (actual, predicted) count; the share is count/total via a
+# window over the ≤|langs|² aggregate, never the corpus. Completes the
+# eval family: ml_confusion_metrics is the binary-threshold case,
+# this is the k-class classifier case every lang-ID/topic filter
+# sweep reports.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_multiclass_confusion",
+    oracle=f"""
+    WITH pred AS ({_langid_oracle()})
+    SELECT lang_declared AS actual, lang_pred AS predicted,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE)
+             / CAST(sum(count(*)) OVER (PARTITION BY lang_declared)
+                    AS DOUBLE) AS frac_of_actual
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def ml_multiclass_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pred = docs.select(
+        F.col("lang").alias("actual"),
+        TX.lang_id(F.col("text")).alias("predicted"),
+    )
+    counts = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("actual")
+    return counts.select(
+        "actual",
+        "predicted",
+        "n",
+        (
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double")
+        ).alias("frac_of_actual"),
+    )
