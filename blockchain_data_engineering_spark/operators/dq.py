@@ -242,3 +242,29 @@ def referential_integrity(
         "n_orphans",
         "n_null_fk",
     )
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema-drift report between two table versions: one row per
+    column that was ADDED, REMOVED, or TYPE-CHANGED (unchanged columns
+    are omitted) — the check an ingest pipeline runs BEFORE handing a
+    new snapshot to ``upsert_parquet(merge_schema=...)``, turning the
+    upsert guard's refusal into an actionable diff. Pure
+    driver-side metadata (two schema objects, zero jobs); the result
+    is a tiny DataFrame so it can be sunk next to the DQ expectation
+    reports.
+    """
+    spark = old.sparkSession
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for c in sorted(o.keys() | n.keys()):
+        if c not in n:
+            rows.append((c, o[c], None, "removed"))
+        elif c not in o:
+            rows.append((c, None, n[c], "added"))
+        elif o[c] != n[c]:
+            rows.append((c, o[c], n[c], "type_changed"))
+    return spark.createDataFrame(
+        rows, "column string, old_type string, new_type string, status string"
+    )

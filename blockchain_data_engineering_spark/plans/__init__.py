@@ -122,6 +122,12 @@ GATE_ORDER = [
     #    quality aggregate inside text_quality_classifier, and the
     #    multi-stage pipeline composition stays gate-witnessed by
     #    pipeline_corpus_dedup).
+    #    Batch 4: calibration/reliability bins (the third eval leg
+    #    after AUC + confusion; fixed-width score bins, one hash agg).
+    #    Displaced: er_fuzzy_part_pairs (r5-green; the blocking +
+    #    Levenshtein pair pipeline RUNS VERBATIM as the first stage of
+    #    gate-witnessed er_entity_clusters).
+    "ml_calibration_bins",
     "ml_multiclass_confusion",
     "ml_sequence_dataset",
     "join_bloom_prefilter",
@@ -176,7 +182,6 @@ GATE_ORDER = [
     "text_bpe_encode",
     "text_fim_transform",
     "text_pmi_collocations",
-    "er_fuzzy_part_pairs",
     "agg_kmv_distinct",
     "lake_zorder_ranges",
     "agg_rollup_two_level",
@@ -358,6 +363,9 @@ WITNESSES: dict[str, list[str]] = {
     # one-pass report-aggregate family (profile + FK audit); the
     # key-frequency top-N plan is the gate's window top-k shape
     "dq_join_skew_report": ["dq_orders_profile", "dq_referential_integrity"],
+    # the blocking + Levenshtein pair pipeline runs verbatim as the
+    # first stage of the gate's entity-clustering query
+    "er_fuzzy_part_pairs": ["er_entity_clusters"],
     # BFS is sssp's w=1 case; the delta-frontier/anti-join loop family
     # stays gate-run by the weighted and temporal siblings + kcore
     "graph_bfs_levels": [

@@ -1476,3 +1476,54 @@ def ml_sequence_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap_us",
         F.col("event_type").alias("label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration / reliability bins (r6): the third leg of the eval
+# family (AUC ranks, confusion thresholds, calibration says whether
+# the SCORE MAGNITUDE means what it claims): fixed-width score bins ×
+# (count, positives, exact mean score, positive rate). ONE map-side
+# combinable hash aggregate; rates are single IEEE divisions of exact
+# integers. Fixed-width bins, not ntile: no global sort, and the bin
+# edges are stable across data growth (the property a monitored
+# production calibration chart needs).
+# ---------------------------------------------------------------------------
+_CALIB_BIN_Q = 40_000_00  # 40k-wide o_totalprice bins, quanta(2)
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {quanta_sql('o_totalprice', 2)} AS s,
+             {_AUC_LABEL_SQL} AS y
+      FROM orders
+    )
+    SELECT CAST(s // {_CALIB_BIN_Q} AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_score_q,
+           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS frac_pos
+    FROM scored GROUP BY 1
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    scored = orders.select(
+        quanta(F.col("o_totalprice"), 2).alias("s"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("y"),
+    )
+    return scored.groupBy(
+        F.floor(F.col("s") / F.lit(_CALIB_BIN_Q)).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        (
+            F.sum("s").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_score_q"),
+        (
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("frac_pos"),
+    )

@@ -930,3 +930,33 @@ def test_compaction_plan_bin_bound_property(spark, sizes, target):
         assert sorted(bins) == list(range(max(bins) + 1))  # contiguous
         for members in bins.values():
             assert sum(members) < target + max(members)
+
+
+@settings(deadline=None, max_examples=8)
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60),
+    st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60),
+)
+def test_bloom_prefilter_never_drops_a_member(spark, members, probes):
+    """Bloom safety property on arbitrary key sets: every probe key
+    that IS a member survives the prefilter — false negatives are
+    impossible by construction, for any m/k/data."""
+    from pyspark.sql import functions as F
+
+    from blockchain_data_engineering_spark.operators.relational import (
+        bloom_bits,
+        bloom_prefilter,
+    )
+
+    build = spark.createDataFrame([(k,) for k in members], "key long")
+    probe = spark.createDataFrame(
+        [(k,) for k in members | probes], "key long"
+    )
+    bits = bloom_bits(build, "key", m_bits=1024, k_hashes=2)
+    passed = {
+        r.key
+        for r in bloom_prefilter(
+            probe, "key", bits, m_bits=1024, k_hashes=2
+        ).collect()
+    }
+    assert members <= passed

@@ -269,3 +269,19 @@ def test_auc_exact_sql_generator_matches_spark_without_keys(spark):
     dk = con.execute(auc_exact_sql("y", "s", "t")).fetchone()
     con.close()
     assert (sp.n_pos, sp.n_neg, sp.auc_num, sp.auc_den, sp.auc) == dk
+
+
+def test_schema_drift_reports_add_remove_retype_only(spark):
+    from blockchain_data_engineering_spark.operators.dq import schema_drift
+
+    old = spark.createDataFrame([], "a bigint, b string, c double")
+    new = spark.createDataFrame([], "a bigint, b bigint, d string")
+    got = {r.column: (r.old_type, r.new_type, r.status)
+           for r in schema_drift(old, new).collect()}
+    assert got == {
+        "b": ("string", "bigint", "type_changed"),
+        "c": ("double", None, "removed"),
+        "d": (None, "string", "added"),
+    }
+    # identical schemas → empty report
+    assert schema_drift(old, old).count() == 0
