@@ -26,6 +26,24 @@ Scale shape:
   cardinality or bucket the scores first).
 - ``confusion_counts`` is ONE hash aggregate (four conditional sums),
   map-side combinable, output grain = |key groups|.
+- ``pr_curve`` is the full threshold sweep from the SAME
+  distinct-score grain as ``auc_exact``: cumulative tp/fp via a window
+  over the score aggregate — every operating point of the classifier
+  without ever sorting the facts.
+
+NULL convention (r6 ADVICE): rows with a NULL label or NULL score are
+EXCLUDED at entry by ``auc_exact`` and ``pr_curve`` — a NULL score has
+no rank and a NULL label is neither class; silently counting NULL
+labels as negatives (the old ``otherwise(1)`` behavior) mis-scored
+partially-labeled data, and NULL score placement diverged between
+Spark's NULLS FIRST and DuckDB's NULLS LAST window order.
+
+Overflow (r6 ADVICE): ``auc_exact``'s rank-sum totals are
+DECIMAL(38,0), not BIGINT — ``rank2_sum ~ 2·n_pos·n`` wraps signed
+64-bit once a key group exceeds ~2×10^9 rows, exactly the scale this
+module exists for. The SQL twin uses HUGEINT intermediates cast to
+DECIMAL(38,0). ``pr_curve``'s counts are plain row counts (≤ n), so
+BIGINT holds them.
 """
 
 from __future__ import annotations
@@ -53,18 +71,12 @@ def auc_exact(
 
     Returns one row per key group: ``n_pos``, ``n_neg``,
     ``auc_num = Σ_pos 2r − n_pos·(n_pos+1)``,
-    ``auc_den = 2·n_pos·n_neg``, and ``auc`` (the one IEEE division;
-    NULL when a group lacks both classes).
+    ``auc_den = 2·n_pos·n_neg`` (both DECIMAL(38,0) — see module
+    docstring), and ``auc`` (the one IEEE division; NULL when a group
+    lacks both classes). NULL-label/NULL-score rows are excluded.
     """
     keyed = list(keys)
-    per_score = (
-        df.select(*keyed, label.alias("__pos"), score.alias("__s"))
-        .groupBy(*keyed, "__s")
-        .agg(
-            F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("np"),
-            F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("nn"),
-        )
-    )
+    per_score = _per_score_counts(df, label, score, keyed)
     w = Window.partitionBy(*keyed).orderBy("__s")
     cum_before = F.coalesce(
         F.sum(F.col("np") + F.col("nn")).over(
@@ -73,8 +85,11 @@ def auc_exact(
         F.lit(0),
     )
     # doubled average rank of this score's tie run, weighted by its
-    # positive count: Σ_pos 2r in one pass
-    contrib = F.col("np") * (
+    # positive count: Σ_pos 2r in one pass. The cumulative count and
+    # the per-score np/nn fit BIGINT (they are row counts); the
+    # PRODUCT is where 64 bits run out, so it is computed — and
+    # summed — in DECIMAL(38,0).
+    contrib = F.col("np").cast("decimal(38,0)") * (
         2 * cum_before + F.col("np") + F.col("nn") + 1
     )
     totals = per_score.select(
@@ -85,19 +100,38 @@ def auc_exact(
     ).groupBy(*keyed).agg(
         F.sum("__np").cast("long").alias("n_pos"),
         F.sum("__nn").cast("long").alias("n_neg"),
-        F.sum("__c").cast("long").alias("__rank2_sum"),
+        F.sum("__c").cast("decimal(38,0)").alias("__rank2_sum"),
     )
-    num = F.col("__rank2_sum") - F.col("n_pos") * (F.col("n_pos") + 1)
-    den = 2 * F.col("n_pos") * F.col("n_neg")
+    npos_d = F.col("n_pos").cast("decimal(38,0)")
+    num = F.col("__rank2_sum") - npos_d * (F.col("n_pos") + 1)
+    den = F.lit(2).cast("decimal(38,0)") * npos_d * F.col("n_neg")
     return totals.select(
         *keyed,
         "n_pos",
         "n_neg",
-        num.cast("long").alias("auc_num"),
-        den.cast("long").alias("auc_den"),
+        num.cast("decimal(38,0)").alias("auc_num"),
+        den.cast("decimal(38,0)").alias("auc_den"),
         F.when(
             den > 0, num.cast("double") / den.cast("double")
         ).alias("auc"),
+    )
+
+
+def _per_score_counts(
+    df: DataFrame, label: Column, score: Column, keyed: list[str]
+) -> DataFrame:
+    """Shared first stage of ``auc_exact`` / ``pr_curve``: collapse the
+    facts to distinct-score grain with per-score positive / negative
+    counts — ONE map-side-combinable aggregate; NULL labels and scores
+    excluded (module NULL convention)."""
+    return (
+        df.where(label.isNotNull() & score.isNotNull())
+        .select(*keyed, label.alias("__pos"), score.alias("__s"))
+        .groupBy(*keyed, "__s")
+        .agg(
+            F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("np"),
+            F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("nn"),
+        )
     )
 
 
@@ -108,7 +142,11 @@ def auc_exact_sql(
     keys: Sequence[str] = (),
 ) -> str:
     """DuckDB twin of :func:`auc_exact` — same doubled-rank algebra,
-    same column names, for oracle registration."""
+    same NULL exclusion, same column names. HUGEINT intermediates;
+    ``auc_num``/``auc_den`` serialize as VARCHAR (the netflow_decimal
+    recipe: both engines print integers identically and the string
+    survives the driver's pandas round-trip losslessly), so the Spark
+    side of a gate query must cast its decimals to string too."""
     keyed = list(keys)
     kcols = ", ".join(keyed)
     kpre = f"{kcols}, " if keyed else ""
@@ -119,7 +157,9 @@ def auc_exact_sql(
       SELECT {kpre}{score_sql} AS s,
              sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS np,
              sum(CASE WHEN {label_sql} THEN 0 ELSE 1 END) AS nn
-      FROM {table} GROUP BY {kpre.rstrip(", ") + ", " if keyed else ""}s
+      FROM {table}
+      WHERE ({label_sql}) IS NOT NULL AND ({score_sql}) IS NOT NULL
+      GROUP BY {kpre.rstrip(", ") + ", " if keyed else ""}s
     ),
     ranked AS (
       SELECT {kpre}np, nn,
@@ -131,17 +171,109 @@ def auc_exact_sql(
       SELECT {kpre}
              CAST(sum(np) AS BIGINT) AS n_pos,
              CAST(sum(nn) AS BIGINT) AS n_neg,
-             CAST(sum(np * (2 * cb + np + nn + 1)) AS BIGINT) AS rank2_sum
+             sum(CAST(np AS HUGEINT) * (2 * cb + np + nn + 1))
+               AS rank2_sum
       FROM ranked {grp}
     )
     SELECT {kpre}n_pos, n_neg,
-           CAST(rank2_sum - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
-           CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
-           CASE WHEN n_pos * n_neg > 0 THEN
-             CAST(rank2_sum - n_pos * (n_pos + 1) AS DOUBLE)
-               / CAST(2 * n_pos * n_neg AS DOUBLE)
+           CAST(rank2_sum - CAST(n_pos AS HUGEINT) * (n_pos + 1)
+                AS VARCHAR) AS auc_num,
+           CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS VARCHAR)
+             AS auc_den,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST(rank2_sum - CAST(n_pos AS HUGEINT) * (n_pos + 1)
+                  AS DOUBLE)
+               / CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)
            END AS auc
     FROM totals
+    """
+
+
+def pr_curve(
+    df: DataFrame,
+    label: Column,
+    score: Column,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Precision/recall at EVERY distinct score threshold per ``keys``
+    group — the full PR curve, not one operating point: at threshold t
+    the classifier predicts positive iff ``score ≥ t``, so cumulative
+    ``tp``/``fp`` are running sums over scores DESCENDING. Computed
+    from the same distinct-score-grain aggregate as :func:`auc_exact`
+    (one map-side-combinable groupBy collapses the facts), with ONE
+    window partitioning serving both the running counts and the group
+    positive total (two frames, one sort, over |distinct scores| rows
+    — never a row-grain sort; plan-pinned). Returns one row per
+    (group, threshold): ``threshold, tp, fp, precision, recall`` —
+    precision/recall each a single IEEE division of exact longs
+    (``tp + fp ≥ 1`` at every emitted threshold by construction;
+    ``recall`` NULL for a group with no positives)."""
+    keyed = list(keys)
+    per_score = _per_score_counts(df, label, score, keyed)
+    w = Window.partitionBy(*keyed).orderBy(F.col("__s").desc())
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    whole = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    counted = per_score.select(
+        *keyed,
+        F.col("__s").alias("threshold"),
+        F.sum("np").over(run).cast("long").alias("tp"),
+        F.sum("nn").over(run).cast("long").alias("fp"),
+        F.sum("np").over(whole).cast("long").alias("__n_pos"),
+    )
+    tp, fp, n_pos = F.col("tp"), F.col("fp"), F.col("__n_pos")
+    return counted.select(
+        *keyed,
+        "threshold",
+        "tp",
+        "fp",
+        (tp.cast("double") / (tp + fp).cast("double")).alias("precision"),
+        F.when(
+            n_pos > 0, tp.cast("double") / n_pos.cast("double")
+        ).alias("recall"),
+    )
+
+
+def pr_curve_sql(
+    label_sql: str,
+    score_sql: str,
+    table: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`pr_curve` — same distinct-score grain,
+    same NULL exclusion, same column names."""
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    part = f"PARTITION BY {kcols} " if keyed else ""
+    return f"""
+    WITH per_score AS (
+      SELECT {kpre}{score_sql} AS s,
+             sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN {label_sql} THEN 0 ELSE 1 END) AS nn
+      FROM {table}
+      WHERE ({label_sql}) IS NOT NULL AND ({score_sql}) IS NOT NULL
+      GROUP BY {kpre.rstrip(", ") + ", " if keyed else ""}s
+    ),
+    swept AS (
+      SELECT {kpre}s AS threshold,
+             CAST(sum(np) OVER ({part}ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS tp,
+             CAST(sum(nn) OVER ({part}ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS fp,
+             CAST(sum(np) OVER ({part.rstrip() or 'PARTITION BY 1'})
+               AS BIGINT) AS n_pos
+      FROM per_score
+    )
+    SELECT {kpre}threshold, tp, fp,
+           CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+           CASE WHEN n_pos > 0
+                THEN CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE)
+           END AS recall
+    FROM swept
     """
 
 

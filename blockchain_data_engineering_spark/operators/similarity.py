@@ -1289,7 +1289,12 @@ def quantize_int8(
     per-vector ``scale`` — so the result is exactly oracle-checkable
     and directly joinable; the array-packed variant is a trivial
     ``collect_list`` away. ``max_dims`` caps the exploded dims (audit
-    samples); None explodes all.
+    samples); None explodes all. NOTE (r6 ADVICE): ``scale`` is ALWAYS
+    the FULL-vector maxabs, even when ``max_dims`` truncates the
+    emitted dims — the audit sample shows the exact codes the full
+    quantization assigns those dims, NOT an independent quantization
+    of the truncated vector (whose slice-local maxabs would differ);
+    do not read ``scale`` as slice-local.
 
     Engine-exactness: maxabs is comparison-only; the quantizer is a
     fixed IEEE expression tree (divide, multiply, add, floor) over

@@ -88,6 +88,21 @@ from blockchain_data_engineering_spark.plans import lake_queries  # noqa: F401,E
 # never-gated = registry − (r1 ∪ r2 ∪ current gate) from the
 # CORRECTNESS_r*.json files and asserts it empty.
 GATE_ORDER = [
+    # -- new in round 7 (unrowed, front-loaded). The mergeable
+    #    deterministic quantile sketch (bottom-k md5-priority sample —
+    #    the KMV idiom applied to rank statistics) completes the sketch
+    #    family: distinct (KMV), heavy hitters (CMS), membership
+    #    (Bloom), now percentiles. The PR curve is the full
+    #    threshold sweep from the auc_exact distinct-score grain.
+    #    Displaced in exchange (witnesses in WITNESSES):
+    #    agg_kmv_distinct (r5-green — the bottom-k-by-md5-priority
+    #    sketch construction IS the quantile sketch's build kernel;
+    #    the KMV estimator arithmetic stays pinned in pytest parity)
+    #    and ml_confusion_metrics (r6-green — the single-threshold
+    #    point of the gate-witnessed PR sweep; the conditional-count
+    #    hash-agg plan stays gate-run by ml_multiclass_confusion). --
+    "agg_quantile_sketch",
+    "ml_pr_curve",
     # -- new in round 6 (all unrowed, front-loaded). Crash-window reorg
     #    recovery drives the ACTUAL rollback_aware_upsert sink through
     #    an injected kill between marker-store write and delete, then
@@ -133,7 +148,6 @@ GATE_ORDER = [
     "join_bloom_prefilter",
     "stream_reorg_crash_recovery",
     "ml_auc_roc",
-    "ml_confusion_metrics",
     "er_entity_clusters",
     "lake_compaction_plan",
     "dq_referential_integrity",
@@ -182,7 +196,6 @@ GATE_ORDER = [
     "text_bpe_encode",
     "text_fim_transform",
     "text_pmi_collocations",
-    "agg_kmv_distinct",
     "lake_zorder_ranges",
     "agg_rollup_two_level",
     "events_twap",
@@ -335,6 +348,17 @@ assert len(GATE_ORDER) == 50, len(GATE_ORDER)
 # the same operator shape in the current gate; q itself stays fully
 # DuckDB-parity-checked in pytest (EXTRA_QUERIES, test_oracle_parity).
 WITNESSES: dict[str, list[str]] = {
+    # --- demoted in the r7 rotation (in exchange for the quantile
+    #     sketch + PR curve) ---
+    # the mergeable bottom-k-by-md5-priority construction (distinct
+    # shuffle → TakeOrderedAndProject / WindowGroupLimit) is the
+    # quantile sketch's build kernel; the (k-1)/f estimator stays
+    # pinned in pytest parity
+    "agg_kmv_distinct": ["agg_quantile_sketch"],
+    # one operating point of the gate-witnessed threshold sweep; the
+    # conditional-count one-hash-agg plan stays gate-run by the
+    # k-class confusion matrix
+    "ml_confusion_metrics": ["ml_pr_curve", "ml_multiclass_confusion"],
     # --- demoted in the r6 rotation (in exchange for the 9 new gate
     #     queries; every witness is a live r6 gate member) ---
     # vocab build runs inside the gate-witnessed BPE train loop, and

@@ -675,6 +675,21 @@ def test_auc_window_runs_over_distinct_score_grain(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_pr_curve_window_runs_over_distinct_score_grain(spark, sf_dir):
+    """The PR threshold sweep shares auc_exact's scale contract: the
+    cumulative tp/fp window must consume the (status, score) AGGREGATE
+    — HashAggregate below the Window — so the only sort runs at
+    distinct-score grain, never over the facts."""
+    import re
+
+    plan = _plan(spark, sf_dir, "ml_pr_curve")
+    win = plan.find("Window")
+    assert win != -1, plan
+    aggs_below = [m.start() for m in re.finditer(r"\(\d+\) HashAggregate", plan)]
+    assert any(pos > win for pos in aggs_below), plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tfidf_single_explode_and_df_from_tf(spark, sf_dir):
     """df must FALL OUT of the tf aggregate (one corpus explode total):
     exactly one Generate (explode) node, no count(distinct ...) expand,
