@@ -53,6 +53,8 @@ HEADLINE = [
     # (broadcast semi-join reduction)
     "er_entity_clusters",
     "join_bloom_prefilter",
+    # r7: the quantile sketch build (WindowGroupLimit-bounded shuffle)
+    "agg_quantile_sketch",
 ]
 
 

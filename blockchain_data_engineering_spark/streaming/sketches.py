@@ -1,7 +1,8 @@
-"""Streaming sketch maintenance: running frequency (Count-Min) and
-cardinality (HyperLogLog) state over unbounded streams.
+"""Streaming sketch maintenance: running frequency (Count-Min),
+cardinality (HyperLogLog), and quantile (bottom-k priority sample,
+operators/quantiles.py) state over unbounded streams.
 
-Both sketches are MERGEABLE — CMS counters add across batches, HLL
+All three sketches are MERGEABLE — CMS counters add across batches, HLL
 registers max across batches — so a stream needs only its per-batch
 register *delta* folded into a tiny store, never a reprocess of
 history. The reference has no equivalent (its only running aggregate is
@@ -91,3 +92,98 @@ def hll_store_estimate(spark: SparkSession, store_path: str) -> DataFrame:
     """One-row running-cardinality estimate for the whole stream so
     far — bit-identical to the batch sketch over the same rows."""
     return hll_estimate_from_registers(hll_store_registers(spark, store_path))
+
+
+def quantile_delta_sink(
+    store_path: str,
+    value_col: str,
+    priority_cols: list[str],
+    k: int,
+    keys: list[str] | None = None,
+):
+    """foreachBatch sink maintaining a running QUANTILE sketch store
+    (operators/quantiles.py — the r7 family completion: distinct,
+    frequency, membership, now percentiles over an unbounded stream).
+    Each batch lands its own ≤ k-sample bottom-k-priority state as a
+    ``_batch_id=N`` partition — the same exactly-once-by-idempotence
+    contract as the CMS/HLL sinks above (the state is a deterministic
+    function of the batch rows, so a replay overwrites its own
+    partition with identical bytes). Read with
+    :func:`quantile_store_state` / :func:`quantile_store_query`."""
+    from blockchain_data_engineering_spark.operators.quantiles import (
+        quantile_sketch,
+    )
+
+    keyed = list(keys or [])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _write_delta(
+            quantile_sketch(batch_df, value_col, priority_cols, k, keyed),
+            store_path,
+            batch_id,
+        )
+
+    return sink
+
+
+def quantile_store_state(
+    spark: SparkSession,
+    store_path: str,
+    k: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Merged sketch state over every batch delta: ``n_total`` ADDS,
+    samples re-take the bottom k by priority across batches — EXACTLY
+    the state ``quantile_sketch`` builds over the union of all batch
+    rows (bottom-k of a union of per-batch bottom-ks IS the union's
+    bottom-k whenever each delta kept ≥ k; pinned in
+    tests/test_streaming.py). One job over n_batches·|groups| state
+    rows — never a history reprocess."""
+    from pyspark.sql.window import Window
+
+    keyed = list(keys or [])
+    st = spark.read.parquet(store_path)
+    ns = st.groupBy(*keyed).agg(F.sum("n_total").alias("n_total"))
+    flat = st.select(*keyed, F.explode("samples").alias("s")).select(
+        *keyed, "s.pri", "s.v"
+    )
+    if keyed:
+        w = Window.partitionBy(*keyed).orderBy("pri", "v")
+        kept = (
+            flat.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        merged = kept.groupBy(*keyed).agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pri"), F.col("v")))
+            ).alias("samples")
+        )
+        return merged.join(ns, keyed)
+    kept = flat.orderBy("pri", "v").limit(k)
+    merged = kept.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pri"), F.col("v")))
+        ).alias("samples")
+    )
+    return merged.crossJoin(F.broadcast(ns))
+
+
+def quantile_store_query(
+    spark: SparkSession,
+    store_path: str,
+    k: int,
+    qs_bp: list[int],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Running quantiles for the whole stream so far — bit-identical
+    to ``quantile_sketch_query(quantile_sketch(<all rows>))``."""
+    from blockchain_data_engineering_spark.operators.quantiles import (
+        quantile_sketch_query,
+    )
+
+    return quantile_sketch_query(
+        quantile_store_state(spark, store_path, k, keys),
+        qs_bp,
+        list(keys or []),
+    )

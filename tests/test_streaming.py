@@ -678,6 +678,73 @@ def test_streaming_sketch_stores_match_batch(spark, tmp_path):
     )
 
 
+def test_streaming_quantile_store_matches_batch(spark, tmp_path):
+    """The quantile-sketch delta store (r7 family completion) must
+    merge to EXACTLY the one-pass batch sketch over the same rows —
+    bottom-k of the per-batch bottom-ks IS the union's bottom-k — and
+    a replayed batch must leave the store unchanged (the same
+    idempotence contract as the CMS/HLL stores)."""
+    from blockchain_data_engineering_spark.operators.quantiles import (
+        quantile_sketch,
+        quantile_sketch_query,
+    )
+    from blockchain_data_engineering_spark.streaming.sketches import (
+        _write_delta,
+        quantile_delta_sink,
+        quantile_store_query,
+        quantile_store_state,
+    )
+
+    K, QS = 64, [2500, 5000, 9900]
+    src = tmp_path / "val_stream"
+    src.mkdir()
+    # deterministic scattered values, unique per row (priority ids)
+    vals = [(i * 7919) % 10007 for i in range(800)]
+    for part in range(4):
+        (src / f"p{part}.txt").write_text(
+            "\n".join(str(v) for v in vals[part::4]) + "\n"
+        )
+
+    store = str(tmp_path / "q_store")
+    stream = spark.readStream.option("maxFilesPerTrigger", 1).text(str(src))
+    sink = quantile_delta_sink(store, "v", ["v"], K)
+
+    def run(batch_df, batch_id):
+        sink(batch_df.select(F.col("value").cast("long").alias("v")), batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(run)
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    whole = spark.read.text(str(src)).select(
+        F.col("value").cast("long").alias("v")
+    )
+    want_state = quantile_sketch(whole, "v", ["v"], K).collect()[0]
+    got_state = quantile_store_state(spark, store, K).collect()[0]
+    assert got_state["n_total"] == want_state["n_total"] == 800
+    assert [tuple(s) for s in got_state["samples"]] == [
+        tuple(s) for s in want_state["samples"]
+    ]
+    want_q = quantile_sketch_query(
+        quantile_sketch(whole, "v", ["v"], K), QS
+    ).collect()
+    got_q = quantile_store_query(spark, store, K, QS).collect()
+    assert sorted(map(tuple, got_q)) == sorted(map(tuple, want_q))
+
+    # replay idempotence: partition 0's delta rewritten over itself
+    d0 = spark.read.parquet(f"{store}/_batch_id=0")
+    _write_delta(d0, store, 0)
+    got2 = quantile_store_state(spark, store, K).collect()[0]
+    assert [tuple(s) for s in got2["samples"]] == [
+        tuple(s) for s in want_state["samples"]
+    ]
+    assert got2["n_total"] == 800
+
+
 def test_incremental_novelty_foreachbatch(spark, tmp_path):
     """The incremental-ingest novelty path (the streaming twin of
     text_novelty_score): each micro-batch scores its documents'
