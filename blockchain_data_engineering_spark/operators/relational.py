@@ -621,50 +621,69 @@ def forward_fill(
 KMV_HASH_SPACE = float(1 << 60)
 
 
-def kmv_bottom_k(df: DataFrame, col: str, k: int) -> DataFrame:
+def kmv_bottom_k(
+    df: DataFrame, col: str, k: int, keys: Sequence[str] = ()
+) -> DataFrame:
     """The k-minimum-values (KMV / bottom-k) distinct sketch state
     (Bar-Yossef et al. 2002): the k smallest distinct 60-bit md5-prefix
-    hashes of ``col``. Engine-portable by construction — md5 is
-    identical everywhere and fixed-width lowercase hex preserves
-    numeric order, the same trick the MinHash operator uses
-    (operators/dedup.py).
+    hashes of ``col`` — per ``keys`` group when given (r7). Engine-
+    portable by construction — md5 is identical everywhere and
+    fixed-width lowercase hex preserves numeric order, the same trick
+    the MinHash operator uses (operators/dedup.py).
 
-    Scale shape: ONE map-side-combined distinct shuffle over hashes,
-    then TakeOrderedAndProject (per-partition k-heaps merged on the
-    driver) — never a global sort. The state is k longs and is
+    Scale shape: ONE map-side-combined distinct shuffle over
+    (keys, hash), then TakeOrderedAndProject for the global case
+    (per-partition k-heaps merged on the driver — never a global
+    sort) or a WindowGroupLimit-bounded rank filter for the keyed
+    case (partial per-partition bottom-k BEFORE the exchange — the
+    same plan the quantile sketch build pins in
+    tests/test_quantiles.py). The state is k longs per group and is
     MERGEABLE: union sketches by re-taking the bottom k of the union,
     which is how a 100 TB scan or a streaming store maintains it
     per-partition/per-batch (cf. streaming/sketches.py registers).
     """
+    keyed = list(keys)
     h = F.conv(
         F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    return (
+    base = (
         df.where(F.col(col).isNotNull())
-        .select(h.alias("h"))
+        .select(*keyed, h.alias("h"))
         .distinct()
-        .orderBy("h")
-        .limit(k)
     )
+    if keyed:
+        w = Window.partitionBy(*keyed).orderBy("h")
+        return (
+            base.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    return base.orderBy("h").limit(k)
 
 
-def kmv_count_distinct(df: DataFrame, col: str, k: int) -> DataFrame:
+def kmv_count_distinct(
+    df: DataFrame, col: str, k: int, keys: Sequence[str] = ()
+) -> DataFrame:
     """KMV cardinality estimate: with the k-th smallest of n uniform
     hash draws at fraction f = h_k / 2^60 of the hash space, the
-    unbiased estimator is (k-1)/f. Returns one row:
-    (k_actual, kth_hash, est_distinct) — when the column has fewer
-    than k distinct values the sketch IS the exact distinct set and
-    k_actual reports it.
+    unbiased estimator is (k-1)/f. Returns one row (per ``keys``
+    group): (k_actual, kth_hash, est_distinct) — when the column has
+    fewer than k distinct values the sketch IS the exact distinct set
+    and k_actual reports it.
 
     The final arithmetic runs on identical IEEE operands in any
     engine ((k-1)·2^60 is exact: k ≤ 2^53-60ish), so the estimate is
     bit-identical — same portability contract as hll_count_distinct.
     """
-    ks = kmv_bottom_k(df, col, k)
-    return ks.agg(
+    keyed = list(keys)
+    ks = kmv_bottom_k(df, col, k, keyed)
+    agg = [
         F.count(F.lit(1)).alias("k_actual"),
         F.max("h").alias("kth_hash"),
-    ).select(
+    ]
+    grouped = ks.groupBy(*keyed).agg(*agg) if keyed else ks.agg(*agg)
+    return grouped.select(
+        *keyed,
         "k_actual",
         "kth_hash",
         (

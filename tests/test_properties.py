@@ -960,3 +960,60 @@ def test_bloom_prefilter_never_drops_a_member(spark, members, probes):
         ).collect()
     }
     assert members <= passed
+
+
+@settings(deadline=None, max_examples=8)
+@given(
+    st.lists(
+        st.integers(min_value=-10**6, max_value=10**6),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=1, max_value=32),
+)
+def test_quantile_sketch_properties(spark, values, k):
+    """Quantile-sketch properties on arbitrary integer multisets:
+
+    1. merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B) bit-identically for
+       ANY split (the mergeability contract — sketches compose across
+       partitions/batches without error accumulation);
+    2. when n ≤ k the answer is the EXACT order statistic at rank
+       ceil(q·n);
+    3. every estimate is an element of the data (the sample never
+       invents values)."""
+    from pyspark.sql import functions as F
+
+    from blockchain_data_engineering_spark.operators.quantiles import (
+        quantile_sketch,
+        quantile_sketch_merge,
+        quantile_sketch_query,
+    )
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "rid long, v long")
+    a = df.where(F.col("rid") % 3 == 0)
+    b = df.where(F.col("rid") % 3 != 0)
+    full = quantile_sketch(df, "v", ["rid"], k)
+    merged = quantile_sketch_merge(
+        quantile_sketch(a, "v", ["rid"], k),
+        quantile_sketch(b, "v", ["rid"], k),
+        k,
+    )
+    unpack = lambda d: [  # noqa: E731
+        (r["n_total"], tuple(tuple(s) for s in r["samples"]))
+        for r in d.collect()
+    ]
+    assert unpack(merged) == unpack(full)
+
+    qs = [1, 2500, 5000, 7500, 10000]
+    got = {
+        r["q_bp"]: r["est_v"]
+        for r in quantile_sketch_query(full, qs).collect()
+    }
+    data = set(values)
+    n = len(values)
+    srt = sorted(values)
+    for q_bp, est in got.items():
+        assert est in data
+        if n <= k:  # exactness when the sample is the data
+            assert est == srt[max(1, (q_bp * n + 9999) // 10000) - 1]

@@ -355,6 +355,47 @@ def test_kmv_sketch_is_mergeable(spark):
     ]
 
 
+def test_kmv_keyed_matches_per_group_global(spark):
+    """Keyed KMV (r7) must equal the global sketch computed on each
+    group's slice — the WindowGroupLimit-bounded keyed path is just
+    the TakeOrderedAndProject path per group — and the estimate rides
+    the same (k-1)/f arithmetic per row. Plan: the keyed build pushes
+    a partial WindowGroupLimit below the exchange."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.range(0, 30_000).select(
+        (F.col("id") % 3).alias("g"),
+        # per-group distinct cardinalities: g0 → 5000, g1 → 97, g2 → 9973
+        F.when(F.col("id") % 3 == 0, F.col("id") % 5000)
+        .when(F.col("id") % 3 == 1, F.col("id") % 97)
+        .otherwise(F.col("id") % 9973)
+        .alias("v"),
+    )
+    k = 128
+    keyed = {
+        r["g"]: (r["k_actual"], r["kth_hash"], r["est_distinct"])
+        for r in R.kmv_count_distinct(df, "v", k, keys=["g"]).collect()
+    }
+    assert set(keyed) == {0, 1, 2}
+    for g in (0, 1, 2):
+        [want] = R.kmv_count_distinct(
+            df.where(F.col("g") == g), "v", k
+        ).collect()
+        assert keyed[g] == (
+            want["k_actual"],
+            want["kth_hash"],
+            want["est_distinct"],
+        ), g
+    # the small group (97 < k) is exact
+    assert keyed[1][0] == 97
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        R.kmv_bottom_k(df, "v", k, keys=["g"]).explain("formatted")
+    assert buf.getvalue().count("WindowGroupLimit") >= 2, buf.getvalue()
+
+
 def test_kmv_intersection_disjoint_and_overlap(spark):
     """Disjoint sets must yield ONE row with n_sample = 0 (not an
     empty frame); a known 50% overlap estimates within the sketch's
