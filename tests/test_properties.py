@@ -896,7 +896,8 @@ def test_auc_exact_matches_pair_counting_definition(spark, rows):
 
     df = spark.createDataFrame(rows, "s long, y boolean")
     got = auc_exact(df, F.col("y"), F.col("s")).first()
-    assert Fraction(got.auc_num, got.auc_den) == want
+    # totals are DECIMAL(38,0) since r7 (overflow-proof past 2^63)
+    assert Fraction(int(got.auc_num), int(got.auc_den)) == want
     assert got.n_pos == len(pos) and got.n_neg == len(neg)
 
 

@@ -335,7 +335,15 @@ def test_auc_exact_sql_generator_matches_spark_without_keys(spark):
                 ") v(s, y)")
     dk = con.execute(auc_exact_sql("y", "s", "t")).fetchone()
     con.close()
-    assert (sp.n_pos, sp.n_neg, sp.auc_num, sp.auc_den, sp.auc) == dk
+    # Spark: DECIMAL(38,0) totals; SQL twin: VARCHAR (gate string
+    # serialization) — compare as exact ints
+    assert (sp.n_pos, sp.n_neg, int(sp.auc_num), int(sp.auc_den), sp.auc) == (
+        dk[0],
+        dk[1],
+        int(dk[2]),
+        int(dk[3]),
+        dk[4],
+    )
 
 
 def test_schema_drift_reports_add_remove_retype_only(spark):
