@@ -14,6 +14,10 @@ engine adds beyond the reference's blockchain surface:
      weights (Xie et al. 2023) for target-aware sampling
   7. deterministic stratified train/val split + length buckets
      for batch packing
+  8. featurize + evaluate (hashing-trick features, int8 vectors,
+     exact AUC of the quality heuristic)
+  9. corpus monitoring (token-length percentiles per split from the
+     mergeable quantile sketch)
 
 Every stage is a lazy DataFrame plan (one driver program, zero
 driver-side loops); the same composition runs unchanged on a cluster
@@ -234,6 +238,23 @@ def main(sf_dir: str) -> None:
         F.col("s"),
     ).first()
 
+    # 9. corpus monitoring (r7): token-length percentiles per split
+    # from the mergeable quantile sketch — k longs of state per split,
+    # re-queryable without a sort, and the per-day/per-shard states
+    # merge exactly (the shape a 100 TB ingest dashboard needs; the
+    # exact-sort percentile pass this replaces re-scans per question)
+    from blockchain_data_engineering_spark.operators.quantiles import (
+        quantile_sketch,
+        quantile_sketch_query,
+    )
+
+    qstate = quantile_sketch(
+        final, "n_tokens", ["doc_id"], k=256, keys=["split"]
+    )
+    qrows = quantile_sketch_query(
+        qstate, [2500, 5000, 9000, 9900], keys=["split"]
+    ).collect()
+
     print(f"documents in:           {n0}")
     print(f"after curation:         {n_final}  ({n_final / n0:.1%} kept)")
     print(f"embedding near-dup prs: {n_emb_dups}")
@@ -245,6 +266,12 @@ def main(sf_dir: str) -> None:
         f"quality-vs-en AUC:      {auc.auc:.3f} "
         f"({auc.n_pos} pos / {auc.n_neg} neg)"
     )
+    print("token-length sketch percentiles (split, q, est_tokens):")
+    for r in sorted(qrows, key=lambda r: (r["split"], r["q_bp"])):
+        print(
+            f"  {r['split']:5s} p{r['q_bp'] / 100:5.2f}  {r['est_v']:6d}"
+            f"  (n={r['n_total']}, k={r['k_actual']})"
+        )
     print("packing histogram (split, bucket, n_docs, tokens):")
     for r in packing.collect():
         print(f"  {r['split']:5s} b{int(r['bucket']):2d}  {r['n_docs']:5d}  {int(r['tokens']):8d}")
