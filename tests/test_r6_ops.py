@@ -346,6 +346,67 @@ def test_auc_exact_sql_generator_matches_spark_without_keys(spark):
     )
 
 
+def test_pr_curve_known_values_and_edges(spark):
+    """Hand-computed PR sweep: scores {5: +, 3: +/−(tie), 1: −} →
+    thresholds DESC give (tp, fp) = (1,0), (2,1), (2,2); a group with
+    no positives yields NULL recall at every threshold; NULL
+    label/score rows are excluded (module NULL convention)."""
+    from blockchain_data_engineering_spark.operators.ml_eval import pr_curve
+
+    rows = [
+        ("g", 5, True),
+        ("g", 3, True),
+        ("g", 3, False),
+        ("g", 1, False),
+        ("h", 2, False),
+        ("h", 4, False),
+        ("g", None, True),  # NULL score → excluded
+        (None, 7, None),  # NULL label → excluded (key NULL too)
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, y boolean")
+    got = {
+        (r["k"], r["threshold"]): (r["tp"], r["fp"], r["precision"], r["recall"])
+        for r in pr_curve(df, F.col("y"), F.col("s"), keys=["k"]).collect()
+    }
+    assert got[("g", 5)] == (1, 0, 1.0, 0.5)
+    assert got[("g", 3)] == (2, 1, 2 / 3, 1.0)
+    assert got[("g", 1)] == (2, 2, 0.5, 1.0)
+    assert got[("h", 4)] == (0, 1, 0.0, None)
+    assert got[("h", 2)] == (0, 2, 0.0, None)
+    assert len(got) == 5  # the two NULL rows contributed nothing
+
+
+def test_quantile_query_rank_convention(spark):
+    """Rank selection is ceil(q·k) clamped to [1, k] in pure integer
+    arithmetic: q=1bp → first order statistic, q=10000 → the max;
+    verified on a fully-known 10-element sample."""
+    from blockchain_data_engineering_spark.operators.quantiles import (
+        quantile_sketch,
+        quantile_sketch_query,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([10, 20, 30, 40, 50, 60, 70, 80, 90, 100])],
+        "rid long, v long",
+    )
+    st = quantile_sketch(df, "v", ["rid"], k=64)  # n=10 ≤ k → exact
+    got = {
+        r["q_bp"]: r["est_v"]
+        for r in quantile_sketch_query(
+            st, [1, 1000, 1001, 5000, 5001, 10000]
+        ).collect()
+    }
+    # ceil(q·10): 1bp→1st, 10%→1st, 10.01%→2nd, 50%→5th, 50.01%→6th
+    assert got == {
+        1: 10,
+        1000: 10,
+        1001: 20,
+        5000: 50,
+        5001: 60,
+        10000: 100,
+    }
+
+
 def test_schema_drift_reports_add_remove_retype_only(spark):
     from blockchain_data_engineering_spark.operators.dq import schema_drift
 
