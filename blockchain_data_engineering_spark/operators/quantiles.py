@@ -24,6 +24,14 @@ KMV distinct sketch (operators/relational.py:624):
 - quantile q is answered by the sample's order statistic at rank
   ``ceil(q·k_actual)``.
 
+Rejected alternative — Spark's built-in ``approx_percentile`` /
+``percentile_approx`` (a GK variant): its state is JVM-private (not
+storable/mergeable as a table, not maintainable by the streaming
+delta store), its answers depend on partition merge order (not
+bit-reproducible run-to-run, let alone engine-to-engine), and no
+other engine can replay it — which forfeits both the repo-wide
+oracle contract and the cross-system portability the md5 idiom buys.
+
 Rank guarantee (DKW inequality over the k uniform draws): the
 estimated quantile's true rank is within ``ε·n`` of ``q·n`` with
 probability ``1 − 2e^{−2kε²}`` — k=512 gives ε ≈ 0.067 at 99%
