@@ -101,7 +101,16 @@ GATE_ORDER = [
     #    and ml_confusion_metrics (r6-green — the single-threshold
     #    point of the gate-witnessed PR sweep; the conditional-count
     #    hash-agg plan stays gate-run by ml_multiclass_confusion). --
+    #    Batch 2: the sketch MERGE under the gate (two half-corpus
+    #    states merged in-plan; the oracle replays both bottom-ks,
+    #    the concatenation re-take, and the rank selection — the
+    #    rollup composition a 100 TB pipeline runs daily). Displaced:
+    #    ml_sequence_dataset (r6-green — the per-key lag/carry window
+    #    family stays gate-witnessed by events_twap +
+    #    scd2_asof_lookup, the same witnesses events_forward_fill
+    #    demoted under).
     "agg_quantile_sketch",
+    "agg_quantile_sketch_merged",
     "ml_pr_curve",
     # -- new in round 6 (all unrowed, front-loaded). Crash-window reorg
     #    recovery drives the ACTUAL rollback_aware_upsert sink through
@@ -144,7 +153,6 @@ GATE_ORDER = [
     #    gate-witnessed er_entity_clusters).
     "ml_calibration_bins",
     "ml_multiclass_confusion",
-    "ml_sequence_dataset",
     "join_bloom_prefilter",
     "stream_reorg_crash_recovery",
     "ml_auc_roc",
@@ -359,6 +367,10 @@ WITNESSES: dict[str, list[str]] = {
     # conditional-count one-hash-agg plan stays gate-run by the
     # k-class confusion matrix
     "ml_confusion_metrics": ["ml_pr_curve", "ml_multiclass_confusion"],
+    # per-key lag/carry ordered-window family (same witnesses
+    # events_forward_fill demoted under); the sequence rows themselves
+    # stay pinned in pytest parity
+    "ml_sequence_dataset": ["events_twap", "scd2_asof_lookup"],
     # --- demoted in the r6 rotation (in exchange for the 9 new gate
     #     queries; every witness is a live r6 gate member) ---
     # vocab build runs inside the gate-witnessed BPE train loop, and

@@ -1602,6 +1602,100 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_sketch_query(state, _QSK_QS, keys=["o_orderstatus"])
 
 
+# ---------------------------------------------------------------------------
+# Quantile-sketch MERGE under the gate (r7): two half-corpus sketches
+# (events split by event_id parity — stand-in for per-day / per-shard
+# states) merged in-plan and queried. The oracle replays BOTH halves'
+# bottom-k, concatenates, re-takes the bottom k, and rank-selects —
+# pinning the mergeability contract (merge ≡ sketch of the union)
+# under the official value-hash gate, not just pytest. Per-type
+# percentiles of the event value stream: the rollup shape a 100 TB
+# monitoring pipeline composes daily states with.
+# ---------------------------------------------------------------------------
+_QSKM_K = 256
+_QSKM_QS = [500, 5000, 9500]
+
+
+def _qskm_half_sql(parity: int) -> str:
+    return f"""
+      SELECT event_type AS g,
+             CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS pri,
+             {quanta_sql('value', 4)} AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_id % 2 = {parity}
+    """
+
+
+@query(
+    "agg_quantile_sketch_merged",
+    oracle=f"""
+    WITH kept AS (
+      SELECT g, pri, v FROM (
+        SELECT g, pri, v,
+               row_number() OVER (PARTITION BY g ORDER BY pri, v) AS rn
+        FROM ({_qskm_half_sql(0)})
+      ) WHERE rn <= {_QSKM_K}
+      UNION ALL
+      SELECT g, pri, v FROM (
+        SELECT g, pri, v,
+               row_number() OVER (PARTITION BY g ORDER BY pri, v) AS rn
+        FROM ({_qskm_half_sql(1)})
+      ) WHERE rn <= {_QSKM_K}
+    ),
+    merged AS (
+      SELECT g, pri, v FROM (
+        SELECT g, pri, v,
+               row_number() OVER (PARTITION BY g ORDER BY pri, v) AS rn
+        FROM kept
+      ) WHERE rn <= {_QSKM_K}
+    ),
+    counts AS (
+      SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n_total
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    byv AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v, pri) AS vr,
+             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS k_actual
+      FROM merged
+    ),
+    qs AS (
+      SELECT * FROM (VALUES {', '.join(f'({q})' for q in _QSKM_QS)})
+        AS t(q_bp)
+    ),
+    sel AS (
+      SELECT b.g, q.q_bp, b.k_actual, b.v AS est_v
+      FROM byv b JOIN qs q
+        ON b.vr = greatest(1, (q.q_bp * b.k_actual + 9999) // 10000)
+    )
+    SELECT s.g AS event_type, CAST(s.q_bp AS INT) AS q_bp,
+           c.n_total, s.k_actual, s.est_v
+    FROM sel s JOIN counts c ON c.g = s.g
+    """,
+)
+def agg_quantile_sketch_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.quantiles import (
+        quantile_sketch,
+        quantile_sketch_merge,
+        quantile_sketch_query,
+    )
+
+    ev = spread(load_table(spark, sf_dir, "events")).select(
+        "event_type", "event_id", quanta(F.col("value"), 4).alias("vq")
+    )
+    keys = ["event_type"]
+    half = lambda p: quantile_sketch(  # noqa: E731
+        ev.where(F.col("event_id") % 2 == p),
+        "vq",
+        ["event_id"],
+        _QSKM_K,
+        keys=keys,
+    )
+    merged = quantile_sketch_merge(half(0), half(1), _QSKM_K, keys=keys)
+    return quantile_sketch_query(merged, _QSKM_QS, keys=keys)
+
+
 @query(
     "ml_calibration_bins",
     oracle=f"""
