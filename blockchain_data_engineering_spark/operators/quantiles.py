@@ -94,6 +94,10 @@ def row_priority(priority_cols: Sequence[str]) -> Column:
     sid = F.concat_ws(
         "|", *[F.col(c).cast("string") for c in priority_cols]
     )
+    # contract: priority_cols non-NULL and row-unique. concat_ws SKIPS
+    # NULL components, so ("a", NULL) and ("a",) would hash alike, and
+    # duplicate ids share one coin flip (their rows enter or miss the
+    # sample together, skewing weights toward duplicated ids).
     return F.conv(F.substring(F.md5(sid), 1, 15), 16, 10).cast("long")
 
 
