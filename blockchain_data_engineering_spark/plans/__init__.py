@@ -109,8 +109,15 @@ GATE_ORDER = [
     #    family stays gate-witnessed by events_twap +
     #    scd2_asof_lookup, the same witnesses events_forward_fill
     #    demoted under).
+    #    Batch 3: weighted priority sampling (Duffield–Lund–Thorup) —
+    #    the unbiased-subset-sum sample, the weighted completion of
+    #    the sampling family. Displaced: sample_token_weighted
+    #    (r5-green — token-mass-proportional selection stays
+    #    gate-witnessed by the priority sampler, the md5-ordered
+    #    deterministic-draw mechanics by sample_split_leakage_free).
     "agg_quantile_sketch",
     "agg_quantile_sketch_merged",
+    "sample_weighted_priority",
     "ml_pr_curve",
     # -- new in round 6 (all unrowed, front-loaded). Crash-window reorg
     #    recovery drives the ACTUAL rollback_aware_upsert sink through
@@ -332,7 +339,6 @@ GATE_ORDER = [
     # gate-witnessed by sample_token_weighted + sample_shard_shuffle +
     # sample_split_leakage_free.
     "dedup_incremental_batch",
-    "sample_token_weighted",
     "flagship_volume_stack",
 ]
 
@@ -371,6 +377,13 @@ WITNESSES: dict[str, list[str]] = {
     # events_forward_fill demoted under); the sequence rows themselves
     # stay pinned in pytest parity
     "ml_sequence_dataset": ["events_twap", "scd2_asof_lookup"],
+    # token-mass-proportional selection stays gate-run by the priority
+    # sampler; the md5-ordered deterministic-draw + per-shard window
+    # mechanics by the component-keyed split
+    "sample_token_weighted": [
+        "sample_weighted_priority",
+        "sample_split_leakage_free",
+    ],
     # --- demoted in the r6 rotation (in exchange for the 9 new gate
     #     queries; every witness is a live r6 gate member) ---
     # vocab build runs inside the gate-witnessed BPE train loop, and

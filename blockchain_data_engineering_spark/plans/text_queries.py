@@ -1889,6 +1889,68 @@ def sample_token_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weighted priority sampling (r7, Duffield–Lund–Thorup JACM 2007): a
+# k-row per-language sample of documents with inclusion probability
+# rising in token mass, each row carrying est_weight = max(w, τ) — the
+# estimator that makes Σ est_weight over ANY future subset predicate
+# an unbiased estimate of that subset's true token total. One
+# WindowGroupLimit-bounded top-(k+1) shuffle + a |groups|-row τ
+# broadcast; priorities are a fixed two-op IEEE tree over exact
+# integer operands (md5 52-bit draw), so the oracle replays them
+# bit-identically. The reusable-sample complement of the systematic
+# quota pass above.
+# ---------------------------------------------------------------------------
+_WPS_K = 64
+_WPS_SCALE = float(1 << 52)
+
+
+@query(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH base AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             (CAST(len(string_split(text, ' ')) AS DOUBLE)
+               * {_WPS_SCALE!r})
+               / CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 13) AS BIGINT) + 1 AS DOUBLE)
+               AS q
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ),
+    ranked AS (
+      SELECT lang, doc_id, n_tokens, q,
+             row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id)
+               AS rn
+      FROM base
+    ),
+    tau AS (
+      SELECT lang, q AS tau FROM ranked WHERE rn = {_WPS_K} + 1
+    )
+    SELECT r.lang, r.doc_id, r.n_tokens,
+           CASE WHEN t.tau IS NULL OR CAST(r.n_tokens AS DOUBLE) > t.tau
+                THEN CAST(r.n_tokens AS DOUBLE) ELSE t.tau
+           END AS est_weight
+    FROM ranked r LEFT JOIN tau t ON r.lang = t.lang
+    WHERE r.rn <= {_WPS_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "lang",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return weighted_priority_sample(
+        docs, "n_tokens", ["doc_id"], _WPS_K, keys=["lang"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # PMI collocations: the phrase-mining pass (Church & Hanks 1990 /
 # word2vec's phrasing step). The score column is the PMI *lift*
 # (exp(PMI)) — a single IEEE multiply chain over exact integer counts,
