@@ -64,26 +64,21 @@ def _u_denominator(priority_cols: Sequence[str]) -> Column:
     )
 
 
-def weighted_priority_sample(
+def weighted_priority_state(
     df: DataFrame,
     weight_col: str,
     priority_cols: Sequence[str],
     k: int,
     keys: Sequence[str] = (),
 ) -> DataFrame:
-    """The k highest-priority rows per ``keys`` group, each carrying
-    ``est_weight = max(w, τ)`` (τ = the (k+1)-th priority; NULL — and
-    est_weight = w, i.e. the sample is exhaustive and exact — when
-    the group has ≤ k rows). ``weight_col`` must be a POSITIVE
-    integral column (token counts, byte sizes, costs); zero/negative/
-    NULL weights are excluded — they carry no sampling mass.
-
-    Output: the input's ``keys``, ``priority_cols`` and
-    ``weight_col`` columns plus ``est_weight`` (double). Subset-sum
-    contract: summing ``est_weight`` over any predicate's sample rows
-    unbiasedly estimates the predicate's true ``w`` total
-    (property-pinned in tests/test_sampling.py).
-    """
+    """The MERGEABLE sketch state: the top-(k+1) rows per ``keys``
+    group by priority, with the priority exposed as ``__q`` — rank k+1
+    exists only to supply τ. Bit-identical under merge:
+    ``weighted_priority_merge(state(A), state(B), k)`` equals
+    ``state(A ∪ B)`` exactly (priorities are per-row deterministic,
+    and any row in the union's top-(k+1) is in its own side's) —
+    property-pinned in tests/test_sampling.py. Zero / negative / NULL
+    weights are excluded (no sampling mass)."""
     keyed = list(keys)
     pcols = list(priority_cols)
     w = F.col(weight_col)
@@ -96,12 +91,51 @@ def weighted_priority_sample(
             / _u_denominator(pcols).cast("double")
         ).alias("__q"),
     )
+    return _top_k1(base, k, keyed, pcols).drop("__rn")
+
+
+def _top_k1(
+    base: DataFrame, k: int, keyed: list[str], pcols: list[str]
+) -> DataFrame:
+    """rank ≤ k+1 by priority DESC (WindowGroupLimit-bounded), rank
+    kept in ``__rn``."""
     win = Window.partitionBy(*keyed).orderBy(
         F.col("__q").desc(), *[F.col(c) for c in pcols]
     )
-    ranked = base.withColumn("__rn", F.row_number().over(win)).where(
+    return base.withColumn("__rn", F.row_number().over(win)).where(
         F.col("__rn") <= k + 1
     )
+
+
+def weighted_priority_merge(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    keys: Sequence[str] = (),
+    priority_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Union two states and re-take the top (k+1) per group — the
+    state a single pass over the combined population would build.
+    ``priority_cols`` must repeat the build's tiebreak columns."""
+    keyed = list(keys)
+    pcols = list(priority_cols)
+    return _top_k1(a.unionByName(b), k, keyed, pcols).drop("__rn")
+
+
+def weighted_priority_estimate(
+    state: DataFrame,
+    weight_col: str,
+    k: int,
+    keys: Sequence[str] = (),
+    priority_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Estimator rows from a state: the rank ≤ k rows with
+    ``est_weight = max(w, τ)`` (τ = the (k+1)-th priority, NULL — and
+    the sample exhaustive and exact — when the group has ≤ k rows)."""
+    keyed = list(keys)
+    pcols = list(priority_cols)
+    w = F.col(weight_col)
+    ranked = _top_k1(state, k, keyed, pcols)
     tau = ranked.where(F.col("__rn") == k + 1).select(
         *keyed, F.col("__q").alias("__tau")
     )
@@ -128,4 +162,26 @@ def weighted_priority_sample(
         *pcols,
         weight_col,
         F.greatest(w.cast("double"), F.col("__tau")).alias("est_weight"),
+    )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    priority_cols: Sequence[str],
+    k: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """One-shot build → estimate: the k highest-priority rows per
+    ``keys`` group, each carrying ``est_weight = max(w, τ)``. Output:
+    the input's ``keys``, ``priority_cols`` and ``weight_col`` columns
+    plus ``est_weight`` (double). Subset-sum contract: summing
+    ``est_weight`` over any predicate's sample rows unbiasedly
+    estimates the predicate's true ``w`` total (property-pinned in
+    tests/test_sampling.py). For incremental / distributed rollups,
+    keep the :func:`weighted_priority_state` instead and
+    merge-then-estimate."""
+    state = weighted_priority_state(df, weight_col, priority_cols, k, keys)
+    return weighted_priority_estimate(
+        state, weight_col, k, keys, priority_cols
     )

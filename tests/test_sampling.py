@@ -87,6 +87,37 @@ def test_nonpositive_and_null_weights_excluded(spark):
     assert sorted(r["rid"] for r in out) == [1, 5]
 
 
+def test_state_merge_is_exact(spark):
+    """merge(state(A), state(B)) ≡ state(A ∪ B) bit-identically (the
+    priorities are per-row deterministic doubles), and estimating from
+    the merged state equals the single-pass sample over the union —
+    the rollup path for per-shard / per-day samples."""
+    from blockchain_data_engineering_spark.operators.sampling import (
+        weighted_priority_estimate,
+        weighted_priority_merge,
+        weighted_priority_state,
+    )
+
+    pop = _pop(spark, 8_000, groups=2)
+    a = pop.where(F.col("rid") % 2 == 0)
+    b = pop.where(F.col("rid") % 2 == 1)
+    k, keys, pcols = 48, ["g"], ["rid"]
+    merged = weighted_priority_merge(
+        weighted_priority_state(a, "w", pcols, k, keys),
+        weighted_priority_state(b, "w", pcols, k, keys),
+        k,
+        keys,
+        pcols,
+    )
+    direct = weighted_priority_state(pop, "w", pcols, k, keys)
+    unpack = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    assert unpack(merged) == unpack(direct)
+
+    est_m = weighted_priority_estimate(merged, "w", k, keys, pcols)
+    est_d = weighted_priority_sample(pop, "w", pcols, k, keys=keys)
+    assert unpack(est_m) == unpack(est_d)
+
+
 def test_keyed_plan_window_group_limit(spark):
     """The keyed top-(k+1) must push a partial WindowGroupLimit below
     the exchange, and the τ table joins back as a broadcast."""
