@@ -47,7 +47,7 @@ Why this shape at 100 TB:
 - **Build** is one per-group bottom-k: Catalyst rewrites the
   ``row_number() ≤ k`` filter into ``WindowGroupLimit`` (partial
   per-partition top-k BEFORE the shuffle — map-side combine for order
-  statistics; plan-pinned in tests/test_plans.py), so the exchange
+  statistics; plan-pinned in tests/test_quantiles.py), so the exchange
   carries at most k rows per group per input partition, never the
   facts. The global (no keys) build is the KMV
   ``TakeOrderedAndProject`` shape: per-partition k-heaps merged on the
