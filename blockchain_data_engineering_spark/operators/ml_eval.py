@@ -277,6 +277,77 @@ def pr_curve_sql(
     """
 
 
+def retrieval_eval(
+    results: DataFrame,
+    truth: DataFrame,
+    query_col: str = "qid",
+    item_col: str = "item",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Ranking-evaluation aggregate — the retrieval sibling of the
+    classification triad (AUC / PR / confusion / calibration): given
+    per-query ranked ``results`` (rank 1..k) and a ``truth`` relevance
+    set, returns ONE row: ``n_queries`` (distinct queried ids),
+    ``n_hit`` (queries whose top-k contains ≥ 1 relevant item),
+    ``hit_rate`` (= recall-any@k), ``mrr_num`` (Σ lcm/first_hit_rank —
+    see below) and ``mrr`` (mean reciprocal rank).
+
+    Exactness trick: reciprocal ranks are NOT summed as doubles (sum
+    order differs between engines) — with ranks bounded by k, every
+    1/r is an exact multiple of 1/lcm(1..k), so the sum runs as the
+    INTEGER Σ lcm/r and one final IEEE division yields a bit-identical
+    ``mrr`` (the quanta-sum policy of plans/parity.py applied to
+    rationals with bounded denominators). Keep k modest (lcm(1..25)
+    still fits a BIGINT; lcm(1..43) overflows).
+
+    Scale shape: one equi-join of results to the (broadcastable or
+    co-partitioned) truth set, one per-query min aggregate over the
+    HITS only (≤ |truth∩results|, usually ≪ results), one grand
+    aggregate. Queries with no relevant item in the top-k contribute 0
+    to both numerators — the standard convention.
+    """
+    import math
+
+    lcm = math.lcm(*range(1, k + 1))
+    hits = results.where(F.col(rank_col) <= k).join(
+        truth.select(
+            F.col(query_col).alias("__q"), F.col(item_col).alias("__i")
+        ),
+        (F.col(query_col) == F.col("__q"))
+        & (F.col(item_col) == F.col("__i")),
+        "inner",
+    )
+    first_hit = hits.groupBy(query_col).agg(
+        F.min(rank_col).alias("__first")
+    )
+    n_q = results.agg(
+        F.count_distinct(F.col(query_col)).alias("n_queries")
+    )
+    agg = first_hit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit"),
+        # integer div: __first always divides lcm exactly
+        F.sum(F.expr(f"{int(lcm)}L div __first"))
+        .cast("long")
+        .alias("mrr_num"),
+    )
+    # grand agg ⋈ grand agg: two 1-row frames
+    out = n_q.crossJoin(agg)
+    return out.select(
+        "n_queries",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_queries").cast("double")
+        ).alias("hit_rate"),
+        F.coalesce(F.col("mrr_num"), F.lit(0)).alias("mrr_num"),
+        (
+            F.coalesce(F.col("mrr_num"), F.lit(0)).cast("double")
+            / (F.col("n_queries") * F.lit(int(lcm))).cast("double")
+        ).alias("mrr"),
+    )
+
+
 def confusion_counts(
     df: DataFrame,
     label: Column,

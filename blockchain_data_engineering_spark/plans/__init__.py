@@ -115,9 +115,16 @@ GATE_ORDER = [
     #    (r5-green — token-mass-proportional selection stays
     #    gate-witnessed by the priority sampler, the md5-ordered
     #    deterministic-draw mechanics by sample_split_leakage_free).
+    #    Batch 4: retrieval evaluation (hit-rate@k + exact-integer MRR
+    #    via the lcm(1..k)/rank trick) — the ranking sibling of the
+    #    classification eval triad. Displaced: ml_calibration_bins
+    #    (r6-green — score-grain eval stays gate-witnessed by
+    #    ml_pr_curve, the fixed-width bucketed-aggregate plan by
+    #    text_ccnet_buckets).
     "agg_quantile_sketch",
     "agg_quantile_sketch_merged",
     "sample_weighted_priority",
+    "ml_retrieval_eval",
     "ml_pr_curve",
     # -- new in round 6 (all unrowed, front-loaded). Crash-window reorg
     #    recovery drives the ACTUAL rollback_aware_upsert sink through
@@ -158,7 +165,6 @@ GATE_ORDER = [
     #    Displaced: er_fuzzy_part_pairs (r5-green; the blocking +
     #    Levenshtein pair pipeline RUNS VERBATIM as the first stage of
     #    gate-witnessed er_entity_clusters).
-    "ml_calibration_bins",
     "ml_multiclass_confusion",
     "join_bloom_prefilter",
     "stream_reorg_crash_recovery",
@@ -373,6 +379,9 @@ WITNESSES: dict[str, list[str]] = {
     # conditional-count one-hash-agg plan stays gate-run by the
     # k-class confusion matrix
     "ml_confusion_metrics": ["ml_pr_curve", "ml_multiclass_confusion"],
+    # score-grain eval stays gate-run by the PR sweep; the fixed-width
+    # bucketed-aggregate plan by the CCNet perplexity buckets
+    "ml_calibration_bins": ["ml_pr_curve", "text_ccnet_buckets"],
     # per-key lag/carry ordered-window family (same witnesses
     # events_forward_fill demoted under); the sequence rows themselves
     # stay pinned in pytest parity

@@ -1468,6 +1468,96 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Retrieval evaluation (r7): hit-rate@k + MRR — the RANKING sibling of
+# the classification eval triad. Truth = each user's single
+# highest-value event's type; predictions = event types ranked by
+# total value per user, top 3. Reciprocal ranks are summed as the
+# exact integers lcm(1..k)/rank (never a float sum — engine sum order
+# differs), one final IEEE division; see operators/ml_eval.py
+# retrieval_eval.
+# ---------------------------------------------------------------------------
+_RET_K = 3  # lcm(1..3) = 6
+
+
+@query(
+    "ml_retrieval_eval",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id,
+             {quanta_sql('value', 4)} AS vq
+      FROM events
+    ),
+    truth AS (
+      SELECT user_id, event_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY vq DESC, event_id) AS rn
+        FROM ev
+      ) WHERE rn = 1
+    ),
+    totals AS (
+      SELECT user_id, event_type, sum(vq) AS tot FROM ev GROUP BY 1, 2
+    ),
+    res AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY tot DESC, event_type) AS rank
+      FROM totals
+    ),
+    hits AS (
+      SELECT r.user_id, min(r.rank) AS first
+      FROM res r JOIN truth t USING (user_id, event_type)
+      WHERE r.rank <= {_RET_K} GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hit,
+             CAST(coalesce(sum(6 // first), 0) AS BIGINT) AS mrr_num
+      FROM hits
+    ),
+    nq AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_queries FROM res
+    )
+    SELECT n_queries, n_hit,
+           CAST(n_hit AS DOUBLE) / CAST(n_queries AS DOUBLE) AS hit_rate,
+           mrr_num,
+           CAST(mrr_num AS DOUBLE) / CAST(n_queries * 6 AS DOUBLE) AS mrr
+    FROM nq, agg
+    """,
+)
+def ml_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        retrieval_eval,
+    )
+
+    ev = spread(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "event_id", quanta(F.col("value"), 4).alias("vq")
+    )
+    w1 = Window.partitionBy("user_id").orderBy(
+        F.col("vq").desc(), F.col("event_id").asc()
+    )
+    truth = (
+        ev.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "event_type")
+    )
+    totals = ev.groupBy("user_id", "event_type").agg(
+        F.sum("vq").alias("tot")
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("tot").desc(), F.col("event_type").asc()
+    )
+    results = (
+        totals.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= _RET_K)
+    )
+    return retrieval_eval(
+        results, truth, "user_id", "event_type", "rank", k=_RET_K
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence-dataset construction (r6): next-event-prediction training
 # rows — per user, features = the two previous event types + the gap
 # to the last event, label = the current type; rows without full

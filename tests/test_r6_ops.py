@@ -376,6 +376,41 @@ def test_pr_curve_known_values_and_edges(spark):
     assert len(got) == 5  # the two NULL rows contributed nothing
 
 
+def test_retrieval_eval_known_values(spark):
+    """Hand-computed: q1 hits at rank 2 (rr 1/2), q2 at rank 1 (rr 1),
+    q3 never → hit_rate 2/3, MRR = (1/2 + 1 + 0)/3 = 1/2; with
+    lcm(1..3)=6 the integer numerator is 3+6=9. A query with a truth
+    item OUTSIDE its top-k contributes zero, not an error."""
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        retrieval_eval,
+    )
+
+    results = spark.createDataFrame(
+        [
+            ("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+            ("q2", "x", 1), ("q2", "y", 2),
+            ("q3", "m", 1), ("q3", "n", 2),
+        ],
+        "qid string, item string, rank long",
+    )
+    truth = spark.createDataFrame(
+        [("q1", "b"), ("q2", "x"), ("q3", "zz")],
+        "qid string, item string",
+    )
+    [row] = retrieval_eval(results, truth, k=3).collect()
+    assert row["n_queries"] == 3 and row["n_hit"] == 2
+    assert row["hit_rate"] == 2 / 3
+    assert row["mrr_num"] == 9  # 6/2 + 6/1
+    assert row["mrr"] == 9 / 18  # == 0.5 exactly
+
+    # no hits at all: zeros, never NULL/empty
+    [z] = retrieval_eval(
+        results, truth.where(F.lit(False)), k=3
+    ).collect()
+    assert (z["n_queries"], z["n_hit"], z["mrr_num"]) == (3, 0, 0)
+    assert z["hit_rate"] == 0.0 and z["mrr"] == 0.0
+
+
 def test_quantile_query_rank_convention(spark):
     """Rank selection is ceil(q·k) clamped to [1, k] in pure integer
     arithmetic: q=1bp → first order statistic, q=10000 → the max;
