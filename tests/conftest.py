@@ -32,9 +32,19 @@ def sf_dir() -> str:
 
 
 @pytest.fixture(scope="session")
-def duck(sf_dir):
+def duck(sf_dir, tmp_path_factory):
     con = duckdb.connect()
     con.execute("SET TimeZone = 'UTC'")
+    # r7: the one-and-only recurring sweep flake (sim_lsh_ann_multitable
+    # at sf0.1, r5 + r7) was finally caught by the flight recorder as a
+    # DuckDB OutOfMemoryException in the ORACLE under concurrent host
+    # load (co-running Spark JVMs shrink what DuckDB's default 80%-of-
+    # RAM budget can actually allocate). Cap the budget explicitly and
+    # give DuckDB a spill directory so memory pressure degrades to
+    # disk spill instead of a failed sweep.
+    con.execute("SET memory_limit = '16GB'")
+    spill = tmp_path_factory.mktemp("duckdb_spill")
+    con.execute(f"SET temp_directory = '{spill}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
