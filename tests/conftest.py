@@ -41,8 +41,15 @@ def duck(sf_dir, tmp_path_factory):
     # load (co-running Spark JVMs shrink what DuckDB's default 80%-of-
     # RAM budget can actually allocate). Cap the budget explicitly and
     # give DuckDB a spill directory so memory pressure degrades to
-    # disk spill instead of a failed sweep.
-    con.execute("SET memory_limit = '16GB'")
+    # disk spill instead of a failed sweep. The cap must stay generous:
+    # 16GB forced the big graph CTE oracles at sf0.1 into constant
+    # spill (measured 688 s vs ~20 s for clustering_coefficient) — 48GB
+    # keeps quiet runs in memory and still leaves headroom next to a
+    # 24g-driver Spark JVM on the 128GB host.
+    con.execute(
+        "SET memory_limit = "
+        f"'{os.environ.get('SPARK_GRAFT_DUCK_MEM', '48GB')}'"
+    )
     spill = tmp_path_factory.mktemp("duckdb_spill")
     con.execute(f"SET temp_directory = '{spill}'")
     for t in TABLES:
