@@ -96,7 +96,10 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
                     "dq_referential_integrity",
                     # r6: three 1-row count aggregates composed into
                     # the summary row
-                    "join_bloom_prefilter"}
+                    "join_bloom_prefilter",
+                    # r7: two 1-row grand aggregates (n_queries ×
+                    # hit/mrr numerators) composed into the eval row
+                    "ml_retrieval_eval"}
     for name in sorted(QUERIES):
         plan = _plan(spark, sf_dir, name)
         if name not in allowed_python:
