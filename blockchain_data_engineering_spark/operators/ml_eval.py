@@ -331,19 +331,24 @@ def retrieval_eval(
         .cast("long")
         .alias("mrr_num"),
     )
-    # grand agg ⋈ grand agg: two 1-row frames
+    # grand agg ⋈ grand agg: two 1-row frames; rates are NULL (not
+    # IEEE NaN) for an empty results set — the repo-wide
+    # empty-denominator convention (confusion_counts, pr_curve)
     out = n_q.crossJoin(agg)
+    nq_pos = F.col("n_queries") > 0
     return out.select(
         "n_queries",
         F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
-        (
+        F.when(
+            nq_pos,
             F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-            / F.col("n_queries").cast("double")
+            / F.col("n_queries").cast("double"),
         ).alias("hit_rate"),
         F.coalesce(F.col("mrr_num"), F.lit(0)).alias("mrr_num"),
-        (
+        F.when(
+            nq_pos,
             F.coalesce(F.col("mrr_num"), F.lit(0)).cast("double")
-            / (F.col("n_queries") * F.lit(int(lcm))).cast("double")
+            / (F.col("n_queries") * F.lit(int(lcm))).cast("double"),
         ).alias("mrr"),
     )
 

@@ -410,6 +410,14 @@ def test_retrieval_eval_known_values(spark):
     assert (z["n_queries"], z["n_hit"], z["mrr_num"]) == (3, 0, 0)
     assert z["hit_rate"] == 0.0 and z["mrr"] == 0.0
 
+    # empty RESULTS: counts are zeros and the rates are NULL — never
+    # an IEEE NaN leaking out of a 0/0
+    [e] = retrieval_eval(
+        results.where(F.lit(False)), truth, k=3
+    ).collect()
+    assert (e["n_queries"], e["n_hit"], e["mrr_num"]) == (0, 0, 0)
+    assert e["hit_rate"] is None and e["mrr"] is None
+
 
 def test_quantile_query_rank_convention(spark):
     """Rank selection is ceil(q·k) clamped to [1, k] in pure integer
