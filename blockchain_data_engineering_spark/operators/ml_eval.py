@@ -29,7 +29,14 @@ Scale shape:
 - ``pr_curve`` is the full threshold sweep from the SAME
   distinct-score grain as ``auc_exact``: cumulative tp/fp via a window
   over the score aggregate — every operating point of the classifier
-  without ever sorting the facts.
+  without ever sorting the facts. Its OUTPUT grain is also |distinct
+  scores| per group — bounded for quantized/bucketed scores, unbounded
+  for raw continuous ones. Bucket the scores first (``plans.parity.
+  quanta`` or coarser) before calling ``pr_curve`` on a 10^10-row raw
+  score column: the curve is the output a user will try to PLOT, and
+  no plot needs more operating points than score buckets.
+  ``average_precision`` collapses the same sweep to its scalar summary
+  without materializing the curve.
 
 NULL convention (r6 ADVICE): rows with a NULL label or NULL score are
 EXCLUDED at entry by ``auc_exact`` and ``pr_curve`` — a NULL score has
@@ -309,6 +316,12 @@ def retrieval_eval(
     """
     import math
 
+    if not (1 <= k <= 42):
+        raise ValueError(
+            f"k must be in 1..42, got {k}: the exact-integer MRR sum "
+            "needs lcm(1..k) as a 64-bit literal and lcm(1..43) "
+            "overflows BIGINT"
+        )
     lcm = math.lcm(*range(1, k + 1))
     hits = results.where(F.col(rank_col) <= k).join(
         truth.select(

@@ -160,7 +160,19 @@ def quantile_sketch_merge(
     bottom k by priority of the concatenation — EXACTLY the state
     ``quantile_sketch`` would build over the union of the inputs
     (bit-identical; property-pinned in tests/test_quantiles.py). A
-    keys-grain full-outer join — state grain, never facts."""
+    keys-grain full-outer join — state grain, never facts.
+
+    DISJOINTNESS PRECONDITION: the two states must summarize disjoint
+    row populations (different days/shards/streams). ``n_total`` ADDS
+    and a (pri, v) sample present in both inputs survives the
+    concat/re-take twice, so merging overlapping states — a replayed
+    batch, a state merged with itself — double-counts rows and skews
+    the sample. (Contrast the HLL/Bloom register merges, which are
+    max/or and therefore idempotent to overlap.) The global (no keys)
+    path accepts states of ANY row count, including an empty frame
+    read from a missing store — a full-outer join on a constant key
+    keeps the surviving side where a cross join would silently drop
+    it."""
     keyed = list(keys)
     sa = a.select(
         *keyed,
@@ -172,7 +184,17 @@ def quantile_sketch_merge(
         F.col("n_total").alias("__nb"),
         F.col("samples").alias("__sb"),
     )
-    j = sa.join(sb, keyed, "full_outer") if keyed else sa.crossJoin(sb)
+    if keyed:
+        j = sa.join(sb, keyed, "full_outer")
+    else:
+        # full-outer on a constant key, NOT a cross join: a cross join
+        # with an empty side (state read from an empty/missing store)
+        # would return empty and silently drop the other side's state
+        j = (
+            sa.withColumn("__k", F.lit(1))
+            .join(sb.withColumn("__k", F.lit(1)), "__k", "full_outer")
+            .drop("__k")
+        )
     both = F.slice(
         F.array_sort(F.concat(F.col("__sa"), F.col("__sb"))), 1, k
     )

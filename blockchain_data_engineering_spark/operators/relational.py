@@ -915,13 +915,22 @@ def bloom_bits_sized(
     target_fp: float = 0.05,
     k_hashes: int = 2,
 ) -> tuple[DataFrame, int]:
-    """:func:`bloom_bits` sized from a cheap build-side count — ONE
-    map-side-combined count aggregate (the build side is the SMALL
-    side by contract; for a huge build side pass a KMV estimate to
-    :func:`bloom_m_for` instead and call ``bloom_bits`` directly).
-    Returns ``(bits, m_bits)``; pass the SAME ``m_bits`` to
+    """:func:`bloom_bits` sized from a cheap build-side DISTINCT-key
+    count — one partial-aggregated count-distinct (the build side is
+    the SMALL side by contract; for a huge build side pass a KMV
+    estimate to :func:`bloom_m_for` instead and call ``bloom_bits``
+    directly). Distinct, not raw, rows (r7 ADVICE): ``bloom_m_for``'s
+    ``n_keys`` is the number of DISTINCT keys the filter will hold —
+    a build side with heavy key duplication would otherwise over-size
+    m (safe for the fp rate but wasted broadcast bytes). Returns
+    ``(bits, m_bits)``; pass the SAME ``m_bits`` to
     :func:`bloom_prefilter`."""
-    n = keys.where(F.col(key_col).isNotNull()).count()
+    n = (
+        keys.where(F.col(key_col).isNotNull())
+        .select(key_col)
+        .distinct()
+        .count()
+    )
     m_bits = bloom_m_for(n, target_fp, k_hashes)
     return bloom_bits(keys, key_col, m_bits, k_hashes), m_bits
 

@@ -116,7 +116,21 @@ def weighted_priority_merge(
 ) -> DataFrame:
     """Union two states and re-take the top (k+1) per group — the
     state a single pass over the combined population would build.
-    ``priority_cols`` must repeat the build's tiebreak columns."""
+    ``priority_cols`` must repeat the build's tiebreak columns.
+
+    DISJOINTNESS PRECONDITION: the two states must summarize disjoint
+    row populations (different days/shards/streams). A row present in
+    both inputs enters the union twice with IDENTICAL priority
+    (priorities are deterministic in the row id), so it occupies two
+    of the k+1 slots and its weight is double-counted by any
+    subset-sum estimate over the merged sample — merging overlapping
+    states (a replayed batch, a state merged with itself) corrupts the
+    estimator without error. (Contrast the HLL/Bloom register merges,
+    which are max/or and therefore idempotent to overlap; the quantile
+    sketch shares THIS merge's additive contract — see
+    quantiles.quantile_sketch_merge.) Callers that cannot guarantee
+    disjointness must ``dropDuplicates([*keys, *priority_cols])``
+    before estimating."""
     keyed = list(keys)
     pcols = list(priority_cols)
     return _top_k1(a.unionByName(b), k, keyed, pcols).drop("__rn")

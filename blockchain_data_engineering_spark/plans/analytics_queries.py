@@ -1741,8 +1741,12 @@ def _qskm_half_sql(parity: int) -> str:
       ) WHERE rn <= {_QSKM_K}
     ),
     counts AS (
+      -- event_id IS NOT NULL matches the parity split exactly: the
+      -- Spark side's halves drop NULL event_id (NULL % 2 is neither
+      -- parity), so the oracle total must drop them too (r7 ADVICE)
       SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n_total
-      FROM events WHERE value IS NOT NULL GROUP BY 1
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+      GROUP BY 1
     ),
     byv AS (
       SELECT g, v,
