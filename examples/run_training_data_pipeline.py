@@ -18,6 +18,8 @@ engine adds beyond the reference's blockchain surface:
      exact AUC of the quality heuristic)
   9. corpus monitoring (token-length percentiles per split from the
      mergeable quantile sketch)
+ 10. vocabulary head (top tokens per split from the mergeable
+     Misra-Gries heavy-hitter summary, with [lo, hi] count bounds)
 
 Every stage is a lazy DataFrame plan (one driver program, zero
 driver-side loops); the same composition runs unchanged on a cluster
@@ -255,6 +257,35 @@ def main(sf_dir: str) -> None:
         qstate, [2500, 5000, 9000, 9900], keys=["split"]
     ).collect()
 
+    # 10. vocabulary head (r8): the top tokens per split from the
+    # mergeable Misra–Gries summary — the "what ARE the hot keys" scan
+    # (BPE seeding, stop-list audits, skew detection) in ≤ k counters
+    # of state per split where an exact groupBy(token) would carry the
+    # whole vocabulary; per-day states merge with a bounded, tracked
+    # error (count_lo ≤ f ≤ count_hi)
+    from blockchain_data_engineering_spark.operators.heavy_hitters import (
+        heavy_hitters,
+    )
+
+    toks = kept_docs.join(final.select("doc_id", "split"), "doc_id").select(
+        "split", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    hh = heavy_hitters(toks, "tok", k=64, keys=["split"])
+    from pyspark.sql import Window as _W
+
+    hh_top = (
+        hh.withColumn(
+            "__r",
+            F.row_number().over(
+                _W.partitionBy("split").orderBy(
+                    F.col("count_lo").desc(), "item"
+                )
+            ),
+        )
+        .where(F.col("__r") <= 5)
+        .collect()
+    )
+
     print(f"documents in:           {n0}")
     print(f"after curation:         {n_final}  ({n_final / n0:.1%} kept)")
     print(f"embedding near-dup prs: {n_emb_dups}")
@@ -271,6 +302,12 @@ def main(sf_dir: str) -> None:
         print(
             f"  {r['split']:5s} p{r['q_bp'] / 100:5.2f}  {r['est_v']:6d}"
             f"  (n={r['n_total']}, k={r['k_actual']})"
+        )
+    print("vocabulary head (split, token, count_lo..count_hi):")
+    for r in sorted(hh_top, key=lambda r: (r["split"], -r["count_lo"])):
+        print(
+            f"  {r['split']:5s} {r['item']:>12s}"
+            f"  {r['count_lo']}..{r['count_hi']}"
         )
     print("packing histogram (split, bucket, n_docs, tokens):")
     for r in packing.collect():

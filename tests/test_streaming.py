@@ -745,6 +745,73 @@ def test_streaming_quantile_store_matches_batch(spark, tmp_path):
     assert got2["n_total"] == 800
 
 
+def test_streaming_heavy_hitters_store_bounds(spark, tmp_path):
+    """The heavy-hitters delta store (r8 family completion): per-batch
+    Misra–Gries states land as _batch_id partitions and the store read
+    is ONE n-way PODS-2012 merge. Unlike the quantile store the merge
+    is lossy by design, so the contract is the GUARANTEE, not
+    equality: count_lo ≤ f ≤ count_hi vs the exact whole-stream
+    counts, err ≤ n/(k+1), every item with f > err present, and
+    replaying a batch leaves the store read unchanged."""
+    from collections import Counter
+
+    from blockchain_data_engineering_spark.streaming.sketches import (
+        _write_delta,
+        heavy_hitters_delta_sink,
+        heavy_hitters_store_state,
+        heavy_hitters_store_topk,
+    )
+
+    K = 8
+    src = tmp_path / "hh_stream"
+    src.mkdir()
+    # deterministic skew: item floor(sqrt(i)) — heavy head, long tail
+    items = [str(int(i**0.5)) for i in range(600)]
+    for part in range(4):
+        (src / f"p{part}.txt").write_text(
+            "\n".join(items[part::4]) + "\n"
+        )
+
+    store = str(tmp_path / "hh_store")
+    stream = spark.readStream.option("maxFilesPerTrigger", 1).text(str(src))
+    sink = heavy_hitters_delta_sink(store, "value", K)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "hhckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    freqs = Counter(items)
+    [state] = heavy_hitters_store_state(spark, store, K).collect()
+    assert state["n_total"] == 600
+    assert state["err"] * (K + 1) <= 600
+    got = {
+        r["item"]: (r["count_lo"], r["count_hi"])
+        for r in heavy_hitters_store_topk(spark, store, K).collect()
+    }
+    for it, (lo, hi) in got.items():
+        assert lo <= freqs[it] <= hi, (it, lo, hi, freqs[it])
+    for it, f in freqs.items():
+        if f > state["err"]:
+            assert it in got, (it, f, state["err"])
+
+    # replay idempotence: partition 0's delta rewritten over itself
+    d0 = spark.read.parquet(f"{store}/_batch_id=0")
+    _write_delta(d0, store, 0)
+    [state2] = heavy_hitters_store_state(spark, store, K).collect()
+    assert (state2["n_total"], state2["err"]) == (
+        state["n_total"],
+        state["err"],
+    )
+    got2 = {
+        r["item"]: (r["count_lo"], r["count_hi"])
+        for r in heavy_hitters_store_topk(spark, store, K).collect()
+    }
+    assert got2 == got
+
+
 def test_incremental_novelty_foreachbatch(spark, tmp_path):
     """The incremental-ingest novelty path (the streaming twin of
     text_novelty_score): each micro-batch scores its documents'
