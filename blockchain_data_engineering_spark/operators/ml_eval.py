@@ -284,6 +284,255 @@ def pr_curve_sql(
     """
 
 
+# Per-term quantization scale for average_precision: each threshold's
+# precision contribution is floored to parts-per-10^9 BEFORE summing,
+# making the sum pure integer arithmetic (order-free, engine-identical)
+# at an absolute AP error < |thresholds| / (n_pos · 10^9). The quotient
+# np_t·tp_t·S div (tp_t+fp_t) ≤ np_t·S must fit the BIGINT that
+# Spark's integral `div` returns — fine until a single score bucket
+# holds > 9·10^9 positives, far past any sane bucketing.
+_AP_SCALE = 10**9
+
+
+def average_precision(
+    df: DataFrame,
+    label: Column,
+    score: Column,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Average precision (= area under the PR curve by the step-wise
+    sklearn definition, AP = Σ_t (R_t − R_{t−1})·P_t over thresholds
+    descending) per ``keys`` group — the scalar summary of
+    :func:`pr_curve`, computed from the SAME distinct-score-grain
+    aggregate and window (never a row-grain sort).
+
+    Exactness treatment: AP·n_pos = Σ_t np_t·tp_t/(tp_t+fp_t) is a sum
+    of rationals with VARYING denominators — no lcm trick applies
+    (contrast ``retrieval_eval``'s MRR, where ranks bound the
+    denominators). Instead each term is floor-quantized to the exact
+    integer ``(np_t·tp_t·10^9) div (tp_t+fp_t)`` (the product in
+    DECIMAL(38,0), the quotient a BIGINT) and the terms integer-sum in
+    DECIMAL(38,0) — order-free and bit-identical in any engine, with
+    the summed floor error < |thresholds|/10^9 of AP·n_pos (documented,
+    bounded, and identical on both sides of the oracle gate).
+
+    Returns one row per group: ``n_pos``, ``n_thresholds``, ``ap_num``
+    (the quantized integer numerator, DECIMAL(38,0) — gate queries
+    serialize it as a string, the netflow_decimal recipe) and
+    ``ap = ap_num / (n_pos·10^9)`` (one IEEE division; NULL when the
+    group has no positives). NULL labels/scores are excluded (module
+    convention)."""
+    keyed = list(keys)
+    per_score = _per_score_counts(df, label, score, keyed)
+    w = Window.partitionBy(*keyed).orderBy(F.col("__s").desc())
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counted = per_score.select(
+        *keyed,
+        F.col("np"),
+        F.sum("np").over(run).cast("long").alias("tp"),
+        F.sum("nn").over(run).cast("long").alias("fp"),
+    )
+    term = F.expr(
+        f"(CAST(np AS DECIMAL(38,0)) * tp * {_AP_SCALE}) div (tp + fp)"
+    )
+    totals = counted.select(
+        *keyed, term.alias("__t"), F.col("np").alias("__np")
+    ).groupBy(*keyed).agg(
+        F.sum("__np").cast("long").alias("n_pos"),
+        F.count(F.lit(1)).cast("long").alias("n_thresholds"),
+        F.sum("__t").cast("decimal(38,0)").alias("ap_num"),
+    )
+    den = (
+        F.col("n_pos").cast("decimal(38,0)") * F.lit(_AP_SCALE)
+    ).cast("decimal(38,0)")
+    return totals.select(
+        *keyed,
+        "n_pos",
+        "n_thresholds",
+        "ap_num",
+        F.when(
+            F.col("n_pos") > 0,
+            F.col("ap_num").cast("double") / den.cast("double"),
+        ).alias("ap"),
+    )
+
+
+def average_precision_sql(
+    label_sql: str,
+    score_sql: str,
+    table: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`average_precision` — same quantized-term
+    algebra (HUGEINT product, ``//`` floor quotient), same NULL
+    exclusion; ``ap_num`` serializes as VARCHAR."""
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    part = f"PARTITION BY {kcols} " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    return f"""
+    WITH per_score AS (
+      SELECT {kpre}{score_sql} AS s,
+             sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN {label_sql} THEN 0 ELSE 1 END) AS nn
+      FROM {table}
+      WHERE ({label_sql}) IS NOT NULL AND ({score_sql}) IS NOT NULL
+      GROUP BY {kpre.rstrip(", ") + ", " if keyed else ""}s
+    ),
+    swept AS (
+      SELECT {kpre}np,
+             CAST(sum(np) OVER ({part}ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS tp,
+             CAST(sum(nn) OVER ({part}ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS fp
+      FROM per_score
+    ),
+    totals AS (
+      SELECT {kpre}
+             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(count(*) AS BIGINT) AS n_thresholds,
+             sum((CAST(np AS HUGEINT) * tp * {_AP_SCALE}) // (tp + fp))
+               AS ap_num
+      FROM swept {grp}
+    )
+    SELECT {kpre}n_pos, n_thresholds,
+           CAST(ap_num AS VARCHAR) AS ap_num,
+           CASE WHEN n_pos > 0 THEN
+             CAST(ap_num AS DOUBLE)
+               / CAST(CAST(n_pos AS HUGEINT) * {_AP_SCALE} AS DOUBLE)
+           END AS ap
+    FROM totals
+    """
+
+
+# NDCG discount quanta: 10^12/log2(1+r) for rank r, precomputed ONCE
+# in Python and embedded as integer LITERALS in both engines — the
+# discounts are constants of the metric, not engine log() calls whose
+# low bits could diverge. Per-rank contributions rel·disc are exact
+# integers, so every sum is order-free.
+_NDCG_SCALE = 10**12
+# per-query ndcg ratio quantization (dcg/idcg ≤ 1 → quotient ≤ 10^9)
+_NDCG_RATIO_SCALE = 10**9
+
+
+def ndcg_discounts(k: int) -> list[int]:
+    """The literal integer discount table [rank 1..k]:
+    round(10^12 / log2(1+rank))."""
+    import math
+
+    return [round(_NDCG_SCALE / math.log2(1 + r)) for r in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    results: DataFrame,
+    truth: DataFrame,
+    query_col: str = "qid",
+    item_col: str = "item",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k — the GRADED-relevance ranking metric completing
+    :func:`retrieval_eval`'s binary hit-rate/MRR: given per-query
+    ranked ``results`` (rank 1..k, one row per (query, item)) and a
+    ``truth`` set carrying integer relevance grades ``rel_col`` ≥ 1
+    (one row per (query, item); non-positive/NULL grades are excluded
+    — an item with no grade is simply irrelevant), returns ONE row:
+    ``n_queries`` (queries with a non-empty truth set — only they have
+    a defined ideal), ``ndcg_num`` (DECIMAL(38,0) — serialize as
+    string in gate queries) and ``ndcg`` (the mean; NULL when no query
+    has truth).
+
+    Exactness: per-rank discounts are the literal integer quanta of
+    :func:`ndcg_discounts` (constants of the metric — never an engine
+    ``log``), so per-query DCG = Σ rel·disc_q[rank] and ideal DCG
+    (grades re-ranked descending, item tiebreak) are exact integer
+    sums. The per-query ratio is floor-quantized to
+    ``(dcg·10^9) div idcg`` (≤ 10^9 since dcg ≤ idcg) and the corpus
+    mean integer-sums those — the same quanta-sum policy as
+    ``average_precision``, absolute error < 10^-9 per query.
+
+    Scale shape: one hits equi-join (truth broadcastable or
+    co-partitioned), one per-query sum over ≤ k hit rows, one ranked
+    window over the truth set bounded to k (WindowGroupLimit), two
+    grand aggregates."""
+    if not 1 <= k <= 64:
+        raise ValueError(f"k must be in 1..64, got {k}")
+    disc = ndcg_discounts(k)
+    disc_arr = F.array(*[F.lit(int(d)).cast("long") for d in disc])
+    graded = truth.where(
+        F.col(rel_col).isNotNull() & (F.col(rel_col) > 0)
+    ).select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__i"),
+        F.col(rel_col).cast("long").alias("__rel"),
+    )
+    # per-query DCG over the ≤ k hits (missing ranks contribute 0)
+    hits = results.where(F.col(rank_col) <= k).join(
+        graded,
+        (F.col(query_col) == F.col("__q"))
+        & (F.col(item_col) == F.col("__i")),
+        "inner",
+    )
+    dcg = hits.select(
+        F.col("__q").alias("__qd"),
+        (
+            F.col("__rel").cast("decimal(38,0)")
+            * F.element_at(disc_arr, F.col(rank_col).cast("int"))
+        ).alias("__g"),
+    ).groupBy("__qd").agg(
+        F.sum("__g").cast("decimal(38,0)").alias("__dcg")
+    )
+    # ideal DCG: grades descending (item tiebreak), top k —
+    # WindowGroupLimit-bounded
+    wi = Window.partitionBy("__q").orderBy(
+        F.col("__rel").desc(), F.col("__i")
+    )
+    idcg = (
+        graded.withColumn("__rn", F.row_number().over(wi))
+        .where(F.col("__rn") <= k)
+        .select(
+            "__q",
+            (
+                F.col("__rel").cast("decimal(38,0)")
+                * F.element_at(disc_arr, F.col("__rn").cast("int"))
+            ).alias("__g"),
+        )
+        .groupBy("__q")
+        .agg(F.sum("__g").cast("decimal(38,0)").alias("__idcg"))
+    )
+    per_query = idcg.join(
+        dcg, idcg["__q"] == dcg["__qd"], "left"
+    ).select(
+        F.expr(
+            f"(coalesce(__dcg, CAST(0 AS DECIMAL(38,0)))"
+            f" * {_NDCG_RATIO_SCALE}) div __idcg"
+        ).alias("__nq")
+    )
+    agg = per_query.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("__nq").cast("decimal(38,0)").alias("ndcg_num"),
+    )
+    den = (
+        F.col("n_queries").cast("decimal(38,0)")
+        * F.lit(_NDCG_RATIO_SCALE)
+    ).cast("decimal(38,0)")
+    return agg.select(
+        "n_queries",
+        F.coalesce(
+            F.col("ndcg_num"), F.lit(0).cast("decimal(38,0)")
+        ).alias("ndcg_num"),
+        F.when(
+            F.col("n_queries") > 0,
+            F.coalesce(F.col("ndcg_num"), F.lit(0)).cast("double")
+            / den.cast("double"),
+        ).alias("ndcg"),
+    )
+
+
 def retrieval_eval(
     results: DataFrame,
     truth: DataFrame,
