@@ -88,6 +88,38 @@ from blockchain_data_engineering_spark.plans import lake_queries  # noqa: F401,E
 # never-gated = registry − (r1 ∪ r2 ∪ current gate) from the
 # CORRECTNESS_r*.json files and asserts it empty.
 GATE_ORDER = [
+    # -- new in round 8 (unrowed, front-loaded). The merge tier of the
+    #    r7 operators moves under the official value hash, and the two
+    #    remaining family gaps close:
+    #    (1) sample_weighted_priority_merged — the priority sampler's
+    #    subtle merge contract (union the RANKED top-(k+1) states, re-
+    #    rank, re-derive τ) gate-verified exactly as
+    #    agg_quantile_sketch_merged did for the quantile sketch.
+    #    Displaced: sample_weighted_priority (r7-green — the merged
+    #    query replays BOTH halves' builds, τ, and max(w, τ) in its
+    #    oracle, so the build stays gate-run inside it).
+    #    (2) ml_average_precision — the PR sweep's scalar summary
+    #    (quantized-term integer sum, the exact-summation treatment the
+    #    r7 verdict asked for). (3) ml_ndcg — graded-relevance ranking
+    #    eval with a literal discount table. Displaced: ml_auc_roc
+    #    (r7-green — same distinct-score-grain aggregate + window plan,
+    #    stays gate-run by the PR sweep + AP), ml_retrieval_eval
+    #    (r7-green — NDCG runs the same hits-join + per-query aggregate
+    #    + quanta-sum shape, graded superset of hit-rate/MRR).
+    #    (4) agg_heavy_hitters + (5) agg_heavy_hitters_merged —
+    #    deterministic Misra–Gries summaries (exact-counts offset
+    #    construction, PODS-2012 merge with error accumulation), the
+    #    "find the hot keys" member completing the sketch family.
+    #    Displaced: agg_quantile_sketch (r7-green — its merged gate
+    #    twin replays both builds in-plan and stays live) and
+    #    ml_multiclass_confusion (r7-green — the k×k conditional-count
+    #    hash-agg plan family stays gate-run by the rollup lattice and
+    #    the PR sweep's conditional counts).
+    "sample_weighted_priority_merged",
+    "ml_average_precision",
+    "ml_ndcg",
+    "agg_heavy_hitters",
+    "agg_heavy_hitters_merged",
     # -- new in round 7 (unrowed, front-loaded). The mergeable
     #    deterministic quantile sketch (bottom-k md5-priority sample —
     #    the KMV idiom applied to rank statistics) completes the sketch
@@ -121,10 +153,7 @@ GATE_ORDER = [
     #    (r6-green — score-grain eval stays gate-witnessed by
     #    ml_pr_curve, the fixed-width bucketed-aggregate plan by
     #    text_ccnet_buckets).
-    "agg_quantile_sketch",
     "agg_quantile_sketch_merged",
-    "sample_weighted_priority",
-    "ml_retrieval_eval",
     "ml_pr_curve",
     # -- new in round 6 (all unrowed, front-loaded). Crash-window reorg
     #    recovery drives the ACTUAL rollback_aware_upsert sink through
@@ -165,10 +194,8 @@ GATE_ORDER = [
     #    Displaced: er_fuzzy_part_pairs (r5-green; the blocking +
     #    Levenshtein pair pipeline RUNS VERBATIM as the first stage of
     #    gate-witnessed er_entity_clusters).
-    "ml_multiclass_confusion",
     "join_bloom_prefilter",
     "stream_reorg_crash_recovery",
-    "ml_auc_roc",
     "er_entity_clusters",
     "lake_compaction_plan",
     "dq_referential_integrity",
@@ -368,6 +395,27 @@ assert len(GATE_ORDER) == 50, len(GATE_ORDER)
 # the same operator shape in the current gate; q itself stays fully
 # DuckDB-parity-checked in pytest (EXTRA_QUERIES, test_oracle_parity).
 WITNESSES: dict[str, list[str]] = {
+    # --- demoted in the r8 rotation (in exchange for the merge-tier
+    #     gates + the eval/sketch family completions) ---
+    # the merged gate query's oracle replays BOTH halves' top-(k+1)
+    # builds, τ, and max(w, τ) — the build runs in-plan inside it
+    "sample_weighted_priority": ["sample_weighted_priority_merged"],
+    # same for the quantile sketch: the merged twin replays both
+    # bottom-k builds, the concat re-take, and the rank selection
+    "agg_quantile_sketch": ["agg_quantile_sketch_merged"],
+    # same distinct-score-grain aggregate + window plan (shared
+    # _per_score_counts first stage); the rank-sum algebra stays
+    # pinned in pytest parity
+    "ml_auc_roc": ["ml_pr_curve", "ml_average_precision"],
+    # NDCG is the graded superset: same hits equi-join + per-query
+    # aggregate + integer quanta-sum shape; the lcm-MRR arithmetic
+    # stays pinned in pytest parity
+    "ml_retrieval_eval": ["ml_ndcg"],
+    # k×k label/pred conditional-count hash agg — the plan family
+    # stays gate-run by the rollup lattice's multi-key hash aggs and
+    # the PR sweep's conditional counts; the k-class semantics stay
+    # pinned in pytest parity
+    "ml_multiclass_confusion": ["agg_rollup_two_level", "ml_pr_curve"],
     # --- demoted in the r7 rotation (in exchange for the quantile
     #     sketch + PR curve) ---
     # the mergeable bottom-k-by-md5-priority construction (distinct
