@@ -615,6 +615,314 @@ def retrieval_eval(
     )
 
 
+def multiclass_macro_f1(
+    df: DataFrame,
+    actual: Column,
+    predicted: Column,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Macro-averaged F1 + accuracy per ``keys`` group — the scalar
+    summary of the k×k confusion matrix (``ml_multiclass_confusion``),
+    the way :func:`average_precision` summarizes the PR sweep. Classes
+    are the distinct ACTUAL labels (every class with support ≥ 1; a
+    label that only ever appears as a prediction has no recall and is
+    not averaged — the sklearn ``labels=present-in-y_true``
+    convention). NULL actual/predicted rows are excluded.
+
+    Exactness: per-class F1 = 2tp/(2tp+fp+fn) where the denominator is
+    ``support + predicted_total`` (= (tp+fn) + (tp+fp)) — rationals
+    with varying denominators, so the macro mean gets the same
+    quantized-sum treatment as :func:`average_precision`: each class's
+    F1 floors to the exact integer ``(2·tp·10^9) div (support +
+    predicted_total)``, the sum is DECIMAL(38,0), and one IEEE
+    division yields the mean (absolute error < |classes|/10^9 of the
+    numerator). ``accuracy = Σtp/n`` is a single exact division
+    (micro-F1 ≡ accuracy for single-label multiclass).
+
+    Scale shape: ONE map-side-combinable (actual, predicted) count
+    aggregate collapses the facts to ≤ k² cells; everything after runs
+    at class grain (two re-aggregations + one join of ≤ k-row frames).
+
+    Returns one row per group: ``n``, ``n_classes``, ``accuracy``,
+    ``macro_f1_num`` (DECIMAL(38,0) — serialize as string in gate
+    queries) and ``macro_f1``."""
+    keyed = list(keys)
+    cells = (
+        df.where(actual.isNotNull() & predicted.isNotNull())
+        .select(*keyed, actual.alias("__a"), predicted.alias("__p"))
+        .groupBy(*keyed, "__a", "__p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    by_actual = cells.groupBy(*keyed, "__a").agg(
+        F.sum("n").cast("long").alias("support"),
+        F.sum(F.when(F.col("__a") == F.col("__p"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+    )
+    by_pred = cells.groupBy(*keyed, "__p").agg(
+        F.sum("n").cast("long").alias("pred_total")
+    )
+    cond = by_actual["__a"] == by_pred["__p"]
+    for c in keyed:
+        cond = cond & (by_actual[c] == by_pred[c])
+    per_class = by_actual.join(by_pred, cond, "left").select(
+        *[by_actual[c] for c in keyed],
+        "support",
+        "tp",
+        F.coalesce(F.col("pred_total"), F.lit(0)).alias("pred_total"),
+    )
+    f1q = F.expr(
+        f"(CAST(2 AS DECIMAL(38,0)) * tp * {_AP_SCALE})"
+        " div (support + pred_total)"
+    )
+    totals = per_class.select(
+        *keyed,
+        F.col("support"),
+        F.col("tp"),
+        f1q.alias("__f1q"),
+    ).groupBy(*keyed).agg(
+        F.sum("support").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("tp").cast("long").alias("__tp_sum"),
+        F.sum("__f1q").cast("decimal(38,0)").alias("macro_f1_num"),
+    )
+    den = (
+        F.col("n_classes").cast("decimal(38,0)") * F.lit(_AP_SCALE)
+    ).cast("decimal(38,0)")
+    return totals.select(
+        *keyed,
+        "n",
+        "n_classes",
+        (F.col("__tp_sum").cast("double") / F.col("n").cast("double"))
+        .alias("accuracy"),
+        "macro_f1_num",
+        (F.col("macro_f1_num").cast("double") / den.cast("double"))
+        .alias("macro_f1"),
+    )
+
+
+def multiclass_macro_f1_sql(
+    actual_sql: str,
+    predicted_sql: str,
+    table: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`multiclass_macro_f1` — same cell grain,
+    same quantized-F1 algebra; ``macro_f1_num`` serializes as
+    VARCHAR."""
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_a = f"{kcols}, a" if keyed else "a"
+    kgrp_p = f"{kcols}, p" if keyed else "p"
+    kjoin = " AND ".join(f"ba.{c} = bp.{c}" for c in keyed)
+    on = f"ba.a = bp.p{' AND ' + kjoin if keyed else ''}"
+    kpre_ba = ", ".join(f"ba.{c}" for c in keyed)
+    return f"""
+    WITH cells AS (
+      SELECT {kpre}{actual_sql} AS a, {predicted_sql} AS p,
+             count(*) AS n
+      FROM {table}
+      WHERE ({actual_sql}) IS NOT NULL AND ({predicted_sql}) IS NOT NULL
+      GROUP BY {kgrp_a}, p
+    ),
+    by_actual AS (
+      SELECT {kpre}a, CAST(sum(n) AS BIGINT) AS support,
+             CAST(sum(CASE WHEN a = p THEN n ELSE 0 END) AS BIGINT) AS tp
+      FROM cells GROUP BY {kgrp_a}
+    ),
+    by_pred AS (
+      SELECT {kpre}p, CAST(sum(n) AS BIGINT) AS pred_total
+      FROM cells GROUP BY {kgrp_p}
+    ),
+    per_class AS (
+      SELECT {kpre_ba + ', ' if keyed else ''}ba.support, ba.tp,
+             coalesce(bp.pred_total, 0) AS pred_total
+      FROM by_actual ba LEFT JOIN by_pred bp ON {on}
+    ),
+    totals AS (
+      SELECT {kpre}
+             CAST(sum(support) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(tp) AS BIGINT) AS tp_sum,
+             sum((2 * CAST(tp AS HUGEINT) * {_AP_SCALE})
+                 // (support + pred_total)) AS macro_f1_num
+      FROM per_class {grp}
+    )
+    SELECT {kpre}n, n_classes,
+           CAST(tp_sum AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+           CAST(macro_f1_num AS VARCHAR) AS macro_f1_num,
+           CAST(macro_f1_num AS DOUBLE)
+             / CAST(CAST(n_classes AS HUGEINT) * {_AP_SCALE} AS DOUBLE)
+             AS macro_f1
+    FROM totals
+    """
+
+
+def brier_score(
+    df: DataFrame,
+    label: Column,
+    score_q: Column,
+    s_max: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Brier score per ``keys`` group — the SCALAR summary of the
+    calibration leg (``ml_calibration_bins`` shows the reliability
+    curve; this is the number a monitored filter tracks):
+    ``mean((p − y)²)`` where ``p = score_q / s_max``. ``score_q`` must
+    be an integer-quanta probability in [0, s_max] (the module's
+    bucket-scores-first stance), ``label`` boolean.
+
+    Exactness — EXACT, not quantized: with integer scores,
+    ``(p − y)² = (score_q − y·s_max)² / s_max²``, so the numerator
+    ``Σ (score_q − y·s_max)²`` is an exact integer sum (order-free,
+    engine-identical, DECIMAL(38,0) against the 10^10-row·s_max² worst
+    case) and the one IEEE division by ``n·s_max²`` is bit-identical —
+    no floor error at all, unlike the AP/NDCG/macro-F1 quantized
+    means. NULL label/score rows are excluded; ``brier`` is NULL for
+    an empty group. ONE map-side-combinable aggregate; returns ``n``,
+    ``brier_num`` (DECIMAL(38,0) — serialize as string in gate
+    queries) and ``brier``."""
+    keyed = list(keys)
+    base = df.where(label.isNotNull() & score_q.isNotNull()).select(
+        *keyed,
+        (
+            score_q.cast("decimal(38,0)")
+            - F.when(label, F.lit(int(s_max))).otherwise(0)
+        ).alias("__d"),
+    )
+    totals = base.groupBy(*keyed).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__d") * F.col("__d"))
+        .cast("decimal(38,0)")
+        .alias("brier_num"),
+    )
+    den = (
+        F.col("n").cast("decimal(38,0)")
+        * F.lit(int(s_max) * int(s_max))
+    ).cast("decimal(38,0)")
+    return totals.select(
+        *keyed,
+        "n",
+        F.coalesce(
+            F.col("brier_num"), F.lit(0).cast("decimal(38,0)")
+        ).alias("brier_num"),
+        F.when(
+            F.col("n") > 0,
+            F.col("brier_num").cast("double") / den.cast("double"),
+        ).alias("brier"),
+    )
+
+
+def brier_score_sql(
+    label_sql: str,
+    score_q_sql: str,
+    s_max: int,
+    table: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`brier_score` — same exact integer
+    algebra; ``brier_num`` serializes as VARCHAR."""
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    d = (
+        f"(CAST({score_q_sql} AS HUGEINT) - CASE WHEN {label_sql} "
+        f"THEN {int(s_max)} ELSE 0 END)"
+    )
+    return f"""
+    WITH totals AS (
+      SELECT {kpre}
+             CAST(count(*) AS BIGINT) AS n,
+             sum({d} * {d}) AS brier_num
+      FROM {table}
+      WHERE ({label_sql}) IS NOT NULL AND ({score_q_sql}) IS NOT NULL
+      {grp}
+    )
+    SELECT {kpre}n,
+           CAST(coalesce(brier_num, 0) AS VARCHAR) AS brier_num,
+           CASE WHEN n > 0 THEN
+             CAST(brier_num AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT)
+                      * {int(s_max) * int(s_max)} AS DOUBLE)
+           END AS brier
+    FROM totals
+    """
+
+
+def rrf_constant(k: int, c: int = 60) -> int:
+    """The exact-sum scale for reciprocal rank fusion: lcm(c+1 .. c+k),
+    so every 1/(c+r) term is the exact integer lcm/(c+r)."""
+    import math
+
+    return math.lcm(*range(c + 1, c + k + 1))
+
+
+def rrf_fuse(
+    results_list: Sequence[DataFrame],
+    query_col: str = "qid",
+    item_col: str = "item",
+    rank_col: str = "rank",
+    k: int = 10,
+    c: int = 60,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    combine N per-query rankings into one —
+    ``score(item) = Σ_lists 1/(c + rank)`` over the lists that ranked
+    the item in their top k (c = 60, the paper's constant). The fusion
+    step every multi-retriever pipeline (BM25 ⊕ ANN ⊕ recency) runs
+    BEFORE the eval operators above score it.
+
+    Exactness: ranks are bounded, so the reciprocal sum runs as the
+    exact integer ``Σ lcm(c+1..c+k)/(c+r)`` — the retrieval_eval MRR
+    trick with shifted denominators — and ties in the fused score are
+    REAL ties, broken deterministically by item. Validates that
+    ``n_lists · lcm/(c+1)`` fits BIGINT up front.
+
+    Scale shape: one union of the (already top-k-bounded) input
+    rankings, one (query, item) sum aggregate — map-side combinable —
+    and one per-query rank window over ≤ n_lists·k fused rows per
+    query (WindowGroupLimit-bounded when ``top_n`` is set). Returns
+    ``(query_col, item_col, rrf_num, fused_rank)``; ``rrf_num`` is the
+    exact integer score (descending ⇔ descending true RRF score).
+
+    Input contract: each frame carries (query_col, item_col, rank_col)
+    with one row per (query, item); rows with rank > k are ignored.
+    """
+    if not results_list:
+        raise ValueError("rrf_fuse needs at least one rankings frame")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    lcm = rrf_constant(k, c)
+    if len(results_list) * (lcm // (c + 1)) >= 2**63:
+        raise ValueError(
+            f"rrf_fuse overflow: {len(results_list)} lists at "
+            f"lcm(c+1..c+k) = {lcm} cannot sum inside BIGINT — "
+            "lower k or c"
+        )
+    cols = [query_col, item_col, rank_col]
+    stacked = results_list[0].select(*cols)
+    for other in results_list[1:]:
+        stacked = stacked.unionByName(other.select(*cols))
+    contrib = F.expr(f"{int(lcm)}L div ({int(c)}L + {rank_col})")
+    fused = (
+        stacked.where(F.col(rank_col) <= k)
+        .select(query_col, item_col, contrib.alias("__c"))
+        .groupBy(query_col, item_col)
+        .agg(F.sum("__c").cast("long").alias("rrf_num"))
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_num").desc(), F.col(item_col)
+    )
+    out = fused.withColumn("fused_rank", F.row_number().over(w))
+    if top_n is not None:
+        out = out.where(F.col("fused_rank") <= top_n)
+    return out
+
+
 def confusion_counts(
     df: DataFrame,
     label: Column,

@@ -2302,3 +2302,37 @@ def ml_multiclass_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(w).cast("double")
         ).alias("frac_of_actual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Macro-F1 (r8): the SCALAR summary of the k×k lang-ID confusion
+# matrix (ml_multiclass_confusion) — the number a language-filter
+# sweep actually tracks — via operators/ml_eval.py multiclass_macro_f1:
+# per-class F1 from ONE (actual, predicted) cell aggregate, the macro
+# mean under the same quantized-sum policy as average_precision
+# (rationals with varying denominators), accuracy as one exact
+# division. Classes = labels present in y_true (sklearn convention).
+# ---------------------------------------------------------------------------
+def _macro_f1_oracle() -> str:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        multiclass_macro_f1_sql,
+    )
+
+    return multiclass_macro_f1_sql(
+        "lang_declared", "lang_pred", f"({_langid_oracle()})"
+    )
+
+
+@query("ml_macro_f1", oracle=_macro_f1_oracle())
+def ml_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        multiclass_macro_f1,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    out = multiclass_macro_f1(
+        docs, F.col("lang"), TX.lang_id(F.col("text"))
+    )
+    return out.withColumn(
+        "macro_f1_num", F.col("macro_f1_num").cast("string")
+    )

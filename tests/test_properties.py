@@ -1018,3 +1018,68 @@ def test_quantile_sketch_properties(spark, values, k):
         assert est in data
         if n <= k:  # exactness when the sample is the data
             assert est == srt[max(1, (q_bp * n + 9999) // 10000) - 1]
+
+
+@settings(deadline=None, max_examples=8)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=30),
+        min_size=1,
+        max_size=150,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+def test_heavy_hitters_properties(spark, items, k):
+    """Misra–Gries properties on arbitrary item multisets and k:
+
+    1. the fresh build's bounds bracket every true frequency with
+       count_hi EXACT (err = the (k+1)-th count, c + err = cnt);
+    2. for ANY split, the merged state still satisfies
+       count_lo ≤ f ≤ count_lo + err and err·(k+1) ≤ n (the PODS-2012
+       guarantee survives merging);
+    3. every item with f > err_merged survives the merge
+       (φ-heavy-hitter completeness);
+    4. n_total is conserved by the merge."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from blockchain_data_engineering_spark.operators.heavy_hitters import (
+        heavy_hitters_estimate,
+        heavy_hitters_merge,
+        heavy_hitters_state,
+    )
+
+    rows = [(i, str(v)) for i, v in enumerate(items)]
+    df = spark.createDataFrame(rows, "rid long, it string")
+    freqs = Counter(str(v) for v in items)
+    n = len(items)
+
+    fresh = {
+        r["item"]: (r["count_lo"], r["count_hi"])
+        for r in heavy_hitters_estimate(
+            heavy_hitters_state(df, "it", k)
+        ).collect()
+    }
+    for it, (lo, hi) in fresh.items():
+        assert lo <= freqs[it] == hi  # fresh build: hi is exact
+
+    a = df.where(F.col("rid") % 3 == 0)
+    b = df.where(F.col("rid") % 3 != 0)
+    merged = heavy_hitters_merge(
+        heavy_hitters_state(a, "it", k),
+        heavy_hitters_state(b, "it", k),
+        k,
+    )
+    [state] = merged.collect()
+    assert state["n_total"] == n
+    assert state["err"] * (k + 1) <= n
+    got = {
+        r["item"]: (r["count_lo"], r["count_hi"])
+        for r in heavy_hitters_estimate(merged).collect()
+    }
+    for it, (lo, hi) in got.items():
+        assert lo <= freqs[it] <= hi, (it, lo, hi, freqs[it])
+    for it, f in freqs.items():
+        if f > state["err"]:
+            assert it in got, (it, f, state["err"])

@@ -133,3 +133,177 @@ def test_ndcg_ideal_beats_every_permutation(spark):
         )
         [r] = ndcg_at_k(results, truth, k=4).collect()
         assert 0.0 < r["ndcg"] <= 1.0, perm
+
+
+def test_macro_f1_known_values(spark):
+    """Hand-computed 3-class matrix: per-class F1 = 4/7, 1/2, 0 →
+    macro = their quantized-mean; accuracy = Σtp/n exactly; a label
+    appearing ONLY as a prediction adds no class (sklearn's
+    labels=present-in-y_true convention) but does count as that
+    class's fp through pred_total."""
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        _AP_SCALE,
+        multiclass_macro_f1,
+    )
+
+    rows = [
+        ("a", "a"), ("a", "a"), ("a", "b"),
+        ("b", "b"), ("b", "a"),
+        ("c", "a"),
+    ]
+    df = spark.createDataFrame(rows, "y string, p string")
+    [r] = multiclass_macro_f1(df, F.col("y"), F.col("p")).collect()
+    s = _AP_SCALE
+    assert r["n"] == 6 and r["n_classes"] == 3
+    assert r["accuracy"] == 0.5
+    expected = (4 * s) // 7 + (2 * s) // 4 + 0
+    assert int(r["macro_f1_num"]) == expected
+    assert r["macro_f1"] == expected / (3 * s)
+
+    # prediction-only label 'd': no new class, but a's support grows
+    df2 = spark.createDataFrame(rows + [("a", "d")], "y string, p string")
+    [r2] = multiclass_macro_f1(df2, F.col("y"), F.col("p")).collect()
+    assert r2["n_classes"] == 3 and r2["n"] == 7
+    # a: tp 2, support 4, pred_total 4 → f1q = 4S div 8 = S/2
+    assert int(r2["macro_f1_num"]) == (4 * s) // 8 + (2 * s) // 4 + 0
+
+
+def test_macro_f1_perfect_and_keys(spark):
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        multiclass_macro_f1,
+    )
+
+    rows = [("g", "x", "x"), ("g", "y", "y"), ("h", "x", "y")]
+    df = spark.createDataFrame(rows, "k string, y string, p string")
+    got = {
+        r["k"]: r
+        for r in multiclass_macro_f1(
+            df, F.col("y"), F.col("p"), keys=["k"]
+        ).collect()
+    }
+    assert got["g"]["macro_f1"] == 1.0 and got["g"]["accuracy"] == 1.0
+    assert got["h"]["macro_f1"] == 0.0 and got["h"]["accuracy"] == 0.0
+
+
+def test_brier_score_exact(spark):
+    """Brier is EXACT (no floor error): sklearn's
+    brier_score_loss([1,0,1,0], [.8,.3,1,0]) = 0.0325 — the integer
+    numerator Σ(s−y·S)² = 1300 at S=100; perfect → 0, anti-perfect
+    → 1; NULL rows excluded; empty group → NULL (never NaN)."""
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        brier_score,
+    )
+
+    rows = [(80, True), (30, False), (100, True), (0, False)]
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    [r] = brier_score(df, F.col("y"), F.col("s"), s_max=100).collect()
+    assert r["n"] == 4 and int(r["brier_num"]) == 1300
+    assert r["brier"] == 1300 / (4 * 100 * 100) == 0.0325
+
+    anti = spark.createDataFrame(
+        [(0, True), (100, False)], "s long, y boolean"
+    )
+    [a] = brier_score(anti, F.col("y"), F.col("s"), s_max=100).collect()
+    assert a["brier"] == 1.0
+
+    nulls = spark.createDataFrame(
+        [(80, None), (None, True)], "s long, y boolean"
+    )
+    [e] = brier_score(nulls, F.col("y"), F.col("s"), s_max=100).collect()
+    assert e["n"] == 0 and int(e["brier_num"]) == 0 and e["brier"] is None
+
+
+def test_rrf_fuse_known_values(spark):
+    """Hand-computed fusion of two 3-deep lists at c=60:
+    lcm(61..63) = 238266, so contributions are the exact integers
+    3906/3843/3782 for ranks 1/2/3; an item ranked by both lists
+    overtakes single-list items; ties break by item."""
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        rrf_constant,
+        rrf_fuse,
+    )
+
+    lcm = rrf_constant(3, 60)
+    assert lcm == 238266
+    la = spark.createDataFrame(
+        [("q", "a", 1), ("q", "b", 2), ("q", "c", 3)],
+        "qid string, item string, rank long",
+    )
+    lb = spark.createDataFrame(
+        [("q", "b", 1), ("q", "d", 2), ("q", "c", 3)],
+        "qid string, item string, rank long",
+    )
+    got = {
+        r["item"]: (r["rrf_num"], r["fused_rank"])
+        for r in rrf_fuse([la, lb], k=3, c=60).collect()
+    }
+    r1, r2, r3 = lcm // 61, lcm // 62, lcm // 63
+    assert got["b"] == (r2 + r1, 1)
+    assert got["c"] == (2 * r3, 2)
+    assert got["a"] == (r1, 3)
+    assert got["d"] == (r2, 4)
+
+    # rank > k rows are ignored; top_n truncates
+    lc = spark.createDataFrame(
+        [("q", "z", 9)], "qid string, item string, rank long"
+    )
+    top = rrf_fuse([la, lb, lc], k=3, c=60, top_n=2).collect()
+    assert sorted(r["item"] for r in top) == ["b", "c"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rrf_fuse([], k=3)
+    with pytest.raises(ValueError):
+        rrf_fuse([la], k=0)
+
+
+def test_zonemap_pruning_decisions_and_summary(spark):
+    """Zone-map logic on hand-built file stats: a file is scanned iff
+    EVERY dimension's [min, max] overlaps the predicate's [lo, hi];
+    NULL stats scan conservatively (the reader rule); the summary
+    counts files and rows scanned per predicate."""
+    from blockchain_data_engineering_spark.sources.io import (
+        zonemap_prune_summary,
+        zonemap_scan_decisions,
+    )
+
+    stats = spark.createDataFrame(
+        [
+            ("f1", 10, 0, 9, 0, 9),
+            ("f2", 20, 10, 19, 0, 9),
+            ("f3", 30, 0, 9, 10, 19),
+            ("f4", 40, None, None, 0, 19),  # NULL x stats → scan
+        ],
+        "file string, n_rows long, x_min long, x_max long, "
+        "y_min long, y_max long",
+    )
+    preds = spark.createDataFrame(
+        [("px", 0, 5, 0, 19), ("pxy", 0, 9, 0, 9), ("pnone", 50, 60, 50, 60)],
+        "pred_id string, x_lo long, x_hi long, y_lo long, y_hi long",
+    )
+    dims = [
+        ("x_min", "x_max", "x_lo", "x_hi"),
+        ("y_min", "y_max", "y_lo", "y_hi"),
+    ]
+    dec = {
+        (r["pred_id"], r["file"]): r["must_scan"]
+        for r in zonemap_scan_decisions(stats, preds, dims).collect()
+    }
+    assert dec[("px", "f1")] and dec[("px", "f3")] and not dec[("px", "f2")]
+    assert dec[("px", "f4")]  # NULL stats: conservative
+    assert dec[("pxy", "f1")] and not dec[("pxy", "f2")]
+    assert not dec[("pxy", "f3")]  # y misses
+    # NULL stats are conservative PER DIMENSION, not per file: f4's
+    # known y range still excludes it from the far box
+    assert not dec[("pnone", "f1")] and not dec[("pnone", "f4")]
+
+    summ = {
+        r["pred_id"]: (r["n_files"], r["files_scanned"], r["rows_scanned"])
+        for r in zonemap_prune_summary(
+            stats, preds, dims, pred_keys=["pred_id"]
+        ).collect()
+    }
+    assert summ["px"] == (4, 3, 10 + 30 + 40)
+    assert summ["pxy"] == (4, 2, 10 + 40)
+    assert summ["pnone"] == (4, 0, 0)
