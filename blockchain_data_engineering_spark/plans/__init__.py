@@ -115,11 +115,41 @@ GATE_ORDER = [
     #    ml_multiclass_confusion (r7-green — the k×k conditional-count
     #    hash-agg plan family stays gate-run by the rollup lattice and
     #    the PR sweep's conditional counts).
+    #    Batch 2 — the remaining scalar eval summaries: (6) ml_macro_f1
+    #    (the k×k lang-ID confusion matrix collapsed to the number a
+    #    filter sweep tracks — same quantized-mean policy as AP) and
+    #    (7) ml_brier_score (the calibration leg's scalar — EXACT
+    #    integer numerator Σ(s−y·s_max)², no floor error). Displaced:
+    #    text_bpe_encode (r7-green — the greedy longest-match encode
+    #    runs inside gate-witnessed text_bpe_token_counts, and the
+    #    vocab it applies is built by gate-witnessed text_bpe_train)
+    #    and lake_zorder_ranges (r7-green — the metadata-grain
+    #    file-layout window family stays gate-run by
+    #    lake_compaction_plan; the bit-interleave scalar stays pinned
+    #    in pytest parity).
+    #    Batch 3: (8) ml_rrf_fusion — reciprocal rank fusion, the
+    #    multi-retriever combine step in front of the ranking evals,
+    #    exact via the shifted-lcm integer sum; and
+    #    (9) lake_zonemap_pruning — min/max data-skipping decisions
+    #    for the SAME predicate workload under linear vs Z-order
+    #    layouts, the payoff measurement for the layout family.
+    #    Displaced: text_tfidf_topk (r7-green — the explode → count →
+    #    window-top-k plan runs verbatim in agg_heavy_hitters, and the
+    #    posting-count grain in text_bpe_token_counts; the idf algebra
+    #    stays pinned in pytest parity) and events_max_concurrency
+    #    (r7-green — the boundary-explode + per-key ordered running
+    #    window family stays gate-run by events_twap and
+    #    stream_sliding_window; the sweep-line semantics stay pinned
+    #    in pytest parity).
     "sample_weighted_priority_merged",
     "ml_average_precision",
     "ml_ndcg",
     "agg_heavy_hitters",
     "agg_heavy_hitters_merged",
+    "ml_macro_f1",
+    "ml_brier_score",
+    "ml_rrf_fusion",
+    "lake_zonemap_pruning",
     # -- new in round 7 (unrowed, front-loaded). The mergeable
     #    deterministic quantile sketch (bottom-k md5-priority sample —
     #    the KMV idiom applied to rank statistics) completes the sketch
@@ -200,7 +230,6 @@ GATE_ORDER = [
     "lake_compaction_plan",
     "dq_referential_integrity",
     "emb_int8_quantize",
-    "text_tfidf_topk",
     "ml_feature_hashing",
     # -- new in round 5, batch 2: time-respecting (earliest-arrival)
     #    reachability over timestamped edges — the temporal completion
@@ -241,13 +270,10 @@ GATE_ORDER = [
     #    set rollback_aware_upsert converges a keyed sink to,
     #    gate-verified against a reversed-running-min SQL oracle --
     "stream_reorg_replay",
-    "text_bpe_encode",
     "text_fim_transform",
     "text_pmi_collocations",
-    "lake_zorder_ranges",
     "agg_rollup_two_level",
     "events_twap",
-    "events_max_concurrency",
     "dq_orders_profile",
     "scd2_asof_lookup",
     "text_ccnet_buckets",
@@ -411,11 +437,28 @@ WITNESSES: dict[str, list[str]] = {
     # aggregate + integer quanta-sum shape; the lcm-MRR arithmetic
     # stays pinned in pytest parity
     "ml_retrieval_eval": ["ml_ndcg"],
-    # k×k label/pred conditional-count hash agg — the plan family
-    # stays gate-run by the rollup lattice's multi-key hash aggs and
-    # the PR sweep's conditional counts; the k-class semantics stay
-    # pinned in pytest parity
-    "ml_multiclass_confusion": ["agg_rollup_two_level", "ml_pr_curve"],
+    # k×k label/pred conditional-count hash agg — the CELL aggregate
+    # runs verbatim as macro-F1's first stage, and the scalar summary
+    # is now the gate member; the per-cell fractions stay pinned in
+    # pytest parity
+    "ml_multiclass_confusion": ["ml_macro_f1"],
+    # greedy longest-match encode runs inside the token-count query
+    # (same learned vocab, same expansion), vocab built by the gated
+    # train loop; the encode output rows stay pinned in pytest parity
+    "text_bpe_encode": ["text_bpe_train", "text_bpe_token_counts"],
+    # metadata-grain file-layout window family stays gate-run by the
+    # compaction planner; the z-order bit-interleave scalar stays
+    # pinned in pytest parity + the scalar_functions family, and the
+    # per-file min/max stats grain now runs inside the pruning audit
+    "lake_zorder_ranges": ["lake_compaction_plan", "lake_zonemap_pruning"],
+    # explode → count → window-top-k runs verbatim in the heavy-hitter
+    # build; the posting/tf grain in the BPE token counts; the idf
+    # algebra stays pinned in pytest parity
+    "text_tfidf_topk": ["agg_heavy_hitters", "text_bpe_token_counts"],
+    # boundary-explode + per-key ordered running window family stays
+    # gate-run by the TWAP carry windows and the sliding-window
+    # counts; the sweep-line semantics stay pinned in pytest parity
+    "events_max_concurrency": ["events_twap", "stream_sliding_window"],
     # --- demoted in the r7 rotation (in exchange for the quantile
     #     sketch + PR curve) ---
     # the mergeable bottom-k-by-md5-priority construction (distinct

@@ -2146,3 +2146,136 @@ def agg_heavy_hitters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = heavy_hitters_merge(half(0), half(1), _HHM_K, keys=keys)
     return heavy_hitters_estimate(merged, keys=keys)
+
+
+# ---------------------------------------------------------------------------
+# Brier score (r8): the SCALAR summary of the calibration leg
+# (ml_calibration_bins shows the reliability curve; this is the
+# monitored number) — "probability of urgent" read as capped
+# normalized price, scored against the urgent label per status. EXACT,
+# not quantized: with integer-quanta scores the numerator
+# Σ (s − y·s_max)² is a pure integer sum (operators/ml_eval.py
+# brier_score), string-serialized per the netflow_decimal recipe.
+# ---------------------------------------------------------------------------
+_BRIER_SMAX = 300_000_00  # p = min(price, 300k) / 300k, quanta(2)
+
+
+def _brier_oracle() -> str:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        brier_score_sql,
+    )
+
+    return brier_score_sql(
+        _AUC_LABEL_SQL,
+        f"least({quanta_sql('o_totalprice', 2)}, {_BRIER_SMAX})",
+        _BRIER_SMAX,
+        "orders",
+        ["o_orderstatus"],
+    )
+
+
+@query("ml_brier_score", oracle=_brier_oracle())
+def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        brier_score,
+    )
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    out = brier_score(
+        orders,
+        label=F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        score_q=F.least(
+            quanta(F.col("o_totalprice"), 2), F.lit(_BRIER_SMAX)
+        ),
+        s_max=_BRIER_SMAX,
+        keys=["o_orderstatus"],
+    )
+    return out.withColumn("brier_num", F.col("brier_num").cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal rank fusion (r8, Cormack–Clarke–Büttcher SIGIR 2009): the
+# fusion step in FRONT of the ranking evals — combine each user's
+# value-ranked event types (the ml_retrieval_eval/ml_ndcg results
+# list) with their count-ranked list into one ranking via
+# score = Σ 1/(60 + rank). Exact: ranks ≤ 3 make every reciprocal an
+# integer multiple of 1/lcm(61..63) = 1/238266, so the fused score is
+# an exact BIGINT and ties are real ties (operators/ml_eval.py
+# rrf_fuse — the retrieval_eval lcm trick with shifted denominators).
+# ---------------------------------------------------------------------------
+_RRF_K, _RRF_C = 3, 60
+
+
+def _rrf_oracle() -> str:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        rrf_constant,
+    )
+
+    lcm = rrf_constant(_RRF_K, _RRF_C)
+    return f"""
+    WITH ev AS (
+      SELECT user_id, event_type, {quanta_sql('value', 4)} AS vq
+      FROM events
+    ),
+    totals AS (
+      SELECT user_id, event_type, sum(vq) AS tot, count(*) AS cnt
+      FROM ev GROUP BY 1, 2
+    ),
+    r1 AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY tot DESC, event_type) AS rank
+      FROM totals
+    ),
+    r2 AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type) AS rank
+      FROM totals
+    ),
+    stacked AS (
+      SELECT * FROM r1 WHERE rank <= {_RRF_K}
+      UNION ALL
+      SELECT * FROM r2 WHERE rank <= {_RRF_K}
+    ),
+    fused AS (
+      SELECT user_id, event_type,
+             CAST(sum({lcm} // ({_RRF_C} + rank)) AS BIGINT) AS rrf_num
+      FROM stacked GROUP BY 1, 2
+    )
+    SELECT user_id, event_type, rrf_num,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY rrf_num DESC, event_type)
+                AS INT) AS fused_rank
+    FROM fused
+    """
+
+
+@query("ml_rrf_fusion", oracle=_rrf_oracle())
+def ml_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from blockchain_data_engineering_spark.operators.ml_eval import rrf_fuse
+
+    ev = spread(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", quanta(F.col("value"), 4).alias("vq")
+    )
+    totals = ev.groupBy("user_id", "event_type").agg(
+        F.sum("vq").alias("tot"), F.count(F.lit(1)).alias("cnt")
+    )
+    rank_by = lambda col: totals.withColumn(  # noqa: E731
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col(col).desc(), F.col("event_type").asc()
+            )
+        ),
+    )
+    return rrf_fuse(
+        [rank_by("tot"), rank_by("cnt")],
+        query_col="user_id",
+        item_col="event_type",
+        rank_col="rank",
+        k=_RRF_K,
+        c=_RRF_C,
+    )

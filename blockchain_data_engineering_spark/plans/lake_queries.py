@@ -353,3 +353,116 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning audit (r8): the payoff measurement for the layout
+# queries above — the SAME four-predicate workload evaluated against
+# per-file min/max statistics under TWO layouts of the same rows:
+# "linear" (files are x-ranges — what a plain sort-by-one-column
+# write produces) and "zorder" (the 64 Morton-prefix regions). The
+# x-band predicate prunes under both; the y-band predicate prunes
+# ONLY under Z-order (linear files all span the full y domain) — the
+# quantified reason to pay for the Z-order rewrite, from footer
+# stats alone (sources/io.py zonemap_prune_summary; metadata-grain
+# BroadcastNestedLoopJoin of 8 files × 4 literal predicates per
+# layout — never data).
+# ---------------------------------------------------------------------------
+_ZM_PREDS = [
+    ("x_band", 96, 127, 0, 1023),
+    ("y_band", 0, 1023, 192, 223),
+    ("point_box", 512, 543, 512, 543),
+    ("wide_box", 256, 767, 256, 767),
+]
+
+
+@query(
+    "lake_zonemap_pruning",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT ({zorder_sql([_X_SQL, _Y_SQL], _Z_BITS)})
+               >> {2 * _Z_BITS - _Z_PREFIX} AS zfile,
+             ({_X_SQL}) // 16 AS lfile,
+             {_X_SQL} AS x, {_Y_SQL} AS y
+      FROM orders
+    ),
+    stats AS (
+      SELECT 'zorder' AS layout, zfile AS file_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(x) AS x_min, max(x) AS x_max,
+             min(y) AS y_min, max(y) AS y_max
+      FROM keyed GROUP BY zfile
+      UNION ALL
+      SELECT 'linear', lfile, CAST(count(*) AS BIGINT),
+             min(x), max(x), min(y), max(y)
+      FROM keyed GROUP BY lfile
+    ),
+    preds AS (
+      SELECT * FROM (VALUES
+        {', '.join(f"('{p}', {a}, {b}, {c}, {d})" for p, a, b, c, d in _ZM_PREDS)}
+      ) AS t(pred_id, x_lo, x_hi, y_lo, y_hi)
+    ),
+    dec AS (
+      SELECT s.layout, p.pred_id, s.n_rows,
+             CASE WHEN s.x_min <= p.x_hi AND s.x_max >= p.x_lo
+                   AND s.y_min <= p.y_hi AND s.y_max >= p.y_lo
+                  THEN 1 ELSE 0 END AS scan
+      FROM stats s CROSS JOIN preds p
+    )
+    SELECT layout, pred_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(scan) AS BIGINT) AS files_scanned,
+           CAST(sum(scan * n_rows) AS BIGINT) AS rows_scanned
+    FROM dec GROUP BY 1, 2
+    """,
+)
+def lake_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.sources.io import (
+        zonemap_prune_summary,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 1024).alias("x")
+    y = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.to_date(F.lit("1992-01-01")),
+        )
+        % 1024
+    ).alias("y")
+    pts = orders.select(x, y).select(
+        F.shiftright(
+            zorder_key(["x", "y"], bits=_Z_BITS), 2 * _Z_BITS - _Z_PREFIX
+        ).alias("zfile"),
+        F.floor(F.col("x") / 16).cast("long").alias("lfile"),
+        "x",
+        "y",
+    )
+    agg = lambda df, fid, layout: (  # noqa: E731
+        df.groupBy(F.col(fid).alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        .withColumn("layout", F.lit(layout))
+    )
+    stats = agg(pts, "zfile", "zorder").unionByName(
+        agg(pts, "lfile", "linear")
+    )
+    preds = spark.createDataFrame(
+        _ZM_PREDS, "pred_id string, x_lo long, x_hi long, y_lo long, y_hi long"
+    )
+    return zonemap_prune_summary(
+        stats,
+        preds,
+        dims=[
+            ("x_min", "x_max", "x_lo", "x_hi"),
+            ("y_min", "y_max", "y_lo", "y_hi"),
+        ],
+        pred_keys=["pred_id"],
+        rows_col="n_rows",
+        group_cols=["layout"],
+    )

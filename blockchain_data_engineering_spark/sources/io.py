@@ -1293,3 +1293,62 @@ def compaction_plan(
             ~big, F.floor(cum_before / F.lit(int(target_bytes)))
         ).cast("long").alias("bin"),
     )
+
+
+def zonemap_scan_decisions(
+    file_stats: DataFrame,
+    predicates: DataFrame,
+    dims: Sequence[tuple[str, str, str, str]],
+) -> DataFrame:
+    """Zone-map (min/max statistics) pruning PLANNING: for every
+    (predicate, file) pair, decide whether the file's per-column
+    min/max ranges force a scan — the data-skipping decision every
+    parquet/Delta/Iceberg reader makes from footer stats, exposed as
+    an engine-checkable operator so LAYOUTS can be evaluated ("how
+    many files does this workload touch under linear sort vs Z-order")
+    before rewriting 100 TB.
+
+    ``dims`` is a list of ``(min_col, max_col, lo_col, hi_col)``: the
+    first two name the file-stats columns, the last two the
+    predicate's closed range on that dimension. A file must be scanned
+    iff EVERY dimension overlaps: ``min ≤ hi AND max ≥ lo`` (NULL
+    stats — an all-NULL chunk — conservatively scan, the reader rule).
+    Pure integer/comparison logic — engine-identical.
+
+    Scale shape: the predicate set BROADCASTS onto the file listing
+    (a BroadcastNestedLoopJoin over |files|·|preds| METADATA-grain
+    pairs — millions of files × a dashboard's worth of predicates,
+    never data). Returns every file-stats column plus the predicate
+    columns and ``must_scan`` (boolean)."""
+    cond = None
+    for mn, mx, lo, hi in dims:
+        ov = (F.col(mn) <= F.col(hi)) & (F.col(mx) >= F.col(lo))
+        ov = ov | F.col(mn).isNull() | F.col(mx).isNull()
+        cond = ov if cond is None else (cond & ov)
+    return file_stats.crossJoin(F.broadcast(predicates)).withColumn(
+        "must_scan", cond
+    )
+
+
+def zonemap_prune_summary(
+    file_stats: DataFrame,
+    predicates: DataFrame,
+    dims: Sequence[tuple[str, str, str, str]],
+    pred_keys: Sequence[str],
+    rows_col: str = "n_rows",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-predicate pruning effectiveness over a file layout: from
+    :func:`zonemap_scan_decisions`, one aggregate per
+    (``group_cols``, ``pred_keys``) — ``n_files``, ``files_scanned``,
+    ``rows_scanned`` (the I/O the layout fails to skip). Compare two
+    layouts' summaries on the same workload to quantify what a
+    Z-order/sort rewrite buys (plans/lake_queries.py
+    lake_zonemap_pruning gates exactly that comparison)."""
+    dec = zonemap_scan_decisions(file_stats, predicates, dims)
+    scan = F.when(F.col("must_scan"), 1).otherwise(0)
+    return dec.groupBy(*group_cols, *pred_keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(scan).cast("long").alias("files_scanned"),
+        F.sum(scan * F.col(rows_col)).cast("long").alias("rows_scanned"),
+    )

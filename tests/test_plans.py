@@ -99,7 +99,12 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
                     "join_bloom_prefilter",
                     # r7: two 1-row grand aggregates (n_queries ×
                     # hit/mrr numerators) composed into the eval row
-                    "ml_retrieval_eval"}
+                    "ml_retrieval_eval",
+                    # r8: the literal 4-row predicate workload
+                    # broadcast onto the 128-row file-stats listing —
+                    # metadata grain by construction (zone-map pruning
+                    # is footer-stats arithmetic, never data)
+                    "lake_zonemap_pruning"}
     for name in sorted(QUERIES):
         plan = _plan(spark, sf_dir, name)
         if name not in allowed_python:
@@ -691,6 +696,53 @@ def test_pr_curve_window_runs_over_distinct_score_grain(spark, sf_dir):
     aggs_below = [m.start() for m in re.finditer(r"\(\d+\) HashAggregate", plan)]
     assert any(pos > win for pos in aggs_below), plan
     assert "CartesianProduct" not in plan
+
+
+def test_average_precision_window_runs_over_distinct_score_grain(
+    spark, sf_dir
+):
+    """The AP scalar shares the PR sweep's scale contract: the
+    cumulative tp/fp window consumes the (status, score) AGGREGATE —
+    HashAggregate below the Window — and collapses to group grain
+    without ever sorting the facts."""
+    import re
+
+    plan = _plan(spark, sf_dir, "ml_average_precision")
+    win = plan.find("Window")
+    assert win != -1, plan
+    aggs_below = [m.start() for m in re.finditer(r"\(\d+\) HashAggregate", plan)]
+    assert any(pos > win for pos in aggs_below), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ndcg_ideal_rank_is_group_limited(spark, sf_dir):
+    """ml_ndcg's ideal-DCG ranking must push a WindowGroupLimit (top-k
+    grades per query survive per partition before the exchange), and
+    the whole query must stay UDF-free."""
+    plan = _plan(spark, sf_dir, "ml_ndcg")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_macro_f1_runs_at_cell_grain_no_window(spark, sf_dir):
+    """multiclass_macro_f1 must collapse the facts in ONE (actual,
+    predicted) cell aggregate and do everything after at class grain —
+    no window over the facts, no cartesian."""
+    plan = _plan(spark, sf_dir, "ml_macro_f1")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_brier_is_one_hash_aggregate(spark, sf_dir):
+    """The Brier score is ONE map-side-combinable hash aggregate over
+    orders: a single aggregate exchange, no window, no join."""
+    import re
+
+    plan = _plan(spark, sf_dir, "ml_brier_score")
+    assert "Window" not in plan, plan
+    # exactly one ENSURE_REQUIREMENTS (aggregate) shuffle — the other
+    # Exchange is the test catalog's round-robin spread() of the scan
+    assert len(re.findall(r"hashpartitioning", plan)) == 1, plan
 
 
 def test_tfidf_single_explode_and_df_from_tf(spark, sf_dir):
