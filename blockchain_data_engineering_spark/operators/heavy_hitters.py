@@ -207,7 +207,14 @@ def heavy_hitters_combine(
     inputs pass through with d = 0 from the missing ones; a group whose
     counters all cancel keeps its row (empty array) so its error bound
     survives further merges. All ops run at state grain
-    (|groups|·k·n_states rows), never the facts."""
+    (|groups|·k·n_states rows), never the facts — PROVIDED the input
+    states are materialized (read from a store, persisted, or
+    checkpointed): this function references ``states`` twice (scalar
+    sums + counter explode), so states still carrying their build
+    lineage re-run the build per reference (plans/analytics_queries.py
+    agg_heavy_hitters_merged persists its in-plan halves for exactly
+    this reason; the streaming store reads parquet and needs
+    nothing)."""
     keyed = list(keys)
     empty = F.array().cast("array<struct<item:string,c:bigint>>")
     scalars = states.groupBy(*keyed).agg(
@@ -279,6 +286,34 @@ def heavy_hitters_estimate(
         F.col(f"__s.{_C}").alias("count_lo"),
         (F.col(f"__s.{_C}") + F.col("err")).cast("long").alias("count_hi"),
         "n_total",
+    )
+
+
+def heavy_hitters_above(
+    state: DataFrame,
+    phi_num: int,
+    phi_den: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """φ-heavy-hitter scan from a state (φ = phi_num/phi_den as a
+    RATIONAL so the threshold comparison stays exact integer
+    arithmetic — ``count·den > num·n_total``, no float φ·n): estimator
+    rows with ``count_hi > φ·n_total``, flagged ``guaranteed`` when
+    even ``count_lo`` clears the bar. COMPLETE whenever φ ≥ 1/(k+1):
+    every item with true frequency > φ·n_total appears (its f > err,
+    so it cannot have been cancelled — module guarantee), and every
+    ``guaranteed`` row is a true φ-heavy hitter; rows in between are
+    candidates a second exact pass over just those keys can settle.
+    Comparisons run in DECIMAL(38,0) so count·den never wraps."""
+    est = heavy_hitters_estimate(state, keys)
+    num = F.lit(int(phi_num)).cast("decimal(38,0)")
+    den = F.lit(int(phi_den)).cast("decimal(38,0)")
+    bar = num * F.col("n_total").cast("decimal(38,0)")
+    return est.where(
+        F.col("count_hi").cast("decimal(38,0)") * den > bar
+    ).withColumn(
+        "guaranteed",
+        F.col("count_lo").cast("decimal(38,0)") * den > bar,
     )
 
 

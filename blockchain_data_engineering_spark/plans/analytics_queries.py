@@ -2126,6 +2126,7 @@ def _hhm_d_sql(parity: int) -> str:
     """,
 )
 def agg_heavy_hitters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.cache import finalize
     from blockchain_data_engineering_spark.operators.heavy_hitters import (
         heavy_hitters_estimate,
         heavy_hitters_merge,
@@ -2141,11 +2142,19 @@ def agg_heavy_hitters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("text"), " ")).alias("w"),
     )
     keys = ["lang"]
+    # persisted: the merge reads each half state twice (scalar sums +
+    # counter explode) and the estimate once more — uncached, the
+    # multiplicative re-reference re-ran the corpus explode 36 times
+    # (plan-measured); cached, the halves materialize once at STATE
+    # grain (|langs| rows) and everything downstream reads rows, not
+    # lineage. finalize() severs the result and releases both within
+    # the call (the repo cache-lifetime contract).
     half = lambda p: heavy_hitters_state(  # noqa: E731
         base.where(F.col("doc_id") % 2 == p), "w", _HHM_K, keys=keys
-    )
-    merged = heavy_hitters_merge(half(0), half(1), _HHM_K, keys=keys)
-    return heavy_hitters_estimate(merged, keys=keys)
+    ).persist()
+    h0, h1 = half(0), half(1)
+    merged = heavy_hitters_merge(h0, h1, _HHM_K, keys=keys)
+    return finalize(heavy_hitters_estimate(merged, keys=keys), h0, h1)
 
 
 # ---------------------------------------------------------------------------

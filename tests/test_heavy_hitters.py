@@ -201,3 +201,30 @@ def test_keyed_plan_window_group_limit(spark):
     assert plan.count("WindowGroupLimit") >= 2, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_phi_scan_complete_and_sound(spark):
+    """heavy_hitters_above at φ = 1/10 with k = 16 (φ > 1/(k+1), so
+    the scan is complete): every item with f > n/10 appears, every
+    `guaranteed` row truly clears the bar, and nothing with
+    count_hi ≤ φ·n leaks in."""
+    from collections import Counter
+
+    from blockchain_data_engineering_spark.operators.heavy_hitters import (
+        heavy_hitters_above,
+        heavy_hitters_state,
+    )
+
+    df = _zipf(spark, 10_000)
+    freqs = Counter(r["it"] for r in df.collect())
+    n = 10_000
+    state = heavy_hitters_state(df, "it", k=16)
+    rows = heavy_hitters_above(state, 1, 10).collect()
+    got = {r["item"]: r for r in rows}
+    for it, f in freqs.items():
+        if f * 10 > n:
+            assert it in got, (it, f)
+    for it, r in got.items():
+        assert r["count_hi"] * 10 > n
+        if r["guaranteed"]:
+            assert freqs[it] * 10 > n, (it, freqs[it])
