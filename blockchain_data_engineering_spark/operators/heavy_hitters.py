@@ -305,6 +305,10 @@ def heavy_hitters_above(
     ``guaranteed`` row is a true φ-heavy hitter; rows in between are
     candidates a second exact pass over just those keys can settle.
     Comparisons run in DECIMAL(38,0) so count·den never wraps."""
+    if phi_den <= 0 or phi_num < 0:
+        raise ValueError(
+            f"phi must be a non-negative rational: got {phi_num}/{phi_den}"
+        )
     est = heavy_hitters_estimate(state, keys)
     num = F.lit(int(phi_num)).cast("decimal(38,0)")
     den = F.lit(int(phi_den)).cast("decimal(38,0)")

@@ -335,12 +335,17 @@ def average_precision(
     term = F.expr(
         f"(CAST(np AS DECIMAL(38,0)) * tp * {_AP_SCALE}) div (tp + fp)"
     )
+    # coalesce: a GLOBAL (keys=()) aggregate over an empty/filtered-out
+    # input still emits one row — its counts are 0, never NULL (the
+    # repo empty-input convention, retrieval_eval)
     totals = counted.select(
         *keyed, term.alias("__t"), F.col("np").alias("__np")
     ).groupBy(*keyed).agg(
-        F.sum("__np").cast("long").alias("n_pos"),
+        F.coalesce(F.sum("__np"), F.lit(0)).cast("long").alias("n_pos"),
         F.count(F.lit(1)).cast("long").alias("n_thresholds"),
-        F.sum("__t").cast("decimal(38,0)").alias("ap_num"),
+        F.coalesce(F.sum("__t"), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("ap_num"),
     )
     den = (
         F.col("n_pos").cast("decimal(38,0)") * F.lit(_AP_SCALE)
@@ -470,8 +475,13 @@ def ndcg_at_k(
         F.col(item_col).alias("__i"),
         F.col(rel_col).cast("long").alias("__rel"),
     )
-    # per-query DCG over the ≤ k hits (missing ranks contribute 0)
-    hits = results.where(F.col(rank_col) <= k).join(
+    # per-query DCG over the ≤ k hits (missing ranks contribute 0).
+    # rank ≥ 1 is part of the filter, not just the contract: rank 0
+    # would crash element_at and a negative rank would silently index
+    # the discount table from the END
+    hits = results.where(
+        (F.col(rank_col) >= 1) & (F.col(rank_col) <= k)
+    ).join(
         graded,
         (F.col(query_col) == F.col("__q"))
         & (F.col(item_col) == F.col("__i")),
@@ -572,7 +582,12 @@ def retrieval_eval(
             "overflows BIGINT"
         )
     lcm = math.lcm(*range(1, k + 1))
-    hits = results.where(F.col(rank_col) <= k).join(
+    # rank ≥ 1 in the filter (not just the contract): a 0/negative
+    # rank would turn the exact `lcm div first` into a NULL or a
+    # sign-flipped contribution
+    hits = results.where(
+        (F.col(rank_col) >= 1) & (F.col(rank_col) <= k)
+    ).join(
         truth.select(
             F.col(query_col).alias("__q"), F.col(item_col).alias("__i")
         ),
@@ -675,16 +690,20 @@ def multiclass_macro_f1(
         f"(CAST(2 AS DECIMAL(38,0)) * tp * {_AP_SCALE})"
         " div (support + pred_total)"
     )
+    # coalesce: the GLOBAL empty-input row carries 0s, never NULLs
+    # (the repo empty-input convention)
     totals = per_class.select(
         *keyed,
         F.col("support"),
         F.col("tp"),
         f1q.alias("__f1q"),
     ).groupBy(*keyed).agg(
-        F.sum("support").cast("long").alias("n"),
+        F.coalesce(F.sum("support"), F.lit(0)).cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("n_classes"),
-        F.sum("tp").cast("long").alias("__tp_sum"),
-        F.sum("__f1q").cast("decimal(38,0)").alias("macro_f1_num"),
+        F.coalesce(F.sum("tp"), F.lit(0)).cast("long").alias("__tp_sum"),
+        F.coalesce(F.sum("__f1q"), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("macro_f1_num"),
     )
     den = (
         F.col("n_classes").cast("decimal(38,0)") * F.lit(_AP_SCALE)
@@ -693,11 +712,15 @@ def multiclass_macro_f1(
         *keyed,
         "n",
         "n_classes",
-        (F.col("__tp_sum").cast("double") / F.col("n").cast("double"))
-        .alias("accuracy"),
+        F.when(
+            F.col("n") > 0,
+            F.col("__tp_sum").cast("double") / F.col("n").cast("double"),
+        ).alias("accuracy"),
         "macro_f1_num",
-        (F.col("macro_f1_num").cast("double") / den.cast("double"))
-        .alias("macro_f1"),
+        F.when(
+            F.col("n_classes") > 0,
+            F.col("macro_f1_num").cast("double") / den.cast("double"),
+        ).alias("macro_f1"),
     )
 
 
@@ -908,8 +931,10 @@ def rrf_fuse(
     for other in results_list[1:]:
         stacked = stacked.unionByName(other.select(*cols))
     contrib = F.expr(f"{int(lcm)}L div ({int(c)}L + {rank_col})")
+    # rank ≥ 1 in the filter: a rank ≤ −c row would otherwise divide
+    # by zero or flip the contribution's sign
     fused = (
-        stacked.where(F.col(rank_col) <= k)
+        stacked.where((F.col(rank_col) >= 1) & (F.col(rank_col) <= k))
         .select(query_col, item_col, contrib.alias("__c"))
         .groupBy(query_col, item_col)
         .agg(F.sum("__c").cast("long").alias("rrf_num"))

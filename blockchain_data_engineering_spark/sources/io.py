@@ -1320,6 +1320,8 @@ def zonemap_scan_decisions(
     pairs — millions of files × a dashboard's worth of predicates,
     never data). Returns every file-stats column plus the predicate
     columns and ``must_scan`` (boolean)."""
+    if not dims:
+        raise ValueError("zonemap_scan_decisions needs at least one dim")
     cond = None
     for mn, mx, lo, hi in dims:
         ov = (F.col(mn) <= F.col(hi)) & (F.col(mx) >= F.col(lo))

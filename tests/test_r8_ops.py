@@ -307,3 +307,63 @@ def test_zonemap_pruning_decisions_and_summary(spark):
     assert summ["px"] == (4, 3, 10 + 30 + 40)
     assert summ["pxy"] == (4, 2, 10 + 40)
     assert summ["pnone"] == (4, 0, 0)
+
+
+def test_rank_validity_filters_and_empty_conventions(spark):
+    """Hardened edges: rank 0 / negative rows are FILTERED (not a
+    crash in NDCG's element_at, not a sign-flip in RRF/MRR); the
+    global empty-input aggregates carry 0s and NULL rates, never
+    NULLed counts or NaN."""
+    import pytest
+
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        average_precision,
+        multiclass_macro_f1,
+        ndcg_at_k,
+        retrieval_eval,
+        rrf_fuse,
+    )
+
+    bad_ranks = spark.createDataFrame(
+        [("q", "a", 0), ("q", "b", -61), ("q", "c", 1)],
+        "qid string, item string, rank long",
+    )
+    truth = spark.createDataFrame(
+        [("q", "a", 2), ("q", "c", 1)], "qid string, item string, rel long"
+    )
+    [n] = ndcg_at_k(bad_ranks, truth, k=3).collect()
+    assert n["n_queries"] == 1 and n["ndcg"] is not None  # no crash
+    fused = {
+        r["item"] for r in rrf_fuse([bad_ranks], k=3, c=60).collect()
+    }
+    assert fused == {"c"}  # rank-0/negative rows ignored
+    [rv] = retrieval_eval(
+        bad_ranks, truth.select("qid", "item"), k=3
+    ).collect()
+    assert rv["mrr_num"] == 6  # only the rank-1 hit counts
+
+    empty = spark.createDataFrame([], "s long, y boolean")
+    [a] = average_precision(empty, F.col("y"), F.col("s")).collect()
+    assert (a["n_pos"], a["n_thresholds"], int(a["ap_num"])) == (0, 0, 0)
+    assert a["ap"] is None
+
+    empty2 = spark.createDataFrame([], "y string, p string")
+    [m] = multiclass_macro_f1(empty2, F.col("y"), F.col("p")).collect()
+    assert (m["n"], m["n_classes"], int(m["macro_f1_num"])) == (0, 0, 0)
+    assert m["accuracy"] is None and m["macro_f1"] is None
+
+    from blockchain_data_engineering_spark.operators.heavy_hitters import (
+        heavy_hitters_above,
+        heavy_hitters_state,
+    )
+    from blockchain_data_engineering_spark.sources.io import (
+        zonemap_scan_decisions,
+    )
+
+    st = heavy_hitters_state(
+        spark.createDataFrame([("a",)], "it string"), "it", 2
+    )
+    with pytest.raises(ValueError):
+        heavy_hitters_above(st, 1, 0)
+    with pytest.raises(ValueError):
+        zonemap_scan_decisions(st, st, [])
