@@ -1,5 +1,7 @@
-"""Model-evaluation aggregates: exact AUC-ROC and confusion-matrix
-metrics, distributed.
+"""Model-evaluation aggregates, distributed: the classification suite
+(exact AUC-ROC, PR curve + average precision, confusion matrices +
+macro-F1, calibration's Brier score) and the ranking suite
+(hit-rate@k + MRR, NDCG@k, reciprocal rank fusion).
 
 A training-data pipeline that learns filters (the quality classifier,
 dedup verifiers, contamination flags) needs to EVALUATE them at the
@@ -37,6 +39,16 @@ Scale shape:
   no plot needs more operating points than score buckets.
   ``average_precision`` collapses the same sweep to its scalar summary
   without materializing the curve.
+- The scalar summaries whose exact terms are rationals with VARYING
+  denominators — ``average_precision`` (per-threshold precision),
+  ``multiclass_macro_f1`` (per-class F1), ``ndcg_at_k`` (per-query
+  dcg/idcg) — floor-quantize each term to an exact integer and
+  integer-sum (order-free, engine-identical, floor error bounded and
+  documented per operator). ``brier_score`` needs no quantization at
+  all: its numerator Σ (s − y·s_max)² is already a pure integer sum.
+  ``retrieval_eval`` (MRR) and ``rrf_fuse`` have BOUNDED denominators
+  (ranks ≤ k), so their reciprocal sums run exactly via lcm
+  numerators with zero error.
 
 NULL convention (r6 ADVICE): rows with a NULL label or NULL score are
 EXCLUDED at entry by ``auc_exact`` and ``pr_curve`` — a NULL score has
