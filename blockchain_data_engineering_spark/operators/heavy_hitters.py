@@ -72,11 +72,17 @@ _ITEM = "item"
 _C = "c"
 
 
-def _item_tiebreak(col: Column) -> Column:
-    """60-bit md5 rank tiebreak of an item string — the deterministic
-    order idiom shared with quantiles.row_priority. DuckDB twin:
+def _item_tiebreak() -> Column:
+    """60-bit md5 rank tiebreak of the ``item`` column — LITERALLY
+    quantiles.row_priority over the one column (concat_ws over a
+    single non-NULL column is the identity), so the two deterministic
+    tiebreak hashes can never drift apart. DuckDB twin:
     ``CAST('0x' || substr(md5(item), 1, 15) AS BIGINT)``."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    from blockchain_data_engineering_spark.operators.quantiles import (
+        row_priority,
+    )
+
+    return row_priority((_ITEM,))
 
 
 def _counters_struct() -> Column:
@@ -98,7 +104,7 @@ def _offset_and_pack(
     partition before the exchange."""
     order = [
         F.col("cnt").desc(),
-        _item_tiebreak(F.col(_ITEM)),
+        _item_tiebreak(),
         F.col(_ITEM),
     ]
     w = Window.partitionBy(*keyed).orderBy(*order)
@@ -179,10 +185,13 @@ def heavy_hitters_state(
         out = packed.join(totals, keyed)
     else:
         out = packed.crossJoin(F.broadcast(totals))  # two 1-row frames
+    # coalesce: the GLOBAL build over an empty (or all-NULL-item)
+    # input still emits one state row — its counts are 0, never NULL
+    # (the documented state contract; keyed groups simply vanish)
     return out.select(
         *keyed,
-        "n_total",
-        F.col("__d").alias("err"),
+        F.coalesce(F.col("n_total"), F.lit(0)).cast("long").alias("n_total"),
+        F.coalesce(F.col("__d"), F.lit(0)).cast("long").alias("err"),
         "counters",
     )
 

@@ -408,10 +408,13 @@ def average_precision_sql(
       FROM per_score
     ),
     totals AS (
+      -- coalesce: the GLOBAL aggregate over an empty/filtered-out
+      -- input emits 0s, never NULLs (matches the Spark twin)
       SELECT {kpre}
-             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pos,
              CAST(count(*) AS BIGINT) AS n_thresholds,
-             sum((CAST(np AS HUGEINT) * tp * {_AP_SCALE}) // (tp + fp))
+             coalesce(sum((CAST(np AS HUGEINT) * tp * {_AP_SCALE})
+                          // (tp + fp)), 0)
                AS ap_num
       FROM swept {grp}
     )
@@ -777,20 +780,25 @@ def multiclass_macro_f1_sql(
       FROM by_actual ba LEFT JOIN by_pred bp ON {on}
     ),
     totals AS (
+      -- coalesce: the GLOBAL aggregate over an empty/filtered-out
+      -- input emits 0s, never NULLs (matches the Spark twin)
       SELECT {kpre}
-             CAST(sum(support) AS BIGINT) AS n,
+             CAST(coalesce(sum(support), 0) AS BIGINT) AS n,
              CAST(count(*) AS BIGINT) AS n_classes,
-             CAST(sum(tp) AS BIGINT) AS tp_sum,
-             sum((2 * CAST(tp AS HUGEINT) * {_AP_SCALE})
-                 // (support + pred_total)) AS macro_f1_num
+             CAST(coalesce(sum(tp), 0) AS BIGINT) AS tp_sum,
+             coalesce(sum((2 * CAST(tp AS HUGEINT) * {_AP_SCALE})
+                 // (support + pred_total)), 0) AS macro_f1_num
       FROM per_class {grp}
     )
     SELECT {kpre}n, n_classes,
-           CAST(tp_sum AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+           CASE WHEN n > 0
+                THEN CAST(tp_sum AS DOUBLE) / CAST(n AS DOUBLE)
+           END AS accuracy,
            CAST(macro_f1_num AS VARCHAR) AS macro_f1_num,
-           CAST(macro_f1_num AS DOUBLE)
-             / CAST(CAST(n_classes AS HUGEINT) * {_AP_SCALE} AS DOUBLE)
-             AS macro_f1
+           CASE WHEN n_classes > 0 THEN
+             CAST(macro_f1_num AS DOUBLE)
+               / CAST(CAST(n_classes AS HUGEINT) * {_AP_SCALE} AS DOUBLE)
+           END AS macro_f1
     FROM totals
     """
 
@@ -931,6 +939,10 @@ def rrf_fuse(
         raise ValueError("rrf_fuse needs at least one rankings frame")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if c < 0:
+        # c = -1 would put 0 in the lcm range (lcm = 0, every
+        # contribution 0); more negative c divides by zero at rank = -c
+        raise ValueError(f"c must be >= 0, got {c}")
     lcm = rrf_constant(k, c)
     if len(results_list) * (lcm // (c + 1)) >= 2**63:
         raise ValueError(

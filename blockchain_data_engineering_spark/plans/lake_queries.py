@@ -365,8 +365,8 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ONLY under Z-order (linear files all span the full y domain) — the
 # quantified reason to pay for the Z-order rewrite, from footer
 # stats alone (sources/io.py zonemap_prune_summary; metadata-grain
-# BroadcastNestedLoopJoin of 8 files × 4 literal predicates per
-# layout — never data).
+# BroadcastNestedLoopJoin of ≤ 64 files × 4 literal predicates per
+# layout — 512 pairs total, never data).
 # ---------------------------------------------------------------------------
 _ZM_PREDS = [
     ("x_band", 96, 127, 0, 1023),

@@ -1311,9 +1311,13 @@ def zonemap_scan_decisions(
     ``dims`` is a list of ``(min_col, max_col, lo_col, hi_col)``: the
     first two name the file-stats columns, the last two the
     predicate's closed range on that dimension. A file must be scanned
-    iff EVERY dimension overlaps: ``min ≤ hi AND max ≥ lo`` (NULL
-    stats — an all-NULL chunk — conservatively scan, the reader rule).
-    Pure integer/comparison logic — engine-identical.
+    iff EVERY dimension overlaps: ``min ≤ hi AND max ≥ lo``. NULLs
+    resolve toward SCANNING, never skipping — NULL stats (an all-NULL
+    chunk) satisfy the dimension, and a NULL predicate bound means
+    unbounded on that side (``hi = NULL`` ⇒ no upper limit), so
+    ``must_scan`` is always a real boolean and a data-skipping audit
+    can never claim pruning it isn't entitled to. Pure
+    integer/comparison logic — engine-identical.
 
     Scale shape: the predicate set BROADCASTS onto the file listing
     (a BroadcastNestedLoopJoin over |files|·|preds| METADATA-grain
@@ -1324,8 +1328,13 @@ def zonemap_scan_decisions(
         raise ValueError("zonemap_scan_decisions needs at least one dim")
     cond = None
     for mn, mx, lo, hi in dims:
-        ov = (F.col(mn) <= F.col(hi)) & (F.col(mx) >= F.col(lo))
-        ov = ov | F.col(mn).isNull() | F.col(mx).isNull()
+        below = (F.col(mn) <= F.col(hi)) | F.col(hi).isNull()
+        above = (F.col(mx) >= F.col(lo)) | F.col(lo).isNull()
+        ov = (
+            (below & above)
+            | F.col(mn).isNull()
+            | F.col(mx).isNull()
+        )
         cond = ov if cond is None else (cond & ov)
     return file_stats.crossJoin(F.broadcast(predicates)).withColumn(
         "must_scan", cond

@@ -367,3 +367,71 @@ def test_rank_validity_filters_and_empty_conventions(spark):
         heavy_hitters_above(st, 1, 0)
     with pytest.raises(ValueError):
         zonemap_scan_decisions(st, st, [])
+
+
+def test_review_fixes_sql_twins_and_null_bounds(spark, duck):
+    """Post-review hardening: (1) the AP / macro-F1 SQL twins match
+    the Spark empty-input convention (0s, not NULLs) on a fully
+    filtered table; (2) a NULL zone-map predicate bound means
+    UNBOUNDED (scan side), never a NULL must_scan that reads as
+    pruned; (3) rrf_fuse rejects negative c; (4) the global
+    heavy-hitter state over an empty input carries 0s."""
+    import pytest
+
+    from blockchain_data_engineering_spark.operators.heavy_hitters import (
+        heavy_hitters_state,
+    )
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        average_precision_sql,
+        multiclass_macro_f1_sql,
+        rrf_fuse,
+    )
+    from blockchain_data_engineering_spark.sources.io import (
+        zonemap_prune_summary,
+    )
+
+    duck.execute("CREATE OR REPLACE TEMP TABLE t8(y BOOLEAN, s BIGINT)")
+    [row] = duck.execute(
+        average_precision_sql("y", "s", "t8")
+    ).fetchall()
+    assert row[0] == 0 and row[1] == 0 and row[2] == "0" and row[3] is None
+    duck.execute(
+        "CREATE OR REPLACE TEMP TABLE t9(a VARCHAR, p VARCHAR)"
+    )
+    [m] = duck.execute(multiclass_macro_f1_sql("a", "p", "t9")).fetchall()
+    assert m[0] == 0 and m[1] == 0 and m[2] is None and m[3] == "0"
+    assert m[4] is None
+
+    stats = spark.createDataFrame(
+        [("f1", 5, 0, 9, 0, 9)],
+        "file string, n_rows long, x_min long, x_max long, "
+        "y_min long, y_max long",
+    )
+    preds = spark.createDataFrame(
+        [("open_hi", 5, None, 0, 9), ("open_lo", None, 3, 0, 9),
+         ("miss", 50, None, 0, 9)],
+        "pred_id string, x_lo long, x_hi long, y_lo long, y_hi long",
+    )
+    dims = [
+        ("x_min", "x_max", "x_lo", "x_hi"),
+        ("y_min", "y_max", "y_lo", "y_hi"),
+    ]
+    summ = {
+        r["pred_id"]: (r["files_scanned"], r["rows_scanned"])
+        for r in zonemap_prune_summary(
+            stats, preds, dims, pred_keys=["pred_id"]
+        ).collect()
+    }
+    assert summ["open_hi"] == (1, 5)  # x >= 5, unbounded above
+    assert summ["open_lo"] == (1, 5)  # x <= 3, unbounded below
+    assert summ["miss"] == (0, 0)  # x >= 50 misses [0, 9]
+
+    la = spark.createDataFrame(
+        [("q", "a", 1)], "qid string, item string, rank long"
+    )
+    with pytest.raises(ValueError):
+        rrf_fuse([la], k=3, c=-1)
+
+    empty = spark.createDataFrame([], "it string")
+    [st] = heavy_hitters_state(empty, "it", 4).collect()
+    assert st["n_total"] == 0 and st["err"] == 0 and st["counters"] == []
