@@ -21,6 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 RESULT_COLS = ("check_name", "n_rows", "n_pass", "n_fail")
 
@@ -268,3 +269,149 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "column string, old_type string, new_type string, status string"
     )
+
+
+def distribution_drift_tvd(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Categorical distribution drift per ``keys`` group between a
+    REFERENCE snapshot and a CURRENT one, as total variation distance
+    — ``TVD = ½ Σ_c |p_ref(c) − p_cur(c)|`` over the union of
+    categories: the DQ check that catches an upstream source silently
+    changing its mix (a language's share collapsing, an event type
+    vanishing) where :func:`schema_drift` only catches shape changes.
+    TVD is chosen over χ²/PSI deliberately: it is the only one of the
+    three whose terms stay EXACT rationals (χ² squares cross-products
+    past DECIMAL(38,0) at ~10^9 rows per side; PSI needs an engine
+    ``log``), it is bounded in [0, 1], and it has the operational
+    reading "the largest possible disagreement in the share of any
+    category set".
+
+    Exactness — EXACT: clearing denominators,
+    ``TVD = Σ_c |r_c·n_cur − c_c·n_ref| / (2·n_ref·n_cur)`` — the
+    numerator is an integer sum in DECIMAL(38,0) (each term
+    ≤ n_ref·n_cur ≤ 10^20), one final IEEE division. ``tvd`` is NULL
+    when either side of the group is empty (drift from/to nothing is
+    undefined, not 0 and not 1 — surface it, don't score it). NULL
+    categories are EXCLUDED (the module's row-level checks make NULL
+    visible; here a NULL is no category — ``coalesce`` to a sentinel
+    first if NULL's share should be tracked).
+
+    Scale shape: one map-side-combinable count per side at
+    (keys, category) grain, one full-outer category join, ONE window
+    per side for the group totals (category grain — bounded for
+    categorical columns, the operator's contract), one final
+    aggregate. Returns ``n_ref``, ``n_cur``, ``n_categories`` (union
+    grain), ``tvd_num`` (DECIMAL(38,0) — serialize as string in gate
+    queries) and ``tvd``."""
+    keyed = list(keys)
+    count_side = lambda df, out: (  # noqa: E731
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keyed, F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias(out))
+    )
+    cats = count_side(ref, "__r").join(
+        count_side(cur, "__c"), keyed + ["__v"], "full"
+    ).select(
+        *keyed,
+        F.coalesce(F.col("__r"), F.lit(0)).cast("long").alias("__r"),
+        F.coalesce(F.col("__c"), F.lit(0)).cast("long").alias("__c"),
+    )
+    w = Window.partitionBy(*keyed)
+    withtot = cats.select(
+        *keyed,
+        "__r",
+        "__c",
+        F.sum("__r").over(w).cast("long").alias("__nr"),
+        F.sum("__c").over(w).cast("long").alias("__nc"),
+    )
+    term = F.abs(
+        F.col("__r").cast("decimal(38,0)") * F.col("__nc")
+        - F.col("__c").cast("decimal(38,0)") * F.col("__nr")
+    )
+    agg = withtot.groupBy(*keyed).agg(
+        F.any_value(F.col("__nr")).cast("long").alias("n_ref"),
+        F.any_value(F.col("__nc")).cast("long").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.coalesce(F.sum(term), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("tvd_num"),
+    )
+    den = (
+        F.lit(2).cast("decimal(38,0)")
+        * F.col("n_ref").cast("decimal(38,0)")
+        * F.col("n_cur")
+    ).cast("decimal(38,0)")
+    return agg.select(
+        *keyed,
+        "n_ref",
+        "n_cur",
+        "n_categories",
+        "tvd_num",
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.col("tvd_num").cast("double") / den.cast("double"),
+        ).alias("tvd"),
+    )
+
+
+def distribution_drift_tvd_sql(
+    value_sql: str,
+    ref_table_sql: str,
+    cur_table_sql: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`distribution_drift_tvd` — same category
+    grain, same exact integer numerator; ``tvd_num`` serializes as
+    VARCHAR. ``ref_table_sql``/``cur_table_sql`` are FROM-able
+    fragments (a table name or a parenthesized subquery)."""
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    part = f"PARTITION BY {kcols}" if keyed else "PARTITION BY 1"
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_v = f"{kcols}, v" if keyed else "v"
+    using = f"USING ({kpre}v)" if keyed else "USING (v)"
+    return f"""
+    WITH ref_counts AS (
+      SELECT {kpre}{value_sql} AS v, CAST(count(*) AS BIGINT) AS r
+      FROM {ref_table_sql}
+      WHERE ({value_sql}) IS NOT NULL
+      GROUP BY {kgrp_v}
+    ),
+    cur_counts AS (
+      SELECT {kpre}{value_sql} AS v, CAST(count(*) AS BIGINT) AS c
+      FROM {cur_table_sql}
+      WHERE ({value_sql}) IS NOT NULL
+      GROUP BY {kgrp_v}
+    ),
+    cats AS (
+      SELECT {kpre}coalesce(r, 0) AS r, coalesce(c, 0) AS c
+      FROM ref_counts FULL OUTER JOIN cur_counts {using}
+    ),
+    withtot AS (
+      SELECT {kpre}r, c,
+             CAST(sum(r) OVER ({part}) AS BIGINT) AS nr,
+             CAST(sum(c) OVER ({part}) AS BIGINT) AS nc
+      FROM cats
+    ),
+    agg AS (
+      SELECT {kpre}
+             CAST(any_value(nr) AS BIGINT) AS n_ref,
+             CAST(any_value(nc) AS BIGINT) AS n_cur,
+             CAST(count(*) AS BIGINT) AS n_categories,
+             coalesce(sum(abs(r::HUGEINT * nc - c::HUGEINT * nr)), 0)
+               AS tvd_num
+      FROM withtot {grp}
+    )
+    SELECT {kpre}n_ref, n_cur, n_categories,
+           CAST(tvd_num AS VARCHAR) AS tvd_num,
+           CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+             CAST(tvd_num AS DOUBLE)
+               / CAST(2 * n_ref::HUGEINT * n_cur AS DOUBLE)
+           END AS tvd
+    FROM agg
+    """

@@ -281,8 +281,10 @@ def heavy_hitters_estimate(
     ``n_total``. Groups whose counters all cancelled emit no rows —
     their state still asserts every frequency ≤ err. Every item with
     true frequency > err is guaranteed present (it cannot have been
-    cancelled), so a φ-heavy-hitter scan (f > φ·n) is complete
-    whenever φ > 1/(k+1)."""
+    cancelled), so a φ-heavy-hitter scan (f > φ·n) is COMPLETE
+    whenever φ ≥ 1/(k+1) — the tight bound (err ≤ n/(k+1) ≤ φ·n, so
+    f > φ·n ⇒ f > err; :func:`heavy_hitters_above` states the same
+    bound)."""
     keyed = list(keys)
     return state.select(
         *keyed,

@@ -1,16 +1,19 @@
 """Model-evaluation aggregates, distributed: the classification suite
-(exact AUC-ROC, PR curve + average precision, confusion matrices +
-macro-F1, calibration's Brier score) and the ranking suite
-(hit-rate@k + MRR, NDCG@k, reciprocal rank fusion).
+(exact AUC-ROC, PR curve + average precision + cumulative gain/lift,
+confusion matrices + macro-F1 + Matthews correlation, calibration's
+Brier score + expected calibration error), the agreement suite
+(Cohen's kappa for two labelers, Spearman/Kendall rank correlation
+for two rankers), and the ranking suite (hit-rate@k + MRR, NDCG@k,
+reciprocal rank fusion).
 
 A training-data pipeline that learns filters (the quality classifier,
 dedup verifiers, contamination flags) needs to EVALUATE them at the
 same scale it applies them — sklearn on a driver-side sample silently
 mis-ranks classifiers whose errors concentrate in the tail the sample
-missed. Both operators here are pure aggregate plans over the full
-fact table (no reference counterpart — the reference engine has no ML
-surface at all; this extends the training-data superset alongside
-operators/text.py's quality classifier).
+missed. Every operator here is a pure aggregate/join plan over the
+full fact table (no reference counterpart — the reference engine has
+no ML surface at all; this extends the training-data superset
+alongside operators/text.py's quality classifier).
 
 Exactness: every statistic is integer arithmetic until (at most) one
 final IEEE division of exact integer operands — bit-identical in any
@@ -49,6 +52,14 @@ Scale shape:
   ``retrieval_eval`` (MRR) and ``rrf_fuse`` have BOUNDED denominators
   (ranks ≤ k), so their reciprocal sums run exactly via lcm
   numerators with zero error.
+- The r9 additions need NO quantization at all: ``ece``'s per-bin
+  weights cancel algebraically (see its docstring) leaving a pure
+  integer numerator like ``brier_score``'s; ``cohens_kappa``,
+  ``matthews_corr``, ``spearman_rho``, ``kendall_tau`` and
+  ``cumulative_gain`` are each ratios of exact DECIMAL(38,0)
+  integers with one final IEEE division (and, for MCC only, two
+  IEEE square roots of exact integers — correctly rounded per
+  IEEE-754 in both engines, hence still bit-identical).
 
 NULL convention (r6 ADVICE): rows with a NULL label or NULL score are
 EXCLUDED at entry by ``auc_exact`` and ``pr_curve`` — a NULL score has
@@ -944,6 +955,16 @@ def rrf_fuse(
         # contribution 0); more negative c divides by zero at rank = -c
         raise ValueError(f"c must be >= 0, got {c}")
     lcm = rrf_constant(k, c)
+    # lcm itself must fit the BIGINT literal below BEFORE the n_lists
+    # product check: for k/c combos with lcm in [2^63, (c+1)·2^63) the
+    # product test alone would pass and the query would later die with
+    # an opaque ParseException instead of this ValueError (r9 ADVICE;
+    # mirrors retrieval_eval's k ≤ 42 validation)
+    if lcm >= 2**63:
+        raise ValueError(
+            f"rrf_fuse overflow: lcm(c+1..c+k) = {lcm} does not fit a "
+            "BIGINT literal — lower k or c"
+        )
     if len(results_list) * (lcm // (c + 1)) >= 2**63:
         raise ValueError(
             f"rrf_fuse overflow: {len(results_list)} lists at "
@@ -954,7 +975,11 @@ def rrf_fuse(
     stacked = results_list[0].select(*cols)
     for other in results_list[1:]:
         stacked = stacked.unionByName(other.select(*cols))
-    contrib = F.expr(f"{int(lcm)}L div ({int(c)}L + {rank_col})")
+    # rank_col is backtick-quoted: a dotted, spaced, or reserved-word
+    # column name must resolve as an identifier, not parse as SQL
+    # (r8 verdict "what's wrong" #2)
+    safe_rank = rank_col.replace("`", "``")
+    contrib = F.expr(f"{int(lcm)}L div ({int(c)}L + `{safe_rank}`)")
     # rank ≥ 1 in the filter: a rank ≤ −c row would otherwise divide
     # by zero or flip the contribution's sign
     fused = (
@@ -1007,3 +1032,820 @@ def confusion_counts(
         div(tp, tp + fn).alias("recall"),
         div(2 * tp, 2 * tp + fp + fn).alias("f1"),
     )
+
+
+def ece(
+    df: DataFrame,
+    label: Column,
+    score_q: Column,
+    s_max: int,
+    n_bins: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Expected calibration error per ``keys`` group — the number a
+    model card quotes from the reliability curve
+    (``ml_calibration_bins`` plots it; ``brier_score`` is the proper
+    score; this is the binned |accuracy − confidence| summary):
+    ``ECE = Σ_b (n_b/n)·|acc_b − conf_b|`` over ``n_bins`` equal-width
+    probability bins, with ``acc_b = Σ_b y / n_b`` and
+    ``conf_b = Σ_b s / (n_b·s_max)``. ``score_q`` must be an
+    integer-quanta probability in [0, s_max] (rows outside that range,
+    or with NULL label/score, are excluded — they are no probability);
+    ``label`` boolean.
+
+    Exactness — EXACT, not quantized: the per-bin weight cancels,
+    ``(n_b/n)·|acc_b − conf_b| = |s_max·Σ_b y − Σ_b s| / (n·s_max)``,
+    so the numerator ``Σ_b |s_max·n_pos_b − s_sum_b|`` is a pure
+    integer sum in DECIMAL(38,0) (order-free, engine-identical — the
+    ``brier_score`` treatment; no floor error, unlike the AP/NDCG
+    quantized means) and ``ece`` is one IEEE division by ``n·s_max``.
+
+    Bin assignment is the exact integer ``(s·n_bins) div s_max``
+    capped at ``n_bins − 1`` (so ``s = s_max`` lands in the top bin);
+    non-negative operands make Spark's truncating ``div`` and DuckDB's
+    flooring ``//`` agree. Scale shape: ONE map-side-combinable bin
+    aggregate (≤ n_bins rows per group) + one re-aggregation at bin
+    grain. Returns ``n``, ``n_bins_used`` (non-empty bins), ``ece_num``
+    (DECIMAL(38,0) — serialize as string in gate queries) and ``ece``
+    (NULL for an empty group)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if s_max < 1:
+        raise ValueError(f"s_max must be >= 1, got {s_max}")
+    keyed = list(keys)
+    base = df.where(
+        label.isNotNull()
+        & score_q.isNotNull()
+        & (score_q >= 0)
+        & (score_q <= int(s_max))
+    ).select(*keyed, label.alias("__y"), score_q.alias("__s"))
+    binned = base.select(
+        *keyed,
+        F.least(
+            F.expr(
+                f"(CAST(__s AS DECIMAL(38,0)) * {int(n_bins)})"
+                f" div {int(s_max)}"
+            ),
+            F.lit(int(n_bins) - 1).cast("long"),
+        ).alias("__b"),
+        F.col("__y"),
+        F.col("__s"),
+    ).groupBy(*keyed, "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__nb"),
+        F.sum(F.when(F.col("__y"), 1).otherwise(0))
+        .cast("long")
+        .alias("__pos"),
+        F.sum(F.col("__s").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__ssum"),
+    )
+    term = F.abs(
+        F.lit(int(s_max)).cast("decimal(38,0)") * F.col("__pos")
+        - F.col("__ssum")
+    )
+    totals = binned.select(
+        *keyed, F.col("__nb"), term.alias("__t")
+    ).groupBy(*keyed).agg(
+        F.coalesce(F.sum("__nb"), F.lit(0)).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.coalesce(F.sum("__t"), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("ece_num"),
+    )
+    den = (
+        F.col("n").cast("decimal(38,0)") * F.lit(int(s_max))
+    ).cast("decimal(38,0)")
+    return totals.select(
+        *keyed,
+        "n",
+        "n_bins_used",
+        "ece_num",
+        F.when(
+            F.col("n") > 0,
+            F.col("ece_num").cast("double") / den.cast("double"),
+        ).alias("ece"),
+    )
+
+
+def ece_sql(
+    label_sql: str,
+    score_q_sql: str,
+    s_max: int,
+    n_bins: int,
+    table: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`ece` — same bin assignment, same exact
+    integer numerator; ``ece_num`` serializes as VARCHAR."""
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_b = f"{kcols}, b" if keyed else "b"
+    return f"""
+    WITH binned AS (
+      SELECT {kpre}
+             least((CAST({score_q_sql} AS HUGEINT) * {int(n_bins)})
+                     // {int(s_max)},
+                   {int(n_bins) - 1}) AS b,
+             CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos,
+             sum(CAST({score_q_sql} AS HUGEINT)) AS ssum
+      FROM {table}
+      WHERE ({label_sql}) IS NOT NULL AND ({score_q_sql}) IS NOT NULL
+        AND ({score_q_sql}) >= 0 AND ({score_q_sql}) <= {int(s_max)}
+      GROUP BY {kgrp_b}
+    ),
+    totals AS (
+      SELECT {kpre}
+             CAST(coalesce(sum(nb), 0) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_bins_used,
+             coalesce(sum(abs({int(s_max)}::HUGEINT * pos - ssum)), 0)
+               AS ece_num
+      FROM binned {grp}
+    )
+    SELECT {kpre}n, n_bins_used,
+           CAST(ece_num AS VARCHAR) AS ece_num,
+           CASE WHEN n > 0 THEN
+             CAST(ece_num AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * {int(s_max)} AS DOUBLE)
+           END AS ece
+    FROM totals
+    """
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: Column,
+    rater_b: Column,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Cohen's kappa per ``keys`` group — chance-corrected agreement
+    between two LABELERS (quality-classifier v1 vs v2, model vs human
+    sample): the standard gate for swapping a filter, where raw
+    accuracy (``multiclass_macro_f1``'s companion) rewards two raters
+    that both mostly emit the majority class.
+    ``κ = (p_o − p_e)/(1 − p_e)`` with ``p_o = Σ_i cell(i,i)/n`` and
+    ``p_e = Σ_i r_i·c_i/n²`` (r/c = the raters' marginals).
+
+    Exactness — EXACT, no quantization: clearing denominators,
+    ``κ = (n·Σagree − Σ r_i·c_i) / (n² − Σ r_i·c_i)`` — both sides
+    pure DECIMAL(38,0) integer arithmetic (n ≤ ~10^10 keeps n² well
+    inside 38 digits), one final IEEE division. ``κ`` is NULL when the
+    denominator is 0 (both raters constant AND identical — agreement
+    is degenerate, the sklearn NaN case) and for an empty group.
+    NULL ratings are excluded (a NULL is no label).
+
+    Scale shape: ONE map-side-combinable (a, b) cell aggregate
+    (≤ k² rows per group — the ``multiclass_macro_f1`` grain), then
+    marginal re-aggregations and a full-outer label join at ≤ k-row
+    grain. Returns ``n``, ``n_labels`` (distinct labels across BOTH
+    raters), ``kappa_num``/``kappa_den`` (DECIMAL(38,0) — serialize
+    as strings in gate queries) and ``kappa``."""
+    keyed = list(keys)
+    cells = (
+        df.where(rater_a.isNotNull() & rater_b.isNotNull())
+        .select(*keyed, rater_a.alias("__a"), rater_b.alias("__b"))
+        .groupBy(*keyed, "__a", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    by_a = cells.groupBy(*keyed, F.col("__a").alias("__l")).agg(
+        F.sum("cnt").cast("long").alias("__r")
+    )
+    by_b = cells.groupBy(*keyed, F.col("__b").alias("__l")).agg(
+        F.sum("cnt").cast("long").alias("__c")
+    )
+    # full outer on (keys, label): a label seen by only one rater has
+    # marginal 0 on the other side and contributes 0 to p_e, but it
+    # still counts in n_labels
+    marg = by_a.join(by_b, keyed + ["__l"], "full").select(
+        *keyed,
+        F.coalesce(F.col("__r"), F.lit(0)).cast("decimal(38,0)").alias("__r"),
+        F.coalesce(F.col("__c"), F.lit(0)).cast("decimal(38,0)").alias("__c"),
+    )
+    pe = marg.groupBy(*keyed).agg(
+        F.coalesce(F.sum(F.col("__r") * F.col("__c")), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__pe_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+    )
+    po = cells.groupBy(*keyed).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("cnt")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__agree"),
+    )
+    if keyed:
+        out = po.join(pe, keyed)
+    else:
+        out = po.crossJoin(F.broadcast(pe))  # two 1-row frames
+    n_d = F.col("n").cast("decimal(38,0)")
+    num = (n_d * F.col("__agree") - F.col("__pe_sum")).cast("decimal(38,0)")
+    den = (n_d * n_d - F.col("__pe_sum")).cast("decimal(38,0)")
+    return out.select(
+        *keyed,
+        "n",
+        "n_labels",
+        num.alias("kappa_num"),
+        den.alias("kappa_den"),
+        F.when(
+            den != 0, num.cast("double") / den.cast("double")
+        ).alias("kappa"),
+    )
+
+
+def cohens_kappa_sql(
+    rater_a_sql: str,
+    rater_b_sql: str,
+    table: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`cohens_kappa` — same cell grain, same
+    exact integer algebra; ``kappa_num``/``kappa_den`` serialize as
+    VARCHAR."""
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_ab = f"{kcols}, a, b" if keyed else "a, b"
+    kgrp_a = f"{kcols}, a" if keyed else "a"
+    kgrp_b = f"{kcols}, b" if keyed else "b"
+    using = f"USING ({kpre}l)" if keyed else "USING (l)"
+    join_keys = f"USING ({kcols})" if keyed else "ON 1 = 1"
+    return f"""
+    WITH cells AS (
+      SELECT {kpre}{rater_a_sql} AS a, {rater_b_sql} AS b,
+             count(*) AS cnt
+      FROM {table}
+      WHERE ({rater_a_sql}) IS NOT NULL AND ({rater_b_sql}) IS NOT NULL
+      GROUP BY {kgrp_ab}
+    ),
+    by_a AS (
+      SELECT {kpre}a AS l, CAST(sum(cnt) AS BIGINT) AS r
+      FROM cells GROUP BY {kgrp_a}
+    ),
+    by_b AS (
+      SELECT {kpre}b AS l, CAST(sum(cnt) AS BIGINT) AS c
+      FROM cells GROUP BY {kgrp_b}
+    ),
+    marg AS (
+      SELECT {kpre}coalesce(r, 0)::HUGEINT AS r,
+             coalesce(c, 0)::HUGEINT AS c
+      FROM by_a FULL OUTER JOIN by_b {using}
+    ),
+    pe AS (
+      SELECT {kpre}coalesce(sum(r * c), 0) AS pe_sum,
+             CAST(count(*) AS BIGINT) AS n_labels
+      FROM marg {grp}
+    ),
+    po AS (
+      SELECT {kpre}
+             CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+             CAST(coalesce(sum(CASE WHEN a = b THEN cnt ELSE 0 END), 0)
+                  AS BIGINT) AS agree
+      FROM cells {grp}
+    )
+    SELECT {', '.join('po.' + c for c in keyed) + ', ' if keyed else ''}
+           po.n, pe.n_labels,
+           CAST(po.n::HUGEINT * po.agree - pe.pe_sum AS VARCHAR)
+             AS kappa_num,
+           CAST(po.n::HUGEINT * po.n - pe.pe_sum AS VARCHAR)
+             AS kappa_den,
+           CASE WHEN po.n::HUGEINT * po.n - pe.pe_sum <> 0 THEN
+             CAST(po.n::HUGEINT * po.agree - pe.pe_sum AS DOUBLE)
+               / CAST(po.n::HUGEINT * po.n - pe.pe_sum AS DOUBLE)
+           END AS kappa
+    FROM po JOIN pe {join_keys}
+    """
+
+
+def matthews_corr(
+    df: DataFrame,
+    label: Column,
+    pred: Column,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Matthews correlation coefficient per ``keys`` group — the
+    balanced single-number summary of the binary confusion matrix
+    (``confusion_counts`` exposes the matrix; F1 ignores tn, accuracy
+    saturates under imbalance — MCC is the one that stays honest when
+    99% of documents pass the filter):
+    ``MCC = (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn))``.
+
+    Exactness: ``mcc_num = tp·tn − fp·fn`` and the two pairwise
+    denominator products ``d1 = (tp+fp)(tp+fn)``,
+    ``d2 = (tn+fp)(tn+fn)`` are exact DECIMAL(38,0) integers (each
+    ≤ n² ≤ 10^20 — the full 4-way product would overflow 38 digits,
+    which is WHY the square root is taken pairwise:
+    ``√(d1·d2) = √d1·√d2`` for non-negative reals). The final scalar
+    is ``num / (√d1·√d2)`` — a cast of each exact integer to double
+    (round-to-nearest, engine-identical), two IEEE-754 correctly-
+    rounded square roots, one multiply, one divide: bit-identical in
+    any IEEE engine. NULL when either ``d1`` or ``d2`` is 0 (a
+    degenerate margin — the sklearn 0-convention is NOT used so the
+    undefined case stays visible) and for an empty group. NULL
+    label/pred rows are excluded (module convention).
+
+    Scale shape: ONE map-side-combinable hash aggregate (four
+    conditional sums) — the ``confusion_counts`` plan. Returns
+    ``tp/fp/fn/tn``, ``mcc_num``/``mcc_d1``/``mcc_d2`` (DECIMAL(38,0)
+    — serialize as strings in gate queries) and ``mcc``."""
+    keyed = list(keys)
+    base = df.where(label.isNotNull() & pred.isNotNull()).select(
+        *keyed, label.alias("__y"), pred.alias("__p")
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    agg = base.groupBy(*keyed).agg(
+        cnt(F.col("__y") & F.col("__p")).alias("tp"),
+        cnt(~F.col("__y") & F.col("__p")).alias("fp"),
+        cnt(F.col("__y") & ~F.col("__p")).alias("fn"),
+        cnt(~F.col("__y") & ~F.col("__p")).alias("tn"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (d("tp") * F.col("tn") - d("fp") * F.col("fn")).cast(
+        "decimal(38,0)"
+    )
+    d1 = ((d("tp") + F.col("fp")) * (d("tp") + F.col("fn"))).cast(
+        "decimal(38,0)"
+    )
+    d2 = ((d("tn") + F.col("fp")) * (d("tn") + F.col("fn"))).cast(
+        "decimal(38,0)"
+    )
+    return agg.select(
+        *keyed,
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        num.alias("mcc_num"),
+        d1.alias("mcc_d1"),
+        d2.alias("mcc_d2"),
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            num.cast("double")
+            / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))),
+        ).alias("mcc"),
+    )
+
+
+def matthews_corr_sql(
+    label_sql: str,
+    pred_sql: str,
+    table: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`matthews_corr` — same one-aggregate plan,
+    same pairwise-root algebra; the integer columns serialize as
+    VARCHAR."""
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    return f"""
+    WITH counts AS (
+      SELECT {kpre}
+        CAST(sum(CASE WHEN ({label_sql}) AND ({pred_sql})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN NOT ({label_sql}) AND ({pred_sql})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN ({label_sql}) AND NOT ({pred_sql})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN NOT ({label_sql}) AND NOT ({pred_sql})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM {table}
+      WHERE ({label_sql}) IS NOT NULL AND ({pred_sql}) IS NOT NULL
+      {grp}
+    ),
+    terms AS (
+      SELECT {kpre}tp, fp, fn, tn,
+             tp::HUGEINT * tn - fp::HUGEINT * fn AS num,
+             (tp::HUGEINT + fp) * (tp::HUGEINT + fn) AS d1,
+             (tn::HUGEINT + fp) * (tn::HUGEINT + fn) AS d2
+      FROM counts
+    )
+    SELECT {kpre}tp, fp, fn, tn,
+           CAST(num AS VARCHAR) AS mcc_num,
+           CAST(d1 AS VARCHAR) AS mcc_d1,
+           CAST(d2 AS VARCHAR) AS mcc_d2,
+           CASE WHEN d1 > 0 AND d2 > 0 THEN
+             CAST(num AS DOUBLE)
+               / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE)))
+           END AS mcc
+    FROM terms
+    """
+
+
+def spearman_rho(
+    df: DataFrame,
+    rank_a: Column,
+    rank_b: Column,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Spearman rank correlation per ``keys`` group between two
+    TIE-BROKEN total orders of the same item set — "do my two rankers
+    (BM25 vs ANN, yesterday's quality scorer vs today's) order the
+    corpus the same way", the agreement statistic for RANKERS the way
+    ``cohens_kappa`` is for labelers. Each input row carries one
+    item's rank under ranker A and under ranker B; both rank columns
+    must be permutations of 1..n within the group (the repo's rankings
+    are row_number() windows with deterministic tiebreaks, so this
+    holds by construction — classic Spearman with AVERAGE ranks for
+    ties is deliberately not implemented: fractional average ranks
+    would reintroduce the float-sum-order hazard, and a deterministic
+    pipeline compares tie-broken orders).
+
+    Exactness — EXACT: ``ρ = 1 − 6·Σd²/(n(n²−1))`` (d = rank_a −
+    rank_b) becomes ``rho_num / rho_den`` with
+    ``rho_num = n(n²−1) − 6·Σd²`` and ``rho_den = n(n²−1)``, both
+    exact DECIMAL(38,0) integers (Σd² ≤ n³ — past BIGINT by ~10^7
+    rows per group, hence decimal), one final IEEE division. ``rho``
+    is NULL when n < 2 (no order to compare). NULL ranks are excluded.
+
+    Scale shape: ONE map-side-combinable aggregate per group (count +
+    one sum of squares) — no window, no join. Returns ``n_items``,
+    ``d2_sum``/``rho_num``/``rho_den`` (DECIMAL(38,0) — serialize as
+    strings in gate queries) and ``rho``."""
+    keyed = list(keys)
+    dd = (rank_a.cast("decimal(38,0)") - rank_b).cast("decimal(38,0)")
+    base = df.where(rank_a.isNotNull() & rank_b.isNotNull()).select(
+        *keyed, (dd * dd).alias("__d2")
+    )
+    agg = base.groupBy(*keyed).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.coalesce(F.sum("__d2"), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("d2_sum"),
+    )
+    n_d = F.col("n_items").cast("decimal(38,0)")
+    m = (n_d * (n_d * n_d - 1)).cast("decimal(38,0)")
+    num = (m - F.lit(6).cast("decimal(38,0)") * F.col("d2_sum")).cast(
+        "decimal(38,0)"
+    )
+    return agg.select(
+        *keyed,
+        "n_items",
+        "d2_sum",
+        num.alias("rho_num"),
+        m.alias("rho_den"),
+        F.when(
+            F.col("n_items") >= 2,
+            num.cast("double") / m.cast("double"),
+        ).alias("rho"),
+    )
+
+
+def spearman_rho_sql(
+    rank_a_sql: str,
+    rank_b_sql: str,
+    table: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`spearman_rho` — same exact integer
+    algebra; the integer columns serialize as VARCHAR."""
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    d = f"(CAST({rank_a_sql} AS HUGEINT) - ({rank_b_sql}))"
+    return f"""
+    WITH agg AS (
+      SELECT {kpre}
+             CAST(count(*) AS BIGINT) AS n_items,
+             coalesce(sum({d} * {d}), 0) AS d2_sum
+      FROM {table}
+      WHERE ({rank_a_sql}) IS NOT NULL AND ({rank_b_sql}) IS NOT NULL
+      {grp}
+    ),
+    terms AS (
+      SELECT {kpre}n_items, d2_sum,
+             n_items::HUGEINT * (n_items::HUGEINT * n_items - 1) AS m
+      FROM agg
+    )
+    SELECT {kpre}n_items,
+           CAST(d2_sum AS VARCHAR) AS d2_sum,
+           CAST(m - 6 * d2_sum AS VARCHAR) AS rho_num,
+           CAST(m AS VARCHAR) AS rho_den,
+           CASE WHEN n_items >= 2 THEN
+             CAST(m - 6 * d2_sum AS DOUBLE) / CAST(m AS DOUBLE)
+           END AS rho
+    FROM terms
+    """
+
+
+def kendall_tau(
+    df: DataFrame,
+    item_col: str,
+    rank_a_col: str,
+    rank_b_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Kendall rank correlation (tau-a) per ``keys`` group between two
+    TIE-BROKEN total orders of the same item set — the pairwise
+    sibling of :func:`spearman_rho` (ρ weighs displacement
+    quadratically; τ counts INVERSIONS, the bubble-sort distance, the
+    number an A/B re-ranking review actually argues about). Same input
+    contract: one row per item with its rank under each ranker, both
+    columns permutations of 1..n per group (tie-broken upstream).
+
+    ``τ = (C − D) / (n(n−1)/2)``; for permutations C + D = n(n−1)/2,
+    so ``τ = (n(n−1) − 4·D) / (n(n−1))`` with D = discordant pairs —
+    exact DECIMAL(38,0) integers, one final IEEE division; NULL when
+    n < 2. NULL items/ranks are excluded.
+
+    Scale shape: D comes from a self-join WITHIN each group
+    (equi-join on ``keys``, ``rank_a < rank_a'`` ordering the pair) —
+    O(n²) pairs per group, the per-group cross-join family (SURVEY
+    J3). This is for BOUNDED rankings (top-k lists, per-entity
+    catalogs) — for corpus-scale n use ``spearman_rho`` (linear) or a
+    merge-sort inversion count; the bounded-list stance is a
+    contract, not a limitation discovered at runtime. Returns
+    ``n_items``, ``n_pairs``, ``n_discordant``, ``tau_num``/
+    ``tau_den`` (DECIMAL(38,0) — serialize as strings in gate
+    queries) and ``tau``."""
+    keyed = list(keys)
+    base = df.where(
+        F.col(item_col).isNotNull()
+        & F.col(rank_a_col).isNotNull()
+        & F.col(rank_b_col).isNotNull()
+    ).select(
+        *keyed,
+        F.col(item_col).alias("__i"),
+        F.col(rank_a_col).cast("long").alias("__a"),
+        F.col(rank_b_col).cast("long").alias("__b"),
+    )
+    left = base
+    right = base.select(
+        *[F.col(c).alias(f"__k2_{c}") for c in keyed],
+        F.col("__a").alias("__a2"),
+        F.col("__b").alias("__b2"),
+    )
+    cond = F.col("__a") < F.col("__a2")
+    for c in keyed:
+        cond = (F.col(c) == F.col(f"__k2_{c}")) & cond
+    pairs = left.join(right, cond, "inner")
+    disc = pairs.groupBy(*keyed).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__b") > F.col("__b2"), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_discordant"),
+    )
+    counts = base.groupBy(*keyed).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items")
+    )
+    if keyed:
+        out = counts.join(disc, keyed, "left")
+    else:
+        out = (
+            counts.withColumn("__j", F.lit(1))
+            .join(
+                F.broadcast(disc.withColumn("__j", F.lit(1))), "__j", "left"
+            )
+            .drop("__j")
+        )
+    n_d = F.col("n_items").cast("decimal(38,0)")
+    nd = F.coalesce(F.col("n_discordant"), F.lit(0)).cast("long")
+    m = (n_d * (n_d - 1)).cast("decimal(38,0)")
+    num = (m - F.lit(4).cast("decimal(38,0)") * nd).cast("decimal(38,0)")
+    return out.select(
+        *keyed,
+        "n_items",
+        (m / 2).cast("long").alias("n_pairs"),
+        nd.alias("n_discordant"),
+        num.alias("tau_num"),
+        m.alias("tau_den"),
+        F.when(
+            F.col("n_items") >= 2, num.cast("double") / m.cast("double")
+        ).alias("tau"),
+    )
+
+
+def kendall_tau_sql(
+    item_sql: str,
+    rank_a_sql: str,
+    rank_b_sql: str,
+    table: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`kendall_tau` — same per-group pair join,
+    same exact algebra; the integer columns serialize as VARCHAR."""
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    pair_on = " AND ".join(
+        [f"l.{c} = r.{c}" for c in keyed] + ["l.a < r.a"]
+    )
+    lkpre = ", ".join(f"l.{c}" for c in keyed) + (", " if keyed else "")
+    lgrp = f"GROUP BY {', '.join(f'l.{c}' for c in keyed)}" if keyed else ""
+    join_keys = f"USING ({kcols})" if keyed else "ON 1 = 1"
+    sel_keys = (
+        ", ".join(f"c.{c}" for c in keyed) + ", " if keyed else ""
+    )
+    return f"""
+    WITH base AS (
+      SELECT {kpre}{item_sql} AS i,
+             CAST({rank_a_sql} AS BIGINT) AS a,
+             CAST({rank_b_sql} AS BIGINT) AS b
+      FROM {table}
+      WHERE ({item_sql}) IS NOT NULL
+        AND ({rank_a_sql}) IS NOT NULL AND ({rank_b_sql}) IS NOT NULL
+    ),
+    disc AS (
+      SELECT {lkpre}
+             CAST(coalesce(sum(CASE WHEN l.b > r.b THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_discordant
+      FROM base l JOIN base r ON {pair_on}
+      {lgrp}
+    ),
+    counts AS (
+      SELECT {kpre}CAST(count(*) AS BIGINT) AS n_items
+      FROM base {grp}
+    ),
+    terms AS (
+      SELECT {sel_keys}c.n_items,
+             coalesce(d.n_discordant, 0) AS n_discordant,
+             c.n_items::HUGEINT * (c.n_items - 1) AS m
+      FROM counts c LEFT JOIN disc d {join_keys}
+    )
+    SELECT {kpre}n_items,
+           CAST(m // 2 AS BIGINT) AS n_pairs,
+           n_discordant,
+           CAST(m - 4 * n_discordant::HUGEINT AS VARCHAR) AS tau_num,
+           CAST(m AS VARCHAR) AS tau_den,
+           CASE WHEN n_items >= 2 THEN
+             CAST(m - 4 * n_discordant::HUGEINT AS DOUBLE)
+               / CAST(m AS DOUBLE)
+           END AS tau
+    FROM terms
+    """
+
+
+def cumulative_gain(
+    df: DataFrame,
+    label: Column,
+    score: Column,
+    n_buckets: int = 10,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Cumulative gain / lift table per ``keys`` group — "if I take
+    the top 10%, 20%, … of the corpus by classifier score, what
+    fraction of the positives do I capture, and how much better than
+    random is that": the curve a budgeted filtering pass is tuned
+    with (``pr_curve`` sweeps thresholds; this sweeps BUDGETS).
+    Bucket b's cutoff is ``ceil(b·n/n_buckets)`` rows; the emitted
+    row reads the cumulative counts at the FIRST threshold reaching
+    that cutoff (score ties are never split — the decision is a
+    threshold decision, so ``n_taken`` can exceed the cutoff by the
+    tie run's size).
+
+    Exactness: from the SAME distinct-score-grain aggregate as
+    ``pr_curve`` (one window pass), each bucket is assigned to its
+    covering threshold row by pure integer floors —
+    ``b ∈ (n_buckets·prev_cum/n, n_buckets·cum/n]`` inverts the ceil
+    without a join: ``sequence(prev_cum·n_buckets div n + 1,
+    cum·n_buckets div n)`` exploded per row (non-negative operands,
+    so truncating div ≡ flooring //). ``gain = tp/n_pos`` and
+    ``lift = (tp·n)/(n_taken·n_pos)`` are each one IEEE division of
+    exact DECIMAL(38,0) integers (NULL when the group has no
+    positives). NULL labels/scores are excluded; an empty group
+    emits no rows.
+
+    Scale shape: one map-side-combinable score aggregate, ONE window
+    over |distinct scores| rows per group, one explode of ≤ n_buckets
+    total elements — no spine join, no BNLJ. Returns one row per
+    (group, bucket 1..n_buckets): ``bucket``, ``cutoff``,
+    ``n_taken``, ``tp_taken``, ``n``, ``n_pos``, ``gain``, ``lift``.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    keyed = list(keys)
+    per_score = _per_score_counts(df, label, score, keyed)
+    w = Window.partitionBy(*keyed).orderBy(F.col("__s").desc())
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    whole = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    counted = per_score.select(
+        *keyed,
+        F.sum(F.col("np") + F.col("nn")).over(run).cast("long").alias("__cum"),
+        F.sum("np").over(run).cast("long").alias("__tp"),
+        (F.col("np") + F.col("nn")).cast("long").alias("__rows"),
+        F.sum(F.col("np") + F.col("nn")).over(whole).cast("long").alias("__n"),
+        F.sum("np").over(whole).cast("long").alias("__npos"),
+    )
+    nb = int(n_buckets)
+    lo = F.expr(
+        f"(CAST(__cum - __rows AS DECIMAL(38,0)) * {nb}) div __n + 1"
+    )
+    hi = F.expr(f"(CAST(__cum AS DECIMAL(38,0)) * {nb}) div __n")
+    exploded = counted.where(hi >= lo).select(
+        *keyed,
+        F.explode(F.sequence(lo, hi)).alias("bucket"),
+        F.col("__cum"),
+        F.col("__tp"),
+        F.col("__n"),
+        F.col("__npos"),
+    )
+    cutoff = F.expr(
+        f"(CAST(bucket AS DECIMAL(38,0)) * __n + {nb} - 1) div {nb}"
+    )
+    tp_d = F.col("__tp").cast("decimal(38,0)")
+    lift_num = (tp_d * F.col("__n")).cast("decimal(38,0)")
+    lift_den = (
+        F.col("__cum").cast("decimal(38,0)") * F.col("__npos")
+    ).cast("decimal(38,0)")
+    return exploded.select(
+        *keyed,
+        F.col("bucket").cast("long").alias("bucket"),
+        cutoff.cast("long").alias("cutoff"),
+        F.col("__cum").alias("n_taken"),
+        F.col("__tp").alias("tp_taken"),
+        F.col("__n").alias("n"),
+        F.col("__npos").alias("n_pos"),
+        F.when(
+            F.col("__npos") > 0,
+            tp_d.cast("double") / F.col("__npos").cast("double"),
+        ).alias("gain"),
+        F.when(
+            F.col("__npos") > 0,
+            lift_num.cast("double") / lift_den.cast("double"),
+        ).alias("lift"),
+    )
+
+
+def cumulative_gain_sql(
+    label_sql: str,
+    score_sql: str,
+    table: str,
+    n_buckets: int = 10,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`cumulative_gain` — same distinct-score
+    grain, same integer bucket inversion (``generate_series`` unnest
+    for Spark's ``explode(sequence(...))``)."""
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    part = f"PARTITION BY {kcols} " if keyed else ""
+    nb = int(n_buckets)
+    return f"""
+    WITH per_score AS (
+      SELECT {kpre}{score_sql} AS s,
+             sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN {label_sql} THEN 0 ELSE 1 END) AS nn
+      FROM {table}
+      WHERE ({label_sql}) IS NOT NULL AND ({score_sql}) IS NOT NULL
+      GROUP BY {kpre.rstrip(", ") + ", " if keyed else ""}s
+    ),
+    counted AS (
+      SELECT {kpre}
+             CAST(sum(np + nn) OVER ({part}ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(np) OVER ({part}ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS tp,
+             CAST(np + nn AS BIGINT) AS rows_here,
+             CAST(sum(np + nn) OVER ({part.rstrip() or 'PARTITION BY 1'})
+               AS BIGINT) AS n,
+             CAST(sum(np) OVER ({part.rstrip() or 'PARTITION BY 1'})
+               AS BIGINT) AS npos
+      FROM per_score
+    ),
+    exploded AS (
+      -- the bucket quotients are ≤ n_buckets, so the HUGEINT floors
+      -- cast back to the BIGINT generate_series overload losslessly
+      SELECT {kpre}
+             unnest(generate_series(
+               CAST((CAST(cum - rows_here AS HUGEINT) * {nb}) // n + 1
+                    AS BIGINT),
+               CAST((CAST(cum AS HUGEINT) * {nb}) // n AS BIGINT)))
+               AS bucket,
+             cum, tp, n, npos
+      FROM counted
+      WHERE (CAST(cum AS HUGEINT) * {nb}) // n
+            >= (CAST(cum - rows_here AS HUGEINT) * {nb}) // n + 1
+    )
+    SELECT {kpre}
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST((CAST(bucket AS HUGEINT) * n + {nb} - 1) // {nb}
+                AS BIGINT) AS cutoff,
+           cum AS n_taken,
+           tp AS tp_taken,
+           n,
+           npos AS n_pos,
+           CASE WHEN npos > 0
+                THEN CAST(tp AS DOUBLE) / CAST(npos AS DOUBLE)
+           END AS gain,
+           CASE WHEN npos > 0 THEN
+             CAST(tp::HUGEINT * n AS DOUBLE)
+               / CAST(cum::HUGEINT * npos AS DOUBLE)
+           END AS lift
+    FROM exploded
+    """

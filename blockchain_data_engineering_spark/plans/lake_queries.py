@@ -403,9 +403,20 @@ _ZM_PREDS = [
       ) AS t(pred_id, x_lo, x_hi, y_lo, y_hi)
     ),
     dec AS (
+      -- semantically identical to zonemap_scan_decisions INCLUDING
+      -- its NULL arms (r9, r8 verdict #3): NULL min/max stats resolve
+      -- toward scanning, a NULL predicate bound means unbounded on
+      -- that side. Unreachable in this query's own construction
+      -- (min/max over non-NULL ints, literal bounds) but the twins
+      -- must agree on the full input domain, per the r7 event_id
+      -- precedent.
       SELECT s.layout, p.pred_id, s.n_rows,
-             CASE WHEN s.x_min <= p.x_hi AND s.x_max >= p.x_lo
-                   AND s.y_min <= p.y_hi AND s.y_max >= p.y_lo
+             CASE WHEN ((s.x_min <= p.x_hi OR p.x_hi IS NULL)
+                        AND (s.x_max >= p.x_lo OR p.x_lo IS NULL)
+                        OR s.x_min IS NULL OR s.x_max IS NULL)
+                   AND ((s.y_min <= p.y_hi OR p.y_hi IS NULL)
+                        AND (s.y_max >= p.y_lo OR p.y_lo IS NULL)
+                        OR s.y_min IS NULL OR s.y_max IS NULL)
                   THEN 1 ELSE 0 END AS scan
       FROM stats s CROSS JOIN preds p
     )
@@ -466,3 +477,43 @@ def lake_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_col="n_rows",
         group_cols=["layout"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Categorical distribution drift (r9): total variation distance
+# between the order-priority mix of two snapshot halves (orderkey
+# parity — the stand-in for yesterday's load vs today's), per status —
+# the DQ check that catches an upstream mix change where schema_drift
+# only catches shape changes. TVD is the drift statistic chosen for
+# exactness: its numerator Σ|r·n_cur − c·n_ref| is a pure
+# DECIMAL(38,0)/HUGEINT integer sum (χ² squares cross-products past 38
+# digits at ~10^9 rows/side; PSI needs an engine log), one IEEE
+# division, string-serialized (operators/dq.py distribution_drift_tvd).
+# ---------------------------------------------------------------------------
+def _drift_oracle() -> str:
+    from blockchain_data_engineering_spark.operators.dq import (
+        distribution_drift_tvd_sql,
+    )
+
+    return distribution_drift_tvd_sql(
+        "o_orderpriority",
+        "(SELECT * FROM orders WHERE o_orderkey % 2 = 0)",
+        "(SELECT * FROM orders WHERE o_orderkey % 2 = 1)",
+        ["o_orderstatus"],
+    )
+
+
+@query("dq_distribution_drift", oracle=_drift_oracle())
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.dq import (
+        distribution_drift_tvd,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = distribution_drift_tvd(
+        orders.where(F.col("o_orderkey") % 2 == 0),
+        orders.where(F.col("o_orderkey") % 2 == 1),
+        "o_orderpriority",
+        keys=["o_orderstatus"],
+    )
+    return out.withColumn("tvd_num", F.col("tvd_num").cast("string"))
