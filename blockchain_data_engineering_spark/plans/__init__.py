@@ -88,6 +88,68 @@ from blockchain_data_engineering_spark.plans import lake_queries  # noqa: F401,E
 # never-gated = registry − (r1 ∪ r2 ∪ current gate) from the
 # CORRECTNESS_r*.json files and asserts it empty.
 GATE_ORDER = [
+    # -- new in round 9 (unrowed, front-loaded). The eval family's last
+    #    two asked-for scalars close EXACTLY (r8 verdict asks #2/#3),
+    #    plus the completions the asks' shapes imply:
+    #    (1) ml_ece — expected calibration error; the per-bin weight
+    #    cancels algebraically so the numerator is a pure integer sum
+    #    (EXACT — stronger than the floor-quanta policy the ask
+    #    floated). Displaced: ml_brier_score (r8-green — the
+    #    calibration leg stays gate-run by ECE over the SAME scored
+    #    base with the same exact-integer-numerator policy).
+    #    (2) ml_cohens_kappa — chance-corrected labeler agreement from
+    #    the same (actual, predicted) cell aggregate macro-F1 builds,
+    #    exact DECIMAL(38,0) integers, no quantization. Displaced:
+    #    ml_macro_f1 (r8-green — the cell aggregate runs verbatim as
+    #    kappa's first stage; the quantized-mean policy stays gate-run
+    #    by ml_average_precision).
+    #    (3) ml_matthews_corr — the balanced confusion-matrix scalar
+    #    (exact integer numerator + pairwise denominator products, two
+    #    IEEE-754 correctly-rounded roots).
+    #    (4) ml_spearman_rho + (5) ml_kendall_tau — ranker agreement
+    #    over tie-broken total orders (the SAME two per-user rankings
+    #    the RRF gate fuses), exact permutation formulas. Displaced:
+    #    ml_rrf_fusion (r8-green — the two-ranker rank_by window-pair
+    #    construction runs verbatim in both correlation gates; the
+    #    union + map-side-combinable integer-sum plan stays gate-run
+    #    by agg_heavy_hitters_merged; the shifted-lcm arithmetic stays
+    #    pinned in pytest parity).
+    #    (6) ml_cumulative_gain — the budget sweep (gain/lift at
+    #    decile cutoffs) from the PR sweep's distinct-score grain,
+    #    bucket assignment by integer floor inversion + explode (no
+    #    spine join). Displaced: ml_feature_hashing (r6-green — the
+    #    hashed posting aggregate grain stays gate-run by
+    #    text_bpe_token_counts, the feature-engineering family by
+    #    ml_target_encoding).
+    #    (7) dq_distribution_drift — categorical mix drift as total
+    #    variation distance (the one drift statistic whose terms stay
+    #    exact rationals). Displaced: dq_referential_integrity
+    #    (r6-green — the DQ report family stays gate-run by
+    #    dq_orders_profile + the drift gate; the LEFT ANTI
+    #    distinct-keys plan by the graph delta-frontier gates).
+    #    (8) agg_heavy_hitters_phi — the φ-scan DECISION tier
+    #    (guaranteed-vs-candidate flags from a merged state at the
+    #    tight rational bound φ = 1/(k+1)) under the official value
+    #    hash (r8 verdict ask #4). Displaced: agg_heavy_hitters
+    #    (r8-green — BOTH surviving heavy-hitter gates replay the full
+    #    offset-build construction in their oracles, so the build
+    #    stays gate-run in-plan twice over).
+    #    Also displaced for (3): emb_int8_quantize (r6-green — the
+    #    zero-shuffle exact-quanta embedding map stays gate-run inside
+    #    sim_ivf_ann_trained + sim_semantic_dedup; the int8 codes stay
+    #    pinned in pytest parity) and events_ohlc_bars (r5-green — the
+    #    event-time bucket aggregate plan stays gate-run by events_twap
+    #    + stream_sliding_window; the min_by/max_by argmin selection
+    #    stays pinned in pytest parity, with the robust-stats sibling
+    #    events_anomaly_mad still live).
+    "ml_ece",
+    "ml_cohens_kappa",
+    "ml_matthews_corr",
+    "ml_spearman_rho",
+    "ml_kendall_tau",
+    "ml_cumulative_gain",
+    "dq_distribution_drift",
+    "agg_heavy_hitters_phi",
     # -- new in round 8 (unrowed, front-loaded). The merge tier of the
     #    r7 operators moves under the official value hash, and the two
     #    remaining family gaps close:
@@ -144,11 +206,7 @@ GATE_ORDER = [
     "sample_weighted_priority_merged",
     "ml_average_precision",
     "ml_ndcg",
-    "agg_heavy_hitters",
     "agg_heavy_hitters_merged",
-    "ml_macro_f1",
-    "ml_brier_score",
-    "ml_rrf_fusion",
     "lake_zonemap_pruning",
     # -- new in round 7 (unrowed, front-loaded). The mergeable
     #    deterministic quantile sketch (bottom-k md5-priority sample —
@@ -228,9 +286,6 @@ GATE_ORDER = [
     "stream_reorg_crash_recovery",
     "er_entity_clusters",
     "lake_compaction_plan",
-    "dq_referential_integrity",
-    "emb_int8_quantize",
-    "ml_feature_hashing",
     # -- new in round 5, batch 2: time-respecting (earliest-arrival)
     #    reachability over timestamped edges — the temporal completion
     #    of the bfs/sssp taint family (unrolled-rounds oracle); OHLC
@@ -262,7 +317,6 @@ GATE_ORDER = [
     #    its family gate-witnessed by this refinement.
     "graph_clustering_coefficient",
     "graph_temporal_reachability",
-    "events_ohlc_bars",
     "events_anomaly_mad",
     "ml_target_encoding",
     # -- new in round 5 (judge ask #8): chain-reorg retraction
@@ -421,6 +475,60 @@ assert len(GATE_ORDER) == 50, len(GATE_ORDER)
 # the same operator shape in the current gate; q itself stays fully
 # DuckDB-parity-checked in pytest (EXTRA_QUERIES, test_oracle_parity).
 WITNESSES: dict[str, list[str]] = {
+    # --- demoted in the r9 rotation (in exchange for the last two
+    #     asked-for eval scalars + the agreement/budget/drift/φ-scan
+    #     completions) ---
+    # the calibration leg stays gate-run by ECE over the SAME scored
+    # base (least(quanta(price), s_max) vs the urgent label, per
+    # status) with the same exact-integer-numerator policy; the
+    # one-hash-agg plan family by ml_matthews_corr
+    "ml_brier_score": ["ml_ece", "ml_matthews_corr"],
+    # kappa's first stage IS macro-F1's (actual, predicted) cell
+    # aggregate over the same lang-ID comparison; the quantized-mean
+    # policy stays gate-run by ml_average_precision
+    "ml_macro_f1": ["ml_cohens_kappa", "ml_average_precision"],
+    # the two-ranker rank_by window-pair construction runs verbatim in
+    # the spearman/kendall gates; the union-of-lists +
+    # map-side-combinable integer-sum plan stays gate-run by the
+    # heavy-hitter merge; the shifted-lcm reciprocal arithmetic stays
+    # pinned in pytest parity
+    "ml_rrf_fusion": [
+        "ml_spearman_rho",
+        "ml_kendall_tau",
+        "agg_heavy_hitters_merged",
+    ],
+    # hashed posting-count aggregate grain = the BPE token-count
+    # grain; the feature-engineering family stays gate-run by
+    # out-of-fold target encoding; the md5-bucket assignment stays
+    # pinned in pytest parity
+    "ml_feature_hashing": ["text_bpe_token_counts", "ml_target_encoding"],
+    # DQ report-aggregate family stays gate-run by the profile + the
+    # new drift gate; the LEFT ANTI on distinct keys plan family by
+    # the graph delta-frontier loops (visited-set anti-joins)
+    "dq_referential_integrity": [
+        "dq_orders_profile",
+        "dq_distribution_drift",
+        "graph_temporal_reachability",
+    ],
+    # zero-shuffle exact-quanta embedding map runs inside the
+    # gate-run ANN queries (same quanta arithmetic family); the int8
+    # code round-trip stays pinned in pytest parity
+    "emb_int8_quantize": ["sim_ivf_ann_trained", "sim_semantic_dedup"],
+    # event-time bucket aggregate plan stays gate-run by TWAP +
+    # sliding windows; min_by/max_by argmin selection stays pinned in
+    # pytest parity; the robust-stats sibling stays live
+    "events_ohlc_bars": [
+        "events_twap",
+        "stream_sliding_window",
+        "events_anomaly_mad",
+    ],
+    # BOTH surviving heavy-hitter gates (merged + φ-scan) replay the
+    # full offset-build construction per half in their oracles — the
+    # build runs in-plan inside each
+    "agg_heavy_hitters": [
+        "agg_heavy_hitters_merged",
+        "agg_heavy_hitters_phi",
+    ],
     # --- demoted in the r8 rotation (in exchange for the merge-tier
     #     gates + the eval/sketch family completions) ---
     # the merged gate query's oracle replays BOTH halves' top-(k+1)

@@ -100,6 +100,10 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
                     # r7: two 1-row grand aggregates (n_queries ×
                     # hit/mrr numerators) composed into the eval row
                     "ml_retrieval_eval",
+                    # r9: same shape — the global kappa composes the
+                    # 1-row observed-agreement aggregate with the
+                    # 1-row marginal-product aggregate
+                    "ml_cohens_kappa",
                     # r8: the literal 4-row predicate workload
                     # broadcast onto the 128-row file-stats listing —
                     # metadata grain by construction (zone-map pruning
