@@ -286,6 +286,43 @@ def main(sf_dir: str) -> None:
         .collect()
     )
 
+    # 11. filter governance (r9): before TRUSTING the gates above —
+    # (a) Cohen's kappa between the declared language and the lang-ID
+    # heuristic (chance-corrected agreement: the swap-a-labeler gate),
+    # (b) expected calibration error of the quality score read as a
+    # pass-probability (is 0.8 actually 80%?), and (c) the lift of the
+    # top quality decile (what a 10%-budget pass would capture). All
+    # exact-integer aggregates; each is one tiny extra plan over
+    # columns already computed.
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        cohens_kappa,
+        cumulative_gain,
+        ece,
+    )
+
+    kappa = cohens_kappa(
+        feats, F.col("lang"), F.col("lang_pred")
+    ).first()
+    q_smax = 1_000_000  # score/100 as a probability, parts-per-million
+    scored = feats.select(
+        (F.col("lang") == "en").alias("y"),
+        # quality_score is 0-100 → /100 reads it as P(keep); ·10^4
+        # quantizes to ppm
+        F.least(
+            (F.col("quality_score") * 10_000).cast("long"), F.lit(q_smax)
+        ).alias("sq"),
+    )
+    cal = ece(
+        scored, F.col("y"), F.col("sq"), s_max=q_smax, n_bins=10
+    ).first()
+    top_decile = (
+        cumulative_gain(
+            scored, F.col("y"), F.col("sq"), n_buckets=10
+        )
+        .where(F.col("bucket") == 1)
+        .first()
+    )
+
     print(f"documents in:           {n0}")
     print(f"after curation:         {n_final}  ({n_final / n0:.1%} kept)")
     print(f"embedding near-dup prs: {n_emb_dups}")
@@ -309,6 +346,19 @@ def main(sf_dir: str) -> None:
             f"  {r['split']:5s} {r['item']:>12s}"
             f"  {r['count_lo']}..{r['count_hi']}"
         )
+    print(
+        f"lang-ID vs declared κ:  {kappa.kappa:.3f} "
+        f"(n={kappa.n}, labels={kappa.n_labels})"
+    )
+    print(
+        f"quality-score ECE:      {cal.ece:.4f} "
+        f"({cal.n_bins_used} bins over {cal.n} docs)"
+    )
+    print(
+        f"top-decile lift (en):   {top_decile.lift:.2f}x "
+        f"({top_decile.tp_taken}/{top_decile.n_pos} positives in "
+        f"{top_decile.n_taken} docs)"
+    )
     print("packing histogram (split, bucket, n_docs, tokens):")
     for r in packing.collect():
         print(f"  {r['split']:5s} b{int(r['bucket']):2d}  {r['n_docs']:5d}  {int(r['tokens']):8d}")
