@@ -1210,6 +1210,35 @@ def cohens_kappa(
         .groupBy(*keyed, "__a", "__b")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    return cohens_kappa_from_cells(cells, "__a", "__b", "cnt", keys)
+
+
+def cohens_kappa_from_cells(
+    cells_df: DataFrame,
+    actual_col: str = "actual",
+    predicted_col: str = "predicted",
+    n_col: str = "n",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """:func:`cohens_kappa` from PRE-AGGREGATED (actual, predicted,
+    count) cells — the entry point for MAINTAINED cell stores
+    (``streaming/sketches.py eval_cells_delta_sink``): confusion cells
+    are the one additive state every chance-corrected agreement /
+    accuracy statistic derives from, so an unbounded stream keeps ≤ k²
+    rows per batch and kappa is recomputed from the summed store, not
+    the facts. Duplicate (actual, predicted) rows are tolerated (they
+    sum) — the exact property that makes per-batch deltas mergeable.
+    Same output columns and algebra as :func:`cohens_kappa` (which
+    delegates here)."""
+    keyed = list(keys)
+    cells = cells_df.where(
+        F.col(actual_col).isNotNull() & F.col(predicted_col).isNotNull()
+    ).select(
+        *keyed,
+        F.col(actual_col).alias("__a"),
+        F.col(predicted_col).alias("__b"),
+        F.col(n_col).cast("long").alias("cnt"),
+    )
     by_a = cells.groupBy(*keyed, F.col("__a").alias("__l")).agg(
         F.sum("cnt").cast("long").alias("__r")
     )
@@ -1848,4 +1877,203 @@ def cumulative_gain_sql(
                / CAST(cum::HUGEINT * npos AS DOUBLE)
            END AS lift
     FROM exploded
+    """
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+    n_raters: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Fleiss' kappa per ``keys`` group — chance-corrected agreement
+    among a FIXED NUMBER of raters per item (Fleiss 1971), the n-rater
+    generalization of :func:`cohens_kappa`: the gate for an ensemble
+    of quality classifiers / dedup verifiers / human-label batches
+    where every item gets exactly ``n_raters`` votes and rater
+    IDENTITY is not tracked (Fleiss' design; Cohen's kappa is the
+    two-rater, identity-paired special case).
+
+    Input: one row per (item, vote) with the assigned category.
+    NULL items/categories are excluded; items that then carry a vote
+    count ≠ ``n_raters`` are EXCLUDED and counted in
+    ``n_items_dropped`` — a partial ballot is surfaced, never
+    silently reweighted (classic Fleiss is undefined for varying n).
+
+    Exactness — EXACT, no quantization: with
+    ``S1 = Σ_items Σ_cats n_ic(n_ic − 1)`` (observed agreement mass)
+    and ``S2 = Σ_cats (Σ_items n_ic)²`` (chance mass), clearing the
+    denominators of κ = (P̄ − P̄_e)/(1 − P̄_e) gives
+    ``κ = (S1·N·n − S2·(n−1)) / ((N²n² − S2)·(n−1))`` — all
+    DECIMAL(38,0) integers (S2 ≤ (N·n)², inside 38 digits to ~10^17
+    votes), one final IEEE division. NULL when the denominator is 0
+    (every vote in one category — P̄_e = 1, agreement degenerate — or
+    no complete items).
+
+    Scale shape: ONE map-side-combinable (item, category) cell
+    aggregate, an item-grain total + semi join to drop partial
+    ballots, then category-grain and group-grain re-aggregations —
+    nothing runs above cell grain. Returns ``n_items``,
+    ``n_items_dropped``, ``n_categories``, ``fleiss_num``/
+    ``fleiss_den`` (DECIMAL(38,0) — serialize as strings in gate
+    queries) and ``fleiss_kappa``."""
+    if n_raters < 2:
+        raise ValueError(f"n_raters must be >= 2, got {n_raters}")
+    keyed = list(keys)
+    nr = int(n_raters)
+    base = df.where(
+        F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+    ).select(
+        *keyed,
+        F.col(item_col).alias("__i"),
+        F.col(category_col).alias("__c"),
+    )
+    cells = base.groupBy(*keyed, "__i", "__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__nic")
+    )
+    item_tot = cells.groupBy(*keyed, "__i").agg(
+        F.sum("__nic").cast("long").alias("__ni")
+    )
+    drops = item_tot.groupBy(*keyed).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__ni") != nr, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_items_dropped"),
+    )
+    kept = cells.join(
+        item_tot.where(F.col("__ni") == nr).select(*keyed, "__i"),
+        keyed + ["__i"],
+        "left_semi",
+    )
+    nic_d = F.col("__nic").cast("decimal(38,0)")
+    s1agg = kept.groupBy(*keyed).agg(
+        F.count_distinct(F.col("__i")).cast("long").alias("n_items"),
+        F.coalesce(F.sum(nic_d * (F.col("__nic") - 1)), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__s1"),
+    )
+    cols = kept.groupBy(*keyed, "__c").agg(
+        F.sum("__nic").cast("decimal(38,0)").alias("__colc")
+    )
+    s2agg = cols.groupBy(*keyed).agg(
+        F.coalesce(F.sum(F.col("__colc") * F.col("__colc")), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__s2"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+    )
+    if keyed:
+        out = drops.join(s1agg, keyed, "left").join(s2agg, keyed, "left")
+    else:
+        j = lambda a, b: (  # noqa: E731  constant-key equi join, no BNLJ
+            a.withColumn("__j", F.lit(1))
+            .join(b.withColumn("__j", F.lit(1)), "__j", "left")
+            .drop("__j")
+        )
+        out = j(j(drops, s1agg), s2agg)
+    n_d = F.coalesce(F.col("n_items"), F.lit(0)).cast("decimal(38,0)")
+    s1 = F.coalesce(F.col("__s1"), F.lit(0).cast("decimal(38,0)"))
+    s2 = F.coalesce(F.col("__s2"), F.lit(0).cast("decimal(38,0)"))
+    num = (s1 * n_d * nr - s2 * (nr - 1)).cast("decimal(38,0)")
+    den = ((n_d * n_d * (nr * nr) - s2) * (nr - 1)).cast("decimal(38,0)")
+    return out.select(
+        *keyed,
+        F.coalesce(F.col("n_items"), F.lit(0)).cast("long").alias("n_items"),
+        "n_items_dropped",
+        F.coalesce(F.col("n_categories"), F.lit(0))
+        .cast("long")
+        .alias("n_categories"),
+        num.alias("fleiss_num"),
+        den.alias("fleiss_den"),
+        F.when(
+            den != 0, num.cast("double") / den.cast("double")
+        ).alias("fleiss_kappa"),
+    )
+
+
+def fleiss_kappa_sql(
+    item_sql: str,
+    category_sql: str,
+    n_raters: int,
+    table: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`fleiss_kappa` — same cell grain, same
+    cleared-denominator integer algebra; ``fleiss_num``/``fleiss_den``
+    serialize as VARCHAR."""
+    keyed = list(keys)
+    nr = int(n_raters)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_ic = f"{kcols}, i, c" if keyed else "i, c"
+    kgrp_i = f"{kcols}, i" if keyed else "i"
+    kgrp_c = f"{kcols}, c" if keyed else "c"
+    using_i = f"USING ({kpre}i)" if keyed else "USING (i)"
+    join_k = f"USING ({kcols})" if keyed else "ON 1 = 1"
+    sel_keys = (
+        ", ".join(f"d.{c}" for c in keyed) + ", " if keyed else ""
+    )
+    return f"""
+    WITH cells AS (
+      SELECT {kpre}{item_sql} AS i, {category_sql} AS c,
+             CAST(count(*) AS BIGINT) AS nic
+      FROM {table}
+      WHERE ({item_sql}) IS NOT NULL AND ({category_sql}) IS NOT NULL
+      GROUP BY {kgrp_ic}
+    ),
+    item_tot AS (
+      SELECT {kpre}i, CAST(sum(nic) AS BIGINT) AS ni
+      FROM cells GROUP BY {kgrp_i}
+    ),
+    drops AS (
+      SELECT {kpre}
+             CAST(coalesce(sum(CASE WHEN ni <> {nr} THEN 1 ELSE 0 END),
+                           0) AS BIGINT) AS n_items_dropped
+      FROM item_tot {grp}
+    ),
+    kept AS (
+      SELECT c.* FROM cells c
+      SEMI JOIN (SELECT {kpre}i FROM item_tot WHERE ni = {nr}) t
+        {using_i}
+    ),
+    s1agg AS (
+      SELECT {kpre}
+             CAST(count(DISTINCT i) AS BIGINT) AS n_items,
+             coalesce(sum(nic::HUGEINT * (nic - 1)), 0) AS s1
+      FROM kept {grp}
+    ),
+    cols AS (
+      SELECT {kpre}c, sum(nic)::HUGEINT AS colc
+      FROM kept GROUP BY {kgrp_c}
+    ),
+    s2agg AS (
+      SELECT {kpre}
+             coalesce(sum(colc * colc), 0) AS s2,
+             CAST(count(*) AS BIGINT) AS n_categories
+      FROM cols {grp}
+    ),
+    terms AS (
+      SELECT {sel_keys}
+             coalesce(s1agg.n_items, 0) AS n_items,
+             d.n_items_dropped,
+             coalesce(s2agg.n_categories, 0) AS n_categories,
+             coalesce(s1agg.s1, 0)
+               * coalesce(s1agg.n_items, 0)::HUGEINT * {nr}
+               - coalesce(s2agg.s2, 0) * {nr - 1} AS num,
+             (coalesce(s1agg.n_items, 0)::HUGEINT
+                * coalesce(s1agg.n_items, 0) * {nr * nr}
+              - coalesce(s2agg.s2, 0)) * {nr - 1} AS den
+      FROM drops d
+      LEFT JOIN s1agg {join_k}
+      LEFT JOIN s2agg {join_k}
+    )
+    SELECT {kpre}n_items, n_items_dropped, n_categories,
+           CAST(num AS VARCHAR) AS fleiss_num,
+           CAST(den AS VARCHAR) AS fleiss_den,
+           CASE WHEN den <> 0 THEN
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+           END AS fleiss_kappa
+    FROM terms
     """

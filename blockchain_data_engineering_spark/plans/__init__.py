@@ -142,6 +142,15 @@ GATE_ORDER = [
     #    + stream_sliding_window; the min_by/max_by argmin selection
     #    stays pinned in pytest parity, with the robust-stats sibling
     #    events_anomaly_mad still live).
+    #    (9) ml_fleiss_kappa — the n-rater generalization of Cohen's
+    #    kappa (three language raters per document, per declared-lang
+    #    slice), exact via the cleared-denominator S1/S2 integer
+    #    masses. Displaced: ml_target_encoding (r5-green — the md5
+    #    fold mechanics stay gate-run by sample_split_leakage_free,
+    #    the per-category aggregate-grain eval family by
+    #    dq_distribution_drift; the leave-fold-out algebra stays
+    #    pinned in pytest parity).
+    "ml_fleiss_kappa",
     "ml_ece",
     "ml_cohens_kappa",
     "ml_matthews_corr",
@@ -318,7 +327,6 @@ GATE_ORDER = [
     "graph_clustering_coefficient",
     "graph_temporal_reachability",
     "events_anomaly_mad",
-    "ml_target_encoding",
     # -- new in round 5 (judge ask #8): chain-reorg retraction
     #    semantics as a batch-replay query — the canonical survivor
     #    set rollback_aware_upsert converges a keyed sink to,
@@ -478,6 +486,14 @@ WITNESSES: dict[str, list[str]] = {
     # --- demoted in the r9 rotation (in exchange for the last two
     #     asked-for eval scalars + the agreement/budget/drift/φ-scan
     #     completions) ---
+    # md5-fold deterministic-draw mechanics stay gate-run by the
+    # component-keyed split; the per-category aggregate-grain eval
+    # family by the TVD drift gate; the leave-fold-out mean algebra
+    # stays pinned in pytest parity
+    "ml_target_encoding": [
+        "sample_split_leakage_free",
+        "dq_distribution_drift",
+    ],
     # the calibration leg stays gate-run by ECE over the SAME scored
     # base (least(quanta(price), s_max) vs the urgent label, per
     # status) with the same exact-integer-numerator policy; the

@@ -120,7 +120,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic first-wins tie-break (sorted language code order);
 # 'und' when nothing hits.
 # ---------------------------------------------------------------------------
-def _langid_oracle() -> str:
+def _langid_oracle(table: str = "documents") -> str:
+    """The ONE SQL definition of the lang-ID argmax (twin of
+    TX.lang_id). ``table`` must expose ``doc_id``, ``lang`` and
+    ``text`` — pass a derived table to run the heuristic over a text
+    VARIANT (e.g. a prefix) without hand-copying the CASE chain."""
     langs = sorted(TX.LANG_MARKERS)
     hit_cols = ",\n             ".join(
         f"{_stop_hits_sql(TX.LANG_MARKERS[lang])} AS h_{lang}" for lang in langs
@@ -137,7 +141,7 @@ def _langid_oracle() -> str:
     WITH hits AS (
       SELECT doc_id, lang,
              {hit_cols}
-      FROM documents
+      FROM {table}
     )
     SELECT doc_id, lang AS lang_declared,
            CASE WHEN {total} > 0 THEN {pred} ELSE 'und' END AS lang_pred
@@ -2375,4 +2379,71 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kappa_num").cast("string").alias("kappa_num"),
         F.col("kappa_den").cast("string").alias("kappa_den"),
         "kappa",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa (r9): multi-rater agreement per declared language —
+# three "raters" vote a language for every document (the declared
+# label, the lang-ID heuristic over the full text, and the same
+# heuristic over the first 80 chars — the cheap-screen variant a
+# pipeline actually A/Bs), and Fleiss' kappa says whether the
+# ensemble agrees beyond chance within each declared-language slice.
+# EXACT (operators/ml_eval.py fleiss_kappa): clearing κ's
+# denominators leaves κ = (S1·N·n − S2·(n−1))/((N²n² − S2)(n−1))
+# with S1/S2 pure integer masses — DECIMAL(38,0)/HUGEINT end-to-end,
+# one IEEE division, numerators string-serialized. The prefix rater
+# runs through the SAME _langid_oracle SQL over a derived table, so
+# the heuristic has exactly one definition per engine.
+# ---------------------------------------------------------------------------
+_FLEISS_PREFIX = 80
+
+
+def _fleiss_oracle() -> str:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        fleiss_kappa_sql,
+    )
+
+    prefix_docs = (
+        f"(SELECT doc_id, lang, substr(text, 1, {_FLEISS_PREFIX}) AS text"
+        " FROM documents)"
+    )
+    votes = f"""(
+      SELECT lang, doc_id AS item, lang AS cat FROM documents
+      UNION ALL
+      SELECT lang_declared AS lang, doc_id, lang_pred
+      FROM ({_langid_oracle()})
+      UNION ALL
+      SELECT lang_declared AS lang, doc_id, lang_pred
+      FROM ({_langid_oracle(prefix_docs)})
+    )"""
+    return fleiss_kappa_sql("item", "cat", 3, votes, ["lang"])
+
+
+@query("ml_fleiss_kappa", oracle=_fleiss_oracle())
+def ml_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        fleiss_kappa,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vote = lambda cat: docs.select(  # noqa: E731
+        "lang", F.col("doc_id").alias("item"), cat.alias("cat")
+    )
+    votes = (
+        vote(F.col("lang"))
+        .unionByName(vote(TX.lang_id(F.col("text"))))
+        .unionByName(
+            vote(TX.lang_id(F.substring(F.col("text"), 1, _FLEISS_PREFIX)))
+        )
+    )
+    out = fleiss_kappa(votes, "item", "cat", n_raters=3, keys=["lang"])
+    return out.select(
+        "lang",
+        "n_items",
+        "n_items_dropped",
+        "n_categories",
+        F.col("fleiss_num").cast("string").alias("fleiss_num"),
+        F.col("fleiss_den").cast("string").alias("fleiss_den"),
+        "fleiss_kappa",
     )

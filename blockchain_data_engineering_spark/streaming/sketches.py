@@ -258,3 +258,58 @@ def heavy_hitters_store_topk(
         heavy_hitters_store_state(spark, store_path, k, keys),
         list(keys or []),
     )
+
+
+def eval_cells_delta_sink(
+    store_path: str, actual_col: str, predicted_col: str
+):
+    """foreachBatch sink maintaining (actual, predicted) confusion
+    CELL counts over a labeled stream — the additive state every
+    chance-corrected agreement / accuracy statistic derives from
+    (``operators/ml_eval.cohens_kappa_from_cells``). A monitored
+    filter's agreement with its labels is then a ≤ k²-row store read,
+    never a reprocess of the stream: cells ADD across batches exactly
+    (no error term at all — the strongest member of the mergeable
+    family), and a replayed batch overwrites its own ``_batch_id``
+    partition with identical rows. NULL actual/predicted rows are
+    excluded (the ml_eval module convention)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cells = (
+            batch_df.where(
+                F.col(actual_col).isNotNull()
+                & F.col(predicted_col).isNotNull()
+            )
+            .groupBy(
+                F.col(actual_col).cast("string").alias("actual"),
+                F.col(predicted_col).cast("string").alias("predicted"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        _write_delta(cells, store_path, batch_id)
+
+    return sink
+
+
+def eval_cells_store_cells(spark: SparkSession, store_path: str) -> DataFrame:
+    """Running (actual, predicted, n) cells: per-batch deltas summed —
+    one job over n_batches·k² rows."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("actual", "predicted")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def eval_cells_store_kappa(spark: SparkSession, store_path: str) -> DataFrame:
+    """Cohen's kappa (+ the exact integer numerators) of the WHOLE
+    stream so far, from the cell store — identical to running
+    ``cohens_kappa`` over every fact ever streamed, by the additivity
+    of cells."""
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        cohens_kappa_from_cells,
+    )
+
+    return cohens_kappa_from_cells(
+        eval_cells_store_cells(spark, store_path)
+    )

@@ -1083,3 +1083,217 @@ def test_heavy_hitters_properties(spark, items, k):
     for it, f in freqs.items():
         if f > state["err"]:
             assert it in got, (it, f, state["err"])
+
+
+# ---------------------------------------------------------------------------
+# r9 eval/agreement statistics: the cleared-denominator integer
+# formulas must equal the textbook float formulas on arbitrary inputs
+# (pure-Python models of the exact algebra; the Spark twins are
+# pinned against these same formulas in test_r9_ops).
+# ---------------------------------------------------------------------------
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # rater-a label id
+            st.integers(min_value=0, max_value=3),  # rater-b label id
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_cohens_kappa_integer_formula_matches_textbook(cells):
+    from collections import Counter
+
+    n = len(cells)
+    agree = sum(1 for a, b in cells if a == b)
+    ra = Counter(a for a, _ in cells)
+    cb = Counter(b for _, b in cells)
+    pe_sum = sum(ra[l] * cb[l] for l in set(ra) | set(cb))
+    num, den = n * agree - pe_sum, n * n - pe_sum
+    if den == 0:
+        # both raters constant AND identical — textbook kappa is 0/0
+        assert agree == n and len(ra) == 1 and ra == cb
+        return
+    po, pe = agree / n, pe_sum / (n * n)
+    assert abs(num / den - (po - pe) / (1 - pe)) < 1e-12
+    assert -1.0 - 1e-12 <= num / den <= 1.0 + 1e-12
+
+
+@given(
+    ref=st.lists(st.integers(min_value=0, max_value=5), min_size=1,
+                 max_size=120),
+    cur=st.lists(st.integers(min_value=0, max_value=5), min_size=1,
+                 max_size=120),
+)
+@settings(max_examples=100, deadline=None)
+def test_tvd_integer_formula_bounds_and_symmetry(ref, cur):
+    from collections import Counter
+
+    def tvd_int(xs, ys):
+        cx, cy = Counter(xs), Counter(ys)
+        nx, ny = len(xs), len(ys)
+        num = sum(
+            abs(cx[v] * ny - cy[v] * nx) for v in set(cx) | set(cy)
+        )
+        return num, 2 * nx * ny
+
+    num, den = tvd_int(ref, cur)
+    t = num / den
+    # matches the textbook half-L1 of the proportion vectors
+    cx, cy = Counter(ref), Counter(cur)
+    direct = 0.5 * sum(
+        abs(cx[v] / len(ref) - cy[v] / len(cur))
+        for v in set(cx) | set(cy)
+    )
+    assert abs(t - direct) < 1e-12
+    assert 0.0 <= t <= 1.0 + 1e-12
+    # symmetric
+    num2, den2 = tvd_int(cur, ref)
+    assert num2 / den2 == t
+    # identical multisets → exactly 0 (integer numerator is exactly 0)
+    nself, _ = tvd_int(ref, ref)
+    assert nself == 0
+
+
+@given(
+    perm=st.permutations(list(range(1, 13))),
+)
+@settings(max_examples=100, deadline=None)
+def test_rank_agreement_invariants(perm):
+    n = len(perm)
+    ident = list(range(1, n + 1))
+    d2 = sum((a - b) ** 2 for a, b in zip(ident, perm))
+    m = n * (n * n - 1)
+    rho = (m - 6 * d2) / m
+    disc = sum(
+        1
+        for i in range(n)
+        for j in range(i + 1, n)
+        if perm[i] > perm[j]
+    )
+    mp = n * (n - 1)
+    tau = (mp - 4 * disc) / mp
+    assert -1.0 - 1e-12 <= rho <= 1.0 + 1e-12
+    assert -1.0 - 1e-12 <= tau <= 1.0 + 1e-12
+    # Daniels' inequality couples the two statistics for permutations
+    assert 3 * tau - 2 * rho <= 1 + 1e-9
+    assert -1 - 1e-9 <= 3 * tau - 2 * rho
+    # extremes coincide
+    if list(perm) == ident:
+        assert rho == 1.0 and tau == 1.0
+    if list(perm) == ident[::-1]:
+        assert rho == -1.0 and tau == -1.0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.booleans(),
+            st.integers(min_value=0, max_value=100),  # score quanta
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    n_bins=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=100, deadline=None)
+def test_ece_weight_cancellation_identity(rows, n_bins):
+    """The core algebraic claim behind the EXACT ECE: the binned
+    Σ (n_b/n)·|acc_b − conf_b| equals Σ_b |s_max·n_pos_b − s_sum_b|
+    over n·s_max — bit-for-bit the same real number."""
+    from collections import defaultdict
+
+    s_max = 100
+    bins = defaultdict(lambda: [0, 0, 0])  # n_b, pos_b, s_sum_b
+    for y, s in rows:
+        b = min((s * n_bins) // s_max, n_bins - 1)
+        bins[b][0] += 1
+        bins[b][1] += int(y)
+        bins[b][2] += s
+    n = len(rows)
+    textbook = sum(
+        (nb / n) * abs(pos / nb - ssum / (nb * s_max))
+        for nb, pos, ssum in bins.values()
+    )
+    int_num = sum(
+        abs(s_max * pos - ssum) for _, pos, ssum in bins.values()
+    )
+    assert abs(textbook - int_num / (n * s_max)) < 1e-12
+    assert 0.0 <= int_num / (n * s_max) <= 1.0 + 1e-12
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.booleans(), st.integers(min_value=0, max_value=30)),
+        min_size=1,
+        max_size=150,
+    ),
+    n_buckets=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=100, deadline=None)
+def test_cumulative_gain_bucket_partition(rows, n_buckets):
+    """The integer floor inversion assigns EVERY bucket 1..n_buckets to
+    exactly one threshold row, cutoffs are monotone, and the chosen
+    row is the first whose cumulative count reaches the cutoff."""
+    from collections import Counter
+
+    per_score = Counter(s for _, s in rows)
+    order = sorted(per_score, reverse=True)
+    n = len(rows)
+    cum = 0
+    assigned = {}
+    for s in order:
+        prev = cum
+        cum += per_score[s]
+        lo = (prev * n_buckets) // n + 1
+        hi = (cum * n_buckets) // n
+        for b in range(lo, hi + 1):
+            assert b not in assigned
+            assigned[b] = (prev, cum)
+    assert sorted(assigned) == list(range(1, n_buckets + 1))
+    for b, (prev, cum_b) in assigned.items():
+        cutoff = -(-b * n // n_buckets)  # ceil
+        assert prev < cutoff <= cum_b
+
+
+@given(
+    ballots=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=3),  # category per vote
+            min_size=4,
+            max_size=4,  # n_raters fixed at 4 (Fleiss' design)
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_fleiss_kappa_integer_formula_matches_textbook(ballots):
+    """The cleared-denominator κ = (S1·N·n − S2·(n−1))/((N²n² − S2)
+    ·(n−1)) must equal the textbook (P̄ − P̄e)/(1 − P̄e) on arbitrary
+    complete ballots."""
+    from collections import Counter
+
+    n = 4
+    N = len(ballots)
+    s1 = 0
+    col = Counter()
+    for votes in ballots:
+        cnt = Counter(votes)
+        s1 += sum(v * (v - 1) for v in cnt.values())
+        col.update(cnt)
+    s2 = sum(v * v for v in col.values())
+    num = s1 * N * n - s2 * (n - 1)
+    den = (N * N * n * n - s2) * (n - 1)
+    p_bar = s1 / (N * n * (n - 1))
+    p_e = s2 / (N * n) ** 2
+    if den == 0:
+        # P̄e = 1: every vote in one category
+        assert len(col) == 1
+        return
+    assert abs(num / den - (p_bar - p_e) / (1 - p_e)) < 1e-12
+    # kappa is bounded below by -1/(n-1) for complete ballots and
+    # above by 1
+    assert num / den <= 1.0 + 1e-12
+    assert num / den >= -1.0 / (n - 1) - 1e-9

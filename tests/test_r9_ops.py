@@ -1,7 +1,7 @@
 """Round-9 operators: expected calibration error, Cohen's kappa,
 Matthews correlation, Spearman/Kendall rank agreement, cumulative
-gain/lift, TVD distribution drift, the heavy-hitter φ-scan gate tier,
-and the r8-verdict fixes (rrf identifier quoting + lcm guard, the
+gain/lift, TVD distribution drift, Fleiss' kappa, the heavy-hitter
+φ-scan gate tier, and the r8-verdict fixes (rrf identifier quoting + lcm guard, the
 zone-map oracle's NULL-stats arm, the merge-caller materialization
 hook). Hand-computed known values + edge conventions; DuckDB parity
 runs in test_oracle_parity."""
@@ -460,3 +460,59 @@ def test_r9_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     p = _plan(spark, sf_dir, "agg_heavy_hitters_phi")
     assert "WindowGroupLimit" in p
+
+
+def test_fleiss_kappa_known_values(spark):
+    """The Fleiss (1971) worked example: N=10 subjects, n=14 raters,
+    5 categories → S1 = 688, S2 = 4170, κ = 42110/200590 ≈ 0.2099.
+    A partial ballot (5 of 14 votes) must be dropped and counted."""
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        fleiss_kappa,
+    )
+
+    table = [
+        [0, 0, 0, 0, 14], [0, 2, 6, 4, 2], [0, 0, 3, 5, 6],
+        [0, 3, 9, 2, 0], [2, 2, 8, 1, 1], [7, 7, 0, 0, 0],
+        [3, 2, 6, 3, 0], [2, 5, 3, 2, 2], [6, 5, 2, 1, 0],
+        [0, 2, 2, 3, 7],
+    ]
+    rows = [
+        (f"i{i}", f"c{c}")
+        for i, cats in enumerate(table)
+        for c, cnt in enumerate(cats)
+        for _ in range(cnt)
+    ] + [("partial", "c0")] * 5
+    df = spark.createDataFrame(rows, "item string, cat string")
+    [r] = fleiss_kappa(df, "item", "cat", n_raters=14).collect()
+    assert r["n_items"] == 10 and r["n_items_dropped"] == 1
+    assert r["n_categories"] == 5
+    assert int(r["fleiss_num"]) == 42110
+    assert int(r["fleiss_den"]) == 200590
+    assert r["fleiss_kappa"] == 42110 / 200590
+
+
+def test_fleiss_kappa_edges(spark):
+    """Unanimous raters on every item with >1 category in play →
+    κ = 1 exactly; every vote in ONE category → denominator 0 → NULL
+    (P̄_e = 1, degenerate); two raters reduce to the Cohen layout;
+    n_raters < 2 rejected."""
+    import pytest as _pt
+
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        fleiss_kappa,
+    )
+
+    unani = spark.createDataFrame(
+        [("a", "x")] * 3 + [("b", "y")] * 3, "item string, cat string"
+    )
+    [u] = fleiss_kappa(unani, "item", "cat", n_raters=3).collect()
+    assert u["fleiss_kappa"] == 1.0
+
+    const = spark.createDataFrame(
+        [("a", "x")] * 3 + [("b", "x")] * 3, "item string, cat string"
+    )
+    [c] = fleiss_kappa(const, "item", "cat", n_raters=3).collect()
+    assert int(c["fleiss_den"]) == 0 and c["fleiss_kappa"] is None
+
+    with _pt.raises(ValueError):
+        fleiss_kappa(unani, "item", "cat", n_raters=1)
