@@ -2,9 +2,11 @@
 (exact AUC-ROC, PR curve + average precision + cumulative gain/lift,
 confusion matrices + macro-F1 + Matthews correlation, calibration's
 Brier score + expected calibration error), the agreement suite
-(Cohen's kappa for two labelers, Spearman/Kendall rank correlation
-for two rankers), and the ranking suite (hit-rate@k + MRR, NDCG@k,
-reciprocal rank fusion).
+(Cohen's kappa for two labelers, Fleiss' kappa for n-rater
+ensembles, Spearman/Kendall rank correlation for two rankers over a
+shared item set, rank-biased overlap for top-weighted lists that
+need not share items), and the ranking suite (hit-rate@k + MRR,
+NDCG@k, reciprocal rank fusion).
 
 A training-data pipeline that learns filters (the quality classifier,
 dedup verifiers, contamination flags) needs to EVALUATE them at the
@@ -2076,4 +2078,175 @@ def fleiss_kappa_sql(
              CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
            END AS fleiss_kappa
     FROM terms
+    """
+
+
+def rbo_weights(k: int, p_num: int, p_den: int) -> tuple[int, int, list[int]]:
+    """The exact integer weight table for truncated RBO@k at rational
+    persistence p = p_num/p_den: returns ``(scale, full, S)`` where
+    ``scale = p_den^k · lcm(1..k)``, ``S[m-1] = Σ_{d=m..k}
+    scale·(1−p)·p^(d−1)/d`` — an integer for every m (each term is
+    ``(p_den − p_num)·p_num^(d−1)·p_den^(k−d)·(lcm(1..k)/d)``) — and
+    ``full = scale·(1 − p^k) = lcm·(p_den^k − p_num^k)``, the
+    identical-lists numerator (each rank-j item contributes S[j-1];
+    summing the suffixes telescopes to Σ_d scale·w_d). A matched item
+    whose deeper rank is m contributes exactly ``S[m-1]``."""
+    import math
+
+    if not 1 <= k:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0 < p_num < p_den:
+        raise ValueError(
+            f"p must be a rational in (0, 1): got {p_num}/{p_den}"
+        )
+    lcm = math.lcm(*range(1, k + 1))
+    scale = p_den**k * lcm
+    term = [
+        (p_den - p_num) * p_num ** (d - 1) * p_den ** (k - d) * (lcm // d)
+        for d in range(1, k + 1)
+    ]
+    suffix = []
+    acc = 0
+    for d in range(k, 0, -1):
+        acc += term[d - 1]
+        suffix.append(acc)
+    suffix.reverse()
+    full = lcm * (p_den**k - p_num**k)
+    assert full == sum(suffix)  # the telescoped identical-lists sum
+    # the largest possible per-query numerator is ≤ full < scale;
+    # everything must fit the BIGINT literals both engines sum in
+    if scale * (k + 1) >= 2**63:
+        raise ValueError(
+            f"rbo overflow: scale p_den^k·lcm(1..k) = {scale} at "
+            f"k = {k} cannot sum inside BIGINT — lower k or use a "
+            "smaller p_den"
+        )
+    return scale, full, suffix
+
+
+def rbo_at_k(
+    results_a: DataFrame,
+    results_b: DataFrame,
+    query_col: str = "qid",
+    item_col: str = "item",
+    rank_col: str = "rank",
+    k: int = 10,
+    p_num: int = 9,
+    p_den: int = 10,
+) -> DataFrame:
+    """Truncated rank-biased overlap RBO@k (Webber, Moffat & Zobel,
+    TOIS 2010) per query between two top-k rankings — the
+    TOP-WEIGHTED member of the ranker-agreement trio
+    (:func:`spearman_rho` weighs displacement, :func:`kendall_tau`
+    counts inversions — both need the SAME item universe; RBO compares
+    lists that may share only some items, weighting depth d by
+    ``(1−p)·p^(d−1)``, so swapping ranks 1↔2 matters far more than
+    9↔10). ``RBO@k = Σ_{d=1..k} (1−p)p^(d−1)·|A_d ∩ B_d|/d`` where
+    A_d/B_d are the depth-d prefixes.
+
+    Exactness: an item in both lists enters every prefix pair from
+    depth ``m = max(rank_a, rank_b)`` on, so its total contribution is
+    the SUFFIX sum ``Σ_{d≥m} (1−p)p^(d−1)/d`` — with rational p these
+    are the exact integer LITERALS of :func:`rbo_weights` (constants
+    of the metric, the ``ndcg_discounts`` recipe), one per possible m.
+    The per-query numerator is one integer sum over matched items;
+    ``rbo = rbo_num/scale`` and ``rbo_norm = rbo_num/(scale·(1−p^k))``
+    (truncated RBO rescaled so identical lists score exactly 1) are
+    each one IEEE division. Overflow is validated up front (BIGINT
+    literals).
+
+    Scale shape: one equi-join of the two (already top-k-bounded)
+    lists on (query, item), one literal-array lookup, one
+    map-side-combinable per-query sum, one left join back to the query
+    universe (queries with disjoint lists emit 0, not nothing).
+    Returns ``(query_col, n_matched, rbo_num, rbo, rbo_norm)``. Rows
+    with rank outside 1..k are ignored (rank ≥ 1 also guards
+    element_at's negative-index semantics)."""
+    scale, full, suffix = rbo_weights(k, p_num, p_den)
+    s_arr = F.array(*[F.lit(int(s)).cast("long") for s in suffix])
+    bound = lambda df, r: df.where(  # noqa: E731
+        (F.col(rank_col) >= 1) & (F.col(rank_col) <= k)
+    ).select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__i"),
+        F.col(rank_col).cast("int").alias(r),
+    )
+    a, b = bound(results_a, "__ra"), bound(results_b, "__rb")
+    matched = a.join(b, ["__q", "__i"], "inner").select(
+        "__q",
+        F.element_at(
+            s_arr, F.greatest(F.col("__ra"), F.col("__rb"))
+        ).alias("__s"),
+    )
+    per_q = matched.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum("__s").cast("long").alias("rbo_num"),
+    )
+    universe = (
+        a.select("__q").unionByName(b.select("__q")).distinct()
+    )
+    out = universe.join(per_q, "__q", "left")
+    num = F.coalesce(F.col("rbo_num"), F.lit(0)).cast("long")
+    return out.select(
+        F.col("__q").alias(query_col),
+        F.coalesce(F.col("n_matched"), F.lit(0))
+        .cast("long")
+        .alias("n_matched"),
+        num.alias("rbo_num"),
+        (num.cast("double") / F.lit(float(scale))).alias("rbo"),
+        (num.cast("double") / F.lit(float(full))).alias("rbo_norm"),
+    )
+
+
+def rbo_at_k_sql(
+    results_a_sql: str,
+    results_b_sql: str,
+    k: int,
+    p_num: int,
+    p_den: int,
+    query_col: str = "qid",
+    item_col: str = "item",
+    rank_col: str = "rank",
+) -> str:
+    """DuckDB twin of :func:`rbo_at_k` — same literal suffix-weight
+    table, same join/sum shape. ``results_a_sql``/``results_b_sql``
+    are FROM-able fragments exposing (query, item, rank)."""
+    scale, full, suffix = rbo_weights(k, p_num, p_den)
+    vals = ", ".join(
+        f"({m + 1}, {s}::BIGINT)" for m, s in enumerate(suffix)
+    )
+    q, i, r = query_col, item_col, rank_col
+    return f"""
+    WITH s_tab AS (SELECT * FROM (VALUES {vals}) AS t(m, s)),
+    a AS (
+      SELECT {q} AS qq, {i} AS ii, {r} AS ra FROM {results_a_sql}
+      WHERE {r} BETWEEN 1 AND {k}
+    ),
+    b AS (
+      SELECT {q} AS qq, {i} AS ii, {r} AS rb FROM {results_b_sql}
+      WHERE {r} BETWEEN 1 AND {k}
+    ),
+    matched AS (
+      SELECT a.qq, s.s
+      FROM a JOIN b USING (qq, ii)
+      JOIN s_tab s ON s.m = greatest(a.ra, b.rb)
+    ),
+    per_q AS (
+      SELECT qq, CAST(count(*) AS BIGINT) AS n_matched,
+             CAST(sum(s) AS BIGINT) AS rbo_num
+      FROM matched GROUP BY qq
+    ),
+    universe AS (
+      SELECT DISTINCT qq FROM (
+        SELECT qq FROM a UNION ALL SELECT qq FROM b
+      )
+    )
+    SELECT u.qq AS {q},
+           CAST(coalesce(p.n_matched, 0) AS BIGINT) AS n_matched,
+           CAST(coalesce(p.rbo_num, 0) AS BIGINT) AS rbo_num,
+           CAST(coalesce(p.rbo_num, 0) AS DOUBLE) / {float(scale)}
+             AS rbo,
+           CAST(coalesce(p.rbo_num, 0) AS DOUBLE) / {float(full)}
+             AS rbo_norm
+    FROM universe u LEFT JOIN per_q p USING (qq)
     """

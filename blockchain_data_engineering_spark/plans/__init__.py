@@ -150,6 +150,16 @@ GATE_ORDER = [
     #    the per-category aggregate-grain eval family by
     #    dq_distribution_drift; the leave-fold-out algebra stays
     #    pinned in pytest parity).
+    #    (10) ml_rbo_overlap — rank-biased overlap (Webber–Moffat–
+    #    Zobel TOIS 2010), the TOP-WEIGHTED ranker-agreement member
+    #    over the same two per-user rankings as the Spearman/Kendall
+    #    gates; exact via literal integer suffix weights at rational
+    #    p (the ndcg_discounts recipe). Displaced:
+    #    text_pmi_collocations (r5-green — the explode → pair-count
+    #    plan family stays gate-run by the BPE train loop's per-round
+    #    pair ranking and the heavy-hitter build's explode→count; the
+    #    PMI log-free ratio algebra stays pinned in pytest parity).
+    "ml_rbo_overlap",
     "ml_fleiss_kappa",
     "ml_ece",
     "ml_cohens_kappa",
@@ -333,7 +343,6 @@ GATE_ORDER = [
     #    gate-verified against a reversed-running-min SQL oracle --
     "stream_reorg_replay",
     "text_fim_transform",
-    "text_pmi_collocations",
     "agg_rollup_two_level",
     "events_twap",
     "dq_orders_profile",
@@ -486,6 +495,11 @@ WITNESSES: dict[str, list[str]] = {
     # --- demoted in the r9 rotation (in exchange for the last two
     #     asked-for eval scalars + the agreement/budget/drift/φ-scan
     #     completions) ---
+    # explode → pair-count grain runs per-round inside the gate BPE
+    # train loop and as the heavy-hitter build's explode→count; the
+    # 1-row N broadcast compose is the audited agg_hll_distinct shape;
+    # the PMI ratio algebra stays pinned in pytest parity
+    "text_pmi_collocations": ["text_bpe_train", "agg_heavy_hitters_merged"],
     # md5-fold deterministic-draw mechanics stay gate-run by the
     # component-keyed split; the per-category aggregate-grain eval
     # family by the TVD drift gate; the leave-fold-out mean algebra

@@ -2686,3 +2686,63 @@ def agg_heavy_hitters_phi(spark: SparkSession, sf_dir: str) -> DataFrame:
         h0,
         h1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap (r9, Webber–Moffat–Zobel TOIS 2010): the
+# TOP-WEIGHTED member of the ranker-agreement trio over the same two
+# per-user rankings as the Spearman/Kendall gates — depth d weighted
+# (1−p)p^(d−1), so a rank-1 swap costs more than a rank-3 swap, and
+# the lists need not share items. Exact: a matched item's whole
+# contribution is a literal integer suffix-weight (operators/ml_eval
+# rbo_weights — constants of the metric at rational p = 9/10, the
+# ndcg_discounts recipe), one BIGINT sum per query, overflow validated
+# up front.
+# ---------------------------------------------------------------------------
+_RBO_K, _RBO_P = 3, (9, 10)
+
+
+def _rbo_oracle() -> str:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        rbo_at_k_sql,
+    )
+
+    ranked = _ranked_pair_sql()
+    list_a = (
+        f"(SELECT user_id, event_type, rank_a AS rank FROM {ranked})"
+    )
+    list_b = (
+        f"(SELECT user_id, event_type, rank_b AS rank FROM {ranked})"
+    )
+    return rbo_at_k_sql(
+        list_a,
+        list_b,
+        _RBO_K,
+        *_RBO_P,
+        query_col="user_id",
+        item_col="event_type",
+        rank_col="rank",
+    )
+
+
+@query("ml_rbo_overlap", oracle=_rbo_oracle())
+def ml_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.ml_eval import rbo_at_k
+
+    ranked = _ranked_pair_df(spark, sf_dir)
+    list_a = ranked.select(
+        "user_id", "event_type", F.col("rank_a").alias("rank")
+    )
+    list_b = ranked.select(
+        "user_id", "event_type", F.col("rank_b").alias("rank")
+    )
+    return rbo_at_k(
+        list_a,
+        list_b,
+        query_col="user_id",
+        item_col="event_type",
+        rank_col="rank",
+        k=_RBO_K,
+        p_num=_RBO_P[0],
+        p_den=_RBO_P[1],
+    )

@@ -1297,3 +1297,36 @@ def test_fleiss_kappa_integer_formula_matches_textbook(ballots):
     # above by 1
     assert num / den <= 1.0 + 1e-12
     assert num / den >= -1.0 / (n - 1) - 1e-9
+
+
+@given(
+    la=st.permutations(["a", "b", "c", "d", "e"]),
+    lb=st.permutations(["c", "d", "e", "f", "g"]),
+    k=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=100, deadline=None)
+def test_rbo_suffix_lookup_matches_prefix_definition(la, lb, k):
+    """The operator's suffix-weight lookup (one literal per matched
+    item at depth max(ra, rb)) must equal the textbook prefix-overlap
+    definition Σ_d (1−p)p^(d−1)·|A_d ∩ B_d|/d, and rbo_norm stays in
+    [0, 1] with 1 exactly on identical prefixes."""
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        rbo_weights,
+    )
+
+    scale, full, suffix = rbo_weights(k, 9, 10)
+    ra = {it: i + 1 for i, it in enumerate(la[:k])}
+    rb = {it: i + 1 for i, it in enumerate(lb[:k])}
+    via_suffix = sum(
+        suffix[max(ra[it], rb[it]) - 1] for it in set(ra) & set(rb)
+    )
+    p = 0.9
+    direct = sum(
+        (1 - p) * p ** (d - 1)
+        * len(set(la[:d]) & set(lb[:d])) / d
+        for d in range(1, k + 1)
+    )
+    assert abs(via_suffix / scale - direct) < 1e-12
+    assert 0.0 <= via_suffix / full <= 1.0 + 1e-12
+    ident = sum(suffix[m - 1] for m in range(1, k + 1))
+    assert ident == full

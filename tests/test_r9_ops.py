@@ -1,6 +1,6 @@
 """Round-9 operators: expected calibration error, Cohen's kappa,
 Matthews correlation, Spearman/Kendall rank agreement, cumulative
-gain/lift, TVD distribution drift, Fleiss' kappa, the heavy-hitter
+gain/lift, TVD distribution drift, Fleiss' kappa, RBO, the heavy-hitter
 φ-scan gate tier, and the r8-verdict fixes (rrf identifier quoting + lcm guard, the
 zone-map oracle's NULL-stats arm, the merge-caller materialization
 hook). Hand-computed known values + edge conventions; DuckDB parity
@@ -516,3 +516,71 @@ def test_fleiss_kappa_edges(spark):
 
     with _pt.raises(ValueError):
         fleiss_kappa(unani, "item", "cat", n_raters=1)
+
+
+def test_rbo_known_values(spark):
+    """k=3, p=9/10: scale = 10³·lcm(1,2,3) = 6000, suffix weights
+    S = [1032, 432, 162], identical-lists sum 1626. [x,y,z] vs
+    [y,x,z] matches x,y at depth 2 and z at depth 3 → 432+432+162 =
+    1026 (hand-check via X_d: 0·600 + (2/2)·540 + (3/3)·486);
+    identical lists score rbo_norm exactly 1; disjoint lists emit 0
+    for the query, not nothing."""
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        rbo_at_k,
+        rbo_weights,
+    )
+
+    scale, full, suffix = rbo_weights(3, 9, 10)
+    assert scale == 6000 and suffix == [1032, 432, 162]
+    assert full == 1626  # 6·(10³ − 9³): the identical-lists numerator
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "qid string, item string, rank long"
+    )
+    a = mk([("q1", "x", 1), ("q1", "y", 2), ("q1", "z", 3),
+            ("q2", "x", 1), ("q2", "y", 2), ("q2", "z", 3),
+            ("q3", "x", 1), ("q3", "y", 2), ("q3", "z", 3)])
+    b = mk([("q1", "y", 1), ("q1", "x", 2), ("q1", "z", 3),
+            ("q2", "x", 1), ("q2", "y", 2), ("q2", "z", 3),
+            ("q3", "p", 1), ("q3", "q", 2), ("q3", "r", 3)])
+    got = {
+        r["qid"]: r for r in rbo_at_k(a, b, k=3, p_num=9, p_den=10).collect()
+    }
+    assert got["q1"]["rbo_num"] == 1026 and got["q1"]["n_matched"] == 3
+    assert got["q1"]["rbo"] == 1026 / 6000
+    assert got["q2"]["rbo_num"] == 1626 and got["q2"]["rbo_norm"] == 1.0
+    assert got["q3"]["rbo_num"] == 0 and got["q3"]["n_matched"] == 0
+    assert got["q3"]["rbo"] == 0.0
+
+
+def test_rbo_edges_and_overflow(spark):
+    """Rows with rank outside 1..k are ignored (a rank-4 entry of a
+    longer list can't leak in); top-weighting: a rank-1 match scores
+    strictly more than the same match at rank k; the scale overflow
+    guard raises the documented ValueError (k=13 at p=9/10 blows the
+    BIGINT literal budget)."""
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        rbo_at_k,
+        rbo_weights,
+    )
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "qid string, item string, rank long"
+    )
+    a = mk([("q", "x", 1), ("q", "deep", 4)])
+    b = mk([("q", "x", 1), ("q", "deep", 4)])
+    [r] = rbo_at_k(a, b, k=3, p_num=9, p_den=10).collect()
+    assert r["n_matched"] == 1 and r["rbo_num"] == 1032  # only rank 1
+
+    top = rbo_at_k(
+        mk([("q", "x", 1)]), mk([("q", "x", 1)]), k=3, p_num=9, p_den=10
+    ).collect()[0]["rbo_num"]
+    bottom = rbo_at_k(
+        mk([("q", "x", 3)]), mk([("q", "x", 3)]), k=3, p_num=9, p_den=10
+    ).collect()[0]["rbo_num"]
+    assert top > bottom
+
+    with pytest.raises(ValueError, match="rbo overflow"):
+        rbo_weights(13, 9, 10)
+    with pytest.raises(ValueError):
+        rbo_weights(3, 10, 10)  # p must be inside (0, 1)
