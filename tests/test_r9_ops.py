@@ -584,3 +584,59 @@ def test_rbo_edges_and_overflow(spark):
         rbo_weights(13, 9, 10)
     with pytest.raises(ValueError):
         rbo_weights(3, 10, 10)  # p must be inside (0, 1)
+
+
+def test_ece_and_fleiss_match_python_under_repartition(spark):
+    """Randomized (seeded) cross-check: the Spark ECE and Fleiss
+    numerators equal a pure-Python evaluation of the same integer
+    algebra, identically at 1 and 13 partitions (aggregation order
+    cannot matter for exact integer sums)."""
+    import random
+    from collections import Counter, defaultdict
+
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        ece,
+        fleiss_kappa,
+    )
+
+    rng = random.Random(99)
+    s_max, n_bins = 1000, 7
+    rows = [(rng.random() < 0.4, rng.randint(0, s_max)) for _ in range(500)]
+    bins = defaultdict(lambda: [0, 0])
+    for y, s in rows:
+        b = min((s * n_bins) // s_max, n_bins - 1)
+        bins[b][0] += int(y)
+        bins[b][1] += s
+    want_ece = sum(abs(s_max * pos - ssum) for pos, ssum in bins.values())
+
+    n_raters = 3
+    ballots = {
+        f"i{i}": [rng.choice("abc") for _ in range(n_raters)]
+        for i in range(120)
+    }
+    s1, col = 0, Counter()
+    for votes in ballots.values():
+        cnt = Counter(votes)
+        s1 += sum(v * (v - 1) for v in cnt.values())
+        col.update(cnt)
+    s2 = sum(v * v for v in col.values())
+    N = len(ballots)
+    want_num = s1 * N * n_raters - s2 * (n_raters - 1)
+    want_den = (N * N * n_raters * n_raters - s2) * (n_raters - 1)
+
+    edf = spark.createDataFrame(rows, "y boolean, s long")
+    fdf = spark.createDataFrame(
+        [(i, c) for i, votes in ballots.items() for c in votes],
+        "item string, cat string",
+    )
+    for parts in (1, 13):
+        [e] = ece(
+            edf.repartition(parts), F.col("y"), F.col("s"),
+            s_max=s_max, n_bins=n_bins,
+        ).collect()
+        assert int(e["ece_num"]) == want_ece and e["n"] == 500
+        [f] = fleiss_kappa(
+            fdf.repartition(parts), "item", "cat", n_raters=n_raters
+        ).collect()
+        assert int(f["fleiss_num"]) == want_num
+        assert int(f["fleiss_den"]) == want_den
