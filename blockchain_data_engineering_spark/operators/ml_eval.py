@@ -696,6 +696,33 @@ def multiclass_macro_f1(
         .groupBy(*keyed, "__a", "__p")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    return multiclass_macro_f1_from_cells(cells, "__a", "__p", "n", keys)
+
+
+def multiclass_macro_f1_from_cells(
+    cells_df: DataFrame,
+    actual_col: str = "actual",
+    predicted_col: str = "predicted",
+    n_col: str = "n",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """:func:`multiclass_macro_f1` from PRE-AGGREGATED (actual,
+    predicted, count) cells — the second reader of the additive cell
+    state (``cohens_kappa_from_cells`` is the first; the streaming
+    store in ``streaming/sketches.py`` maintains it): one maintained
+    ≤ k²-row store answers accuracy, macro-F1 AND kappa for the whole
+    stream so far. Duplicate (actual, predicted) rows sum — the
+    mergeability property. Same output columns and algebra as
+    :func:`multiclass_macro_f1` (which delegates here)."""
+    keyed = list(keys)
+    cells = cells_df.where(
+        F.col(actual_col).isNotNull() & F.col(predicted_col).isNotNull()
+    ).select(
+        *keyed,
+        F.col(actual_col).alias("__a"),
+        F.col(predicted_col).alias("__p"),
+        F.col(n_col).cast("long").alias("n"),
+    )
     by_actual = cells.groupBy(*keyed, "__a").agg(
         F.sum("n").cast("long").alias("support"),
         F.sum(F.when(F.col("__a") == F.col("__p"), F.col("n")).otherwise(0))

@@ -313,3 +313,19 @@ def eval_cells_store_kappa(spark: SparkSession, store_path: str) -> DataFrame:
     return cohens_kappa_from_cells(
         eval_cells_store_cells(spark, store_path)
     )
+
+
+def eval_cells_store_macro_f1(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """Accuracy + macro-F1 (+ the exact integer numerator) of the
+    WHOLE stream so far, from the same cell store
+    :func:`eval_cells_store_kappa` reads — one maintained ≤ k²-row
+    state, every agreement/accuracy statistic derivable on demand."""
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        multiclass_macro_f1_from_cells,
+    )
+
+    return multiclass_macro_f1_from_cells(
+        eval_cells_store_cells(spark, store_path)
+    )

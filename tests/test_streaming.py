@@ -1757,6 +1757,21 @@ def test_streaming_eval_cells_store_matches_batch(spark, tmp_path):
     assert str(got["kappa_den"]) == str(want["kappa_den"])
     assert got["kappa"] == want["kappa"]
 
+    # the SAME store answers macro-F1/accuracy (second reader of the
+    # one maintained cell state)
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        multiclass_macro_f1,
+    )
+    from blockchain_data_engineering_spark.streaming.sketches import (
+        eval_cells_store_macro_f1,
+    )
+
+    [gm] = eval_cells_store_macro_f1(spark, store).collect()
+    [wm] = multiclass_macro_f1(batch, F.col("a"), F.col("b")).collect()
+    assert gm["n"] == wm["n"] and gm["accuracy"] == wm["accuracy"]
+    assert str(gm["macro_f1_num"]) == str(wm["macro_f1_num"])
+    assert gm["macro_f1"] == wm["macro_f1"]
+
     # replay idempotence: batch 0's delta rewritten over itself
     d0 = spark.read.parquet(f"{store}/_batch_id=0")
     _write_delta(d0, store, 0)
