@@ -271,6 +271,44 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
+def _drift_share_grain(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+) -> DataFrame:
+    """The shared category-grain drift construction
+    (:func:`distribution_drift_tvd` / :func:`distribution_psi`): one
+    map-side-combinable count per side at (keys, category) grain, one
+    full-outer category join (a category missing on one side counts
+    0 there), ONE window per side for the group totals — bounded at
+    category grain, the drift operators' contract. Returns
+    ``(*keys, __r, __c, __nr, __nc)``. NULL categories are excluded
+    (a NULL is no category — coalesce to a sentinel upstream to track
+    NULL's share)."""
+    keyed = list(keys)
+    count_side = lambda df, out: (  # noqa: E731
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keyed, F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias(out))
+    )
+    cats = count_side(ref, "__r").join(
+        count_side(cur, "__c"), keyed + ["__v"], "full"
+    ).select(
+        *keyed,
+        F.coalesce(F.col("__r"), F.lit(0)).cast("long").alias("__r"),
+        F.coalesce(F.col("__c"), F.lit(0)).cast("long").alias("__c"),
+    )
+    w = Window.partitionBy(*keyed)
+    return cats.select(
+        *keyed,
+        "__r",
+        "__c",
+        F.sum("__r").over(w).cast("long").alias("__nr"),
+        F.sum("__c").over(w).cast("long").alias("__nc"),
+    )
+
+
 def distribution_drift_tvd(
     ref: DataFrame,
     cur: DataFrame,
@@ -283,12 +321,17 @@ def distribution_drift_tvd(
     categories: the DQ check that catches an upstream source silently
     changing its mix (a language's share collapsing, an event type
     vanishing) where :func:`schema_drift` only catches shape changes.
-    TVD is chosen over χ²/PSI deliberately: it is the only one of the
-    three whose terms stay EXACT rationals (χ² squares cross-products
-    past DECIMAL(38,0) at ~10^9 rows per side; PSI needs an engine
-    ``log``), it is bounded in [0, 1], and it has the operational
-    reading "the largest possible disagreement in the share of any
-    category set".
+    TVD is the drift statistic whose terms stay EXACT rationals with
+    no quantization at all (χ² is still rejected: it squares
+    cross-products past DECIMAL(38,0) at ~10^9 rows per side); it is
+    bounded in [0, 1] and has the operational reading "the largest
+    possible disagreement in the share of any category set". For the
+    number monitoring dashboards quote, :func:`distribution_psi`
+    computes PSI on the same grain via the literal log-quanta table
+    design (quantized, error bounded and documented there) — run both
+    from one grain; they answer different questions (TVD: worst-case
+    share disagreement; PSI: likelihood-ratio-weighted drift that
+    amplifies tail categories).
 
     Exactness — EXACT: clearing denominators,
     ``TVD = Σ_c |r_c·n_cur − c_c·n_ref| / (2·n_ref·n_cur)`` — the
@@ -308,26 +351,7 @@ def distribution_drift_tvd(
     grain), ``tvd_num`` (DECIMAL(38,0) — serialize as string in gate
     queries) and ``tvd``."""
     keyed = list(keys)
-    count_side = lambda df, out: (  # noqa: E731
-        df.where(F.col(value_col).isNotNull())
-        .groupBy(*keyed, F.col(value_col).alias("__v"))
-        .agg(F.count(F.lit(1)).cast("long").alias(out))
-    )
-    cats = count_side(ref, "__r").join(
-        count_side(cur, "__c"), keyed + ["__v"], "full"
-    ).select(
-        *keyed,
-        F.coalesce(F.col("__r"), F.lit(0)).cast("long").alias("__r"),
-        F.coalesce(F.col("__c"), F.lit(0)).cast("long").alias("__c"),
-    )
-    w = Window.partitionBy(*keyed)
-    withtot = cats.select(
-        *keyed,
-        "__r",
-        "__c",
-        F.sum("__r").over(w).cast("long").alias("__nr"),
-        F.sum("__c").over(w).cast("long").alias("__nc"),
-    )
+    withtot = _drift_share_grain(ref, cur, value_col, keyed)
     term = F.abs(
         F.col("__r").cast("decimal(38,0)") * F.col("__nc")
         - F.col("__c").cast("decimal(38,0)") * F.col("__nr")
@@ -413,5 +437,205 @@ def distribution_drift_tvd_sql(
              CAST(tvd_num AS DOUBLE)
                / CAST(2 * n_ref::HUGEINT * n_cur AS DOUBLE)
            END AS tvd
+    FROM agg
+    """
+
+
+# PSI log-quanta: round(10^12·ln(i)) for i on the share grid,
+# precomputed ONCE in Python and embedded as integer LITERALS in both
+# engines — constants of the metric, never an engine log() whose low
+# bits could diverge (the ml_eval.ndcg_discounts / log_loss_table
+# recipe, sanctioned by the r9 verdict for exactly this family).
+_PSI_LN_SCALE = 10**12
+_PSI_GRID_MAX = 4096
+
+
+def psi_ln_table(grid: int) -> list[int]:
+    """The literal integer ln table for :func:`distribution_psi`:
+    ``T[i] = round(10^12 · ln(i))`` for i in 1..grid."""
+    import math
+
+    if not 2 <= grid <= _PSI_GRID_MAX:
+        raise ValueError(
+            f"share_grid must be in 2..{_PSI_GRID_MAX} (literal-table "
+            f"contract), got {grid}"
+        )
+    return [
+        round(_PSI_LN_SCALE * math.log(i)) for i in range(1, grid + 1)
+    ]
+
+
+def distribution_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    share_grid: int = 1000,
+) -> DataFrame:
+    """Population stability index per ``keys`` group between a
+    REFERENCE snapshot and a CURRENT one —
+    ``PSI = Σ_c (p_cur(c) − p_ref(c))·ln(p_cur(c)/p_ref(c))`` over the
+    union of categories: the drift number monitoring dashboards quote
+    next to :func:`distribution_drift_tvd` (rule of thumb: < 0.1
+    stable, 0.1–0.25 drifting, > 0.25 shifted). Where TVD reads
+    worst-case share disagreement, PSI weights each category's change
+    by its log likelihood ratio, amplifying collapses of small
+    categories that TVD barely sees.
+
+    Quantization design (the literal log-quanta table — the engine's
+    sanctioned escape from the no-engine-log exactness policy): each
+    side's share is floor-quantized to the integer grid
+    ``q = (count·G) div n_side`` with ``G = share_grid``, eps-filled
+    to ≥ 1 quantum (PSI is undefined on empty buckets; the classic
+    convention fills them with a small epsilon — here exactly one
+    quantum, 1/G). What is then computed is EXACTLY the PSI of the
+    two quantized distributions:
+    ``psi_num = Σ_c (q_cur − q_ref)·(T[q_cur] − T[q_ref])`` with
+    ``T[i] = round(10^12·ln(i))`` literal integers (both factors
+    share a sign, so every term is ≥ 0 like true PSI), and
+    ``psi = psi_num/(G·10^12)`` is one IEEE division. Error: the ln
+    table contributes ≤ 10^-12 per category; the share quantization
+    perturbs each share by < 1/G (plus the eps-fill on empty/tiny
+    buckets — the standard PSI epsilon caveat: categories absent from
+    one side contribute ``(q − 1)·ln(q)/G`` rather than ∞). With the
+    default G = 1000 the share resolution is 0.1% — finer than any
+    monitoring threshold in use; raise G (≤ 4096) when tracking
+    sub-0.1% categories, or read TVD (exact) alongside.
+
+    Scale shape: identical to TVD — the shared
+    :func:`_drift_share_grain` (category-grain counts, full-outer
+    join, one bounded window per side), a constant-folded
+    literal-array lookup, one final aggregate. ``psi`` is NULL when
+    either side of the group is empty (drift from/to nothing —
+    surface it, don't score it; ``psi_num`` is 0 there, never a
+    division by a zero total). Returns ``n_ref``, ``n_cur``,
+    ``n_categories``, ``psi_num`` (DECIMAL(38,0) — serialize as
+    string in gate queries) and ``psi``."""
+    tab = psi_ln_table(share_grid)
+    g = int(share_grid)
+    arr = F.array(*[F.lit(int(t)).cast("long") for t in tab])
+    keyed = list(keys)
+    withtot = _drift_share_grain(ref, cur, value_col, keyed)
+    q = lambda cnt, tot: F.greatest(  # noqa: E731
+        F.lit(1).cast("long"),
+        F.expr(f"(CAST({cnt} AS DECIMAL(38,0)) * {g}) div {tot}"),
+    )
+    quantized = withtot.select(
+        *keyed,
+        "__nr",
+        "__nc",
+        F.when(
+            (F.col("__nr") > 0) & (F.col("__nc") > 0),
+            q("__r", "__nr"),
+        ).alias("__qr"),
+        F.when(
+            (F.col("__nr") > 0) & (F.col("__nc") > 0),
+            q("__c", "__nc"),
+        ).alias("__qc"),
+    )
+    term = (
+        (F.col("__qc") - F.col("__qr")).cast("decimal(38,0)")
+        * (
+            F.element_at(arr, F.col("__qc").cast("int"))
+            - F.element_at(arr, F.col("__qr").cast("int"))
+        )
+    ).cast("decimal(38,0)")
+    agg = quantized.groupBy(*keyed).agg(
+        F.any_value(F.col("__nr")).cast("long").alias("n_ref"),
+        F.any_value(F.col("__nc")).cast("long").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.coalesce(F.sum(term), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("psi_num"),
+    )
+    den = (
+        F.lit(g).cast("decimal(38,0)") * F.lit(_PSI_LN_SCALE)
+    ).cast("decimal(38,0)")
+    return agg.select(
+        *keyed,
+        "n_ref",
+        "n_cur",
+        "n_categories",
+        "psi_num",
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.col("psi_num").cast("double") / den.cast("double"),
+        ).alias("psi"),
+    )
+
+
+def distribution_psi_sql(
+    value_sql: str,
+    ref_table_sql: str,
+    cur_table_sql: str,
+    keys: Sequence[str] = (),
+    share_grid: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`distribution_psi` — same category grain,
+    same quantization, the SAME literal ln table as a VALUES relation
+    joined at category grain; ``psi_num`` serializes as VARCHAR."""
+    tab = psi_ln_table(share_grid)
+    g = int(share_grid)
+    vals = ", ".join(f"({i + 1}, {t}::BIGINT)" for i, t in enumerate(tab))
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    part = f"PARTITION BY {kcols}" if keyed else "PARTITION BY 1"
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_v = f"{kcols}, v" if keyed else "v"
+    using = f"USING ({kpre}v)" if keyed else "USING (v)"
+    return f"""
+    WITH ln_tab AS (SELECT * FROM (VALUES {vals}) AS t(i, lnv)),
+    ref_counts AS (
+      SELECT {kpre}{value_sql} AS v, CAST(count(*) AS BIGINT) AS r
+      FROM {ref_table_sql}
+      WHERE ({value_sql}) IS NOT NULL
+      GROUP BY {kgrp_v}
+    ),
+    cur_counts AS (
+      SELECT {kpre}{value_sql} AS v, CAST(count(*) AS BIGINT) AS c
+      FROM {cur_table_sql}
+      WHERE ({value_sql}) IS NOT NULL
+      GROUP BY {kgrp_v}
+    ),
+    cats AS (
+      SELECT {kpre}coalesce(r, 0) AS r, coalesce(c, 0) AS c
+      FROM ref_counts FULL OUTER JOIN cur_counts {using}
+    ),
+    withtot AS (
+      SELECT {kpre}r, c,
+             CAST(sum(r) OVER ({part}) AS BIGINT) AS nr,
+             CAST(sum(c) OVER ({part}) AS BIGINT) AS nc
+      FROM cats
+    ),
+    quantized AS (
+      SELECT {kpre}nr, nc,
+             CASE WHEN nr > 0 AND nc > 0 THEN
+               greatest(1, (r::HUGEINT * {g}) // nr) END AS qr,
+             CASE WHEN nr > 0 AND nc > 0 THEN
+               greatest(1, (c::HUGEINT * {g}) // nc) END AS qc
+      FROM withtot
+    ),
+    terms AS (
+      SELECT {kpre}nr, nc,
+             (q.qc - q.qr)::HUGEINT * (tc.lnv - tr.lnv) AS t
+      FROM quantized q
+      LEFT JOIN ln_tab tr ON tr.i = q.qr
+      LEFT JOIN ln_tab tc ON tc.i = q.qc
+    ),
+    agg AS (
+      SELECT {kpre}
+             CAST(any_value(nr) AS BIGINT) AS n_ref,
+             CAST(any_value(nc) AS BIGINT) AS n_cur,
+             CAST(count(*) AS BIGINT) AS n_categories,
+             coalesce(sum(t), 0) AS psi_num
+      FROM terms {grp}
+    )
+    SELECT {kpre}n_ref, n_cur, n_categories,
+           CAST(psi_num AS VARCHAR) AS psi_num,
+           CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+             CAST(psi_num AS DOUBLE)
+               / CAST({g}::HUGEINT * {_PSI_LN_SCALE} AS DOUBLE)
+           END AS psi
     FROM agg
     """

@@ -1,12 +1,13 @@
 """Model-evaluation aggregates, distributed: the classification suite
 (exact AUC-ROC, PR curve + average precision + cumulative gain/lift,
 confusion matrices + macro-F1 + Matthews correlation, calibration's
-Brier score + expected calibration error), the agreement suite
-(Cohen's kappa for two labelers, Fleiss' kappa for n-rater
-ensembles, Spearman/Kendall rank correlation for two rankers over a
-shared item set, rank-biased overlap for top-weighted lists that
-need not share items), and the ranking suite (hit-rate@k + MRR,
-NDCG@k, reciprocal rank fusion).
+Brier score + expected calibration error + log-loss), the agreement
+suite (Cohen's kappa for two labelers, weighted kappa for ordinal
+labels, Fleiss' kappa for fixed-n rater ensembles, Krippendorff's
+alpha for ragged multi-rater coverage, Spearman/Kendall rank
+correlation for two rankers over a shared item set, rank-biased
+overlap for top-weighted lists that need not share items), and the
+ranking suite (hit-rate@k + MRR, NDCG@k, reciprocal rank fusion).
 
 A training-data pipeline that learns filters (the quality classifier,
 dedup verifiers, contamination flags) needs to EVALUATE them at the
@@ -62,6 +63,14 @@ Scale shape:
   integers with one final IEEE division (and, for MCC only, two
   IEEE square roots of exact integers — correctly rounded per
   IEEE-754 in both engines, hence still bit-identical).
+- The r10 agreement completions stay exact the same way:
+  ``weighted_kappa``'s disagreement weights are integer functions of
+  the ordinal label values, and ``krippendorff_alpha``'s per-unit
+  1/(m_u−1) weights clear through lcm(1..max_raters−1). ``log_loss``
+  is the sanctioned quantized member: its per-row terms are the
+  integer literals of ``log_loss_table`` (the NDCG discount-table
+  pattern — logs of a bounded score grid are constants of the
+  metric, never an engine ``log``), error ≤ 0.5·10^-12 per row.
 
 NULL convention (r6 ADVICE): rows with a NULL label or NULL score are
 EXCLUDED at entry by ``auc_exact`` and ``pr_curve`` — a NULL score has
@@ -1092,7 +1101,20 @@ def ece(
     Bin assignment is the exact integer ``(s·n_bins) div s_max``
     capped at ``n_bins − 1`` (so ``s = s_max`` lands in the top bin);
     non-negative operands make Spark's truncating ``div`` and DuckDB's
-    flooring ``//`` agree. Scale shape: ONE map-side-combinable bin
+    flooring ``//`` agree. ``n_bins ≤ s_max`` is required (validated):
+    with more bins than score quanta, ``n_bins − s_max`` bins are
+    STRUCTURALLY empty and ``n_bins_used`` reads misleadingly low —
+    the arithmetic would still be correct, but the reliability summary
+    would not mean what its reader assumes.
+
+    Producing ``score_q`` from a float probability: ROUND to the
+    nearest quantum (``floor(p·s_max + 0.5)`` — the ``parity.quanta``
+    recipe), don't truncate — a bare ``cast("long")`` on ``p·s_max``
+    floors, so a double like 0.79999 lands one quantum below its IEEE
+    value and the "integer-quanta probability" contract silently
+    inherits a half-quantum downward bias.
+
+    Scale shape: ONE map-side-combinable bin
     aggregate (≤ n_bins rows per group) + one re-aggregation at bin
     grain. Returns ``n``, ``n_bins_used`` (non-empty bins), ``ece_num``
     (DECIMAL(38,0) — serialize as string in gate queries) and ``ece``
@@ -1101,6 +1123,13 @@ def ece(
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     if s_max < 1:
         raise ValueError(f"s_max must be >= 1, got {s_max}")
+    if n_bins > s_max:
+        raise ValueError(
+            f"n_bins ({n_bins}) > s_max ({s_max}): scores have only "
+            f"{s_max + 1} distinct quanta, so {n_bins - s_max} bins "
+            "would be structurally empty — raise the score resolution "
+            "or lower n_bins"
+        )
     keyed = list(keys)
     base = df.where(
         label.isNotNull()
@@ -1166,6 +1195,11 @@ def ece_sql(
 ) -> str:
     """DuckDB twin of :func:`ece` — same bin assignment, same exact
     integer numerator; ``ece_num`` serializes as VARCHAR."""
+    if n_bins < 1 or s_max < 1 or n_bins > s_max:
+        raise ValueError(
+            f"require 1 <= n_bins <= s_max, got n_bins={n_bins}, "
+            f"s_max={s_max} (see ece())"
+        )
     keyed = list(keys)
     kcols = ", ".join(keyed)
     kpre = f"{kcols}, " if keyed else ""
@@ -1623,13 +1657,24 @@ def kendall_tau(
     contract, not a limitation discovered at runtime. Returns
     ``n_items``, ``n_pairs``, ``n_discordant``, ``tau_num``/
     ``tau_den`` (DECIMAL(38,0) — serialize as strings in gate
-    queries) and ``tau``."""
+    queries) and ``tau``.
+
+    NULL-keyed rows are EXCLUDED at entry (matching the NULL-rank
+    exclusion): the pair count comes from an equi self-join on
+    ``keys``, which drops NULL = NULL matches, so without this filter
+    a NULL-keyed group would survive the counts aggregate but lose its
+    pairs and report a spurious n_discordant = 0 instead of being
+    absent. ``coalesce`` the key to a sentinel upstream if NULL should
+    be a real group."""
     keyed = list(keys)
-    base = df.where(
+    not_null = (
         F.col(item_col).isNotNull()
         & F.col(rank_a_col).isNotNull()
         & F.col(rank_b_col).isNotNull()
-    ).select(
+    )
+    for c in keyed:
+        not_null = not_null & F.col(c).isNotNull()
+    base = df.where(not_null).select(
         *keyed,
         F.col(item_col).alias("__i"),
         F.col(rank_a_col).cast("long").alias("__a"),
@@ -1691,10 +1736,12 @@ def kendall_tau_sql(
     keys: Sequence[str] = (),
 ) -> str:
     """DuckDB twin of :func:`kendall_tau` — same per-group pair join,
-    same exact algebra; the integer columns serialize as VARCHAR."""
+    same exact algebra (incl. the NULL-key exclusion at entry); the
+    integer columns serialize as VARCHAR."""
     keyed = list(keys)
     kcols = ", ".join(keyed)
     kpre = f"{kcols}, " if keyed else ""
+    key_nn = "".join(f" AND ({c}) IS NOT NULL" for c in keyed)
     grp = f"GROUP BY {kcols}" if keyed else ""
     pair_on = " AND ".join(
         [f"l.{c} = r.{c}" for c in keyed] + ["l.a < r.a"]
@@ -1713,6 +1760,7 @@ def kendall_tau_sql(
       FROM {table}
       WHERE ({item_sql}) IS NOT NULL
         AND ({rank_a_sql}) IS NOT NULL AND ({rank_b_sql}) IS NOT NULL
+        {key_nn}
     ),
     disc AS (
       SELECT {lkpre}
@@ -2188,7 +2236,16 @@ def rbo_at_k(
     universe (queries with disjoint lists emit 0, not nothing).
     Returns ``(query_col, n_matched, rbo_num, rbo, rbo_norm)``. Rows
     with rank outside 1..k are ignored (rank ≥ 1 also guards
-    element_at's negative-index semantics)."""
+    element_at's negative-index semantics).
+
+    PRECONDITION: each (query, item) appears AT MOST ONCE per list —
+    a ranking, not a bag. Rankings produced by ``row_number()``
+    windows satisfy this by construction; inputs that violate it
+    multiply join matches and can push ``rbo_norm`` above 1 (there is
+    deliberately no silent dedup here — a duplicated item in a
+    "ranking" is an upstream bug worth surfacing, and any
+    dedup-by-min-rank choice would be a semantic the caller should
+    make explicitly)."""
     scale, full, suffix = rbo_weights(k, p_num, p_den)
     s_arr = F.array(*[F.lit(int(s)).cast("long") for s in suffix])
     bound = lambda df, r: df.where(  # noqa: E731
@@ -2276,4 +2333,787 @@ def rbo_at_k_sql(
            CAST(coalesce(p.rbo_num, 0) AS DOUBLE) / {float(full)}
              AS rbo_norm
     FROM universe u LEFT JOIN per_q p USING (qq)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Log-based metrics (r10): the literal log-quanta table design.
+#
+# The module's exactness policy bans engine log() calls in hashed
+# results (low bits diverge across libm implementations). The NDCG
+# discount table (ndcg_discounts) established the sanctioned escape:
+# when the inputs are integer quanta on a BOUNDED grid, the logs the
+# metric needs form a FINITE table that is a constant of the metric —
+# precomputed once in Python (whose float ln is used only to define
+# the constants, never evaluated per-row by an engine) and embedded
+# as integer literals in both engines. Per-row terms are then exact
+# integer products, every sum is order-free, and the only IEEE op is
+# the final division. The r9 verdict explicitly sanctioned extending
+# this to log-loss (here) and PSI (operators/dq.py distribution_psi).
+# ---------------------------------------------------------------------------
+_LOG_LOSS_SCALE = 10**12
+# literal-table contract: the table is embedded in the PLAN (a folded
+# constant array Spark-side, a VALUES relation in the SQL twin), so
+# the score grid must stay small enough to be a literal. 4096 quanta
+# resolve probabilities to ~0.025% — far below any model-card
+# reading; higher-resolution scores should be re-quantized down
+# (round, don't truncate — see ece()).
+_LOG_TABLE_MAX = 4096
+
+
+def log_loss_table(s_max: int) -> list[int]:
+    """The literal integer log-quanta table for :func:`log_loss`:
+    ``T[i] = round(10^12 · −ln(i/s_max))`` for i in 1..s_max
+    (``T[s_max] = 0``). A constant of the metric, never an engine
+    ``log`` — the ``ndcg_discounts`` recipe."""
+    import math
+
+    if not 2 <= s_max <= _LOG_TABLE_MAX:
+        raise ValueError(
+            f"s_max must be in 2..{_LOG_TABLE_MAX} (literal-table "
+            f"contract), got {s_max}"
+        )
+    return [
+        round(_LOG_LOSS_SCALE * -math.log(i / s_max))
+        for i in range(1, s_max + 1)
+    ]
+
+
+def log_loss(
+    df: DataFrame,
+    label: Column,
+    score_q: Column,
+    s_max: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Log-loss (binary cross-entropy, in NATS) per ``keys`` group —
+    the actual training objective, completing the calibration story
+    (``ml_calibration_bins`` plots the reliability curve,
+    ``brier_score`` is the quadratic proper score, ``ece`` the binned
+    summary; log-loss is the LOGARITHMIC proper score a trained
+    filter was optimized against, the one that punishes confident
+    wrong answers hardest): ``LL = −(1/n)·Σ [y·ln(p) + (1−y)·ln(1−p)]``
+    with ``p = s/s_max``. ``score_q`` must be an integer-quanta
+    probability in [0, s_max] (produce it by ROUNDING, not
+    truncating — see :func:`ece`); ``label`` boolean; NULL/out-of-
+    range rows are excluded (module convention).
+
+    Edge convention — the epsilon-quantum clamp: ln(0) at ``s = 0``
+    (with y=1) or ``s = s_max`` (with y=0) is −∞, so scores are
+    clamped into ``[1, s_max − 1]`` BEFORE scoring: a hard 0/1
+    prediction is scored as if it were one quantum (1/s_max) less
+    certain — the standard eps-clamping convention with
+    ``eps = 1/s_max``, made exact. Clamped rows are counted in
+    ``n_clamped`` (both edges), so a model emitting many hard
+    predictions is visible rather than silently tempered.
+
+    Exactness: per-row terms are the integer literals of
+    :func:`log_loss_table` — ``y`` rows contribute ``T[s]``
+    (= −ln(s/s_max) quanta), ``¬y`` rows ``T[s_max − s]``
+    (= −ln(1 − s/s_max) quanta) — summed in DECIMAL(38,0)
+    (order-free, engine-identical); ``log_loss = ll_num/(n·10^12)``
+    is one IEEE division. Absolute error vs the true clamped
+    log-loss ≤ 0.5·10^-12 per row (table rounding), i.e. ≤
+    0.5·10^-12 after the mean — documented like AP's floor bound.
+
+    Scale shape: ONE map-side-combinable aggregate at CLAMPED-score
+    grain (≤ s_max − 1 rows per group — the PR-sweep grain), a
+    constant-folded literal-array lookup (no join), one
+    re-aggregation. Returns ``n``, ``n_clamped``, ``ll_num``
+    (DECIMAL(38,0) — serialize as string in gate queries) and
+    ``log_loss`` (NULL for an empty group)."""
+    tab = log_loss_table(s_max)
+    arr = F.array(*[F.lit(int(t)).cast("long") for t in tab])
+    keyed = list(keys)
+    base = df.where(
+        label.isNotNull()
+        & score_q.isNotNull()
+        & (score_q >= 0)
+        & (score_q <= int(s_max))
+    ).select(*keyed, label.alias("__y"), score_q.cast("long").alias("__s"))
+    clamped = base.select(
+        *keyed,
+        "__y",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.least(F.col("__s"), F.lit(int(s_max) - 1).cast("long")),
+        ).alias("__sc"),
+        ((F.col("__s") < 1) | (F.col("__s") > int(s_max) - 1)).alias(
+            "__cl"
+        ),
+    )
+    grain = clamped.groupBy(*keyed, "__sc").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0))
+        .cast("long")
+        .alias("__pos"),
+        F.sum(F.when(F.col("__y"), 0).otherwise(1))
+        .cast("long")
+        .alias("__neg"),
+        F.sum(F.when(F.col("__cl"), 1).otherwise(0))
+        .cast("long")
+        .alias("__ncl"),
+    )
+    term = (
+        F.col("__pos").cast("decimal(38,0)")
+        * F.element_at(arr, F.col("__sc").cast("int"))
+        + F.col("__neg").cast("decimal(38,0)")
+        * F.element_at(arr, (F.lit(int(s_max)) - F.col("__sc")).cast("int"))
+    ).cast("decimal(38,0)")
+    totals = grain.select(
+        *keyed,
+        (F.col("__pos") + F.col("__neg")).alias("__nb"),
+        F.col("__ncl"),
+        term.alias("__t"),
+    ).groupBy(*keyed).agg(
+        F.coalesce(F.sum("__nb"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum("__ncl"), F.lit(0)).cast("long").alias("n_clamped"),
+        F.coalesce(F.sum("__t"), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("ll_num"),
+    )
+    den = (
+        F.col("n").cast("decimal(38,0)") * F.lit(_LOG_LOSS_SCALE)
+    ).cast("decimal(38,0)")
+    return totals.select(
+        *keyed,
+        "n",
+        "n_clamped",
+        "ll_num",
+        F.when(
+            F.col("n") > 0,
+            F.col("ll_num").cast("double") / den.cast("double"),
+        ).alias("log_loss"),
+    )
+
+
+def log_loss_sql(
+    label_sql: str,
+    score_q_sql: str,
+    s_max: int,
+    table: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`log_loss` — the SAME literal table as a
+    VALUES relation (joined at clamped-score grain, ≤ s_max − 1 rows),
+    same clamp, same integer algebra; ``ll_num`` serializes as
+    VARCHAR."""
+    tab = log_loss_table(s_max)
+    vals = ", ".join(f"({i + 1}, {t}::BIGINT)" for i, t in enumerate(tab))
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_s = f"{kcols}, sc" if keyed else "sc"
+    return f"""
+    WITH ln_tab AS (SELECT * FROM (VALUES {vals}) AS t(i, v)),
+    base AS (
+      SELECT {kpre}{label_sql} AS y,
+             greatest(1, least(CAST({score_q_sql} AS BIGINT),
+                               {int(s_max) - 1})) AS sc,
+             CASE WHEN ({score_q_sql}) < 1
+                    OR ({score_q_sql}) > {int(s_max) - 1}
+                  THEN 1 ELSE 0 END AS cl
+      FROM {table}
+      WHERE ({label_sql}) IS NOT NULL AND ({score_q_sql}) IS NOT NULL
+        AND ({score_q_sql}) >= 0 AND ({score_q_sql}) <= {int(s_max)}
+    ),
+    grain AS (
+      SELECT {kpre}sc,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg,
+             CAST(sum(cl) AS BIGINT) AS ncl
+      FROM base GROUP BY {kgrp_s}
+    ),
+    terms AS (
+      SELECT {kpre}pos, neg, ncl,
+             pos::HUGEINT * tp.v + neg::HUGEINT * tn.v AS t
+      FROM grain
+      JOIN ln_tab tp ON tp.i = sc
+      JOIN ln_tab tn ON tn.i = {int(s_max)} - sc
+    ),
+    totals AS (
+      SELECT {kpre}
+             CAST(coalesce(sum(pos + neg), 0) AS BIGINT) AS n,
+             CAST(coalesce(sum(ncl), 0) AS BIGINT) AS n_clamped,
+             coalesce(sum(t), 0) AS ll_num
+      FROM terms {grp}
+    )
+    SELECT {kpre}n, n_clamped,
+           CAST(ll_num AS VARCHAR) AS ll_num,
+           CASE WHEN n > 0 THEN
+             CAST(ll_num AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * {_LOG_LOSS_SCALE} AS DOUBLE)
+           END AS log_loss
+    FROM totals
+    """
+
+
+def weighted_kappa(
+    df: DataFrame,
+    rater_a: Column,
+    rater_b: Column,
+    weighting: str = "quadratic",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Weighted Cohen's kappa per ``keys`` group — chance-corrected
+    agreement for ORDINAL labels (quality tiers 0–5, severity grades),
+    where :func:`cohens_kappa` over-penalizes: unweighted κ scores an
+    adjacent-tier disagreement (4 vs 5) exactly like a maximal one
+    (0 vs 5). With disagreement weights ``w``,
+    ``κ_w = 1 − Σ w·o_ij / Σ w·e_ij`` (o = observed cells, e = chance
+    cells r_i·c_j/n); ``weighting="linear"`` uses ``w_ij = |i − j|``,
+    ``"quadratic"`` uses ``w_ij = (i − j)²`` (any global weight scale
+    cancels, so the conventional /(k−1) normalizations are omitted
+    with no effect on κ_w).
+
+    Labels must be INTEGERS (cast to long; the ordinal scale's
+    positions) with |label| ≤ ~10^4 — weights are computed over the
+    label VALUES, so gaps in the scale count as real distance
+    ({0, 10, 20} scores 10× the distance of {0, 1, 2}; index-rank the
+    labels upstream if equal spacing is wanted — this matches
+    sklearn's ``cohen_kappa_score(weights=...)`` exactly when labels
+    are consecutive integers, the ordinal-tier case).
+
+    Exactness — EXACT: clearing denominators,
+    ``κ_w = (Σ w·r_i·c_j − n·Σ w·o_ij) / (Σ w·r_i·c_j)`` — all
+    DECIMAL(38,0) integers (w ≤ 10^8, n ≤ ~10^10 keeps w·n² within
+    38 digits), one final IEEE division; NULL when the denominator is
+    0 (both raters constant — no disagreement is even expressible) or
+    the group is empty. NULL ratings are excluded.
+
+    Scale shape: the :func:`cohens_kappa` cell grain (≤ k² rows per
+    group), marginal re-aggregations, then a ≤ k×k marginal cross
+    PER GROUP (an equi join on the group key — bounded by the ordinal
+    scale's size, never by n). Returns ``n``, ``n_labels``,
+    ``kappa_num``/``kappa_den`` (DECIMAL(38,0) — serialize as strings
+    in gate queries) and ``kappa``."""
+    keyed = list(keys)
+    cells = (
+        df.where(rater_a.isNotNull() & rater_b.isNotNull())
+        .select(
+            *keyed,
+            rater_a.cast("long").alias("__a"),
+            rater_b.cast("long").alias("__b"),
+        )
+        .groupBy(*keyed, "__a", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return weighted_kappa_from_cells(
+        cells, "__a", "__b", "cnt", weighting, keys
+    )
+
+
+def _kappa_weight(a: Column, b: Column, weighting: str) -> Column:
+    if weighting == "linear":
+        return F.abs(a - b).cast("decimal(38,0)")
+    if weighting == "quadratic":
+        d = (a - b).cast("decimal(38,0)")
+        return (d * d).cast("decimal(38,0)")
+    raise ValueError(
+        f"weighting must be 'linear' or 'quadratic', got {weighting!r}"
+    )
+
+
+def weighted_kappa_from_cells(
+    cells_df: DataFrame,
+    actual_col: str = "actual",
+    predicted_col: str = "predicted",
+    n_col: str = "n",
+    weighting: str = "quadratic",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """:func:`weighted_kappa` from PRE-AGGREGATED (actual, predicted,
+    count) cells — the same maintained-store entry point as
+    :func:`cohens_kappa_from_cells` (duplicate cells sum; per-batch
+    deltas merge). Labels are cast to long (the ordinal contract)."""
+    _kappa_weight(F.lit(0), F.lit(0), weighting)  # validate up front
+    keyed = list(keys)
+    cells = cells_df.where(
+        F.col(actual_col).isNotNull() & F.col(predicted_col).isNotNull()
+    ).select(
+        *keyed,
+        F.col(actual_col).cast("long").alias("__a"),
+        F.col(predicted_col).cast("long").alias("__b"),
+        F.col(n_col).cast("long").alias("cnt"),
+    )
+    obs = cells.groupBy(*keyed).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(
+                _kappa_weight(F.col("__a"), F.col("__b"), weighting)
+                * F.col("cnt")
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("__obs"),
+    )
+    by_a = cells.groupBy(*keyed, F.col("__a").alias("__la")).agg(
+        F.sum("cnt").cast("long").alias("__r")
+    )
+    by_b = cells.groupBy(*keyed, F.col("__b").alias("__lb")).agg(
+        F.sum("cnt").cast("long").alias("__c")
+    )
+    if keyed:
+        pairs = by_a.join(by_b, keyed)
+    else:
+        pairs = (
+            by_a.withColumn("__j", F.lit(1))
+            .join(by_b.withColumn("__j", F.lit(1)), "__j")
+            .drop("__j")
+        )
+    exp = pairs.groupBy(*keyed).agg(
+        F.coalesce(
+            F.sum(
+                _kappa_weight(F.col("__la"), F.col("__lb"), weighting)
+                * F.col("__r").cast("decimal(38,0)")
+                * F.col("__c")
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("__exp"),
+    )
+    labels = (
+        cells.select(*keyed, F.col("__a").alias("__l"))
+        .unionByName(cells.select(*keyed, F.col("__b").alias("__l")))
+        .distinct()
+        .groupBy(*keyed)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_labels"))
+    )
+    if keyed:
+        out = obs.join(exp, keyed).join(labels, keyed)
+    else:
+        j = lambda a, b: (  # noqa: E731  constant-key equi join, no BNLJ
+            a.withColumn("__j", F.lit(1))
+            .join(b.withColumn("__j", F.lit(1)), "__j")
+            .drop("__j")
+        )
+        out = j(j(obs, exp), labels)
+    num = (
+        F.col("__exp")
+        - F.col("n").cast("decimal(38,0)") * F.col("__obs")
+    ).cast("decimal(38,0)")
+    den = F.col("__exp")
+    return out.select(
+        *keyed,
+        "n",
+        "n_labels",
+        num.alias("kappa_num"),
+        den.alias("kappa_den"),
+        F.when(
+            den != 0, num.cast("double") / den.cast("double")
+        ).alias("kappa"),
+    )
+
+
+def weighted_kappa_sql(
+    rater_a_sql: str,
+    rater_b_sql: str,
+    weighting: str,
+    table: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`weighted_kappa` — same cell grain, same
+    marginal cross, same cleared-denominator integers;
+    ``kappa_num``/``kappa_den`` serialize as VARCHAR."""
+    if weighting == "linear":
+        w = lambda a, b: f"abs({a}::HUGEINT - {b})"  # noqa: E731
+    elif weighting == "quadratic":
+        w = lambda a, b: (  # noqa: E731
+            f"(({a}::HUGEINT - {b}) * ({a}::HUGEINT - {b}))"
+        )
+    else:
+        raise ValueError(
+            f"weighting must be 'linear' or 'quadratic', got {weighting!r}"
+        )
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_ab = f"{kcols}, a, b" if keyed else "a, b"
+    kgrp_a = f"{kcols}, a" if keyed else "a"
+    kgrp_b = f"{kcols}, b" if keyed else "b"
+    kgrp_l = f"{kcols}, l" if keyed else "l"
+    pair_on = (
+        " AND ".join(f"by_a.{c} = by_b.{c}" for c in keyed)
+        if keyed
+        else "1 = 1"
+    )
+    akpre = ", ".join(f"by_a.{c}" for c in keyed) + (", " if keyed else "")
+    agrp = (
+        f"GROUP BY {', '.join(f'by_a.{c}' for c in keyed)}" if keyed else ""
+    )
+    join_k = f"USING ({kcols})" if keyed else "ON 1 = 1"
+    okpre = ", ".join(f"o.{c}" for c in keyed) + (", " if keyed else "")
+    return f"""
+    WITH cells AS (
+      SELECT {kpre}CAST({rater_a_sql} AS BIGINT) AS a,
+             CAST({rater_b_sql} AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM {table}
+      WHERE ({rater_a_sql}) IS NOT NULL AND ({rater_b_sql}) IS NOT NULL
+      GROUP BY {kgrp_ab}
+    ),
+    obs AS (
+      SELECT {kpre}
+             CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+             coalesce(sum({w('a', 'b')} * cnt), 0) AS obs_sum
+      FROM cells {grp}
+    ),
+    by_a AS (
+      SELECT {kpre}a AS la, CAST(sum(cnt) AS BIGINT) AS r
+      FROM cells GROUP BY {kgrp_a}
+    ),
+    by_b AS (
+      SELECT {kpre}b AS lb, CAST(sum(cnt) AS BIGINT) AS c
+      FROM cells GROUP BY {kgrp_b}
+    ),
+    expd AS (
+      SELECT {akpre}
+             coalesce(sum({w('by_a.la', 'by_b.lb')}
+                          * by_a.r::HUGEINT * by_b.c), 0) AS exp_sum
+      FROM by_a JOIN by_b ON {pair_on}
+      {agrp}
+    ),
+    labels AS (
+      SELECT {kpre}CAST(count(*) AS BIGINT) AS n_labels
+      FROM (
+        SELECT DISTINCT {kpre}l FROM (
+          SELECT {kpre}a AS l FROM cells
+          UNION ALL SELECT {kpre}b AS l FROM cells
+        ) GROUP BY {kgrp_l}
+      ) {grp}
+    )
+    SELECT {okpre}o.n, labels.n_labels,
+           CAST(expd.exp_sum - o.n::HUGEINT * o.obs_sum AS VARCHAR)
+             AS kappa_num,
+           CAST(expd.exp_sum AS VARCHAR) AS kappa_den,
+           CASE WHEN expd.exp_sum <> 0 THEN
+             CAST(expd.exp_sum - o.n::HUGEINT * o.obs_sum AS DOUBLE)
+               / CAST(expd.exp_sum AS DOUBLE)
+           END AS kappa
+    FROM obs o
+    JOIN expd {join_k}
+    JOIN labels {join_k}
+    """
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+    keys: Sequence[str] = (),
+    max_raters: int = 16,
+) -> DataFrame:
+    """Krippendorff's alpha (NOMINAL metric) per ``keys`` group — the
+    agreement statistic for RAGGED multi-rater coverage (Krippendorff
+    2011, "Computing Krippendorff's Alpha-Reliability"), completing
+    the agreement suite: :func:`cohens_kappa` needs exactly two
+    identified raters, :func:`fleiss_kappa` a FIXED vote count per
+    item (partial ballots are dropped-and-counted there); α accepts
+    any item with ≥ 2 ratings, which is what a real labeling pipeline
+    with rater churn actually produces.
+
+    Input: one row per (item, vote) with the assigned category — the
+    :func:`fleiss_kappa` grain, rater identity untracked. NULL
+    items/categories are excluded. Items with ONE rating carry no
+    agreement information and are dropped-and-counted
+    (``n_units_single`` — Krippendorff's own convention); items with
+    more than ``max_raters`` ratings are dropped-and-counted
+    (``n_units_overflow``) — the bound is what keeps the per-item
+    1/(m_u − 1) weights exact (below), and a unit with hundreds of
+    votes usually signals an upstream key bug worth surfacing.
+
+    Definition (coincidence-matrix form): with n_uc = votes of
+    category c on unit u, m_u = Σ_c n_uc, n_c = Σ_u n_uc (over kept
+    units), n = Σ_c n_c:
+    ``D_o = (1/n)·Σ_u (m_u² − Σ_c n_uc²)/(m_u − 1)``,
+    ``D_e = (n² − Σ_c n_c²)/(n(n−1))``, ``α = 1 − D_o/D_e``.
+
+    Exactness — EXACT: the only non-integer weights are the per-unit
+    1/(m_u − 1); with m_u ≤ ``max_raters`` every one is an exact
+    divisor of ``LCM = lcm(1..max_raters−1)``, so
+    ``U = Σ_u (m_u² − Σ_c n_uc²)·(LCM/(m_u−1))`` is a pure integer
+    and clearing the remaining denominators gives
+    ``α = (LCM·(n² − Σn_c²) − (n−1)·U) / (LCM·(n² − Σn_c²))`` — all
+    DECIMAL(38,0) (LCM ≤ ~10^16 for max_raters ≤ 42; LCM·n² stays
+    inside 38 digits to n ~ 10^10), one final IEEE division. NULL
+    when the denominator is 0 (no kept units, n < 2, or every vote in
+    one category — chance disagreement 0, agreement degenerate).
+
+    Scale shape: ONE map-side-combinable (item, category) cell
+    aggregate, an item-grain re-aggregation (m_u, Σn_uc² — where the
+    drop filter runs), a semi join of cells to kept items for the
+    category marginals, then group-grain re-aggregations — nothing
+    above cell grain, the :func:`fleiss_kappa` plan. Returns
+    ``n_ratings``, ``n_units``, ``n_units_single``,
+    ``n_units_overflow``, ``n_categories``, ``alpha_num``/
+    ``alpha_den`` (DECIMAL(38,0) — serialize as strings in gate
+    queries) and ``alpha``."""
+    import math
+
+    if not 3 <= max_raters <= 42:
+        raise ValueError(
+            f"max_raters must be in 3..42 (lcm(1..max_raters-1) must "
+            f"fit BIGINT), got {max_raters}"
+        )
+    mr = int(max_raters)
+    lcm = math.lcm(*range(1, mr))
+    keyed = list(keys)
+    base = df.where(
+        F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+    ).select(
+        *keyed,
+        F.col(item_col).alias("__i"),
+        F.col(category_col).alias("__c"),
+    )
+    cells = base.groupBy(*keyed, "__i", "__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__nuc")
+    )
+    nuc_d = F.col("__nuc").cast("decimal(38,0)")
+    items = cells.groupBy(*keyed, "__i").agg(
+        F.sum("__nuc").cast("long").alias("__m"),
+        F.sum(nuc_d * F.col("__nuc")).cast("decimal(38,0)").alias("__ss"),
+    )
+    drops = items.groupBy(*keyed).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__m") < 2, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_units_single"),
+        F.coalesce(
+            F.sum(F.when(F.col("__m") > mr, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_units_overflow"),
+    )
+    kept_items = items.where(
+        (F.col("__m") >= 2) & (F.col("__m") <= mr)
+    )
+    m_d = F.col("__m").cast("decimal(38,0)")
+    # LCM div (m−1): exact — (m−1) ≤ max_raters−1 divides LCM by
+    # construction; integral `div` keeps it in exact integer land
+    wu = F.expr(f"CAST({lcm} AS BIGINT) div (__m - 1)")
+    u_agg = kept_items.groupBy(*keyed).agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.coalesce(F.sum(m_d), F.lit(0)).cast("long").alias("n_ratings"),
+        F.coalesce(
+            F.sum(((m_d * m_d - F.col("__ss")) * wu).cast("decimal(38,0)")),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("__u"),
+    )
+    kept_cells = cells.join(
+        kept_items.select(*keyed, "__i"), keyed + ["__i"], "left_semi"
+    )
+    cats = kept_cells.groupBy(*keyed, "__c").agg(
+        F.sum("__nuc").cast("decimal(38,0)").alias("__nc")
+    )
+    cat_agg = cats.groupBy(*keyed).agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.coalesce(F.sum(F.col("__nc") * F.col("__nc")), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__c2"),
+    )
+    if keyed:
+        out = drops.join(u_agg, keyed, "left").join(cat_agg, keyed, "left")
+    else:
+        j = lambda a, b: (  # noqa: E731  constant-key equi join, no BNLJ
+            a.withColumn("__j", F.lit(1))
+            .join(b.withColumn("__j", F.lit(1)), "__j", "left")
+            .drop("__j")
+        )
+        out = j(j(drops, u_agg), cat_agg)
+    n_d = F.coalesce(F.col("n_ratings"), F.lit(0)).cast("decimal(38,0)")
+    u = F.coalesce(F.col("__u"), F.lit(0).cast("decimal(38,0)"))
+    c2 = F.coalesce(F.col("__c2"), F.lit(0).cast("decimal(38,0)"))
+    de = ((n_d * n_d - c2) * lcm).cast("decimal(38,0)")
+    num = (de - (n_d - 1) * u).cast("decimal(38,0)")
+    return out.select(
+        *keyed,
+        F.coalesce(F.col("n_ratings"), F.lit(0))
+        .cast("long")
+        .alias("n_ratings"),
+        F.coalesce(F.col("n_units"), F.lit(0)).cast("long").alias("n_units"),
+        "n_units_single",
+        "n_units_overflow",
+        F.coalesce(F.col("n_categories"), F.lit(0))
+        .cast("long")
+        .alias("n_categories"),
+        num.alias("alpha_num"),
+        de.alias("alpha_den"),
+        F.when(
+            de != 0, num.cast("double") / de.cast("double")
+        ).alias("alpha"),
+    )
+
+
+def krippendorff_alpha_sql(
+    item_sql: str,
+    category_sql: str,
+    table: str,
+    keys: Sequence[str] = (),
+    max_raters: int = 16,
+) -> str:
+    """DuckDB twin of :func:`krippendorff_alpha` — same cell/item
+    grain, same LCM-cleared integer algebra; ``alpha_num``/
+    ``alpha_den`` serialize as VARCHAR."""
+    import math
+
+    if not 3 <= max_raters <= 42:
+        raise ValueError(
+            f"max_raters must be in 3..42, got {max_raters}"
+        )
+    mr = int(max_raters)
+    lcm = math.lcm(*range(1, mr))
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_ic = f"{kcols}, i, c" if keyed else "i, c"
+    kgrp_i = f"{kcols}, i" if keyed else "i"
+    kgrp_c = f"{kcols}, c" if keyed else "c"
+    using_i = f"USING ({kpre}i)" if keyed else "USING (i)"
+    join_k = f"USING ({kcols})" if keyed else "ON 1 = 1"
+    dkpre = ", ".join(f"d.{c}" for c in keyed) + (", " if keyed else "")
+    return f"""
+    WITH cells AS (
+      SELECT {kpre}{item_sql} AS i, {category_sql} AS c,
+             CAST(count(*) AS BIGINT) AS nuc
+      FROM {table}
+      WHERE ({item_sql}) IS NOT NULL AND ({category_sql}) IS NOT NULL
+      GROUP BY {kgrp_ic}
+    ),
+    items AS (
+      SELECT {kpre}i, CAST(sum(nuc) AS BIGINT) AS m,
+             sum(nuc::HUGEINT * nuc) AS ss
+      FROM cells GROUP BY {kgrp_i}
+    ),
+    drops AS (
+      SELECT {kpre}
+             CAST(coalesce(sum(CASE WHEN m < 2 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_units_single,
+             CAST(coalesce(sum(CASE WHEN m > {mr} THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_units_overflow
+      FROM items {grp}
+    ),
+    kept AS (
+      SELECT * FROM items WHERE m >= 2 AND m <= {mr}
+    ),
+    u_agg AS (
+      SELECT {kpre}
+             CAST(count(*) AS BIGINT) AS n_units,
+             CAST(coalesce(sum(m), 0) AS BIGINT) AS n_ratings,
+             coalesce(sum((m::HUGEINT * m - ss)
+                          * ({lcm}::HUGEINT // (m - 1))), 0) AS u
+      FROM kept {grp}
+    ),
+    kept_cells AS (
+      SELECT c.* FROM cells c
+      SEMI JOIN (SELECT {kpre}i FROM kept) t {using_i}
+    ),
+    cats AS (
+      SELECT {kpre}c, sum(nuc)::HUGEINT AS nc
+      FROM kept_cells GROUP BY {kgrp_c}
+    ),
+    cat_agg AS (
+      SELECT {kpre}
+             CAST(count(*) AS BIGINT) AS n_categories,
+             coalesce(sum(nc * nc), 0) AS c2
+      FROM cats {grp}
+    ),
+    terms AS (
+      SELECT {dkpre}
+             coalesce(u_agg.n_ratings, 0) AS n_ratings,
+             coalesce(u_agg.n_units, 0) AS n_units,
+             d.n_units_single, d.n_units_overflow,
+             coalesce(cat_agg.n_categories, 0) AS n_categories,
+             (coalesce(u_agg.n_ratings, 0)::HUGEINT
+                * coalesce(u_agg.n_ratings, 0)
+              - coalesce(cat_agg.c2, 0)) * {lcm} AS de,
+             (coalesce(u_agg.n_ratings, 0)::HUGEINT - 1)
+               * coalesce(u_agg.u, 0) AS nu
+      FROM drops d
+      LEFT JOIN u_agg {join_k}
+      LEFT JOIN cat_agg {join_k}
+    )
+    SELECT {kpre}n_ratings, n_units, n_units_single, n_units_overflow,
+           n_categories,
+           CAST(de - nu AS VARCHAR) AS alpha_num,
+           CAST(de AS VARCHAR) AS alpha_den,
+           CASE WHEN de <> 0 THEN
+             CAST(de - nu AS DOUBLE) / CAST(de AS DOUBLE)
+           END AS alpha
+    FROM terms
+    """
+
+
+def cohens_kappa_from_cells_sql(
+    cells_sql: str,
+    actual_col: str = "actual",
+    predicted_col: str = "predicted",
+    n_col: str = "n",
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`cohens_kappa_from_cells` — the oracle for
+    MAINTAINED cell stores (``streaming/sketches.py``): ``cells_sql``
+    is a FROM-able fragment exposing (actual, predicted, count) rows,
+    possibly with duplicates (per-batch deltas) — they re-aggregate
+    exactly as the Spark store read does, then the
+    :func:`cohens_kappa_sql` algebra runs over the summed cells."""
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_ab = f"{kcols}, a, b" if keyed else "a, b"
+    kgrp_a = f"{kcols}, a" if keyed else "a"
+    kgrp_b = f"{kcols}, b" if keyed else "b"
+    using = f"USING ({kpre}l)" if keyed else "USING (l)"
+    join_keys = f"USING ({kcols})" if keyed else "ON 1 = 1"
+    return f"""
+    WITH cells AS (
+      SELECT {kpre}{actual_col} AS a, {predicted_col} AS b,
+             CAST(sum({n_col}) AS BIGINT) AS cnt
+      FROM {cells_sql}
+      WHERE ({actual_col}) IS NOT NULL AND ({predicted_col}) IS NOT NULL
+      GROUP BY {kgrp_ab}
+    ),
+    by_a AS (
+      SELECT {kpre}a AS l, CAST(sum(cnt) AS BIGINT) AS r
+      FROM cells GROUP BY {kgrp_a}
+    ),
+    by_b AS (
+      SELECT {kpre}b AS l, CAST(sum(cnt) AS BIGINT) AS c
+      FROM cells GROUP BY {kgrp_b}
+    ),
+    marg AS (
+      SELECT {kpre}coalesce(r, 0)::HUGEINT AS r,
+             coalesce(c, 0)::HUGEINT AS c
+      FROM by_a FULL OUTER JOIN by_b {using}
+    ),
+    pe AS (
+      SELECT {kpre}coalesce(sum(r * c), 0) AS pe_sum,
+             CAST(count(*) AS BIGINT) AS n_labels
+      FROM marg {grp}
+    ),
+    po AS (
+      SELECT {kpre}
+             CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+             CAST(coalesce(sum(CASE WHEN a = b THEN cnt ELSE 0 END), 0)
+                  AS BIGINT) AS agree
+      FROM cells {grp}
+    )
+    SELECT {', '.join('po.' + c for c in keyed) + ', ' if keyed else ''}
+           po.n, pe.n_labels,
+           CAST(po.n::HUGEINT * po.agree - pe.pe_sum AS VARCHAR)
+             AS kappa_num,
+           CAST(po.n::HUGEINT * po.n - pe.pe_sum AS VARCHAR)
+             AS kappa_den,
+           CASE WHEN po.n::HUGEINT * po.n - pe.pe_sum <> 0 THEN
+             CAST(po.n::HUGEINT * po.agree - pe.pe_sum AS DOUBLE)
+               / CAST(po.n::HUGEINT * po.n - pe.pe_sum AS DOUBLE)
+           END AS kappa
+    FROM po JOIN pe {join_keys}
     """

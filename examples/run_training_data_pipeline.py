@@ -286,34 +286,67 @@ def main(sf_dir: str) -> None:
         .collect()
     )
 
-    # 11. filter governance (r9): before TRUSTING the gates above —
-    # (a) Cohen's kappa between the declared language and the lang-ID
-    # heuristic (chance-corrected agreement: the swap-a-labeler gate),
-    # (b) expected calibration error of the quality score read as a
-    # pass-probability (is 0.8 actually 80%?), and (c) the lift of the
-    # top quality decile (what a 10%-budget pass would capture). All
-    # exact-integer aggregates; each is one tiny extra plan over
-    # columns already computed.
+    # 11. filter governance (r9, extended r10): before TRUSTING the
+    # gates above — (a) Cohen's kappa between the declared language
+    # and the lang-ID heuristic (chance-corrected agreement: the
+    # swap-a-labeler gate), (b) expected calibration error of the
+    # quality score read as a pass-probability (is 0.8 actually
+    # 80%?), (c) log-loss of the same probability (the training
+    # objective itself, via the literal log-quanta table), (d) the
+    # weighted kappa between the quality tier and a length tier
+    # (ordinal agreement — is "quality" just length?), and (e) the
+    # lift of the top quality decile (what a 10%-budget pass would
+    # capture). All exact-integer aggregates; each is one tiny extra
+    # plan over columns already computed.
     from blockchain_data_engineering_spark.operators.ml_eval import (
         cohens_kappa,
         cumulative_gain,
         ece,
+        log_loss,
+        weighted_kappa,
     )
 
     kappa = cohens_kappa(
         feats, F.col("lang"), F.col("lang_pred")
     ).first()
+    # r10: ordinal agreement between the 0-5 quality TIER and a 0-5
+    # length tier — quadratic weights score distance² on the scale,
+    # where plain kappa would treat 4-vs-5 like 0-vs-5
+    wkappa = weighted_kappa(
+        feats,
+        rater_a=F.least(
+            F.floor(F.col("quality_score") / 20).cast("long"), F.lit(5)
+        ),
+        rater_b=F.least(
+            (F.length(F.col("text")) / 100).cast("long"), F.lit(5)
+        ),
+        weighting="quadratic",
+    ).first()
     q_smax = 1_000_000  # score/100 as a probability, parts-per-million
     scored = feats.select(
         (F.col("lang") == "en").alias("y"),
         # quality_score is 0-100 → /100 reads it as P(keep); ·10^4
-        # quantizes to ppm
+        # quantizes to ppm. ROUND to the nearest quantum (the
+        # parity.quanta recipe) — a bare cast("long") TRUNCATES, so a
+        # 0.79999 double would land one quantum below its IEEE value
         F.least(
-            (F.col("quality_score") * 10_000).cast("long"), F.lit(q_smax)
+            F.floor(F.col("quality_score") * 10_000 + F.lit(0.5)).cast(
+                "long"
+            ),
+            F.lit(q_smax),
         ).alias("sq"),
     )
     cal = ece(
         scored, F.col("y"), F.col("sq"), s_max=q_smax, n_bins=10
+    ).first()
+    # r10: the actual training objective — the logarithmic proper
+    # score via the literal log-quanta table (s_max=1000 grid: the
+    # table is a plan literal, so the score re-quantizes down)
+    ll = log_loss(
+        scored,
+        F.col("y"),
+        F.floor(F.col("sq") / F.lit(1000)).cast("long"),
+        s_max=1000,
     ).first()
     top_decile = (
         cumulative_gain(
@@ -346,19 +379,34 @@ def main(sf_dir: str) -> None:
             f"  {r['split']:5s} {r['item']:>12s}"
             f"  {r['count_lo']}..{r['count_hi']}"
         )
+    # the scalars are NULL (Python None) on degenerate inputs — kappa's
+    # denominator 0, an empty score set, zero positives — and None has
+    # no :.3f; print 'n/a' instead of crashing the readout
+    fmt = lambda v, spec: format(v, spec) if v is not None else "n/a"  # noqa: E731
     print(
-        f"lang-ID vs declared κ:  {kappa.kappa:.3f} "
+        f"lang-ID vs declared κ:  {fmt(kappa.kappa, '.3f')} "
         f"(n={kappa.n}, labels={kappa.n_labels})"
     )
     print(
-        f"quality-score ECE:      {cal.ece:.4f} "
+        f"quality-score ECE:      {fmt(cal.ece, '.4f')} "
         f"({cal.n_bins_used} bins over {cal.n} docs)"
     )
     print(
-        f"top-decile lift (en):   {top_decile.lift:.2f}x "
-        f"({top_decile.tp_taken}/{top_decile.n_pos} positives in "
-        f"{top_decile.n_taken} docs)"
+        f"quality-score log-loss: {fmt(ll.log_loss, '.4f')} nats "
+        f"({ll.n_clamped} hard predictions eps-clamped)"
     )
+    print(
+        f"quality-vs-length κ_w:  {fmt(wkappa.kappa, '.3f')} "
+        f"(quadratic, {wkappa.n_labels} tiers)"
+    )
+    if top_decile is not None:
+        print(
+            f"top-decile lift (en):   {fmt(top_decile.lift, '.2f')}x "
+            f"({top_decile.tp_taken}/{top_decile.n_pos} positives in "
+            f"{top_decile.n_taken} docs)"
+        )
+    else:
+        print("top-decile lift (en):   n/a (no bucket-1 row)")
     print("packing histogram (split, bucket, n_docs, tokens):")
     for r in packing.collect():
         print(f"  {r['split']:5s} b{int(r['bucket']):2d}  {r['n_docs']:5d}  {int(r['tokens']):8d}")

@@ -104,6 +104,10 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
                     # 1-row observed-agreement aggregate with the
                     # 1-row marginal-product aggregate
                     "ml_cohens_kappa",
+                    # r10: the store serving path ends in the same
+                    # cohens_kappa_from_cells global compose (two
+                    # 1-row frames over the ≤ k² summed cell store)
+                    "ml_kappa_from_store",
                     # r8: the literal 4-row predicate workload
                     # broadcast onto the 128-row file-stats listing —
                     # metadata grain by construction (zone-map pruning

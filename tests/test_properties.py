@@ -1330,3 +1330,178 @@ def test_rbo_suffix_lookup_matches_prefix_definition(la, lb, k):
     assert 0.0 <= via_suffix / full <= 1.0 + 1e-12
     ident = sum(suffix[m - 1] for m in range(1, k + 1))
     assert ident == full
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.booleans(),
+            st.integers(min_value=0, max_value=200),  # score quanta
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_log_loss_quanta_table_matches_float(rows):
+    """The literal log-quanta table design (r10): the integer sum over
+    log_loss_table divided by n·10^12 must match the float clamped
+    log-loss to the documented 0.5e-12-per-row bound."""
+    import math
+
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        log_loss_table,
+    )
+
+    s_max = 200
+    tab = log_loss_table(s_max)
+    clamp = lambda s: max(1, min(s_max - 1, s))  # noqa: E731
+    num = sum(
+        tab[clamp(s) - 1] if y else tab[s_max - clamp(s) - 1]
+        for y, s in rows
+    )
+    got = num / (len(rows) * 10**12)
+    ref = sum(
+        -math.log(clamp(s) / s_max)
+        if y
+        else -math.log(1 - clamp(s) / s_max)
+        for y, s in rows
+    ) / len(rows)
+    assert abs(got - ref) < 1e-9
+    assert got >= 0.0
+
+
+@given(
+    ref=st.lists(st.integers(min_value=0, max_value=5), min_size=1,
+                 max_size=120),
+    cur=st.lists(st.integers(min_value=0, max_value=5), min_size=1,
+                 max_size=120),
+)
+@settings(max_examples=100, deadline=None)
+def test_psi_quanta_terms_match_float_and_are_nonnegative(ref, cur):
+    """PSI over the floor-quantized, eps-filled share grid (r10): the
+    integer (Δq)·(ΔlnT) terms match the float PSI of the SAME
+    quantized shares, every term is ≥ 0 (both factors share a sign),
+    and identical mixes score exactly 0."""
+    import math
+    from collections import Counter
+
+    from blockchain_data_engineering_spark.operators.dq import psi_ln_table
+
+    g = 1000
+    tab = psi_ln_table(g)
+    cx, cy = Counter(ref), Counter(cur)
+    nx, ny = len(ref), len(cur)
+    q = lambda c, n: max(1, (c * g) // n)  # noqa: E731
+    num = 0
+    for v in set(cx) | set(cy):
+        qr, qc = q(cx[v], nx), q(cy[v], ny)
+        term = (qc - qr) * (tab[qc - 1] - tab[qr - 1])
+        assert term >= 0
+        num += term
+    got = num / (g * 10**12)
+    ref_psi = sum(
+        (q(cy[v], ny) - q(cx[v], nx))
+        / g
+        * (math.log(q(cy[v], ny)) - math.log(q(cx[v], nx)))
+        for v in set(cx) | set(cy)
+    )
+    assert abs(got - ref_psi) < 1e-9
+    # identical multisets → exactly 0 at the integer level
+    numself = sum(
+        (q(cx[v], nx) - q(cx[v], nx)) * 0 for v in set(cx)
+    )
+    assert numself == 0
+
+
+@given(
+    ballots=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),  # unit id
+            st.integers(min_value=0, max_value=3),  # category id
+        ),
+        min_size=2,
+        max_size=160,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_krippendorff_integer_formula_matches_textbook(ballots):
+    """The LCM-cleared Krippendorff integers (r10) vs the textbook
+    float D_o/D_e on the kept units (2 ≤ m_u ≤ 16)."""
+    import math
+    from collections import Counter, defaultdict
+
+    mr = 16
+    lcm = math.lcm(*range(1, mr))
+    units = defaultdict(Counter)
+    for u, c in ballots:
+        units[u][c] += 1
+    kept = {
+        u: cnt
+        for u, cnt in units.items()
+        if 2 <= sum(cnt.values()) <= mr
+    }
+    n = sum(sum(c.values()) for c in kept.values())
+    nc = Counter()
+    for c in kept.values():
+        nc.update(c)
+    u_int = sum(
+        (sum(c.values()) ** 2 - sum(v * v for v in c.values()))
+        * (lcm // (sum(c.values()) - 1))
+        for c in kept.values()
+    )
+    de_int = (n * n - sum(v * v for v in nc.values())) * lcm
+    num_int = de_int - (n - 1) * u_int
+    if de_int == 0:
+        # no kept units, n < 2, or one category — textbook α undefined
+        return
+    alpha_int = num_int / de_int
+    do = sum(
+        (sum(c.values()) ** 2 - sum(v * v for v in c.values()))
+        / (sum(c.values()) - 1)
+        for c in kept.values()
+    ) / n
+    de = (n * n - sum(v * v for v in nc.values())) / (n * (n - 1))
+    assert abs(alpha_int - (1 - do / de)) < 1e-9
+    assert alpha_int <= 1.0 + 1e-12
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    quadratic=st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_weighted_kappa_integer_formula_matches_textbook(pairs, quadratic):
+    """The cleared weighted-kappa integers (r10) vs the textbook
+    1 − Σw·o/Σw·e form, and the binary-label reduction to unweighted
+    kappa."""
+    from collections import Counter
+
+    wf = (
+        (lambda i, j: (i - j) ** 2)
+        if quadratic
+        else (lambda i, j: abs(i - j))
+    )
+    n = len(pairs)
+    cells = Counter(pairs)
+    ra = Counter(a for a, _ in pairs)
+    cb = Counter(b for _, b in pairs)
+    obs = sum(wf(a, b) * c for (a, b), c in cells.items())
+    exp = sum(wf(i, j) * ra[i] * cb[j] for i in ra for j in cb)
+    num, den = exp - n * obs, exp
+    if den == 0:
+        # both raters constant: no disagreement expressible
+        assert len(ra) == 1 and len(cb) == 1 and obs in (0, n * next(
+            wf(i, j) for i in ra for j in cb
+        ))
+        return
+    # textbook: κ_w = 1 − (Σw·o/n) / (Σw·e/n²)
+    assert abs(num / den - (1 - (obs / n) / (exp / (n * n)))) < 1e-9
+    assert num / den <= 1.0 + 1e-12
