@@ -502,10 +502,15 @@ def distribution_psi(
     monitoring threshold in use; raise G (≤ 4096) when tracking
     sub-0.1% categories, or read TVD (exact) alongside.
 
-    Scale shape: identical to TVD — the shared
+    Scale shape: identical to TVD on the data side — the shared
     :func:`_drift_share_grain` (category-grain counts, full-outer
-    join, one bounded window per side), a constant-folded
-    literal-array lookup, one final aggregate. ``psi`` is NULL when
+    join, one bounded window per side), then two BROADCAST-hash
+    lookups of the G-row ln table, one final aggregate. The table
+    rides a tiny local relation rather than an inline literal array
+    (a repeated G-element array literal measurably taxes Catalyst on
+    every execution — see :func:`distribution_js`; the broadcast dim
+    keeps the plan tree constant-size in G and mirrors the SQL
+    twin's VALUES join). ``psi`` is NULL when
     either side of the group is empty (drift from/to nothing —
     surface it, don't score it; ``psi_num`` is 0 there, never a
     division by a zero total). Returns ``n_ref``, ``n_cur``,
@@ -513,7 +518,9 @@ def distribution_psi(
     string in gate queries) and ``psi``."""
     tab = psi_ln_table(share_grid)
     g = int(share_grid)
-    arr = F.array(*[F.lit(int(t)).cast("long") for t in tab])
+    ln_tab = ref.sparkSession.createDataFrame(
+        [(i + 1, int(t)) for i, t in enumerate(tab)], "i long, lnv long"
+    )
     keyed = list(keys)
     withtot = _drift_share_grain(ref, cur, value_col, keyed)
     q = lambda cnt, tot: F.greatest(  # noqa: E731
@@ -533,12 +540,20 @@ def distribution_psi(
             q("__c", "__nc"),
         ).alias("__qc"),
     )
+    look = lambda out: F.broadcast(  # noqa: E731
+        ln_tab.select(
+            F.col("i").alias(f"__i_{out}"), F.col("lnv").alias(out)
+        )
+    )
+    # LEFT joins: a NULL q (one side of the group empty) keeps its
+    # row with a NULL lookup, so the term stays NULL and the sum
+    # skips it — the same surface-don't-score arm as before
+    quantized = quantized.join(
+        look("__lr"), F.col("__i___lr") == F.col("__qr"), "left"
+    ).join(look("__lc"), F.col("__i___lc") == F.col("__qc"), "left")
     term = (
         (F.col("__qc") - F.col("__qr")).cast("decimal(38,0)")
-        * (
-            F.element_at(arr, F.col("__qc").cast("int"))
-            - F.element_at(arr, F.col("__qr").cast("int"))
-        )
+        * (F.col("__lc") - F.col("__lr"))
     ).cast("decimal(38,0)")
     agg = quantized.groupBy(*keyed).agg(
         F.any_value(F.col("__nr")).cast("long").alias("n_ref"),
@@ -637,5 +652,240 @@ def distribution_psi_sql(
              CAST(psi_num AS DOUBLE)
                / CAST({g}::HUGEINT * {_PSI_LN_SCALE} AS DOUBLE)
            END AS psi
+    FROM agg
+    """
+
+
+def distribution_js(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    share_grid: int = 1000,
+) -> DataFrame:
+    """Jensen-Shannon divergence per ``keys`` group between a
+    REFERENCE snapshot and a CURRENT one —
+    ``JS = ½·KL(p‖m) + ½·KL(q‖m)`` with ``m = ½(p+q)`` — the third
+    drift lens completing :func:`distribution_drift_tvd` (exact
+    worst-case share disagreement) and :func:`distribution_psi`
+    (likelihood-ratio-weighted drift): JS is SYMMETRIC, bounded in
+    [0, ln 2], and — unlike PSI — needs NO epsilon convention for
+    one-sided categories: a category absent from one side contributes
+    its mass against the mixture, a finite ``(q/2)·ln 2`` rather than
+    PSI's eps-filled spike, which makes JS the stable choice when new
+    categories appear routinely (new languages, new event types).
+
+    Quantization design (the literal log-quanta table, as
+    :func:`distribution_psi`): each side's share is floor-quantized
+    to ``q = (count·G) div n_side`` on the ``G = share_grid`` grid
+    (NO clamp — zero stays zero), the mixture lives on the 2G grid as
+    ``q_m = q_ref + q_cur``, and
+    ``js_num = Σ_c [q_ref·(T[2·q_ref] − T[q_m]) +
+    q_cur·(T[2·q_cur] − T[q_m])]`` with ``T = psi_ln_table(2G)``
+    literal integers (a zero share's arm contributes exactly 0 — the
+    ``0·ln 0 = 0`` convention, taken on the integer side so no log of
+    0 is ever looked up); ``js = js_num/(2·G·10^12)`` is one IEEE
+    division. What is computed is EXACTLY the JS functional of the
+    two quantized share vectors: each true share is perturbed by
+    < 1/G (floor), so the quantized vectors may sum to slightly
+    under 1 (by < n_categories/G) — for pathological many-tiny-
+    category mixes that sub-normalization can push the functional a
+    hair below 0; with the default G = 1000 and dashboard-scale
+    category counts the effect is ≪ the 0.1-style thresholds JS is
+    read against. Raise G (≤ 2048 here, since the table spans 2G)
+    for finer mixes, or read TVD (exact) alongside.
+
+    Scale shape: identical to TVD/PSI on the data side — the shared
+    :func:`_drift_share_grain`, then three BROADCAST-hash lookups of
+    the 2G-row ln table, one final aggregate. The table rides a tiny
+    local relation rather than an inline literal array here: JS needs
+    FOUR table references per term (2·q_ref, 2·q_cur, and the q_m
+    mixture twice), and four inlined copies of a 2G-element array
+    literal measurably tax the optimizer on every execution (~4× the
+    PSI plan's literal mass) — a 2G-row broadcast dim is the
+    canonical Spark shape for a shared lookup, and it mirrors the
+    SQL twin's VALUES join exactly. ``js`` is NULL when either side
+    of the group is empty. Returns ``n_ref``, ``n_cur``,
+    ``n_categories``, ``js_num`` (DECIMAL(38,0) — serialize as
+    string in gate queries) and ``js``."""
+    g = int(share_grid)
+    if not 2 <= g <= _PSI_GRID_MAX // 2:
+        raise ValueError(
+            f"share_grid must be in 2..{_PSI_GRID_MAX // 2} (the ln "
+            f"table spans 2·share_grid), got {g}"
+        )
+    tab = psi_ln_table(2 * g)
+    spark = ref.sparkSession
+    ln_tab = spark.createDataFrame(
+        [(i + 1, int(t)) for i, t in enumerate(tab)], "i int, lnv long"
+    )
+    keyed = list(keys)
+    withtot = _drift_share_grain(ref, cur, value_col, keyed)
+    q = lambda cnt, tot: F.expr(  # noqa: E731
+        f"(CAST({cnt} AS DECIMAL(38,0)) * {g}) div {tot}"
+    )
+    quantized = withtot.select(
+        *keyed,
+        "__nr",
+        "__nc",
+        F.when(
+            (F.col("__nr") > 0) & (F.col("__nc") > 0), q("__r", "__nr")
+        ).alias("__qr"),
+        F.when(
+            (F.col("__nr") > 0) & (F.col("__nc") > 0), q("__c", "__nc")
+        ).alias("__qc"),
+    )
+    look = lambda out: F.broadcast(  # noqa: E731
+        ln_tab.select(
+            F.col("i").alias(f"__i_{out}"), F.col("lnv").alias(out)
+        )
+    )
+    joined = (
+        quantized.join(
+            look("__t2r"),
+            F.col("__i___t2r") == (F.col("__qr") * 2).cast("int"),
+            "left",
+        )
+        .join(
+            look("__t2c"),
+            F.col("__i___t2c") == (F.col("__qc") * 2).cast("int"),
+            "left",
+        )
+        .join(
+            look("__tm"),
+            F.col("__i___tm")
+            == (F.col("__qr") + F.col("__qc")).cast("int"),
+            "left",
+        )
+    )
+    # a zero quantized share finds no table row (indices start at 1):
+    # its arm contributes exactly 0 — the 0·ln 0 = 0 convention. NULL
+    # q (one side of the group empty) propagates to a NULL term, the
+    # sum skips it, and js is NULLed by the final guard.
+    arm = lambda qcol, tcol: F.when(  # noqa: E731
+        F.col(qcol) > 0,
+        F.col(qcol).cast("decimal(38,0)")
+        * (F.col(tcol) - F.col("__tm")),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    term = (
+        F.when(
+            F.col("__qr").isNotNull() & F.col("__qc").isNotNull(),
+            F.when(
+                (F.col("__qr") + F.col("__qc")) > 0,
+                arm("__qr", "__t2r") + arm("__qc", "__t2c"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)")),
+        )
+    ).cast("decimal(38,0)")
+    agg = joined.groupBy(*keyed).agg(
+        F.any_value(F.col("__nr")).cast("long").alias("n_ref"),
+        F.any_value(F.col("__nc")).cast("long").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.coalesce(F.sum(term), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("js_num"),
+    )
+    den = (
+        F.lit(2 * g).cast("decimal(38,0)") * F.lit(_PSI_LN_SCALE)
+    ).cast("decimal(38,0)")
+    return agg.select(
+        *keyed,
+        "n_ref",
+        "n_cur",
+        "n_categories",
+        "js_num",
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.col("js_num").cast("double") / den.cast("double"),
+        ).alias("js"),
+    )
+
+
+def distribution_js_sql(
+    value_sql: str,
+    ref_table_sql: str,
+    cur_table_sql: str,
+    keys: Sequence[str] = (),
+    share_grid: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`distribution_js` — same grain, same
+    quantization, the SAME 2G-entry literal ln table as a VALUES
+    relation; ``js_num`` serializes as VARCHAR."""
+    g = int(share_grid)
+    if not 2 <= g <= _PSI_GRID_MAX // 2:
+        raise ValueError(
+            f"share_grid must be in 2..{_PSI_GRID_MAX // 2}, got {g}"
+        )
+    tab = psi_ln_table(2 * g)
+    vals = ", ".join(f"({i + 1}, {t}::BIGINT)" for i, t in enumerate(tab))
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    part = f"PARTITION BY {kcols}" if keyed else "PARTITION BY 1"
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_v = f"{kcols}, v" if keyed else "v"
+    using = f"USING ({kpre}v)" if keyed else "USING (v)"
+    return f"""
+    WITH ln_tab AS (SELECT * FROM (VALUES {vals}) AS t(i, lnv)),
+    ref_counts AS (
+      SELECT {kpre}{value_sql} AS v, CAST(count(*) AS BIGINT) AS r
+      FROM {ref_table_sql}
+      WHERE ({value_sql}) IS NOT NULL
+      GROUP BY {kgrp_v}
+    ),
+    cur_counts AS (
+      SELECT {kpre}{value_sql} AS v, CAST(count(*) AS BIGINT) AS c
+      FROM {cur_table_sql}
+      WHERE ({value_sql}) IS NOT NULL
+      GROUP BY {kgrp_v}
+    ),
+    cats AS (
+      SELECT {kpre}coalesce(r, 0) AS r, coalesce(c, 0) AS c
+      FROM ref_counts FULL OUTER JOIN cur_counts {using}
+    ),
+    withtot AS (
+      SELECT {kpre}r, c,
+             CAST(sum(r) OVER ({part}) AS BIGINT) AS nr,
+             CAST(sum(c) OVER ({part}) AS BIGINT) AS nc
+      FROM cats
+    ),
+    quantized AS (
+      SELECT {kpre}nr, nc,
+             CASE WHEN nr > 0 AND nc > 0 THEN
+               (r::HUGEINT * {g}) // nr END AS qr,
+             CASE WHEN nr > 0 AND nc > 0 THEN
+               (c::HUGEINT * {g}) // nc END AS qc
+      FROM withtot
+    ),
+    terms AS (
+      SELECT {kpre}nr, nc,
+             CASE WHEN q.qr IS NULL OR q.qc IS NULL THEN NULL
+                  WHEN q.qr + q.qc = 0 THEN 0::HUGEINT
+                  ELSE
+               (CASE WHEN q.qr > 0
+                     THEN q.qr * (t2r.lnv - tm.lnv)::HUGEINT
+                     ELSE 0 END)
+             + (CASE WHEN q.qc > 0
+                     THEN q.qc * (t2c.lnv - tm.lnv)::HUGEINT
+                     ELSE 0 END)
+             END AS t
+      FROM quantized q
+      LEFT JOIN ln_tab t2r ON t2r.i = 2 * q.qr
+      LEFT JOIN ln_tab t2c ON t2c.i = 2 * q.qc
+      LEFT JOIN ln_tab tm ON tm.i = q.qr + q.qc
+    ),
+    agg AS (
+      SELECT {kpre}
+             CAST(any_value(nr) AS BIGINT) AS n_ref,
+             CAST(any_value(nc) AS BIGINT) AS n_cur,
+             CAST(count(*) AS BIGINT) AS n_categories,
+             coalesce(sum(t), 0) AS js_num
+      FROM terms {grp}
+    )
+    SELECT {kpre}n_ref, n_cur, n_categories,
+           CAST(js_num AS VARCHAR) AS js_num,
+           CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+             CAST(js_num AS DOUBLE)
+               / CAST({2 * g}::HUGEINT * {_PSI_LN_SCALE} AS DOUBLE)
+           END AS js
     FROM agg
     """

@@ -2417,13 +2417,19 @@ def log_loss(
     0.5·10^-12 after the mean — documented like AP's floor bound.
 
     Scale shape: ONE map-side-combinable aggregate at CLAMPED-score
-    grain (≤ s_max − 1 rows per group — the PR-sweep grain), a
-    constant-folded literal-array lookup (no join), one
-    re-aggregation. Returns ``n``, ``n_clamped``, ``ll_num``
-    (DECIMAL(38,0) — serialize as string in gate queries) and
-    ``log_loss`` (NULL for an empty group)."""
+    grain (≤ s_max − 1 rows per group — the PR-sweep grain), one
+    BROADCAST-hash lookup of an (s_max − 1)-row table carrying BOTH
+    arms (``T[i]`` and ``T[s_max − i]`` — so the y and ¬y terms ride
+    one join), one re-aggregation. The table is a tiny local
+    relation, not an inline literal array: a 1000-element array
+    literal repeated per lookup measurably taxes Catalyst on every
+    execution (measured ~2 s/run at s_max = 1000 — the optimizer
+    walks the literal mass each time), while a 1000-row broadcast
+    dim is the canonical Spark shape for a shared lookup and keeps
+    the plan tree constant-size in s_max. Returns ``n``,
+    ``n_clamped``, ``ll_num`` (DECIMAL(38,0) — serialize as string
+    in gate queries) and ``log_loss`` (NULL for an empty group)."""
     tab = log_loss_table(s_max)
-    arr = F.array(*[F.lit(int(t)).cast("long") for t in tab])
     keyed = list(keys)
     base = df.where(
         label.isNotNull()
@@ -2453,11 +2459,21 @@ def log_loss(
         .cast("long")
         .alias("__ncl"),
     )
+    # (i, −ln(i/s_max) quanta, −ln(1 − i/s_max) quanta) for the
+    # clamped grid 1..s_max−1 — both label arms in one broadcast row
+    ln_tab = df.sparkSession.createDataFrame(
+        [
+            (i, int(tab[i - 1]), int(tab[s_max - i - 1]))
+            for i in range(1, int(s_max))
+        ],
+        "__i long, __vpos long, __vneg long",
+    )
+    grain = grain.join(
+        F.broadcast(ln_tab), F.col("__sc") == F.col("__i"), "inner"
+    )
     term = (
-        F.col("__pos").cast("decimal(38,0)")
-        * F.element_at(arr, F.col("__sc").cast("int"))
-        + F.col("__neg").cast("decimal(38,0)")
-        * F.element_at(arr, (F.lit(int(s_max)) - F.col("__sc")).cast("int"))
+        F.col("__pos").cast("decimal(38,0)") * F.col("__vpos")
+        + F.col("__neg").cast("decimal(38,0)") * F.col("__vneg")
     ).cast("decimal(38,0)")
     totals = grain.select(
         *keyed,

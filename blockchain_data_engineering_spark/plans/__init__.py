@@ -130,8 +130,20 @@ GATE_ORDER = [
     #    top-weighted list agreement by ml_rbo_overlap; the Σd²
     #    permutation algebra stays pinned in pytest parity + the
     #    Daniels-inequality Hypothesis property).
+    #    (6) dq_distribution_js — Jensen-Shannon on the same drift
+    #    grain (symmetric, [0, ln 2], no epsilon convention for
+    #    one-sided categories — the stable lens when new categories
+    #    appear), closing the KL/JS leg of the log-based family.
+    #    Displaced: ml_ndcg (r8-green — the literal-quanta-table
+    #    exactness family it pioneered is now gate-run by ml_log_loss
+    #    + dq_distribution_psi + dq_distribution_js; the graded
+    #    ranking-eval family stays gate-run by ml_pr_curve +
+    #    ml_average_precision (same sweep grain) and ml_rbo_overlap
+    #    (same per-query ranked-list join grain); the discount-table
+    #    DCG algebra stays pinned in pytest parity).
     "ml_log_loss",
     "dq_distribution_psi",
+    "dq_distribution_js",
     "ml_krippendorff",
     "ml_weighted_kappa",
     "ml_kappa_from_store",
@@ -266,7 +278,6 @@ GATE_ORDER = [
     #    in pytest parity).
     "sample_weighted_priority_merged",
     "ml_average_precision",
-    "ml_ndcg",
     "agg_heavy_hitters_merged",
     "lake_zonemap_pruning",
     # -- new in round 7 (unrowed, front-loaded). The mergeable
@@ -563,6 +574,18 @@ WITNESSES: dict[str, list[str]] = {
     # member in dq_orders_profile; TVD's exact numerator stays pinned
     # in pytest parity
     "dq_distribution_drift": ["dq_distribution_psi", "dq_orders_profile"],
+    # the literal-quanta-table exactness family it pioneered is now
+    # gate-run three ways (log-loss + PSI + JS); the graded
+    # ranking-eval family stays gate-run by the PR sweep + AP (same
+    # distinct-score grain) and RBO (same per-query ranked-list join
+    # grain); the discount-table DCG algebra stays pinned in pytest
+    # parity
+    "ml_ndcg": [
+        "ml_log_loss",
+        "ml_average_precision",
+        "ml_pr_curve",
+        "ml_rbo_overlap",
+    ],
     # --- demoted in the r9 rotation (in exchange for the last two
     #     asked-for eval scalars + the agreement/budget/drift/φ-scan
     #     completions) ---

@@ -562,3 +562,44 @@ def dq_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         share_grid=_PSI_GRID,
     )
     return out.withColumn("psi_num", F.col("psi_num").cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence (r10): the third drift lens on the SAME
+# category grain and snapshot split — symmetric, bounded [0, ln 2],
+# and (unlike PSI) needing NO epsilon convention for categories
+# absent from one side, which is the routine case when an upstream
+# source adds a language or event type. Same literal ln-quanta table
+# design (the 2G grid carries the mixture); js_num is a pure
+# DECIMAL(38,0)/HUGEINT integer sum, string-serialized
+# (operators/dq.py distribution_js).
+# ---------------------------------------------------------------------------
+def _js_oracle() -> str:
+    from blockchain_data_engineering_spark.operators.dq import (
+        distribution_js_sql,
+    )
+
+    return distribution_js_sql(
+        "o_orderpriority",
+        "(SELECT * FROM orders WHERE o_orderkey % 2 = 0)",
+        "(SELECT * FROM orders WHERE o_orderkey % 2 = 1)",
+        ["o_orderstatus"],
+        share_grid=_PSI_GRID,
+    )
+
+
+@query("dq_distribution_js", oracle=_js_oracle())
+def dq_distribution_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.dq import (
+        distribution_js,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = distribution_js(
+        orders.where(F.col("o_orderkey") % 2 == 0),
+        orders.where(F.col("o_orderkey") % 2 == 1),
+        "o_orderpriority",
+        keys=["o_orderstatus"],
+        share_grid=_PSI_GRID,
+    )
+    return out.withColumn("js_num", F.col("js_num").cast("string"))

@@ -30,6 +30,7 @@ against a real lake.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import time
@@ -217,6 +218,22 @@ def main(sf_dir: str) -> None:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tokens"))
         .orderBy("split", "bucket")
     )
+
+    # 7b. split-mix drift check (r10): did the md5 split preserve the
+    # SOURCE mix? JS divergence between the train and val source
+    # distributions — symmetric, bounded [0, ln 2], no epsilon games
+    # when a rare source lands only in one split (the language mix is
+    # uniform here by construction: the corpus was filtered to one
+    # language in stage 5)
+    from blockchain_data_engineering_spark.operators.dq import (
+        distribution_js,
+    )
+
+    split_js = distribution_js(
+        final.where(F.col("split") == "train"),
+        final.where(F.col("split") == "val"),
+        "source",
+    ).first()
 
     # 8. featurize + evaluate (r6 ops): hashing-trick features and
     # TF-IDF keywords for the kept docs, int8-quantized embeddings
@@ -407,6 +424,10 @@ def main(sf_dir: str) -> None:
         )
     else:
         print("top-decile lift (en):   n/a (no bucket-1 row)")
+    print(
+        f"train/val source JS:    {fmt(split_js.js, '.4f')} "
+        f"(ln2 bound {math.log(2):.4f}, {split_js.n_categories} sources)"
+    )
     print("packing histogram (split, bucket, n_docs, tokens):")
     for r in packing.collect():
         print(f"  {r['split']:5s} b{int(r['bucket']):2d}  {r['n_docs']:5d}  {int(r['tokens']):8d}")

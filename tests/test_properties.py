@@ -1505,3 +1505,66 @@ def test_weighted_kappa_integer_formula_matches_textbook(pairs, quadratic):
     # textbook: κ_w = 1 − (Σw·o/n) / (Σw·e/n²)
     assert abs(num / den - (1 - (obs / n) / (exp / (n * n)))) < 1e-9
     assert num / den <= 1.0 + 1e-12
+
+
+@given(
+    ref=st.lists(st.integers(min_value=0, max_value=5), min_size=1,
+                 max_size=120),
+    cur=st.lists(st.integers(min_value=0, max_value=5), min_size=1,
+                 max_size=120),
+)
+@settings(max_examples=100, deadline=None)
+def test_js_quanta_terms_match_float_symmetric_and_bounded(ref, cur):
+    """JS over the floor-quantized shares (r10): the integer
+    q·(T[2q] − T[q_m]) construction matches the float JS of the SAME
+    quantized vectors, is symmetric, and respects the ln 2 bound (up
+    to the documented sub-normalization slack of the floor grid)."""
+    import math
+    from collections import Counter
+
+    from blockchain_data_engineering_spark.operators.dq import psi_ln_table
+
+    g = 1000
+    tab = psi_ln_table(2 * g)
+    cx, cy = Counter(ref), Counter(cur)
+    nx, ny = len(ref), len(cur)
+    q = lambda c, n: (c * g) // n  # noqa: E731
+
+    def js_int(a, b, na, nb):
+        num = 0
+        for v in set(a) | set(b):
+            qr, qc = q(a[v], na), q(b[v], nb)
+            m = qr + qc
+            if m == 0:
+                continue
+            t = 0
+            if qr:
+                t += qr * (tab[2 * qr - 1] - tab[m - 1])
+            if qc:
+                t += qc * (tab[2 * qc - 1] - tab[m - 1])
+            num += t
+        return num
+
+    num = js_int(cx, cy, nx, ny)
+    got = num / (2 * g * 10**12)
+    ref_js = 0.0
+    for v in set(cx) | set(cy):
+        qr, qc = q(cx[v], nx), q(cy[v], ny)
+        m = qr + qc
+        if m == 0:
+            continue
+        if qr:
+            ref_js += qr * (math.log(2 * qr) - math.log(m))
+        if qc:
+            ref_js += qc * (math.log(2 * qc) - math.log(m))
+    ref_js /= 2 * g
+    assert abs(got - ref_js) < 1e-9
+    # symmetric at the integer level
+    assert js_int(cy, cx, ny, nx) == num
+    # bounded: ≤ ln 2 exactly; ≥ 0 up to the floor-grid
+    # sub-normalization slack (≤ n_cat/G of mass per side)
+    n_cat = len(set(cx) | set(cy))
+    assert got <= math.log(2) + 1e-12
+    assert got >= -(2 * n_cat / g) * math.log(2 * g)
+    # identical multisets → exactly 0
+    assert js_int(cx, cx, nx, nx) == 0

@@ -141,6 +141,56 @@ def test_distribution_psi_edges(spark):
         psi_ln_table(10_000)
 
 
+def _py_js(cats, g):
+    """Float JS of the floor-quantized share vectors (0·ln0 = 0) —
+    what the integer design computes exactly."""
+    q = lambda c, n: (c * g) // n  # noqa: E731
+    nr = sum(r for r, _ in cats)
+    nc = sum(c for _, c in cats)
+    js = 0.0
+    for r, c in cats:
+        qr, qc = q(r, nr), q(c, nc)
+        m = qr + qc
+        if m == 0:
+            continue
+        if qr:
+            js += qr * (math.log(2 * qr) - math.log(m))
+        if qc:
+            js += qc * (math.log(2 * qc) - math.log(m))
+    return js / (2 * g)
+
+
+def test_distribution_js_known_values(spark):
+    from blockchain_data_engineering_spark.operators.dq import (
+        distribution_js,
+    )
+
+    ref = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20, "v string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 50 + [("d",)] * 20, "v string"
+    )
+    out = distribution_js(ref, cur, "v").collect()[0]
+    cats = [(50, 30), (30, 50), (20, 0), (0, 20)]
+    assert abs(out.js - _py_js(cats, 1000)) < 1e-9
+    # identical mixes → exactly 0 at the integer level
+    same = distribution_js(ref, ref, "v").collect()[0]
+    assert int(same.js_num) == 0 and same.js == 0.0
+    # disjoint supports → exactly the ln 2 bound (each side's mass
+    # meets an all-other mixture; no epsilon convention involved)
+    xa = spark.createDataFrame([("x",), ("x",)], "v string")
+    xb = spark.createDataFrame([("y",), ("y",)], "v string")
+    dj = distribution_js(xa, xb, "v").collect()[0]
+    assert abs(dj.js - math.log(2)) < 1e-9
+    # one-sided group → NULL (surface, don't score)
+    empty = spark.createDataFrame([], "v string")
+    e = distribution_js(xa, empty, "v").collect()[0]
+    assert e.js is None and int(e.js_num) == 0
+    with pytest.raises(ValueError, match="share_grid"):
+        distribution_js(xa, xb, "v", share_grid=4096)
+
+
 def _py_alpha(votes, max_raters):
     """Textbook nominal Krippendorff's alpha (float), Krippendorff
     2011 coincidence formulation, on the kept units."""
@@ -371,15 +421,21 @@ def test_ece_bins_guard(spark):
 
 def test_r10_plan_shapes(spark, sf_dir):
     """Plan pins for the new gate queries: log-loss is a pure
-    aggregate chain with a constant-folded literal-array lookup (no
-    Window, no Join); PSI keeps the bounded drift windows but no
-    BNLJ/cartesian; the agreement gates stay cartesian-free (the
-    weighted-kappa marginal cross is an equi join on the group key)."""
+    aggregate chain whose only join is the broadcast-hash ln-table
+    lookup (no Window, never a shuffle join — the lookup dim is tiny
+    by construction); PSI/JS keep the bounded drift windows plus the
+    same broadcast lookups, no BNLJ/cartesian; the agreement gates
+    stay cartesian-free (the weighted-kappa marginal cross is an
+    equi join on the group key)."""
     from test_plans import _plan
 
     p = _plan(spark, sf_dir, "ml_log_loss")
-    assert "Window" not in p and "Join" not in p
+    assert "Window" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p  # the ln-table lookup, broadcast
     p = _plan(spark, sf_dir, "dq_distribution_psi")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    p = _plan(spark, sf_dir, "dq_distribution_js")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     p = _plan(spark, sf_dir, "ml_krippendorff")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
@@ -392,3 +448,67 @@ def test_r10_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in p
     # (the formatted plan names each node twice: tree + detail)
     assert p.count("BroadcastNestedLoopJoin Cross") <= 1
+
+
+def test_r10_agreement_determinism_under_repartition(spark):
+    """The module determinism contract for the r10 agreement ops: the
+    exact integer numerators (and hence the scalars) are identical
+    under any partitioning."""
+    import random
+
+    rng = random.Random(11)
+    votes = [
+        (f"u{rng.randrange(40)}", f"c{rng.randrange(4)}")
+        for _ in range(300)
+    ]
+    vdf = spark.createDataFrame(votes, "item string, cat string")
+    a1 = krippendorff_alpha(vdf, "item", "cat").collect()[0]
+    a2 = krippendorff_alpha(vdf.repartition(17), "item", "cat").collect()[0]
+    assert (a1.alpha_num, a1.alpha_den, a1.alpha) == (
+        a2.alpha_num,
+        a2.alpha_den,
+        a2.alpha,
+    )
+    pairs = [
+        (rng.randrange(6), rng.randrange(6)) for _ in range(300)
+    ]
+    pdf = spark.createDataFrame(pairs, "a long, b long")
+    w1 = weighted_kappa(pdf, F.col("a"), F.col("b"), "quadratic").collect()[0]
+    w2 = weighted_kappa(
+        pdf.repartition(17), F.col("a"), F.col("b"), "quadratic"
+    ).collect()[0]
+    assert (w1.kappa_num, w1.kappa_den, w1.kappa) == (
+        w2.kappa_num,
+        w2.kappa_den,
+        w2.kappa,
+    )
+
+
+def test_drift_trio_shares_one_grain(spark):
+    """TVD, PSI and JS all run the shared _drift_share_grain: on the
+    same input their n_ref/n_cur/n_categories MUST agree — a drift
+    dashboard reads the three side by side from one construction."""
+    from blockchain_data_engineering_spark.operators.dq import (
+        distribution_drift_tvd,
+        distribution_js,
+        distribution_psi,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", "g")] * 40 + [("b", "g")] * 10, "v string, k string"
+    )
+    cur = spark.createDataFrame(
+        [("a", "g")] * 25 + [("c", "g")] * 25, "v string, k string"
+    )
+    t = distribution_drift_tvd(ref, cur, "v", keys=["k"]).collect()[0]
+    p = distribution_psi(ref, cur, "v", keys=["k"]).collect()[0]
+    j = distribution_js(ref, cur, "v", keys=["k"]).collect()[0]
+    for r in (p, j):
+        assert (r.n_ref, r.n_cur, r.n_categories) == (
+            t.n_ref,
+            t.n_cur,
+            t.n_categories,
+        )
+    # and the three lenses rank this drift sensibly: all strictly
+    # positive, JS within its ln 2 bound, TVD within [0, 1]
+    assert 0 < t.tvd <= 1 and p.psi > 0 and 0 < j.js <= math.log(2)
