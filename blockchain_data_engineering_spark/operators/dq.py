@@ -480,7 +480,13 @@ def distribution_psi(
     stable, 0.1–0.25 drifting, > 0.25 shifted). Where TVD reads
     worst-case share disagreement, PSI weights each category's change
     by its log likelihood ratio, amplifying collapses of small
-    categories that TVD barely sees.
+    categories that TVD barely sees. Algebraically PSI IS the
+    symmetrized Kullback-Leibler divergence (Jeffreys' J-divergence,
+    ``KL(p‖q) + KL(q‖p)``) — so between this and
+    :func:`distribution_js` (the mixture-symmetrized form), the KL
+    family is covered; a raw one-sided KL adds only the asymmetry,
+    with the same zero-handling caveat this epsilon convention
+    answers.
 
     Quantization design (the literal log-quanta table — the engine's
     sanctioned escape from the no-engine-log exactness policy): each

@@ -2821,15 +2821,29 @@ def krippendorff_alpha(
     category_col: str,
     keys: Sequence[str] = (),
     max_raters: int = 16,
+    metric: str = "nominal",
 ) -> DataFrame:
-    """Krippendorff's alpha (NOMINAL metric) per ``keys`` group — the
-    agreement statistic for RAGGED multi-rater coverage (Krippendorff
-    2011, "Computing Krippendorff's Alpha-Reliability"), completing
-    the agreement suite: :func:`cohens_kappa` needs exactly two
+    """Krippendorff's alpha per ``keys`` group — the agreement
+    statistic for RAGGED multi-rater coverage (Krippendorff 2011,
+    "Computing Krippendorff's Alpha-Reliability"), completing the
+    agreement suite: :func:`cohens_kappa` needs exactly two
     identified raters, :func:`fleiss_kappa` a FIXED vote count per
     item (partial ballots are dropped-and-counted there); α accepts
     any item with ≥ 2 ratings, which is what a real labeling pipeline
     with rater churn actually produces.
+
+    ``metric="nominal"`` (default) scores any disagreement 1 — for
+    unordered categories (languages, topics).
+    ``metric="interval"`` scores a disagreement ``(c − k)²`` over the
+    INTEGER category values (quality tiers 0–5, severity grades) —
+    the ragged-coverage counterpart of :func:`weighted_kappa`'s
+    quadratic weighting (categories are cast to long; the ordinal
+    contract of ``weighted_kappa`` applies, |value| ≤ ~10^4). The
+    interval distance needs NO k² category cross: the coincidence
+    sums collapse to pure moments —
+    ``Σ_{c,k} n_uc·n_uk·(c−k)² = 2·(m_u·S2_u − S1_u²)`` with
+    ``S1 = Σ n_uc·c``, ``S2 = Σ n_uc·c²``, and the factor 2 cancels
+    between D_o and D_e.
 
     Input: one row per (item, vote) with the assigned category — the
     :func:`fleiss_kappa` grain, rater identity untracked. NULL
@@ -2843,20 +2857,27 @@ def krippendorff_alpha(
 
     Definition (coincidence-matrix form): with n_uc = votes of
     category c on unit u, m_u = Σ_c n_uc, n_c = Σ_u n_uc (over kept
-    units), n = Σ_c n_c:
+    units), n = Σ_c n_c — nominal:
     ``D_o = (1/n)·Σ_u (m_u² − Σ_c n_uc²)/(m_u − 1)``,
-    ``D_e = (n² − Σ_c n_c²)/(n(n−1))``, ``α = 1 − D_o/D_e``.
+    ``D_e = (n² − Σ_c n_c²)/(n(n−1))``; interval (2s cancelled):
+    ``D_o ∝ (1/n)·Σ_u (m_u·S2_u − S1_u²)/(m_u − 1)``,
+    ``D_e ∝ (n·T2 − T1²)/(n(n−1))`` with T1/T2 the category-marginal
+    first/second moments; either way ``α = 1 − D_o/D_e``.
 
     Exactness — EXACT: the only non-integer weights are the per-unit
     1/(m_u − 1); with m_u ≤ ``max_raters`` every one is an exact
     divisor of ``LCM = lcm(1..max_raters−1)``, so
-    ``U = Σ_u (m_u² − Σ_c n_uc²)·(LCM/(m_u−1))`` is a pure integer
-    and clearing the remaining denominators gives
-    ``α = (LCM·(n² − Σn_c²) − (n−1)·U) / (LCM·(n² − Σn_c²))`` — all
-    DECIMAL(38,0) (LCM ≤ ~10^16 for max_raters ≤ 42; LCM·n² stays
-    inside 38 digits to n ~ 10^10), one final IEEE division. NULL
-    when the denominator is 0 (no kept units, n < 2, or every vote in
-    one category — chance disagreement 0, agreement degenerate).
+    ``U = Σ_u D_u·(LCM/(m_u−1))`` (D_u the per-unit disagreement
+    mass of the chosen metric) is a pure integer and clearing the
+    remaining denominators gives
+    ``α = (LCM·DE − (n−1)·U) / (LCM·DE)`` with ``DE = n² − Σn_c²``
+    (nominal) or ``n·T2 − T1²`` (interval) — all DECIMAL(38,0)
+    (LCM ≤ ~10^16 for max_raters ≤ 42; nominal LCM·n² stays inside
+    38 digits to n ~ 10^10, interval LCM·n·T2 to n·c_max² ~ 10^18,
+    i.e. n ~ 10^10 with |labels| ≤ 10^4), one final IEEE division.
+    NULL when the denominator is 0 (no kept units, n < 2, or —
+    nominal — every vote in one category / — interval — every vote
+    the same value: chance disagreement 0, agreement degenerate).
 
     Scale shape: ONE map-side-combinable (item, category) cell
     aggregate, an item-grain re-aggregation (m_u, Σn_uc² — where the
@@ -2869,6 +2890,10 @@ def krippendorff_alpha(
     queries) and ``alpha``."""
     import math
 
+    if metric not in ("nominal", "interval"):
+        raise ValueError(
+            f"metric must be 'nominal' or 'interval', got {metric!r}"
+        )
     if not 3 <= max_raters <= 42:
         raise ValueError(
             f"max_raters must be in 3..42 (lcm(1..max_raters-1) must "
@@ -2888,10 +2913,21 @@ def krippendorff_alpha(
         F.count(F.lit(1)).cast("long").alias("__nuc")
     )
     nuc_d = F.col("__nuc").cast("decimal(38,0)")
-    items = cells.groupBy(*keyed, "__i").agg(
-        F.sum("__nuc").cast("long").alias("__m"),
-        F.sum(nuc_d * F.col("__nuc")).cast("decimal(38,0)").alias("__ss"),
-    )
+    cl = F.col("__c").cast("long")
+    if metric == "interval":
+        # per-unit disagreement moments over the INTEGER label values
+        items = cells.groupBy(*keyed, "__i").agg(
+            F.sum("__nuc").cast("long").alias("__m"),
+            F.sum(nuc_d * cl).cast("decimal(38,0)").alias("__s1"),
+            F.sum(nuc_d * cl * cl).cast("decimal(38,0)").alias("__s2"),
+        )
+    else:
+        items = cells.groupBy(*keyed, "__i").agg(
+            F.sum("__nuc").cast("long").alias("__m"),
+            F.sum(nuc_d * F.col("__nuc"))
+            .cast("decimal(38,0)")
+            .alias("__ss"),
+        )
     drops = items.groupBy(*keyed).agg(
         F.coalesce(
             F.sum(F.when(F.col("__m") < 2, 1).otherwise(0)), F.lit(0)
@@ -2911,11 +2947,16 @@ def krippendorff_alpha(
     # LCM div (m−1): exact — (m−1) ≤ max_raters−1 divides LCM by
     # construction; integral `div` keeps it in exact integer land
     wu = F.expr(f"CAST({lcm} AS BIGINT) div (__m - 1)")
+    du = (
+        (m_d * F.col("__s2") - F.col("__s1") * F.col("__s1"))
+        if metric == "interval"
+        else (m_d * m_d - F.col("__ss"))
+    )
     u_agg = kept_items.groupBy(*keyed).agg(
         F.count(F.lit(1)).cast("long").alias("n_units"),
         F.coalesce(F.sum(m_d), F.lit(0)).cast("long").alias("n_ratings"),
         F.coalesce(
-            F.sum(((m_d * m_d - F.col("__ss")) * wu).cast("decimal(38,0)")),
+            F.sum((du * wu).cast("decimal(38,0)")),
             F.lit(0),
         )
         .cast("decimal(38,0)")
@@ -2927,12 +2968,24 @@ def krippendorff_alpha(
     cats = kept_cells.groupBy(*keyed, "__c").agg(
         F.sum("__nuc").cast("decimal(38,0)").alias("__nc")
     )
-    cat_agg = cats.groupBy(*keyed).agg(
-        F.count(F.lit(1)).cast("long").alias("n_categories"),
-        F.coalesce(F.sum(F.col("__nc") * F.col("__nc")), F.lit(0))
-        .cast("decimal(38,0)")
-        .alias("__c2"),
-    )
+    if metric == "interval":
+        ccl = F.col("__c").cast("long")
+        cat_agg = cats.groupBy(*keyed).agg(
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+            F.coalesce(F.sum(F.col("__nc") * ccl), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__t1"),
+            F.coalesce(F.sum(F.col("__nc") * ccl * ccl), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__t2"),
+        )
+    else:
+        cat_agg = cats.groupBy(*keyed).agg(
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+            F.coalesce(F.sum(F.col("__nc") * F.col("__nc")), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__c2"),
+        )
     if keyed:
         out = drops.join(u_agg, keyed, "left").join(cat_agg, keyed, "left")
     else:
@@ -2944,8 +2997,14 @@ def krippendorff_alpha(
         out = j(j(drops, u_agg), cat_agg)
     n_d = F.coalesce(F.col("n_ratings"), F.lit(0)).cast("decimal(38,0)")
     u = F.coalesce(F.col("__u"), F.lit(0).cast("decimal(38,0)"))
-    c2 = F.coalesce(F.col("__c2"), F.lit(0).cast("decimal(38,0)"))
-    de = ((n_d * n_d - c2) * lcm).cast("decimal(38,0)")
+    zero_d = F.lit(0).cast("decimal(38,0)")
+    if metric == "interval":
+        t1 = F.coalesce(F.col("__t1"), zero_d)
+        t2 = F.coalesce(F.col("__t2"), zero_d)
+        de_core = n_d * t2 - t1 * t1
+    else:
+        de_core = n_d * n_d - F.coalesce(F.col("__c2"), zero_d)
+    de = (de_core * lcm).cast("decimal(38,0)")
     num = (de - (n_d - 1) * u).cast("decimal(38,0)")
     return out.select(
         *keyed,
@@ -2972,12 +3031,18 @@ def krippendorff_alpha_sql(
     table: str,
     keys: Sequence[str] = (),
     max_raters: int = 16,
+    metric: str = "nominal",
 ) -> str:
     """DuckDB twin of :func:`krippendorff_alpha` — same cell/item
-    grain, same LCM-cleared integer algebra; ``alpha_num``/
-    ``alpha_den`` serialize as VARCHAR."""
+    grain, same LCM-cleared integer algebra (nominal sum-of-squares
+    or interval moment form); ``alpha_num``/``alpha_den`` serialize
+    as VARCHAR."""
     import math
 
+    if metric not in ("nominal", "interval"):
+        raise ValueError(
+            f"metric must be 'nominal' or 'interval', got {metric!r}"
+        )
     if not 3 <= max_raters <= 42:
         raise ValueError(
             f"max_raters must be in 3..42, got {max_raters}"
@@ -2994,6 +3059,33 @@ def krippendorff_alpha_sql(
     using_i = f"USING ({kpre}i)" if keyed else "USING (i)"
     join_k = f"USING ({kcols})" if keyed else "ON 1 = 1"
     dkpre = ", ".join(f"d.{c}" for c in keyed) + (", " if keyed else "")
+    if metric == "interval":
+        item_moments = (
+            "sum(nuc::HUGEINT * CAST(c AS BIGINT)) AS s1,\n"
+            "             sum(nuc::HUGEINT * CAST(c AS BIGINT)"
+            " * CAST(c AS BIGINT)) AS s2"
+        )
+        du_sql = "(m::HUGEINT * s2 - s1 * s1)"
+        cat_moments = (
+            "coalesce(sum(nc * CAST(c AS BIGINT)), 0) AS t1,\n"
+            "             coalesce(sum(nc * CAST(c AS BIGINT)"
+            " * CAST(c AS BIGINT)), 0) AS t2"
+        )
+        de_core = (
+            "(coalesce(u_agg.n_ratings, 0)::HUGEINT"
+            " * coalesce(cat_agg.t2, 0)\n"
+            "              - coalesce(cat_agg.t1, 0)"
+            " * coalesce(cat_agg.t1, 0))"
+        )
+    else:
+        item_moments = "sum(nuc::HUGEINT * nuc) AS ss"
+        du_sql = "(m::HUGEINT * m - ss)"
+        cat_moments = "coalesce(sum(nc * nc), 0) AS c2"
+        de_core = (
+            "(coalesce(u_agg.n_ratings, 0)::HUGEINT\n"
+            "                * coalesce(u_agg.n_ratings, 0)\n"
+            "              - coalesce(cat_agg.c2, 0))"
+        )
     return f"""
     WITH cells AS (
       SELECT {kpre}{item_sql} AS i, {category_sql} AS c,
@@ -3004,7 +3096,7 @@ def krippendorff_alpha_sql(
     ),
     items AS (
       SELECT {kpre}i, CAST(sum(nuc) AS BIGINT) AS m,
-             sum(nuc::HUGEINT * nuc) AS ss
+             {item_moments}
       FROM cells GROUP BY {kgrp_i}
     ),
     drops AS (
@@ -3022,7 +3114,7 @@ def krippendorff_alpha_sql(
       SELECT {kpre}
              CAST(count(*) AS BIGINT) AS n_units,
              CAST(coalesce(sum(m), 0) AS BIGINT) AS n_ratings,
-             coalesce(sum((m::HUGEINT * m - ss)
+             coalesce(sum({du_sql}
                           * ({lcm}::HUGEINT // (m - 1))), 0) AS u
       FROM kept {grp}
     ),
@@ -3037,7 +3129,7 @@ def krippendorff_alpha_sql(
     cat_agg AS (
       SELECT {kpre}
              CAST(count(*) AS BIGINT) AS n_categories,
-             coalesce(sum(nc * nc), 0) AS c2
+             {cat_moments}
       FROM cats {grp}
     ),
     terms AS (
@@ -3046,9 +3138,7 @@ def krippendorff_alpha_sql(
              coalesce(u_agg.n_units, 0) AS n_units,
              d.n_units_single, d.n_units_overflow,
              coalesce(cat_agg.n_categories, 0) AS n_categories,
-             (coalesce(u_agg.n_ratings, 0)::HUGEINT
-                * coalesce(u_agg.n_ratings, 0)
-              - coalesce(cat_agg.c2, 0)) * {lcm} AS de,
+             {de_core} * {lcm} AS de,
              (coalesce(u_agg.n_ratings, 0)::HUGEINT - 1)
                * coalesce(u_agg.u, 0) AS nu
       FROM drops d

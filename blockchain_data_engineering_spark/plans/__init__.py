@@ -141,10 +141,21 @@ GATE_ORDER = [
     #    ml_average_precision (same sweep grain) and ml_rbo_overlap
     #    (same per-query ranked-list join grain); the discount-table
     #    DCG algebra stays pinned in pytest parity).
+    #    (7) ml_krippendorff_interval — ordinal agreement WITH ragged
+    #    coverage, the cell weighted-κ (two raters only) and nominal α
+    #    (all disagreements equal) bracket but neither covers; exact
+    #    via the interval MOMENT form (per-unit m·S2 − S1², marginal
+    #    n·T2 − T1² — no k² category cross at all). Displaced:
+    #    ml_matthews_corr (r9-green — the one-hash-agg exact-scalar
+    #    family stays gate-run by ml_ece + ml_log_loss, the
+    #    conditional-count grain by ml_pr_curve; the pairwise-root
+    #    two-IEEE-sqrt trick stays pinned in pytest parity +
+    #    test_r9_ops known values).
     "ml_log_loss",
     "dq_distribution_psi",
     "dq_distribution_js",
     "ml_krippendorff",
+    "ml_krippendorff_interval",
     "ml_weighted_kappa",
     "ml_kappa_from_store",
     # -- new in round 9 (unrowed, front-loaded). The eval family's last
@@ -220,7 +231,6 @@ GATE_ORDER = [
     #    PMI log-free ratio algebra stays pinned in pytest parity).
     "ml_rbo_overlap",
     "ml_ece",
-    "ml_matthews_corr",
     "ml_kendall_tau",
     "agg_heavy_hitters_phi",
     # -- new in round 8 (unrowed, front-loaded). The merge tier of the
@@ -586,6 +596,12 @@ WITNESSES: dict[str, list[str]] = {
         "ml_pr_curve",
         "ml_rbo_overlap",
     ],
+    # the one-hash-agg exact-scalar confusion family stays gate-run
+    # by ECE (bin aggregate) + log-loss (score-grain aggregate), the
+    # conditional-count grain by the PR sweep; the pairwise-root
+    # two-IEEE-sqrt denominator trick stays pinned in pytest parity
+    # and the test_r9_ops known-value suite
+    "ml_matthews_corr": ["ml_ece", "ml_log_loss", "ml_pr_curve"],
     # --- demoted in the r9 rotation (in exchange for the last two
     #     asked-for eval scalars + the agreement/budget/drift/φ-scan
     #     completions) ---

@@ -2596,3 +2596,116 @@ def ml_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kappa_den").cast("string").alias("kappa_den"),
         "kappa",
     )
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha, INTERVAL metric (r10): ordinal agreement with
+# ragged coverage — the cell the nominal-α and weighted-κ gates
+# bracket but neither covers (weighted κ needs exactly two raters;
+# nominal α scores tier 4-vs-5 like 0-vs-5). Three 0–5 tier "raters"
+# vote per document — the quality tier (all docs), a length tier
+# (docs ≥ 60 chars), and a token-count tier (docs ≥ 40 tokens) — so
+# ballots are ragged by construction and disagreement is squared
+# tier distance. EXACT via the interval MOMENT form (no k² category
+# cross): per-unit masses m·S2 − S1², marginal masses n·T2 − T1²,
+# per-unit 1/(m−1) cleared through lcm — DECIMAL(38,0)/HUGEINT
+# end-to-end, string-serialized. All three tiers derive from the ONE
+# quality-feats definition per engine.
+# ---------------------------------------------------------------------------
+_KINT_LEN_MIN = 60  # length-tier rater votes on docs ≥ this many chars
+_KINT_TOK_MIN = 40  # token-tier rater votes on docs ≥ this many tokens
+
+
+def _krippendorff_interval_oracle() -> str:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        krippendorff_alpha_sql,
+    )
+
+    tiers = f"""(
+      WITH feats AS ({quality_feats_sql(" lang,")})
+      SELECT lang, doc_id, n_chars_m, n_tokens,
+             least(CAST(floor(({QUALITY_SCORE_SQL}) + 0.5) AS BIGINT)
+                     // 20, 5) AS tier_quality,
+             least(n_chars_m // 100, 5) AS tier_length,
+             least(n_tokens // 15, 5) AS tier_tokens
+      FROM feats
+    )"""
+    votes = f"""(
+      SELECT lang, doc_id AS item, tier_quality AS cat FROM {tiers}
+      UNION ALL
+      SELECT lang, doc_id, tier_length FROM {tiers}
+      WHERE n_chars_m >= {_KINT_LEN_MIN}
+      UNION ALL
+      SELECT lang, doc_id, tier_tokens FROM {tiers}
+      WHERE n_tokens >= {_KINT_TOK_MIN}
+    )"""
+    return krippendorff_alpha_sql(
+        "item",
+        "cat",
+        votes,
+        ["lang"],
+        max_raters=_KRIPP_MAX_RATERS,
+        metric="interval",
+    )
+
+
+@query("ml_krippendorff_interval", oracle=_krippendorff_interval_oracle())
+def ml_krippendorff_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        krippendorff_alpha,
+    )
+
+    scored = TX.quality_score(spread(load_table(spark, sf_dir, "documents")))
+    tiers = scored.select(
+        "lang",
+        "doc_id",
+        "n_chars_m",
+        "n_tokens",
+        F.least(
+            F.expr("CAST(floor(quality_score + 0.5) AS BIGINT) div 20"),
+            F.lit(5).cast("long"),
+        ).alias("tier_quality"),
+        F.least(
+            F.expr("n_chars_m div 100"), F.lit(5).cast("long")
+        ).alias("tier_length"),
+        F.least(
+            F.expr("n_tokens div 15"), F.lit(5).cast("long")
+        ).alias("tier_tokens"),
+    )
+    vote = lambda df_, cat: df_.select(  # noqa: E731
+        "lang", F.col("doc_id").alias("item"), F.col(cat).alias("cat")
+    )
+    votes = (
+        vote(tiers, "tier_quality")
+        .unionByName(
+            vote(
+                tiers.where(F.col("n_chars_m") >= _KINT_LEN_MIN),
+                "tier_length",
+            )
+        )
+        .unionByName(
+            vote(
+                tiers.where(F.col("n_tokens") >= _KINT_TOK_MIN),
+                "tier_tokens",
+            )
+        )
+    )
+    out = krippendorff_alpha(
+        votes,
+        "item",
+        "cat",
+        keys=["lang"],
+        max_raters=_KRIPP_MAX_RATERS,
+        metric="interval",
+    )
+    return out.select(
+        "lang",
+        "n_ratings",
+        "n_units",
+        "n_units_single",
+        "n_units_overflow",
+        "n_categories",
+        F.col("alpha_num").cast("string").alias("alpha_num"),
+        F.col("alpha_den").cast("string").alias("alpha_den"),
+        "alpha",
+    )

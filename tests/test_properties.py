@@ -1568,3 +1568,58 @@ def test_js_quanta_terms_match_float_symmetric_and_bounded(ref, cur):
     assert got >= -(2 * n_cat / g) * math.log(2 * g)
     # identical multisets → exactly 0
     assert js_int(cx, cx, nx, nx) == 0
+
+
+@given(
+    ballots=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),  # unit id
+            st.integers(min_value=0, max_value=5),  # ordinal tier
+        ),
+        min_size=2,
+        max_size=160,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_krippendorff_interval_moment_form_matches_pairwise(ballots):
+    """The interval moment identity (r10): per-unit
+    Σ_{c,k} n_uc·n_uk·(c−k)² = 2·(m·S2 − S1²) and marginal
+    Σ n_c·n_k·(c−k)² = 2·(n·T2 − T1²) — so the LCM-cleared moment
+    integers reproduce the textbook pairwise double-loop alpha."""
+    import math
+    from collections import defaultdict
+
+    mr = 16
+    lcm = math.lcm(*range(1, mr))
+    units = defaultdict(list)
+    for u, c in ballots:
+        units[u].append(c)
+    kept = {u: v for u, v in units.items() if 2 <= len(v) <= mr}
+    n = sum(len(v) for v in kept.values())
+    u_int = 0
+    for v in kept.values():
+        m = len(v)
+        s1 = sum(v)
+        s2 = sum(c * c for c in v)
+        # moment identity vs the pairwise double loop, exactly
+        assert 2 * (m * s2 - s1 * s1) == sum(
+            (a - b) ** 2 for a in v for b in v
+        )
+        u_int += (m * s2 - s1 * s1) * (lcm // (m - 1))
+    allv = [c for v in kept.values() for c in v]
+    t1 = sum(allv)
+    t2 = sum(c * c for c in allv)
+    assert 2 * (n * t2 - t1 * t1) == sum(
+        (a - b) ** 2 for a in allv for b in allv
+    )
+    de_int = (n * t2 - t1 * t1) * lcm
+    if de_int == 0:
+        return
+    alpha_int = (de_int - (n - 1) * u_int) / de_int
+    do = sum(
+        sum((a - b) ** 2 for a in v for b in v) / (len(v) - 1)
+        for v in kept.values()
+    ) / n
+    de = 2 * (n * t2 - t1 * t1) / (n * (n - 1))
+    assert abs(alpha_int - (1 - do / de)) < 1e-9
+    assert alpha_int <= 1.0 + 1e-12

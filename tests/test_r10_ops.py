@@ -1,9 +1,10 @@
-"""Round-10 operators: log-loss + PSI (the literal log-quanta-table
-family the r9 verdict sanctioned), Krippendorff's alpha (ragged
-multi-rater agreement), weighted Cohen's kappa (ordinal labels), the
-eval-cell store's kappa serving path, and the r9-verdict nits (ece
-n_bins≤s_max guard, kendall NULL group keys, bench spread flag inputs).
-Hand-computed known values + edge conventions; DuckDB parity runs in
+"""Round-10 operators: log-loss + PSI + Jensen-Shannon (the literal
+log-quanta-table family the r9 verdict sanctioned), Krippendorff's
+alpha (ragged multi-rater agreement, nominal + interval metrics),
+weighted Cohen's kappa (ordinal labels), the eval-cell store's kappa
+serving path, and the r9-verdict nits (ece n_bins≤s_max guard,
+kendall NULL group keys, bench spread flag inputs). Hand-computed
+known values + edge conventions; DuckDB parity runs in
 test_oracle_parity."""
 
 from __future__ import annotations
@@ -439,6 +440,8 @@ def test_r10_plan_shapes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     p = _plan(spark, sf_dir, "ml_krippendorff")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    p = _plan(spark, sf_dir, "ml_krippendorff_interval")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     p = _plan(spark, sf_dir, "ml_weighted_kappa")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     p = _plan(spark, sf_dir, "ml_kappa_from_store")
@@ -512,3 +515,74 @@ def test_drift_trio_shares_one_grain(spark):
     # and the three lenses rank this drift sensibly: all strictly
     # positive, JS within its ln 2 bound, TVD within [0, 1]
     assert 0 < t.tvd <= 1 and p.psi > 0 and 0 < j.js <= math.log(2)
+
+
+def _py_alpha_interval(votes, max_raters):
+    """Textbook interval-metric alpha (float): δ² = (c − k)² over the
+    integer category values, pairwise double-loop form."""
+    units = defaultdict(list)
+    for u, c in votes:
+        units[u].append(c)
+    kept = {
+        u: v for u, v in units.items() if 2 <= len(v) <= max_raters
+    }
+    if not kept:
+        return None
+    n = sum(len(v) for v in kept.values())
+    do = sum(
+        sum((a - b) ** 2 for a in v for b in v) / (len(v) - 1)
+        for v in kept.values()
+    ) / n
+    allv = [c for v in kept.values() for c in v]
+    de_num = sum((a - b) ** 2 for a in allv for b in allv)
+    if de_num == 0 or n < 2:
+        return None
+    de = de_num / (n * (n - 1))
+    return 1 - do / de
+
+
+def test_krippendorff_interval_known_values(spark):
+    votes = [
+        ("u1", 4), ("u1", 5),
+        ("u2", 0), ("u2", 1), ("u2", 0),
+        ("u3", 3), ("u3", 3),
+        ("u4", 2), ("u4", 5),
+        ("u5", 1),  # single ballot — dropped and counted
+        ("u6", 2), ("u6", 2), ("u6", 3),
+    ]
+    df = spark.createDataFrame(votes, "item string, cat long")
+    out = krippendorff_alpha(
+        df, "item", "cat", max_raters=4, metric="interval"
+    ).collect()[0]
+    assert out.n_units == 5 and out.n_units_single == 1
+    assert out.alpha == pytest.approx(
+        _py_alpha_interval(votes, 4), abs=1e-12
+    )
+    # adjacent-tier disagreement scores FAR below maximal disagreement
+    # (the reason interval exists): same vote pattern, tiers 4/5 vs 0/5
+    near = spark.createDataFrame(
+        [("a", 4), ("a", 5), ("b", 0), ("b", 1), ("c", 2), ("c", 3)],
+        "item string, cat long",
+    )
+    far = spark.createDataFrame(
+        [("a", 0), ("a", 5), ("b", 0), ("b", 5), ("c", 0), ("c", 5)],
+        "item string, cat long",
+    )
+    a_near = krippendorff_alpha(
+        near, "item", "cat", metric="interval"
+    ).collect()[0]
+    a_far = krippendorff_alpha(
+        far, "item", "cat", metric="interval"
+    ).collect()[0]
+    assert a_near.alpha > a_far.alpha
+    # all votes the SAME value → interval chance disagreement 0 → NULL
+    const = spark.createDataFrame(
+        [("u1", 3), ("u1", 3), ("u2", 3), ("u2", 3)],
+        "item string, cat long",
+    )
+    c = krippendorff_alpha(
+        const, "item", "cat", metric="interval"
+    ).collect()[0]
+    assert c.alpha is None and int(c.alpha_den) == 0
+    with pytest.raises(ValueError, match="metric"):
+        krippendorff_alpha(const, "item", "cat", metric="ratio")
