@@ -179,7 +179,8 @@ def main() -> None:
     spark = get_spark(app_name="bde-spark-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}  # warm-min per query (what `value` sums)
-    all_runs: dict[str, list[float]] = {}  # every raw run, for variance audit
+    all_runs: dict[str, list[float]] = {}  # rounded runs, for the detail file
+    raw_runs: dict[str, list[float]] = {}  # unrounded, for the spread flag
     loads: dict[str, list[float]] = {}  # [1m-load at query start, at end]
     load_start = _load_1m()
     load_samples = [load_start]
@@ -244,6 +245,7 @@ def main() -> None:
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
         timings[name] = round(dt, 3)
         all_runs[name] = [round(r, 3) for r in runs]
+        raw_runs[name] = runs
         q_load1 = _load_1m()
         loads[name] = [q_load0, q_load1]
         load_samples += [q_load0, q_load1]
@@ -266,9 +268,12 @@ def main() -> None:
     cpus = local_cpus()
     load_max = max(load_samples)
     load_flagged = load_max > max(2.0, cpus / 8)
+    # computed from the RAW runs (raw_runs), not the 3-decimal
+    # serialization in all_runs — rounding can push a ratio across
+    # the 2.0 boundary the retry loop itself never saw
     spread_queries = sorted(
         n
-        for n, rs in all_runs.items()
+        for n, rs in raw_runs.items()
         if rs and min(rs) > 0 and max(rs) / min(rs) > 2.0
     )
     spread_flagged = bool(spread_queries)

@@ -285,10 +285,21 @@ def _drift_share_grain(
     category grain, the drift operators' contract. Returns
     ``(*keys, __r, __c, __nr, __nc)``. NULL categories are excluded
     (a NULL is no category — coalesce to a sentinel upstream to track
-    NULL's share)."""
+    NULL's share).
+
+    NULL-keyed rows are EXCLUDED at entry (the keyed-join alignment
+    convention, see ``ml_eval.kendall_tau``): the category alignment
+    is a full-outer join on (keys, category), which cannot match
+    NULL = NULL — without the filter a NULL-keyed group's identical
+    category lands as TWO unmatched rows and the drift statistics
+    read MAXIMAL drift for identical data. ``coalesce`` the key to a
+    sentinel upstream if NULL should be a real group."""
     keyed = list(keys)
+    key_nn = F.col(value_col).isNotNull()
+    for c in keyed:
+        key_nn = key_nn & F.col(c).isNotNull()
     count_side = lambda df, out: (  # noqa: E731
-        df.where(F.col(value_col).isNotNull())
+        df.where(key_nn)
         .groupBy(*keyed, F.col(value_col).alias("__v"))
         .agg(F.count(F.lit(1)).cast("long").alias(out))
     )
@@ -393,6 +404,7 @@ def distribution_drift_tvd_sql(
     VARCHAR. ``ref_table_sql``/``cur_table_sql`` are FROM-able
     fragments (a table name or a parenthesized subquery)."""
     keyed = list(keys)
+    key_nn = "".join(f" AND ({c}) IS NOT NULL" for c in keyed)
     kcols = ", ".join(keyed)
     kpre = f"{kcols}, " if keyed else ""
     part = f"PARTITION BY {kcols}" if keyed else "PARTITION BY 1"
@@ -403,13 +415,13 @@ def distribution_drift_tvd_sql(
     WITH ref_counts AS (
       SELECT {kpre}{value_sql} AS v, CAST(count(*) AS BIGINT) AS r
       FROM {ref_table_sql}
-      WHERE ({value_sql}) IS NOT NULL
+      WHERE ({value_sql}) IS NOT NULL{key_nn}
       GROUP BY {kgrp_v}
     ),
     cur_counts AS (
       SELECT {kpre}{value_sql} AS v, CAST(count(*) AS BIGINT) AS c
       FROM {cur_table_sql}
-      WHERE ({value_sql}) IS NOT NULL
+      WHERE ({value_sql}) IS NOT NULL{key_nn}
       GROUP BY {kgrp_v}
     ),
     cats AS (
@@ -599,6 +611,7 @@ def distribution_psi_sql(
     g = int(share_grid)
     vals = ", ".join(f"({i + 1}, {t}::BIGINT)" for i, t in enumerate(tab))
     keyed = list(keys)
+    key_nn = "".join(f" AND ({c}) IS NOT NULL" for c in keyed)
     kcols = ", ".join(keyed)
     kpre = f"{kcols}, " if keyed else ""
     part = f"PARTITION BY {kcols}" if keyed else "PARTITION BY 1"
@@ -610,13 +623,13 @@ def distribution_psi_sql(
     ref_counts AS (
       SELECT {kpre}{value_sql} AS v, CAST(count(*) AS BIGINT) AS r
       FROM {ref_table_sql}
-      WHERE ({value_sql}) IS NOT NULL
+      WHERE ({value_sql}) IS NOT NULL{key_nn}
       GROUP BY {kgrp_v}
     ),
     cur_counts AS (
       SELECT {kpre}{value_sql} AS v, CAST(count(*) AS BIGINT) AS c
       FROM {cur_table_sql}
-      WHERE ({value_sql}) IS NOT NULL
+      WHERE ({value_sql}) IS NOT NULL{key_nn}
       GROUP BY {kgrp_v}
     ),
     cats AS (
@@ -824,6 +837,7 @@ def distribution_js_sql(
     tab = psi_ln_table(2 * g)
     vals = ", ".join(f"({i + 1}, {t}::BIGINT)" for i, t in enumerate(tab))
     keyed = list(keys)
+    key_nn = "".join(f" AND ({c}) IS NOT NULL" for c in keyed)
     kcols = ", ".join(keyed)
     kpre = f"{kcols}, " if keyed else ""
     part = f"PARTITION BY {kcols}" if keyed else "PARTITION BY 1"
@@ -835,13 +849,13 @@ def distribution_js_sql(
     ref_counts AS (
       SELECT {kpre}{value_sql} AS v, CAST(count(*) AS BIGINT) AS r
       FROM {ref_table_sql}
-      WHERE ({value_sql}) IS NOT NULL
+      WHERE ({value_sql}) IS NOT NULL{key_nn}
       GROUP BY {kgrp_v}
     ),
     cur_counts AS (
       SELECT {kpre}{value_sql} AS v, CAST(count(*) AS BIGINT) AS c
       FROM {cur_table_sql}
-      WHERE ({value_sql}) IS NOT NULL
+      WHERE ({value_sql}) IS NOT NULL{key_nn}
       GROUP BY {kgrp_v}
     ),
     cats AS (

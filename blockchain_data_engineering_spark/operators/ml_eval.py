@@ -1294,9 +1294,13 @@ def cohens_kappa_from_cells(
     Same output columns and algebra as :func:`cohens_kappa` (which
     delegates here)."""
     keyed = list(keys)
-    cells = cells_df.where(
-        F.col(actual_col).isNotNull() & F.col(predicted_col).isNotNull()
-    ).select(
+    # NULL-keyed rows excluded at entry: the marginal full-outer and
+    # the po/pe recombination join on `keys` and cannot match
+    # NULL = NULL (the kendall_tau keyed-join alignment convention)
+    not_null = F.col(actual_col).isNotNull() & F.col(predicted_col).isNotNull()
+    for c in keyed:
+        not_null = not_null & F.col(c).isNotNull()
+    cells = cells_df.where(not_null).select(
         *keyed,
         F.col(actual_col).alias("__a"),
         F.col(predicted_col).alias("__b"),
@@ -1362,6 +1366,7 @@ def cohens_kappa_sql(
     keyed = list(keys)
     kcols = ", ".join(keyed)
     kpre = f"{kcols}, " if keyed else ""
+    key_nn = "".join(f" AND ({c}) IS NOT NULL" for c in keyed)
     grp = f"GROUP BY {kcols}" if keyed else ""
     kgrp_ab = f"{kcols}, a, b" if keyed else "a, b"
     kgrp_a = f"{kcols}, a" if keyed else "a"
@@ -1374,6 +1379,7 @@ def cohens_kappa_sql(
              count(*) AS cnt
       FROM {table}
       WHERE ({rater_a_sql}) IS NOT NULL AND ({rater_b_sql}) IS NOT NULL
+        {key_nn}
       GROUP BY {kgrp_ab}
     ),
     by_a AS (
@@ -1999,9 +2005,13 @@ def fleiss_kappa(
         raise ValueError(f"n_raters must be >= 2, got {n_raters}")
     keyed = list(keys)
     nr = int(n_raters)
-    base = df.where(
-        F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
-    ).select(
+    # NULL-keyed rows excluded at entry: the kept-ballot semi join and
+    # the drops/s1/s2 recombination join on `keys` and cannot match
+    # NULL = NULL (the kendall_tau keyed-join alignment convention)
+    not_null = F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+    for c in keyed:
+        not_null = not_null & F.col(c).isNotNull()
+    base = df.where(not_null).select(
         *keyed,
         F.col(item_col).alias("__i"),
         F.col(category_col).alias("__c"),
@@ -2081,6 +2091,7 @@ def fleiss_kappa_sql(
     serialize as VARCHAR."""
     keyed = list(keys)
     nr = int(n_raters)
+    key_nn = "".join(f" AND ({c}) IS NOT NULL" for c in keyed)
     kcols = ", ".join(keyed)
     kpre = f"{kcols}, " if keyed else ""
     grp = f"GROUP BY {kcols}" if keyed else ""
@@ -2098,6 +2109,7 @@ def fleiss_kappa_sql(
              CAST(count(*) AS BIGINT) AS nic
       FROM {table}
       WHERE ({item_sql}) IS NOT NULL AND ({category_sql}) IS NOT NULL
+        {key_nn}
       GROUP BY {kgrp_ic}
     ),
     item_tot AS (
@@ -2644,9 +2656,14 @@ def weighted_kappa_from_cells(
     deltas merge). Labels are cast to long (the ordinal contract)."""
     _kappa_weight(F.lit(0), F.lit(0), weighting)  # validate up front
     keyed = list(keys)
-    cells = cells_df.where(
-        F.col(actual_col).isNotNull() & F.col(predicted_col).isNotNull()
-    ).select(
+    # NULL-keyed rows excluded at entry: the marginal cross and the
+    # obs/exp/labels recombination join on `keys` and cannot match
+    # NULL = NULL — without this a NULL-keyed group's kappa silently
+    # vanishes (the kendall_tau keyed-join alignment convention)
+    not_null = F.col(actual_col).isNotNull() & F.col(predicted_col).isNotNull()
+    for c in keyed:
+        not_null = not_null & F.col(c).isNotNull()
+    cells = cells_df.where(not_null).select(
         *keyed,
         F.col(actual_col).cast("long").alias("__a"),
         F.col(predicted_col).cast("long").alias("__b"),
@@ -2751,6 +2768,7 @@ def weighted_kappa_sql(
     kgrp_a = f"{kcols}, a" if keyed else "a"
     kgrp_b = f"{kcols}, b" if keyed else "b"
     kgrp_l = f"{kcols}, l" if keyed else "l"
+    key_nn = "".join(f" AND ({c}) IS NOT NULL" for c in keyed)
     pair_on = (
         " AND ".join(f"by_a.{c} = by_b.{c}" for c in keyed)
         if keyed
@@ -2769,6 +2787,7 @@ def weighted_kappa_sql(
              CAST(count(*) AS BIGINT) AS cnt
       FROM {table}
       WHERE ({rater_a_sql}) IS NOT NULL AND ({rater_b_sql}) IS NOT NULL
+        {key_nn}
       GROUP BY {kgrp_ab}
     ),
     obs AS (
@@ -2902,9 +2921,17 @@ def krippendorff_alpha(
     mr = int(max_raters)
     lcm = math.lcm(*range(1, mr))
     keyed = list(keys)
-    base = df.where(
-        F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
-    ).select(
+    # NULL-keyed rows are EXCLUDED at entry (the keyed-join alignment
+    # convention, see kendall_tau): the kept-items semi join and the
+    # drops/u_agg/cat_agg recombination join on `keys`, which cannot
+    # match NULL = NULL — without this filter a NULL-keyed group
+    # survives the drops aggregate but loses its joined masses and
+    # reports a spurious all-zero row. coalesce the key upstream if
+    # NULL should be a real group.
+    not_null = F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+    for c in keyed:
+        not_null = not_null & F.col(c).isNotNull()
+    base = df.where(not_null).select(
         *keyed,
         F.col(item_col).alias("__i"),
         F.col(category_col).alias("__c"),
@@ -3059,6 +3086,7 @@ def krippendorff_alpha_sql(
     using_i = f"USING ({kpre}i)" if keyed else "USING (i)"
     join_k = f"USING ({kcols})" if keyed else "ON 1 = 1"
     dkpre = ", ".join(f"d.{c}" for c in keyed) + (", " if keyed else "")
+    key_nn = "".join(f" AND ({c}) IS NOT NULL" for c in keyed)
     if metric == "interval":
         item_moments = (
             "sum(nuc::HUGEINT * CAST(c AS BIGINT)) AS s1,\n"
@@ -3092,6 +3120,7 @@ def krippendorff_alpha_sql(
              CAST(count(*) AS BIGINT) AS nuc
       FROM {table}
       WHERE ({item_sql}) IS NOT NULL AND ({category_sql}) IS NOT NULL
+        {key_nn}
       GROUP BY {kgrp_ic}
     ),
     items AS (
@@ -3178,12 +3207,14 @@ def cohens_kappa_from_cells_sql(
     kgrp_b = f"{kcols}, b" if keyed else "b"
     using = f"USING ({kpre}l)" if keyed else "USING (l)"
     join_keys = f"USING ({kcols})" if keyed else "ON 1 = 1"
+    key_nn = "".join(f" AND ({c}) IS NOT NULL" for c in keyed)
     return f"""
     WITH cells AS (
       SELECT {kpre}{actual_col} AS a, {predicted_col} AS b,
              CAST(sum({n_col}) AS BIGINT) AS cnt
       FROM {cells_sql}
       WHERE ({actual_col}) IS NOT NULL AND ({predicted_col}) IS NOT NULL
+        {key_nn}
       GROUP BY {kgrp_ab}
     ),
     by_a AS (

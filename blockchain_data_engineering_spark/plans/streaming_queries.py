@@ -471,15 +471,27 @@ def ml_kappa_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 2
         ).alias("__half"),
     )
+    import shutil
+
     store = tempfile.mkdtemp(prefix="eval_cells_store_q_")
-    sink = eval_cells_delta_sink(store, "actual", "predicted")
-    for batch_id in (0, 1):
-        sink(facts.where(F.col("__half") == batch_id), batch_id)
-    out = eval_cells_store_kappa(spark, store)
-    return out.select(
-        "n",
-        "n_labels",
-        F.col("kappa_num").cast("string").alias("kappa_num"),
-        F.col("kappa_den").cast("string").alias("kappa_den"),
-        "kappa",
-    )
+    try:
+        sink = eval_cells_delta_sink(store, "actual", "predicted")
+        for batch_id in (0, 1):
+            sink(facts.where(F.col("__half") == batch_id), batch_id)
+        out = (
+            eval_cells_store_kappa(spark, store)
+            .select(
+                "n",
+                "n_labels",
+                F.col("kappa_num").cast("string").alias("kappa_num"),
+                F.col("kappa_den").cast("string").alias("kappa_den"),
+                "kappa",
+            )
+            # sever from the store dir we delete (the crash-recovery
+            # gate's pattern) — bench/parity re-runs must not
+            # accumulate leaked temp parquet stores
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from blockchain_data_engineering_spark.cache import finalize
 from blockchain_data_engineering_spark.catalog import load_table, spread
 from blockchain_data_engineering_spark.functions.scalar import bounded_window_key
 from blockchain_data_engineering_spark.operators import text as TX
@@ -2430,22 +2431,32 @@ def ml_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote = lambda cat: docs.select(  # noqa: E731
         "lang", F.col("doc_id").alias("item"), cat.alias("cat")
     )
+    # persist the vote union: each leg runs the lang-ID marker-count
+    # classifier over documents, and fleiss_kappa's internal
+    # cells→items→kept recombination references it several times —
+    # un-materialized, every reference re-runs ALL the classifier
+    # passes (the lineage-blowup class the heavy-hitter merge callers
+    # pin); finalize() severs the result and releases the cache
+    # within the call (cache-lifetime contract)
     votes = (
         vote(F.col("lang"))
         .unionByName(vote(TX.lang_id(F.col("text"))))
         .unionByName(
             vote(TX.lang_id(F.substring(F.col("text"), 1, _FLEISS_PREFIX)))
         )
-    )
+    ).persist()
     out = fleiss_kappa(votes, "item", "cat", n_raters=3, keys=["lang"])
-    return out.select(
-        "lang",
-        "n_items",
-        "n_items_dropped",
-        "n_categories",
-        F.col("fleiss_num").cast("string").alias("fleiss_num"),
-        F.col("fleiss_den").cast("string").alias("fleiss_den"),
-        "fleiss_kappa",
+    return finalize(
+        out.select(
+            "lang",
+            "n_items",
+            "n_items_dropped",
+            "n_categories",
+            F.col("fleiss_num").cast("string").alias("fleiss_num"),
+            F.col("fleiss_den").cast("string").alias("fleiss_den"),
+            "fleiss_kappa",
+        ),
+        votes,
     )
 
 
@@ -2522,19 +2533,26 @@ def ml_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # persist: the two lang-ID legs are the expensive part and alpha's
+    # cells→items→kept recombination references the union several
+    # times (see the fleiss gate's note); finalize releases in-call
+    votes = votes.persist()
     out = krippendorff_alpha(
         votes, "item", "cat", keys=["lang"], max_raters=_KRIPP_MAX_RATERS
     )
-    return out.select(
-        "lang",
-        "n_ratings",
-        "n_units",
-        "n_units_single",
-        "n_units_overflow",
-        "n_categories",
-        F.col("alpha_num").cast("string").alias("alpha_num"),
-        F.col("alpha_den").cast("string").alias("alpha_den"),
-        "alpha",
+    return finalize(
+        out.select(
+            "lang",
+            "n_ratings",
+            "n_units",
+            "n_units_single",
+            "n_units_overflow",
+            "n_categories",
+            F.col("alpha_num").cast("string").alias("alpha_num"),
+            F.col("alpha_den").cast("string").alias("alpha_den"),
+            "alpha",
+        ),
+        votes,
     )
 
 
@@ -2576,25 +2594,43 @@ def ml_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     scored = TX.quality_score(spread(load_table(spark, sf_dir, "documents")))
-    out = weighted_kappa(
-        scored,
-        rater_a=F.least(
-            F.expr("CAST(floor(quality_score + 0.5) AS BIGINT) div 20"),
-            F.lit(5).cast("long"),
-        ),
-        rater_b=F.least(
-            F.expr("n_chars_m div 100"), F.lit(5).cast("long")
-        ),
-        weighting="quadratic",
-        keys=["lang"],
+    # pre-aggregate to the ≤ k² cell grain and persist it: the
+    # from-cells algebra references the cells five times (obs,
+    # marginals, labels) and an un-materialized reference would
+    # re-run the quality pipeline per reference (the lineage-blowup
+    # class the heavy-hitter merge callers pin); finalize releases
+    # the cache within the call
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        weighted_kappa_from_cells,
     )
-    return out.select(
-        "lang",
-        "n",
-        "n_labels",
-        F.col("kappa_num").cast("string").alias("kappa_num"),
-        F.col("kappa_den").cast("string").alias("kappa_den"),
-        "kappa",
+
+    cells = (
+        scored.groupBy(
+            "lang",
+            F.least(
+                F.expr("CAST(floor(quality_score + 0.5) AS BIGINT) div 20"),
+                F.lit(5).cast("long"),
+            ).alias("tier_a"),
+            F.least(
+                F.expr("n_chars_m div 100"), F.lit(5).cast("long")
+            ).alias("tier_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cell"))
+        .persist()
+    )
+    out = weighted_kappa_from_cells(
+        cells, "tier_a", "tier_b", "n_cell", "quadratic", ["lang"]
+    )
+    return finalize(
+        out.select(
+            "lang",
+            "n",
+            "n_labels",
+            F.col("kappa_num").cast("string").alias("kappa_num"),
+            F.col("kappa_den").cast("string").alias("kappa_den"),
+            "kappa",
+        ),
+        cells,
     )
 
 
@@ -2690,6 +2726,10 @@ def ml_krippendorff_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # persist: the tier frame runs the quality-feature pipeline and
+    # alpha references the vote union several times (see the fleiss
+    # gate's note); finalize releases in-call
+    votes = votes.persist()
     out = krippendorff_alpha(
         votes,
         "item",
@@ -2698,14 +2738,17 @@ def ml_krippendorff_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_raters=_KRIPP_MAX_RATERS,
         metric="interval",
     )
-    return out.select(
-        "lang",
-        "n_ratings",
-        "n_units",
-        "n_units_single",
-        "n_units_overflow",
-        "n_categories",
-        F.col("alpha_num").cast("string").alias("alpha_num"),
-        F.col("alpha_den").cast("string").alias("alpha_den"),
-        "alpha",
+    return finalize(
+        out.select(
+            "lang",
+            "n_ratings",
+            "n_units",
+            "n_units_single",
+            "n_units_overflow",
+            "n_categories",
+            F.col("alpha_num").cast("string").alias("alpha_num"),
+            F.col("alpha_den").cast("string").alias("alpha_den"),
+            "alpha",
+        ),
+        votes,
     )

@@ -362,7 +362,10 @@ def main(sf_dir: str) -> None:
     ll = log_loss(
         scored,
         F.col("y"),
-        F.floor(F.col("sq") / F.lit(1000)).cast("long"),
+        # re-quantize ppm → the 1000-grid by ROUNDING (+0.5 before the
+        # floor) — a bare floor would re-introduce the half-quantum
+        # downward bias the score-quanta contract warns about
+        F.floor(F.col("sq") / F.lit(1000) + F.lit(0.5)).cast("long"),
         s_max=1000,
     ).first()
     top_decile = (

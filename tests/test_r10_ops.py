@@ -586,3 +586,58 @@ def test_krippendorff_interval_known_values(spark):
     assert c.alpha is None and int(c.alpha_den) == 0
     with pytest.raises(ValueError, match="metric"):
         krippendorff_alpha(const, "item", "cat", metric="ratio")
+
+
+def test_drift_ops_exclude_null_keys(spark):
+    """Review regression (r10): the drift grain's full-outer category
+    join cannot match NULL = NULL keys — before the entry exclusion a
+    NULL-keyed group's IDENTICAL category landed as two unmatched
+    rows and PSI/JS read MAXIMAL drift for identical data. NULL keys
+    are now excluded (the kendall_tau keyed-join convention)."""
+    from blockchain_data_engineering_spark.operators.dq import (
+        distribution_drift_tvd,
+        distribution_js,
+        distribution_psi,
+    )
+
+    ref = spark.createDataFrame(
+        [(None, "a"), (None, "a"), ("g", "a"), ("g", "b")],
+        "k string, v string",
+    )
+    for op in (distribution_psi, distribution_js, distribution_drift_tvd):
+        rows = {r["k"]: r for r in op(ref, ref, "v", keys=["k"]).collect()}
+        assert set(rows) == {"g"}, op.__name__
+        # and identical data scores 0 drift in the surviving group
+        stat = rows["g"][4] if op is not distribution_drift_tvd else rows["g"]["tvd"]
+        assert stat == 0.0, op.__name__
+
+
+def test_agreement_ops_exclude_null_keys(spark):
+    """Review regression (r10): every keyed agreement operator joins
+    its sub-aggregates on `keys`; NULL keys can't match, so before
+    the entry exclusion a NULL-keyed group either vanished silently
+    (weighted_kappa) or reported a spurious all-zero row
+    (krippendorff). All now follow the kendall_tau exclusion."""
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        fleiss_kappa,
+    )
+
+    votes = spark.createDataFrame(
+        [(None, "u2", "a"), (None, "u2", "b"), ("g", "u3", "a"),
+         ("g", "u3", "a"), ("g", "u4", "a"), ("g", "u4", "b")],
+        "k string, item string, cat string",
+    )
+    a = krippendorff_alpha(votes, "item", "cat", keys=["k"]).collect()
+    assert {r["k"] for r in a} == {"g"} and a[0].n_units == 2
+    f = fleiss_kappa(votes, "item", "cat", n_raters=2, keys=["k"]).collect()
+    assert {r["k"] for r in f} == {"g"} and f[0].n_items == 2
+    pairs = spark.createDataFrame(
+        [(None, 1, 2), (None, 2, 1), ("g", 1, 2), ("g", 2, 2)],
+        "k string, a long, b long",
+    )
+    w = weighted_kappa(
+        pairs, F.col("a"), F.col("b"), "quadratic", keys=["k"]
+    ).collect()
+    assert {r["k"] for r in w} == {"g"} and w[0].n == 2
+    c = cohens_kappa(pairs, F.col("a"), F.col("b"), keys=["k"]).collect()
+    assert {r["k"] for r in c} == {"g"} and c[0].n == 2
