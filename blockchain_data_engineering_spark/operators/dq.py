@@ -494,11 +494,11 @@ def distribution_psi(
     by its log likelihood ratio, amplifying collapses of small
     categories that TVD barely sees. Algebraically PSI IS the
     symmetrized Kullback-Leibler divergence (Jeffreys' J-divergence,
-    ``KL(p‖q) + KL(q‖p)``) — so between this and
-    :func:`distribution_js` (the mixture-symmetrized form), the KL
-    family is covered; a raw one-sided KL adds only the asymmetry,
-    with the same zero-handling caveat this epsilon convention
-    answers.
+    ``KL(p‖q) + KL(q‖p)``) — the DIRECTIONAL one-sided form
+    (train→serve surprise, which tells you WHICH side moved) is
+    :func:`distribution_kl` on the same grain and table, and
+    :func:`distribution_js` is the mixture-symmetrized form — the
+    whole KL family reads from one ``_drift_share_grain``.
 
     Quantization design (the literal log-quanta table — the engine's
     sanctioned escape from the no-engine-log exactness policy): each
@@ -671,6 +671,204 @@ def distribution_psi_sql(
              CAST(psi_num AS DOUBLE)
                / CAST({g}::HUGEINT * {_PSI_LN_SCALE} AS DOUBLE)
            END AS psi
+    FROM agg
+    """
+
+
+def distribution_kl(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    share_grid: int = 1000,
+) -> DataFrame:
+    """One-sided Kullback-Leibler divergence ``KL(cur‖ref)`` per
+    ``keys`` group — the DIRECTIONAL drift number: "how surprised is
+    the reference model by today's data", the standard train→serve
+    monitoring direction (:func:`distribution_psi` symmetrizes it —
+    PSI ≡ KL(p‖q) + KL(q‖p), Jeffreys' J — and
+    :func:`distribution_js` mixes it; neither tells you WHICH side
+    moved). ``KL = Σ_c p_cur(c)·ln(p_cur(c)/p_ref(c))`` over the
+    union of categories.
+
+    Quantization design (the literal ln-quanta table, exactly
+    :func:`distribution_psi`): the CURRENT side floor-quantizes with
+    NO clamp (``q_cur = (count·G) div n_cur``; a zero current share
+    contributes exactly 0 — the 0·ln 0 = 0 convention taken on the
+    integer side) while the REFERENCE side — the denominator, where
+    a zero is singular — eps-fills to ≥ 1 quantum
+    (``q_ref = max(1, (count·G) div n_ref)``: a category the
+    reference never saw is scored as if it had share 1/G — the
+    classic epsilon convention, made exact). What is computed is
+    EXACTLY the KL of the quantized share vectors:
+    ``kl_num = Σ_c q_cur·(T[q_cur] − T[q_ref])`` with
+    ``T[i] = round(10^12·ln i)`` literal integers, and
+    ``kl = kl_num/(G·10^12)`` is one IEEE division. Unlike PSI's
+    terms (whose two factors share a sign), individual KL terms CAN
+    be negative — non-negativity of the SUM is Gibbs' inequality on
+    normalized vectors, which floor quantization perturbs by
+    < n_categories/G (the :func:`distribution_js` slack note; the
+    ref-side eps-fill additionally over-weights never-seen
+    categories by up to (G−1)/G... of one quantum each). With the
+    default G = 1000 the slack is ≪ the 0.1/0.25-style thresholds
+    KL is read against; raise G (≤ 4096) for finer mixes, or read
+    TVD (exact) alongside.
+
+    Scale shape: identical to TVD/PSI — the shared
+    :func:`_drift_share_grain` (category-grain counts, full-outer
+    join, one bounded window per side), two BROADCAST-hash lookups
+    of the G-row ln table (a tiny local relation, never an inline
+    literal array — see :func:`distribution_js`), one final
+    aggregate. ``kl`` is NULL when either side of the group is empty
+    (drift from/to nothing — surface it, don't score it). Returns
+    ``n_ref``, ``n_cur``, ``n_categories``, ``kl_num``
+    (DECIMAL(38,0) — serialize as string in gate queries) and
+    ``kl``."""
+    tab = psi_ln_table(share_grid)
+    g = int(share_grid)
+    ln_tab = ref.sparkSession.createDataFrame(
+        [(i + 1, int(t)) for i, t in enumerate(tab)], "i long, lnv long"
+    )
+    keyed = list(keys)
+    withtot = _drift_share_grain(ref, cur, value_col, keyed)
+    q_raw = lambda cnt, tot: F.expr(  # noqa: E731
+        f"(CAST({cnt} AS DECIMAL(38,0)) * {g}) div {tot}"
+    )
+    both = (F.col("__nr") > 0) & (F.col("__nc") > 0)
+    quantized = withtot.select(
+        *keyed,
+        "__nr",
+        "__nc",
+        # ref side (the denominator): eps-filled to one quantum
+        F.when(
+            both,
+            F.greatest(F.lit(1).cast("long"), q_raw("__r", "__nr")),
+        ).alias("__qr"),
+        # cur side: NO clamp — zero stays zero (0·ln 0 = 0 arm)
+        F.when(both, q_raw("__c", "__nc")).alias("__qc"),
+    )
+    look = lambda out: F.broadcast(  # noqa: E731
+        ln_tab.select(
+            F.col("i").alias(f"__i_{out}"), F.col("lnv").alias(out)
+        )
+    )
+    # LEFT joins: q_cur = 0 finds no table row (indices start at 1) —
+    # its term is forced to 0 by the guard below; a NULL q (one side
+    # of the group empty) propagates to a NULL term, the sum skips
+    # it, and kl is NULLed by the final guard
+    quantized = quantized.join(
+        look("__lr"), F.col("__i___lr") == F.col("__qr"), "left"
+    ).join(look("__lc"), F.col("__i___lc") == F.col("__qc"), "left")
+    term = F.when(
+        F.col("__qr").isNotNull() & F.col("__qc").isNotNull(),
+        F.when(
+            F.col("__qc") > 0,
+            F.col("__qc").cast("decimal(38,0)")
+            * (F.col("__lc") - F.col("__lr")),
+        ).otherwise(F.lit(0).cast("decimal(38,0)")),
+    ).cast("decimal(38,0)")
+    agg = quantized.groupBy(*keyed).agg(
+        F.any_value(F.col("__nr")).cast("long").alias("n_ref"),
+        F.any_value(F.col("__nc")).cast("long").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.coalesce(F.sum(term), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("kl_num"),
+    )
+    den = (
+        F.lit(g).cast("decimal(38,0)") * F.lit(_PSI_LN_SCALE)
+    ).cast("decimal(38,0)")
+    return agg.select(
+        *keyed,
+        "n_ref",
+        "n_cur",
+        "n_categories",
+        "kl_num",
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.col("kl_num").cast("double") / den.cast("double"),
+        ).alias("kl"),
+    )
+
+
+def distribution_kl_sql(
+    value_sql: str,
+    ref_table_sql: str,
+    cur_table_sql: str,
+    keys: Sequence[str] = (),
+    share_grid: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`distribution_kl` — same category grain,
+    same asymmetric quantization (cur unclamped, ref eps-filled), the
+    SAME literal ln table as a VALUES relation; ``kl_num`` serializes
+    as VARCHAR."""
+    tab = psi_ln_table(share_grid)
+    g = int(share_grid)
+    vals = ", ".join(f"({i + 1}, {t}::BIGINT)" for i, t in enumerate(tab))
+    keyed = list(keys)
+    key_nn = "".join(f" AND ({c}) IS NOT NULL" for c in keyed)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    part = f"PARTITION BY {kcols}" if keyed else "PARTITION BY 1"
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_v = f"{kcols}, v" if keyed else "v"
+    using = f"USING ({kpre}v)" if keyed else "USING (v)"
+    return f"""
+    WITH ln_tab AS (SELECT * FROM (VALUES {vals}) AS t(i, lnv)),
+    ref_counts AS (
+      SELECT {kpre}{value_sql} AS v, CAST(count(*) AS BIGINT) AS r
+      FROM {ref_table_sql}
+      WHERE ({value_sql}) IS NOT NULL{key_nn}
+      GROUP BY {kgrp_v}
+    ),
+    cur_counts AS (
+      SELECT {kpre}{value_sql} AS v, CAST(count(*) AS BIGINT) AS c
+      FROM {cur_table_sql}
+      WHERE ({value_sql}) IS NOT NULL{key_nn}
+      GROUP BY {kgrp_v}
+    ),
+    cats AS (
+      SELECT {kpre}coalesce(r, 0) AS r, coalesce(c, 0) AS c
+      FROM ref_counts FULL OUTER JOIN cur_counts {using}
+    ),
+    withtot AS (
+      SELECT {kpre}r, c,
+             CAST(sum(r) OVER ({part}) AS BIGINT) AS nr,
+             CAST(sum(c) OVER ({part}) AS BIGINT) AS nc
+      FROM cats
+    ),
+    quantized AS (
+      SELECT {kpre}nr, nc,
+             CASE WHEN nr > 0 AND nc > 0 THEN
+               greatest(1, (r::HUGEINT * {g}) // nr) END AS qr,
+             CASE WHEN nr > 0 AND nc > 0 THEN
+               (c::HUGEINT * {g}) // nc END AS qc
+      FROM withtot
+    ),
+    terms AS (
+      SELECT {kpre}nr, nc,
+             CASE WHEN q.qr IS NULL OR q.qc IS NULL THEN NULL
+                  WHEN q.qc = 0 THEN 0::HUGEINT
+                  ELSE q.qc * (tc.lnv - tr.lnv)::HUGEINT
+             END AS t
+      FROM quantized q
+      LEFT JOIN ln_tab tr ON tr.i = q.qr
+      LEFT JOIN ln_tab tc ON tc.i = q.qc
+    ),
+    agg AS (
+      SELECT {kpre}
+             CAST(any_value(nr) AS BIGINT) AS n_ref,
+             CAST(any_value(nc) AS BIGINT) AS n_cur,
+             CAST(count(*) AS BIGINT) AS n_categories,
+             coalesce(sum(t), 0) AS kl_num
+      FROM terms {grp}
+    )
+    SELECT {kpre}n_ref, n_cur, n_categories,
+           CAST(kl_num AS VARCHAR) AS kl_num,
+           CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+             CAST(kl_num AS DOUBLE)
+               / CAST({g}::HUGEINT * {_PSI_LN_SCALE} AS DOUBLE)
+           END AS kl
     FROM agg
     """
 

@@ -724,9 +724,15 @@ def multiclass_macro_f1_from_cells(
     mergeability property. Same output columns and algebra as
     :func:`multiclass_macro_f1` (which delegates here)."""
     keyed = list(keys)
-    cells = cells_df.where(
-        F.col(actual_col).isNotNull() & F.col(predicted_col).isNotNull()
-    ).select(
+    # NULL-keyed rows excluded at entry: the per-class LEFT join
+    # matches by_actual to by_pred on `keys` and cannot match
+    # NULL = NULL — without this a NULL-keyed group's pred_total
+    # silently reads 0 and its F1 inflates/deflates (the kendall_tau
+    # keyed-join alignment convention, swept in r10/r11)
+    not_null = F.col(actual_col).isNotNull() & F.col(predicted_col).isNotNull()
+    for c in keyed:
+        not_null = not_null & F.col(c).isNotNull()
+    cells = cells_df.where(not_null).select(
         *keyed,
         F.col(actual_col).alias("__a"),
         F.col(predicted_col).alias("__p"),
@@ -806,12 +812,14 @@ def multiclass_macro_f1_sql(
     kjoin = " AND ".join(f"ba.{c} = bp.{c}" for c in keyed)
     on = f"ba.a = bp.p{' AND ' + kjoin if keyed else ''}"
     kpre_ba = ", ".join(f"ba.{c}" for c in keyed)
+    key_nn = "".join(f" AND ({c}) IS NOT NULL" for c in keyed)
     return f"""
     WITH cells AS (
       SELECT {kpre}{actual_sql} AS a, {predicted_sql} AS p,
              count(*) AS n
       FROM {table}
       WHERE ({actual_sql}) IS NOT NULL AND ({predicted_sql}) IS NOT NULL
+        {key_nn}
       GROUP BY {kgrp_a}, p
     ),
     by_actual AS (
@@ -849,6 +857,445 @@ def multiclass_macro_f1_sql(
                / CAST(CAST(n_classes AS HUGEINT) * {_AP_SCALE} AS DOUBLE)
            END AS macro_f1
     FROM totals
+    """
+
+
+def multiclass_macro_f1_from_cells_sql(
+    cells_sql: str,
+    actual_col: str = "actual",
+    predicted_col: str = "predicted",
+    n_col: str = "n",
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`multiclass_macro_f1_from_cells` — the
+    oracle for MAINTAINED cell stores (``streaming/sketches.py``):
+    ``cells_sql`` is a FROM-able fragment exposing (actual,
+    predicted, count) rows, possibly with duplicates (per-batch
+    deltas) — they re-aggregate exactly as the Spark store read does,
+    then the :func:`multiclass_macro_f1_sql` algebra runs over the
+    summed cells (the ``cohens_kappa_from_cells_sql`` pattern)."""
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_ap = f"{kcols}, a, p" if keyed else "a, p"
+    kgrp_a = f"{kcols}, a" if keyed else "a"
+    kgrp_p = f"{kcols}, p" if keyed else "p"
+    key_nn = "".join(f" AND ({c}) IS NOT NULL" for c in keyed)
+    kjoin = " AND ".join(f"ba.{c} = bp.{c}" for c in keyed)
+    on = f"ba.a = bp.p{' AND ' + kjoin if keyed else ''}"
+    kpre_ba = ", ".join(f"ba.{c}" for c in keyed) + (", " if keyed else "")
+    return f"""
+    WITH cells AS (
+      SELECT {kpre}{actual_col} AS a, {predicted_col} AS p,
+             CAST(sum({n_col}) AS BIGINT) AS n
+      FROM {cells_sql}
+      WHERE ({actual_col}) IS NOT NULL AND ({predicted_col}) IS NOT NULL
+        {key_nn}
+      GROUP BY {kgrp_ap}
+    ),
+    by_actual AS (
+      SELECT {kpre}a, CAST(sum(n) AS BIGINT) AS support,
+             CAST(sum(CASE WHEN a = p THEN n ELSE 0 END) AS BIGINT) AS tp
+      FROM cells GROUP BY {kgrp_a}
+    ),
+    by_pred AS (
+      SELECT {kpre}p, CAST(sum(n) AS BIGINT) AS pred_total
+      FROM cells GROUP BY {kgrp_p}
+    ),
+    per_class AS (
+      SELECT {kpre_ba}ba.support, ba.tp,
+             coalesce(bp.pred_total, 0) AS pred_total
+      FROM by_actual ba LEFT JOIN by_pred bp ON {on}
+    ),
+    totals AS (
+      SELECT {kpre}
+             CAST(coalesce(sum(support), 0) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(coalesce(sum(tp), 0) AS BIGINT) AS tp_sum,
+             coalesce(sum((2 * CAST(tp AS HUGEINT) * {_AP_SCALE})
+                 // (support + pred_total)), 0) AS macro_f1_num
+      FROM per_class {grp}
+    )
+    SELECT {kpre}n, n_classes,
+           CASE WHEN n > 0
+                THEN CAST(tp_sum AS DOUBLE) / CAST(n AS DOUBLE)
+           END AS accuracy,
+           CAST(macro_f1_num AS VARCHAR) AS macro_f1_num,
+           CASE WHEN n_classes > 0 THEN
+             CAST(macro_f1_num AS DOUBLE)
+               / CAST(CAST(n_classes AS HUGEINT) * {_AP_SCALE} AS DOUBLE)
+           END AS macro_f1
+    FROM totals
+    """
+
+
+def label_mutual_information(
+    df: DataFrame,
+    actual: Column,
+    predicted: Column,
+    keys: Sequence[str] = (),
+    share_grid: int = 1000,
+) -> DataFrame:
+    """Mutual information (+ marginal entropies + normalized MI)
+    between two label columns per ``keys`` group — the standard
+    clustering-agreement statistic and the capstone of the agreement
+    suite: κ/α ask "do the labelers agree", MI asks "how much does
+    one labeling TELL YOU about the other", which is the right lens
+    when the two labelings need not even share a category space
+    (predicted clusters vs declared classes). Delegates to
+    :func:`label_mi_from_cells` over the same ≤ k² (actual,
+    predicted) cell aggregate every other agreement statistic reads —
+    one maintained cell store answers κ, macro-F1, AND MI."""
+    keyed = list(keys)
+    cells = (
+        df.where(actual.isNotNull() & predicted.isNotNull())
+        .select(*keyed, actual.alias("__a"), predicted.alias("__p"))
+        .groupBy(*keyed, "__a", "__p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return label_mi_from_cells(cells, "__a", "__p", "n", keys, share_grid)
+
+
+def label_mi_from_cells(
+    cells_df: DataFrame,
+    actual_col: str = "actual",
+    predicted_col: str = "predicted",
+    n_col: str = "n",
+    keys: Sequence[str] = (),
+    share_grid: int = 1000,
+) -> DataFrame:
+    """:func:`label_mutual_information` from PRE-AGGREGATED (actual,
+    predicted, count) cells — the third reader of the additive cell
+    state (``cohens_kappa_from_cells``, ``multiclass_macro_f1_from_
+    cells``; the streaming store in ``streaming/sketches.py``
+    maintains it). Duplicate cells sum (per-batch deltas merge).
+
+    Definition: ``MI = Σ_ij p_ij·ln(p_ij/(p_i·p_j))`` with
+    ``H(A) = −Σ_i p_i·ln(p_i)``, ``H(P) = −Σ_j p_j·ln(p_j)`` and
+    ``NMI = 2·MI/(H(A)+H(P))`` (the arithmetic-mean normalization —
+    symmetric, 1 iff the labelings are permutations of each other).
+
+    Quantization design (the literal ln-quanta table — the
+    ``distribution_psi``/``distribution_js`` recipe, sanctioned
+    because logs of a bounded integer grid are constants, never an
+    engine ``log``): counts cannot index a literal table (they are
+    unbounded), but SHARES floor-quantized to the ``G = share_grid``
+    grid can: ``q_ij = (n_ij·G) div n``, ``q_i = (n_i·G) div n``
+    (marginals quantized from the EXACT marginal counts, not from
+    sums of quantized cells), and with ``T[i] = round(10^12·ln i)``
+    (``psi_ln_table``) every term is an integer:
+    ``mi_num = Σ_ij [q_ij > 0] q_ij·(T[q_ij] − T[q_i] − T[q_j] + T[G])``
+    (``ln(p_ij/(p_i·p_j)) = ln q_ij − ln q_i − ln q_j + ln G``; a
+    zero quantized cell contributes 0 — the 0·ln 0 convention taken
+    on the integer side; ``q_ij ≥ 1 ⇒ q_i, q_j ≥ 1`` so no log of 0
+    is ever looked up), ``ha_num = Σ_i [q_i > 0] q_i·(T[G] − T[q_i])``
+    and likewise ``hp_num``. ``mi = mi_num/(G·10^12)`` etc. are one
+    IEEE division each; ``nmi = 2·mi_num/(ha_num + hp_num)`` is one
+    IEEE division of exact integers. What is computed is EXACTLY the
+    MI/H functionals of the quantized share vectors: each true share
+    is perturbed by < 1/G (floor), so — like :func:`distribution_js
+    <blockchain_data_engineering_spark.operators.dq.distribution_js>`
+    — the quantized MI can read a hair below 0 on pathological
+    many-tiny-cell inputs (true MI is ≥ 0 by Gibbs' inequality on
+    normalized vectors; the floor-grid sub-normalization voids the
+    premise by < k²/G). With the default G = 1000 and dashboard-scale
+    label counts the slack is ≪ any threshold NMI is read against;
+    raise G (≤ 4096) for finer mixes.
+
+    Scale shape: the cell re-aggregation (≤ k² rows per group), the
+    group total via ONE bounded window at cell grain (the
+    ``_drift_share_grain`` idiom — never a 1-row-frame join, whose
+    constant-key compose Catalyst folds into a nested-loop join),
+    two marginal re-aggregations, three BROADCAST-hash lookups of
+    the G-row ln table — T[q_i]/T[q_j] are looked up ONCE at
+    marginal grain and carried to the cells by the marginal join, so
+    the cell grain pays a single lookup; ``T[G]`` is one literal —
+    and ONE tagged-union aggregation combining the cell-grain MI
+    terms with the two marginal-grain entropy terms (the graph-ops
+    recombination pattern; no final compose joins). Returns ``n``,
+    ``n_classes_actual``, ``n_classes_predicted``, ``mi_num``/
+    ``ha_num``/``hp_num`` (DECIMAL(38,0) — serialize as strings in
+    gate queries), ``mi``, ``h_actual``, ``h_predicted`` and ``nmi``
+    (NULL when the group is empty / both entropies are 0 — two
+    constant labelings carry no information to normalize)."""
+    from blockchain_data_engineering_spark.operators.dq import (
+        _PSI_GRID_MAX,
+        _PSI_LN_SCALE,
+        psi_ln_table,
+    )
+
+    g = int(share_grid)
+    tab = psi_ln_table(g)  # validates 2 <= g <= _PSI_GRID_MAX
+    assert g <= _PSI_GRID_MAX
+    t_g = int(tab[g - 1])  # T[G] = round(10^12·ln G) — one literal
+    spark = cells_df.sparkSession
+    ln_tab = spark.createDataFrame(
+        [(i + 1, int(t)) for i, t in enumerate(tab)], "i long, lnv long"
+    )
+    keyed = list(keys)
+    # NULL-keyed rows excluded at entry: marginals/totals rejoin the
+    # cells on `keys` (the keyed-join alignment convention)
+    not_null = F.col(actual_col).isNotNull() & F.col(predicted_col).isNotNull()
+    for c in keyed:
+        not_null = not_null & F.col(c).isNotNull()
+    cells = (
+        cells_df.where(not_null)
+        .groupBy(
+            *keyed,
+            F.col(actual_col).alias("__a"),
+            F.col(predicted_col).alias("__p"),
+        )
+        .agg(F.sum(F.col(n_col).cast("long")).cast("long").alias("__n"))
+    )
+    # group total via ONE bounded window at the ≤ k² cell grain — the
+    # _drift_share_grain idiom; never a 1-row-frame compose join
+    w = Window.partitionBy(*keyed)
+    cells_t = cells.withColumn(
+        "__nt", F.sum("__n").over(w).cast("long")
+    )
+    q_of = lambda cnt: F.expr(  # noqa: E731
+        f"(CAST({cnt} AS DECIMAL(38,0)) * {g}) div __nt"
+    )
+    look = lambda out: F.broadcast(  # noqa: E731
+        ln_tab.select(
+            F.col("i").alias(f"__i_{out}"), F.col("lnv").alias(out)
+        )
+    )
+    # marginal grains: quantize ONCE, look the ln up ONCE, carry both
+    # to the cells via the (keys, label) equi join
+    def marginal(label_col: str, q_out: str, l_out: str) -> DataFrame:
+        m = cells_t.groupBy(*keyed, label_col).agg(
+            F.sum("__n").cast("long").alias("__nm"),
+            F.max("__nt").cast("long").alias("__nt"),
+        )
+        m = m.select(*keyed, label_col, q_of("__nm").alias(q_out))
+        return m.join(
+            look(l_out), F.col(f"__i_{l_out}") == F.col(q_out), "left"
+        ).drop(f"__i_{l_out}")
+
+    by_a = marginal("__a", "__qa", "__la")
+    by_p = marginal("__p", "__qp", "__lp")
+    quant = (
+        cells_t.select(*keyed, "__a", "__p", "__n", q_of("__n").alias("__q"))
+        .join(by_a.select(*keyed, "__a", "__qa", "__la"), keyed + ["__a"])
+        .join(by_p.select(*keyed, "__p", "__qp", "__lp"), keyed + ["__p"])
+        .join(look("__lc"), F.col("__i___lc") == F.col("__q"), "left")
+    )
+    zero_d = F.lit(0).cast("decimal(38,0)")
+    null_d = F.lit(None).cast("decimal(38,0)")
+    mi_term = F.when(
+        F.col("__q") > 0,
+        F.col("__q").cast("decimal(38,0)")
+        * (F.col("__lc") - F.col("__la") - F.col("__lp") + F.lit(t_g)),
+    ).otherwise(zero_d)
+    ent_term = lambda q, l: F.when(  # noqa: E731
+        F.col(q) > 0,
+        F.col(q).cast("decimal(38,0)") * (F.lit(t_g) - F.col(l)),
+    ).otherwise(zero_d)
+    # ONE tagged-union aggregation: cell rows carry (n, mi term),
+    # marginal rows carry their entropy term + a class counter — no
+    # group-grain compose joins (whose global constant-key form
+    # Catalyst folds into a BroadcastNestedLoopJoin)
+    cell_rows = quant.select(
+        *keyed,
+        F.col("__n").alias("__tn"),
+        mi_term.alias("__tmi"),
+        null_d.alias("__tha"),
+        null_d.alias("__thp"),
+        F.lit(0).alias("__ca"),
+        F.lit(0).alias("__cp"),
+    )
+    a_rows = by_a.select(
+        *keyed,
+        F.lit(None).cast("long").alias("__tn"),
+        null_d.alias("__tmi"),
+        ent_term("__qa", "__la").alias("__tha"),
+        null_d.alias("__thp"),
+        F.lit(1).alias("__ca"),
+        F.lit(0).alias("__cp"),
+    )
+    p_rows = by_p.select(
+        *keyed,
+        F.lit(None).cast("long").alias("__tn"),
+        null_d.alias("__tmi"),
+        null_d.alias("__tha"),
+        ent_term("__qp", "__lp").alias("__thp"),
+        F.lit(0).alias("__ca"),
+        F.lit(1).alias("__cp"),
+    )
+    out = (
+        cell_rows.unionByName(a_rows)
+        .unionByName(p_rows)
+        .groupBy(*keyed)
+        .agg(
+            F.coalesce(F.sum("__tn"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.sum("__ca"), F.lit(0))
+            .cast("long")
+            .alias("n_classes_actual"),
+            F.coalesce(F.sum("__cp"), F.lit(0))
+            .cast("long")
+            .alias("n_classes_predicted"),
+            F.coalesce(F.sum("__tmi"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("mi_num"),
+            F.coalesce(F.sum("__tha"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("ha_num"),
+            F.coalesce(F.sum("__thp"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("hp_num"),
+        )
+    )
+    den = (F.lit(g).cast("decimal(38,0)") * F.lit(_PSI_LN_SCALE)).cast(
+        "decimal(38,0)"
+    )
+    h_den = (F.col("ha_num") + F.col("hp_num")).cast("decimal(38,0)")
+    return out.select(
+        *keyed,
+        "n",
+        "n_classes_actual",
+        "n_classes_predicted",
+        "mi_num",
+        "ha_num",
+        "hp_num",
+        F.when(
+            F.col("n") > 0,
+            F.col("mi_num").cast("double") / den.cast("double"),
+        ).alias("mi"),
+        F.when(
+            F.col("n") > 0,
+            F.col("ha_num").cast("double") / den.cast("double"),
+        ).alias("h_actual"),
+        F.when(
+            F.col("n") > 0,
+            F.col("hp_num").cast("double") / den.cast("double"),
+        ).alias("h_predicted"),
+        F.when(
+            h_den != 0,
+            (F.lit(2).cast("decimal(38,0)") * F.col("mi_num")).cast("double")
+            / h_den.cast("double"),
+        ).alias("nmi"),
+    )
+
+
+def label_mi_sql(
+    actual_sql: str,
+    predicted_sql: str,
+    table: str,
+    keys: Sequence[str] = (),
+    share_grid: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`label_mutual_information` — same cell
+    grain, same share quantization, the SAME literal ln table as a
+    VALUES relation; ``mi_num``/``ha_num``/``hp_num`` serialize as
+    VARCHAR."""
+    from blockchain_data_engineering_spark.operators.dq import (
+        psi_ln_table,
+    )
+
+    g = int(share_grid)
+    tab = psi_ln_table(g)
+    t_g = int(tab[g - 1])
+    vals = ", ".join(f"({i + 1}, {t}::BIGINT)" for i, t in enumerate(tab))
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_ap = f"{kcols}, a, p" if keyed else "a, p"
+    kgrp_a = f"{kcols}, a" if keyed else "a"
+    kgrp_p = f"{kcols}, p" if keyed else "p"
+    key_nn = "".join(f" AND ({c}) IS NOT NULL" for c in keyed)
+    using_k = f"USING ({kcols})" if keyed else "ON 1 = 1"
+    using_ka = f"USING ({kpre}a)" if keyed else "USING (a)"
+    using_kp = f"USING ({kpre}p)" if keyed else "USING (p)"
+    tkpre = ", ".join(f"t.{c}" for c in keyed) + (", " if keyed else "")
+    scale = 10**12  # _PSI_LN_SCALE — the table's quantum
+    return f"""
+    WITH ln_tab AS (SELECT * FROM (VALUES {vals}) AS t(i, lnv)),
+    cells AS (
+      SELECT {kpre}{actual_sql} AS a, {predicted_sql} AS p,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM {table}
+      WHERE ({actual_sql}) IS NOT NULL AND ({predicted_sql}) IS NOT NULL
+        {key_nn}
+      GROUP BY {kgrp_ap}
+    ),
+    tot AS (
+      SELECT {kpre}CAST(coalesce(sum(cnt), 0) AS BIGINT) AS nt
+      FROM cells {grp}
+    ),
+    cells_t AS (
+      SELECT cells.*, tot.nt FROM cells JOIN tot {using_k}
+    ),
+    by_a AS (
+      SELECT {kpre}a,
+             (sum(cnt)::HUGEINT * {g}) // any_value(nt) AS qa
+      FROM cells_t GROUP BY {kgrp_a}
+    ),
+    by_a_l AS (
+      SELECT by_a.*, la.lnv AS la FROM by_a
+      LEFT JOIN ln_tab la ON la.i = by_a.qa
+    ),
+    by_p AS (
+      SELECT {kpre}p,
+             (sum(cnt)::HUGEINT * {g}) // any_value(nt) AS qp
+      FROM cells_t GROUP BY {kgrp_p}
+    ),
+    by_p_l AS (
+      SELECT by_p.*, lp.lnv AS lp FROM by_p
+      LEFT JOIN ln_tab lp ON lp.i = by_p.qp
+    ),
+    ha AS (
+      SELECT {kpre}CAST(count(*) AS BIGINT) AS n_classes_actual,
+             coalesce(sum(CASE WHEN qa > 0
+               THEN qa * ({t_g}::HUGEINT - la) ELSE 0 END), 0) AS ha_num
+      FROM by_a_l {grp}
+    ),
+    hp AS (
+      SELECT {kpre}CAST(count(*) AS BIGINT) AS n_classes_predicted,
+             coalesce(sum(CASE WHEN qp > 0
+               THEN qp * ({t_g}::HUGEINT - lp) ELSE 0 END), 0) AS hp_num
+      FROM by_p_l {grp}
+    ),
+    quant AS (
+      SELECT {kpre}a, p, (cnt::HUGEINT * {g}) // nt AS q
+      FROM cells_t
+    ),
+    mi AS (
+      SELECT {kpre}
+             coalesce(sum(CASE WHEN q > 0
+               THEN q * (lc.lnv - ba.la - bp.lp + {t_g}::HUGEINT)
+               ELSE 0 END), 0) AS mi_num
+      FROM quant
+      JOIN by_a_l ba {using_ka}
+      JOIN by_p_l bp {using_kp}
+      LEFT JOIN ln_tab lc ON lc.i = quant.q
+      {grp}
+    )
+    SELECT {tkpre}t.nt AS n,
+           coalesce(ha.n_classes_actual, 0) AS n_classes_actual,
+           coalesce(hp.n_classes_predicted, 0) AS n_classes_predicted,
+           CAST(coalesce(mi.mi_num, 0) AS VARCHAR) AS mi_num,
+           CAST(coalesce(ha.ha_num, 0) AS VARCHAR) AS ha_num,
+           CAST(coalesce(hp.hp_num, 0) AS VARCHAR) AS hp_num,
+           CASE WHEN t.nt > 0 THEN
+             CAST(coalesce(mi.mi_num, 0) AS DOUBLE)
+               / CAST({g}::HUGEINT * {scale} AS DOUBLE) END AS mi,
+           CASE WHEN t.nt > 0 THEN
+             CAST(coalesce(ha.ha_num, 0) AS DOUBLE)
+               / CAST({g}::HUGEINT * {scale} AS DOUBLE) END AS h_actual,
+           CASE WHEN t.nt > 0 THEN
+             CAST(coalesce(hp.hp_num, 0) AS DOUBLE)
+               / CAST({g}::HUGEINT * {scale} AS DOUBLE) END AS h_predicted,
+           CASE WHEN coalesce(ha.ha_num, 0) + coalesce(hp.hp_num, 0) <> 0
+             THEN CAST(2 * coalesce(mi.mi_num, 0) AS DOUBLE)
+               / CAST(coalesce(ha.ha_num, 0) + coalesce(hp.hp_num, 0)
+                      AS DOUBLE) END AS nmi
+    FROM tot t
+    LEFT JOIN mi {using_k}
+    LEFT JOIN ha {using_k}
+    LEFT JOIN hp {using_k}
     """
 
 
@@ -1089,7 +1536,11 @@ def ece(
     ``conf_b = Σ_b s / (n_b·s_max)``. ``score_q`` must be an
     integer-quanta probability in [0, s_max] (rows outside that range,
     or with NULL label/score, are excluded — they are no probability);
-    ``label`` boolean.
+    ``label`` boolean. This is the BINARY form; for a k-class model
+    the standard top-label ECE is this same bin aggregate fed
+    ``label = (argmax class == actual)`` and ``score_q = the argmax
+    class's score`` — and the logarithmic objective itself has a
+    k-class entry point in :func:`log_loss_multiclass`.
 
     Exactness — EXACT, not quantized: the per-bin weight cancels,
     ``(n_b/n)·|acc_b − conf_b| = |s_max·Σ_b y − Σ_b s| / (n·s_max)``,
@@ -2405,7 +2856,11 @@ def log_loss(
     summary; log-loss is the LOGARITHMIC proper score a trained
     filter was optimized against, the one that punishes confident
     wrong answers hardest): ``LL = −(1/n)·Σ [y·ln(p) + (1−y)·ln(1−p)]``
-    with ``p = s/s_max``. ``score_q`` must be an integer-quanta
+    with ``p = s/s_max``. This is the BINARY form; for a k-class
+    model score the TRUE class's probability with
+    :func:`log_loss_multiclass` — the en-vs-rest collapse
+    underreports k-class miscalibration. ``score_q`` must be an
+    integer-quanta
     probability in [0, s_max] (produce it by ROUNDING, not
     truncating — see :func:`ece`); ``label`` boolean; NULL/out-of-
     range rows are excluded (module convention).
@@ -2524,7 +2979,16 @@ def log_loss_sql(
     """DuckDB twin of :func:`log_loss` — the SAME literal table as a
     VALUES relation (joined at clamped-score grain, ≤ s_max − 1 rows),
     same clamp, same integer algebra; ``ll_num`` serializes as
-    VARCHAR."""
+    VARCHAR.
+
+    The clamp truncates via ``CAST(floor(·) AS BIGINT)`` — NOT a bare
+    ``CAST(· AS BIGINT)``, which rounds half-even in DuckDB while
+    Spark's ``cast("long")`` truncates: a contract-violating
+    non-integral score would then clamp DIFFERENTLY per engine and
+    diverge silently instead of hash-mismatching. On the filtered
+    domain (score ≥ 0) floor ≡ truncation, so the twins agree for
+    every input, integral or not; the CONTRACT is still integral
+    quanta (produce them by rounding upstream — see :func:`ece`)."""
     tab = log_loss_table(s_max)
     vals = ", ".join(f"({i + 1}, {t}::BIGINT)" for i, t in enumerate(tab))
     keyed = list(keys)
@@ -2536,10 +3000,11 @@ def log_loss_sql(
     WITH ln_tab AS (SELECT * FROM (VALUES {vals}) AS t(i, v)),
     base AS (
       SELECT {kpre}{label_sql} AS y,
-             greatest(1, least(CAST({score_q_sql} AS BIGINT),
+             greatest(1, least(CAST(floor({score_q_sql}) AS BIGINT),
                                {int(s_max) - 1})) AS sc,
-             CASE WHEN ({score_q_sql}) < 1
-                    OR ({score_q_sql}) > {int(s_max) - 1}
+             CASE WHEN CAST(floor({score_q_sql}) AS BIGINT) < 1
+                    OR CAST(floor({score_q_sql}) AS BIGINT)
+                       > {int(s_max) - 1}
                   THEN 1 ELSE 0 END AS cl
       FROM {table}
       WHERE ({label_sql}) IS NOT NULL AND ({score_q_sql}) IS NOT NULL
@@ -2562,6 +3027,153 @@ def log_loss_sql(
     totals AS (
       SELECT {kpre}
              CAST(coalesce(sum(pos + neg), 0) AS BIGINT) AS n,
+             CAST(coalesce(sum(ncl), 0) AS BIGINT) AS n_clamped,
+             coalesce(sum(t), 0) AS ll_num
+      FROM terms {grp}
+    )
+    SELECT {kpre}n, n_clamped,
+           CAST(ll_num AS VARCHAR) AS ll_num,
+           CASE WHEN n > 0 THEN
+             CAST(ll_num AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * {_LOG_LOSS_SCALE} AS DOUBLE)
+           END AS log_loss
+    FROM totals
+    """
+
+
+def log_loss_multiclass(
+    df: DataFrame,
+    true_score_q: Column,
+    s_max: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Multi-class log-loss (categorical cross-entropy, in NATS) per
+    ``keys`` group — the k-class training objective :func:`log_loss`
+    reads only through an en-vs-rest collapse (which UNDERREPORTS a
+    k-class model's miscalibration: the ¬y arm lumps k−1 classes).
+    Multi-class cross-entropy needs only the probability the model
+    assigned to the TRUE class: ``LL = −(1/n)·Σ ln(p_true)`` — there
+    is no second arm. ``true_score_q`` is that probability as integer
+    quanta in [0, s_max] (from a per-class score map, select/explode
+    the true class's entry upstream — one indicator join — and
+    produce quanta by ROUNDING, not truncating — see :func:`ece`).
+    NULL/out-of-range rows are excluded (module convention).
+
+    Edge convention — the one-sided epsilon-quantum clamp: only
+    ``p_true = 0`` is singular here (``p_true = 1`` scores an exact
+    0), so scores clamp into ``[1, s_max]`` — a hard-zero true-class
+    probability is scored as one quantum (1/s_max); clamped rows are
+    counted in ``n_clamped`` so a model that zeroes true classes is
+    visible rather than silently tempered.
+
+    Exactness: per-row terms are the integer literals of
+    :func:`log_loss_table` — row contributes ``T[s]``
+    (= −ln(s/s_max) quanta; ``T[s_max] = 0``) — summed in
+    DECIMAL(38,0); ``log_loss = ll_num/(n·10^12)`` is one IEEE
+    division. Absolute error vs the true clamped log-loss ≤
+    0.5·10^-12 (table rounding), as :func:`log_loss`.
+
+    Scale shape: ONE map-side-combinable aggregate at clamped-score
+    grain (≤ s_max rows per group), one BROADCAST-hash lookup of the
+    s_max-row single-arm table (a tiny local relation, never an
+    inline literal array — see :func:`log_loss`), one
+    re-aggregation. Returns ``n``, ``n_clamped``, ``ll_num``
+    (DECIMAL(38,0) — serialize as string in gate queries) and
+    ``log_loss`` (NULL for an empty group)."""
+    tab = log_loss_table(s_max)
+    keyed = list(keys)
+    base = df.where(
+        true_score_q.isNotNull()
+        & (true_score_q >= 0)
+        & (true_score_q <= int(s_max))
+    ).select(*keyed, true_score_q.cast("long").alias("__s"))
+    clamped = base.select(
+        *keyed,
+        F.greatest(F.lit(1).cast("long"), F.col("__s")).alias("__sc"),
+        (F.col("__s") < 1).alias("__cl"),
+    )
+    grain = clamped.groupBy(*keyed, "__sc").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+        F.sum(F.when(F.col("__cl"), 1).otherwise(0))
+        .cast("long")
+        .alias("__ncl"),
+    )
+    ln_tab = df.sparkSession.createDataFrame(
+        [(i, int(tab[i - 1])) for i in range(1, int(s_max) + 1)],
+        "__i long, __v long",
+    )
+    grain = grain.join(
+        F.broadcast(ln_tab), F.col("__sc") == F.col("__i"), "inner"
+    )
+    term = (F.col("__cnt").cast("decimal(38,0)") * F.col("__v")).cast(
+        "decimal(38,0)"
+    )
+    totals = grain.select(
+        *keyed, "__cnt", "__ncl", term.alias("__t")
+    ).groupBy(*keyed).agg(
+        F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum("__ncl"), F.lit(0)).cast("long").alias("n_clamped"),
+        F.coalesce(F.sum("__t"), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("ll_num"),
+    )
+    den = (
+        F.col("n").cast("decimal(38,0)") * F.lit(_LOG_LOSS_SCALE)
+    ).cast("decimal(38,0)")
+    return totals.select(
+        *keyed,
+        "n",
+        "n_clamped",
+        "ll_num",
+        F.when(
+            F.col("n") > 0,
+            F.col("ll_num").cast("double") / den.cast("double"),
+        ).alias("log_loss"),
+    )
+
+
+def log_loss_multiclass_sql(
+    true_score_q_sql: str,
+    s_max: int,
+    table: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`log_loss_multiclass` — the SAME literal
+    table as a VALUES relation, same one-sided clamp (truncating via
+    ``CAST(floor(·) AS BIGINT)`` to match Spark's cast — see
+    :func:`log_loss_sql`), same integer algebra; ``ll_num``
+    serializes as VARCHAR."""
+    tab = log_loss_table(s_max)
+    vals = ", ".join(f"({i + 1}, {t}::BIGINT)" for i, t in enumerate(tab))
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_s = f"{kcols}, sc" if keyed else "sc"
+    return f"""
+    WITH ln_tab AS (SELECT * FROM (VALUES {vals}) AS t(i, v)),
+    base AS (
+      SELECT {kpre}
+             greatest(1, CAST(floor({true_score_q_sql}) AS BIGINT)) AS sc,
+             CASE WHEN CAST(floor({true_score_q_sql}) AS BIGINT) < 1
+                  THEN 1 ELSE 0 END AS cl
+      FROM {table}
+      WHERE ({true_score_q_sql}) IS NOT NULL
+        AND ({true_score_q_sql}) >= 0 AND ({true_score_q_sql}) <= {int(s_max)}
+    ),
+    grain AS (
+      SELECT {kpre}sc,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(cl) AS BIGINT) AS ncl
+      FROM base GROUP BY {kgrp_s}
+    ),
+    terms AS (
+      SELECT {kpre}cnt, ncl, cnt::HUGEINT * tp.v AS t
+      FROM grain JOIN ln_tab tp ON tp.i = sc
+    ),
+    totals AS (
+      SELECT {kpre}
+             CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
              CAST(coalesce(sum(ncl), 0) AS BIGINT) AS n_clamped,
              coalesce(sum(t), 0) AS ll_num
       FROM terms {grp}
@@ -2605,7 +3217,10 @@ def weighted_kappa(
     Exactness — EXACT: clearing denominators,
     ``κ_w = (Σ w·r_i·c_j − n·Σ w·o_ij) / (Σ w·r_i·c_j)`` — all
     DECIMAL(38,0) integers (w ≤ 10^8, n ≤ ~10^10 keeps w·n² within
-    38 digits), one final IEEE division; NULL when the denominator is
+    38 digits; the |label| ≤ 10^4 envelope is ENFORCED by an in-plan
+    assertion at the cell grain — out-of-envelope labels raise
+    loudly instead of overflowing DECIMAL(38,0) to a silent NULL
+    kappa), one final IEEE division; NULL when the denominator is
     0 (both raters constant — no disagreement is even expressible) or
     the group is empty. NULL ratings are excluded.
 
@@ -2629,6 +3244,15 @@ def weighted_kappa(
     return weighted_kappa_from_cells(
         cells, "__a", "__b", "cnt", weighting, keys
     )
+
+
+# The weighted-kappa exactness envelope: |label| ≤ 10^4 keeps
+# w·r·c = label²·n² inside DECIMAL(38,0) to n ~ 10^10. Enforced
+# in-plan at the cell grain (≤ k² rows — negligible cost): past the
+# envelope Spark's DECIMAL(38,0) would overflow to NULL while the
+# DuckDB twin's HUGEINT keeps going — a SILENT cross-engine
+# divergence; the assertion turns it into a loud failure.
+_KAPPA_LABEL_MAX = 10**4
 
 
 def _kappa_weight(a: Column, b: Column, weighting: str) -> Column:
@@ -2668,6 +3292,30 @@ def weighted_kappa_from_cells(
         F.col(actual_col).cast("long").alias("__a"),
         F.col(predicted_col).cast("long").alias("__b"),
         F.col(n_col).cast("long").alias("cnt"),
+    )
+    # exactness-envelope guard (|label| ≤ 10^4 — see _KAPPA_LABEL_MAX):
+    # assert_true raises loudly instead of letting DECIMAL(38,0)
+    # overflow NULL the kappa silently; coalesce(NULL-on-pass, true)
+    # keeps every in-envelope row, and a WHERE clause cannot be pruned
+    # the way an unused projected column could
+    cells = cells.where(
+        F.coalesce(
+            F.assert_true(
+                (F.abs(F.col("__a")) <= _KAPPA_LABEL_MAX)
+                & (F.abs(F.col("__b")) <= _KAPPA_LABEL_MAX),
+                F.concat(
+                    F.lit(
+                        "weighted_kappa: |label| exceeds the exactness "
+                        f"envelope ({_KAPPA_LABEL_MAX}) — index-rank the "
+                        "ordinal scale upstream; got a="
+                    ),
+                    F.col("__a").cast("string"),
+                    F.lit(", b="),
+                    F.col("__b").cast("string"),
+                ),
+            ),
+            F.lit(True),
+        )
     )
     obs = cells.groupBy(*keyed).agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"),
@@ -2749,7 +3397,13 @@ def weighted_kappa_sql(
 ) -> str:
     """DuckDB twin of :func:`weighted_kappa` — same cell grain, same
     marginal cross, same cleared-denominator integers;
-    ``kappa_num``/``kappa_den`` serialize as VARCHAR."""
+    ``kappa_num``/``kappa_den`` serialize as VARCHAR.
+
+    Exactness envelope (mirrors the Spark side's in-plan assertion):
+    |label| ≤ ~10^4 and n ≤ ~10^10 keep w·r·c inside 38 digits. The
+    Spark twin RAISES past the envelope (``_KAPPA_LABEL_MAX``); this
+    twin's HUGEINT would keep going — so an out-of-envelope run fails
+    loudly on the Spark side rather than hash-diverging silently."""
     if weighting == "linear":
         w = lambda a, b: f"abs({a}::HUGEINT - {b})"  # noqa: E731
     elif weighting == "quadratic":
@@ -2863,6 +3517,24 @@ def krippendorff_alpha(
     ``Σ_{c,k} n_uc·n_uk·(c−k)² = 2·(m_u·S2_u − S1_u²)`` with
     ``S1 = Σ n_uc·c``, ``S2 = Σ n_uc·c²``, and the factor 2 cancels
     between D_o and D_e.
+    ``metric="ordinal"`` is what Krippendorff prescribes for RANKS:
+    the distance between categories c ≤ k is the squared sum of the
+    marginal masses BETWEEN them,
+    ``δ²_ck = (Σ_{g=c..k} n_g − (n_c + n_k)/2)²`` (n_g = the
+    kept-unit category marginals) — tiers far apart in POPULATION
+    terms count as far apart, however their integer labels are
+    spaced. Ordered by the integer category value. The k² cross
+    collapses exactly as interval's does: with
+    ``e_c = 2·cum_c − n_c`` (cum = the cumulative marginal),
+    ``Σ_{g=c..k} n_g − (n_c+n_k)/2 = (e_k − e_c)/2`` — so ordinal IS
+    the interval moment form over the transformed values e_c (the /4
+    cancels between D_o and D_e), one bounded category-grain window
+    + one category-dim join instead of a cross. Because e is affine
+    in c when marginals are uniform, ordinal α == interval α on the
+    rank indexes whenever every category has equal support (pinned
+    in tests). Envelope: e ≤ 2n, so de ~ LCM·4n⁴ — exact to
+    n ~ 10^8–10^9 (tighter than interval's; past it DECIMAL(38,0)
+    overflows loudly to NULL numerators, never silently wrong).
 
     Input: one row per (item, vote) with the assigned category — the
     :func:`fleiss_kappa` grain, rater identity untracked. NULL
@@ -2909,9 +3581,10 @@ def krippendorff_alpha(
     queries) and ``alpha``."""
     import math
 
-    if metric not in ("nominal", "interval"):
+    if metric not in ("nominal", "interval", "ordinal"):
         raise ValueError(
-            f"metric must be 'nominal' or 'interval', got {metric!r}"
+            "metric must be 'nominal', 'interval' or 'ordinal', "
+            f"got {metric!r}"
         )
     if not 3 <= max_raters <= 42:
         raise ValueError(
@@ -2941,42 +3614,152 @@ def krippendorff_alpha(
     )
     nuc_d = F.col("__nuc").cast("decimal(38,0)")
     cl = F.col("__c").cast("long")
-    if metric == "interval":
-        # per-unit disagreement moments over the INTEGER label values
-        items = cells.groupBy(*keyed, "__i").agg(
+    if metric == "ordinal":
+        # the ordinal distance depends on the KEPT-unit marginals, so
+        # the drop filter must run before the per-unit moments: unit
+        # sizes first, then marginals → e_c, then moments over e_c
+        items_m = cells.groupBy(*keyed, "__i").agg(
+            F.sum("__nuc").cast("long").alias("__m")
+        )
+        drops = items_m.groupBy(*keyed).agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__m") < 2, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_units_single"),
+            F.coalesce(
+                F.sum(F.when(F.col("__m") > mr, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_units_overflow"),
+        )
+        kept_ids = items_m.where(
+            (F.col("__m") >= 2) & (F.col("__m") <= mr)
+        ).select(*keyed, "__i")
+        kept_cells = cells.join(kept_ids, keyed + ["__i"], "left_semi")
+        # ordinal categories MUST cast to integers: a failed cast
+        # yields NULL, whose cells would silently vanish from the
+        # moment sums while items_m already counted their ratings —
+        # raise loudly instead (the DuckDB twin's CAST errors on the
+        # same input, so the engines fail consistently)
+        kept_cells = kept_cells.where(
+            F.coalesce(
+                F.assert_true(
+                    cl.isNotNull(),
+                    F.concat(
+                        F.lit(
+                            "krippendorff_alpha(metric='ordinal'): "
+                            "category not castable to long: "
+                        ),
+                        F.col("__c").cast("string"),
+                    ),
+                ),
+                F.lit(True),
+            )
+        )
+        # category marginals at the INTEGER value grain, the bounded
+        # cumulative window, and the transformed value e = 2·cum − n_c
+        cats0 = kept_cells.groupBy(*keyed, cl.alias("__clv")).agg(
+            F.sum("__nuc").cast("decimal(38,0)").alias("__nc")
+        )
+        w_cum = Window.partitionBy(*keyed).orderBy("__clv")
+        cats = cats0.select(
+            *keyed,
+            "__clv",
+            "__nc",
+            (
+                F.lit(2).cast("decimal(38,0)")
+                * F.sum("__nc").over(w_cum)
+                - F.col("__nc")
+            )
+            .cast("decimal(38,0)")
+            .alias("__e"),
+        )
+        # carry e to the cells: a category-dim equi join (≤ k rows)
+        cell_e = kept_cells.select(
+            *keyed, "__i", cl.alias("__clv"), "__nuc"
+        ).join(cats.select(*keyed, "__clv", "__e"), keyed + ["__clv"])
+        kept_items = cell_e.groupBy(*keyed, "__i").agg(
             F.sum("__nuc").cast("long").alias("__m"),
-            F.sum(nuc_d * cl).cast("decimal(38,0)").alias("__s1"),
-            F.sum(nuc_d * cl * cl).cast("decimal(38,0)").alias("__s2"),
+            F.sum(nuc_d * F.col("__e")).cast("decimal(38,0)").alias("__s1"),
+            F.sum(nuc_d * F.col("__e") * F.col("__e"))
+            .cast("decimal(38,0)")
+            .alias("__s2"),
+        )
+        cat_agg = cats.groupBy(*keyed).agg(
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+            F.coalesce(F.sum(F.col("__nc") * F.col("__e")), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__t1"),
+            F.coalesce(
+                F.sum(F.col("__nc") * F.col("__e") * F.col("__e")),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("__t2"),
         )
     else:
-        items = cells.groupBy(*keyed, "__i").agg(
-            F.sum("__nuc").cast("long").alias("__m"),
-            F.sum(nuc_d * F.col("__nuc"))
-            .cast("decimal(38,0)")
-            .alias("__ss"),
+        if metric == "interval":
+            # per-unit disagreement moments over the INTEGER label
+            # values
+            items = cells.groupBy(*keyed, "__i").agg(
+                F.sum("__nuc").cast("long").alias("__m"),
+                F.sum(nuc_d * cl).cast("decimal(38,0)").alias("__s1"),
+                F.sum(nuc_d * cl * cl).cast("decimal(38,0)").alias("__s2"),
+            )
+        else:
+            items = cells.groupBy(*keyed, "__i").agg(
+                F.sum("__nuc").cast("long").alias("__m"),
+                F.sum(nuc_d * F.col("__nuc"))
+                .cast("decimal(38,0)")
+                .alias("__ss"),
+            )
+        drops = items.groupBy(*keyed).agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__m") < 2, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_units_single"),
+            F.coalesce(
+                F.sum(F.when(F.col("__m") > mr, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_units_overflow"),
         )
-    drops = items.groupBy(*keyed).agg(
-        F.coalesce(
-            F.sum(F.when(F.col("__m") < 2, 1).otherwise(0)), F.lit(0)
+        kept_items = items.where(
+            (F.col("__m") >= 2) & (F.col("__m") <= mr)
         )
-        .cast("long")
-        .alias("n_units_single"),
-        F.coalesce(
-            F.sum(F.when(F.col("__m") > mr, 1).otherwise(0)), F.lit(0)
+        kept_cells = cells.join(
+            kept_items.select(*keyed, "__i"), keyed + ["__i"], "left_semi"
         )
-        .cast("long")
-        .alias("n_units_overflow"),
-    )
-    kept_items = items.where(
-        (F.col("__m") >= 2) & (F.col("__m") <= mr)
-    )
+        cats = kept_cells.groupBy(*keyed, "__c").agg(
+            F.sum("__nuc").cast("decimal(38,0)").alias("__nc")
+        )
+        if metric == "interval":
+            ccl = F.col("__c").cast("long")
+            cat_agg = cats.groupBy(*keyed).agg(
+                F.count(F.lit(1)).cast("long").alias("n_categories"),
+                F.coalesce(F.sum(F.col("__nc") * ccl), F.lit(0))
+                .cast("decimal(38,0)")
+                .alias("__t1"),
+                F.coalesce(F.sum(F.col("__nc") * ccl * ccl), F.lit(0))
+                .cast("decimal(38,0)")
+                .alias("__t2"),
+            )
+        else:
+            cat_agg = cats.groupBy(*keyed).agg(
+                F.count(F.lit(1)).cast("long").alias("n_categories"),
+                F.coalesce(F.sum(F.col("__nc") * F.col("__nc")), F.lit(0))
+                .cast("decimal(38,0)")
+                .alias("__c2"),
+            )
     m_d = F.col("__m").cast("decimal(38,0)")
     # LCM div (m−1): exact — (m−1) ≤ max_raters−1 divides LCM by
     # construction; integral `div` keeps it in exact integer land
     wu = F.expr(f"CAST({lcm} AS BIGINT) div (__m - 1)")
     du = (
         (m_d * F.col("__s2") - F.col("__s1") * F.col("__s1"))
-        if metric == "interval"
+        if metric in ("interval", "ordinal")
         else (m_d * m_d - F.col("__ss"))
     )
     u_agg = kept_items.groupBy(*keyed).agg(
@@ -2989,30 +3772,6 @@ def krippendorff_alpha(
         .cast("decimal(38,0)")
         .alias("__u"),
     )
-    kept_cells = cells.join(
-        kept_items.select(*keyed, "__i"), keyed + ["__i"], "left_semi"
-    )
-    cats = kept_cells.groupBy(*keyed, "__c").agg(
-        F.sum("__nuc").cast("decimal(38,0)").alias("__nc")
-    )
-    if metric == "interval":
-        ccl = F.col("__c").cast("long")
-        cat_agg = cats.groupBy(*keyed).agg(
-            F.count(F.lit(1)).cast("long").alias("n_categories"),
-            F.coalesce(F.sum(F.col("__nc") * ccl), F.lit(0))
-            .cast("decimal(38,0)")
-            .alias("__t1"),
-            F.coalesce(F.sum(F.col("__nc") * ccl * ccl), F.lit(0))
-            .cast("decimal(38,0)")
-            .alias("__t2"),
-        )
-    else:
-        cat_agg = cats.groupBy(*keyed).agg(
-            F.count(F.lit(1)).cast("long").alias("n_categories"),
-            F.coalesce(F.sum(F.col("__nc") * F.col("__nc")), F.lit(0))
-            .cast("decimal(38,0)")
-            .alias("__c2"),
-        )
     if keyed:
         out = drops.join(u_agg, keyed, "left").join(cat_agg, keyed, "left")
     else:
@@ -3025,7 +3784,7 @@ def krippendorff_alpha(
     n_d = F.coalesce(F.col("n_ratings"), F.lit(0)).cast("decimal(38,0)")
     u = F.coalesce(F.col("__u"), F.lit(0).cast("decimal(38,0)"))
     zero_d = F.lit(0).cast("decimal(38,0)")
-    if metric == "interval":
+    if metric in ("interval", "ordinal"):
         t1 = F.coalesce(F.col("__t1"), zero_d)
         t2 = F.coalesce(F.col("__t2"), zero_d)
         de_core = n_d * t2 - t1 * t1
@@ -3061,14 +3820,16 @@ def krippendorff_alpha_sql(
     metric: str = "nominal",
 ) -> str:
     """DuckDB twin of :func:`krippendorff_alpha` — same cell/item
-    grain, same LCM-cleared integer algebra (nominal sum-of-squares
-    or interval moment form); ``alpha_num``/``alpha_den`` serialize
-    as VARCHAR."""
+    grain, same LCM-cleared integer algebra (nominal sum-of-squares,
+    interval moment form, or ordinal moment form over the
+    cumulative-marginal transform e_c = 2·cum_c − n_c);
+    ``alpha_num``/``alpha_den`` serialize as VARCHAR."""
     import math
 
-    if metric not in ("nominal", "interval"):
+    if metric not in ("nominal", "interval", "ordinal"):
         raise ValueError(
-            f"metric must be 'nominal' or 'interval', got {metric!r}"
+            "metric must be 'nominal', 'interval' or 'ordinal', "
+            f"got {metric!r}"
         )
     if not 3 <= max_raters <= 42:
         raise ValueError(
@@ -3077,6 +3838,10 @@ def krippendorff_alpha_sql(
     mr = int(max_raters)
     lcm = math.lcm(*range(1, mr))
     keyed = list(keys)
+    if metric == "ordinal":
+        return _krippendorff_ordinal_sql(
+            item_sql, category_sql, table, keyed, mr, lcm
+        )
     kcols = ", ".join(keyed)
     kpre = f"{kcols}, " if keyed else ""
     grp = f"GROUP BY {kcols}" if keyed else ""
@@ -3168,6 +3933,119 @@ def krippendorff_alpha_sql(
              d.n_units_single, d.n_units_overflow,
              coalesce(cat_agg.n_categories, 0) AS n_categories,
              {de_core} * {lcm} AS de,
+             (coalesce(u_agg.n_ratings, 0)::HUGEINT - 1)
+               * coalesce(u_agg.u, 0) AS nu
+      FROM drops d
+      LEFT JOIN u_agg {join_k}
+      LEFT JOIN cat_agg {join_k}
+    )
+    SELECT {kpre}n_ratings, n_units, n_units_single, n_units_overflow,
+           n_categories,
+           CAST(de - nu AS VARCHAR) AS alpha_num,
+           CAST(de AS VARCHAR) AS alpha_den,
+           CASE WHEN de <> 0 THEN
+             CAST(de - nu AS DOUBLE) / CAST(de AS DOUBLE)
+           END AS alpha
+    FROM terms
+    """
+
+
+def _krippendorff_ordinal_sql(
+    item_sql: str,
+    category_sql: str,
+    table: str,
+    keyed: list,
+    mr: int,
+    lcm: int,
+) -> str:
+    """The ordinal-metric body of :func:`krippendorff_alpha_sql`:
+    the drop filter runs BEFORE the moments (the distance depends on
+    the kept-unit marginals), categories live at their BIGINT value,
+    ``e = 2·cum − n_c`` comes from one cumulative window at category
+    grain, and the per-unit/marginal masses are the interval moment
+    form over e."""
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_ic = f"{kcols}, i, clv" if keyed else "i, clv"
+    kgrp_i = f"{kcols}, i" if keyed else "i"
+    kgrp_c = f"{kcols}, clv" if keyed else "clv"
+    using_i = f"USING ({kpre}i)" if keyed else "USING (i)"
+    using_c = f"USING ({kpre}clv)" if keyed else "USING (clv)"
+    join_k = f"USING ({kcols})" if keyed else "ON 1 = 1"
+    part = f"PARTITION BY {kcols}" if keyed else "PARTITION BY 1"
+    dkpre = ", ".join(f"d.{c}" for c in keyed) + (", " if keyed else "")
+    key_nn = "".join(f" AND ({c}) IS NOT NULL" for c in keyed)
+    return f"""
+    WITH cells AS (
+      SELECT {kpre}{item_sql} AS i, CAST({category_sql} AS BIGINT) AS clv,
+             CAST(count(*) AS BIGINT) AS nuc
+      FROM {table}
+      WHERE ({item_sql}) IS NOT NULL AND ({category_sql}) IS NOT NULL
+        {key_nn}
+      GROUP BY {kgrp_ic}
+    ),
+    items_m AS (
+      SELECT {kpre}i, CAST(sum(nuc) AS BIGINT) AS m
+      FROM cells GROUP BY {kgrp_i}
+    ),
+    drops AS (
+      SELECT {kpre}
+             CAST(coalesce(sum(CASE WHEN m < 2 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_units_single,
+             CAST(coalesce(sum(CASE WHEN m > {mr} THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_units_overflow
+      FROM items_m {grp}
+    ),
+    kept_cells AS (
+      SELECT c.* FROM cells c
+      SEMI JOIN (SELECT {kpre}i FROM items_m
+                 WHERE m >= 2 AND m <= {mr}) t {using_i}
+    ),
+    cats AS (
+      SELECT {kpre}clv, sum(nuc)::HUGEINT AS nc
+      FROM kept_cells GROUP BY {kgrp_c}
+    ),
+    cats_e AS (
+      SELECT {kpre}clv, nc,
+             2 * sum(nc) OVER ({part} ORDER BY clv) - nc AS e
+      FROM cats
+    ),
+    cell_e AS (
+      SELECT {kpre}i, nuc, e
+      FROM kept_cells JOIN cats_e {using_c}
+    ),
+    kept AS (
+      SELECT {kpre}i, CAST(sum(nuc) AS BIGINT) AS m,
+             sum(nuc::HUGEINT * e) AS s1,
+             sum(nuc::HUGEINT * e * e) AS s2
+      FROM cell_e GROUP BY {kgrp_i}
+    ),
+    u_agg AS (
+      SELECT {kpre}
+             CAST(count(*) AS BIGINT) AS n_units,
+             CAST(coalesce(sum(m), 0) AS BIGINT) AS n_ratings,
+             coalesce(sum((m::HUGEINT * s2 - s1 * s1)
+                          * ({lcm}::HUGEINT // (m - 1))), 0) AS u
+      FROM kept {grp}
+    ),
+    cat_agg AS (
+      SELECT {kpre}
+             CAST(count(*) AS BIGINT) AS n_categories,
+             coalesce(sum(nc * e), 0) AS t1,
+             coalesce(sum(nc * e * e), 0) AS t2
+      FROM cats_e {grp}
+    ),
+    terms AS (
+      SELECT {dkpre}
+             coalesce(u_agg.n_ratings, 0) AS n_ratings,
+             coalesce(u_agg.n_units, 0) AS n_units,
+             d.n_units_single, d.n_units_overflow,
+             coalesce(cat_agg.n_categories, 0) AS n_categories,
+             (coalesce(u_agg.n_ratings, 0)::HUGEINT
+                * coalesce(cat_agg.t2, 0)
+              - coalesce(cat_agg.t1, 0)
+                * coalesce(cat_agg.t1, 0)) * {lcm} AS de,
              (coalesce(u_agg.n_ratings, 0)::HUGEINT - 1)
                * coalesce(u_agg.u, 0) AS nu
       FROM drops d

@@ -88,6 +88,57 @@ from blockchain_data_engineering_spark.plans import lake_queries  # noqa: F401,E
 # never-gated = registry − (r1 ∪ r2 ∪ current gate) from the
 # CORRECTNESS_r*.json files and asserts it empty.
 GATE_ORDER = [
+    # -- new in round 11 (unrowed, front-loaded). The r10 verdict's
+    #    four asks plus its stretch item, each a completion of a
+    #    family the r10 additions opened:
+    #    (1) ml_log_loss_multiclass — the k-class training objective
+    #    (true-class score grain, one-sided eps-clamp, same literal
+    #    log-quanta table). Displaced: ml_ece (r9/r10-green — the
+    #    calibration family stays gate-run by ml_log_loss + the new
+    #    multiclass gate over the same exact-integer-numerator
+    #    policy, the score-grain sweep by ml_pr_curve; the binned
+    #    |acc−conf| aggregate stays pinned in pytest parity).
+    #    (2) dq_distribution_kl — the DIRECTIONAL drift number
+    #    (train→serve surprise) on the shared drift grain; the
+    #    asymmetric quantization (cur unclamped, ref eps-filled) is
+    #    the new surface. Displaced: dq_distribution_psi (r10-green —
+    #    PSI ≡ KL(p‖q)+KL(q‖p): the shared _drift_share_grain, the
+    #    G-grid share quantization, the eps-fill arm and the same
+    #    psi_ln_table all run verbatim in the KL gate, the mixture
+    #    form in the surviving dq_distribution_js; PSI's symmetrized
+    #    sum stays pinned in pytest parity).
+    #    (3) ml_macro_f1_from_store — the eval-cell store's OTHER
+    #    dashboard read (accuracy + macro-F1) under the value hash.
+    #    Displaced: ml_kappa_from_store (r10-green — the store path
+    #    it pins (eval_cells_delta_sink → _batch_id deltas → summed
+    #    cells) runs VERBATIM in the macro-F1 serving gate; the
+    #    from-cells kappa algebra stays pinned in pytest parity +
+    #    the stream==batch suite).
+    #    (4) ml_label_mi — mutual information / entropies / NMI from
+    #    the same maintained cell grain, via quantized SHARES on the
+    #    ln-table grid (counts are unbounded; shares index the
+    #    table). Displaced: ml_weighted_kappa (r10-green — the
+    #    facts→(a,b)-cell aggregate runs verbatim in the MI gate and
+    #    the ordinal-distance agreement family is now gate-run by
+    #    ml_krippendorff_ordinal, which generalizes weighted κ to
+    #    ragged n-rater coverage with a data-driven distance; the
+    #    k²-bounded marginal-cross equi join stays pinned in pytest
+    #    parity + the envelope-guard tests).
+    #    (5) ml_krippendorff_ordinal — Krippendorff's prescribed
+    #    RANK metric (squared between-marginal mass), exact via the
+    #    cumulative-marginal transform e_c = 2·cum_c − n_c under
+    #    which ordinal IS the interval moment form (no k² cross).
+    #    Displaced: ml_krippendorff (r10-green — the ragged-coverage
+    #    construction, lcm-cleared 1/(m−1) weights, drop accounting
+    #    and the three-rater gate shape all run verbatim in BOTH
+    #    surviving alpha gates (interval + ordinal); the nominal
+    #    sum-of-squares algebra stays pinned in pytest parity incl.
+    #    the α≈κ cross-check).
+    "ml_log_loss_multiclass",
+    "dq_distribution_kl",
+    "ml_label_mi",
+    "ml_krippendorff_ordinal",
+    "ml_macro_f1_from_store",
     # -- new in round 10 (unrowed, front-loaded). The log-based metric
     #    family unlocks via the literal log-quanta-table design the r9
     #    verdict sanctioned (the ndcg_discounts pattern: logs of a
@@ -152,12 +203,8 @@ GATE_ORDER = [
     #    two-IEEE-sqrt trick stays pinned in pytest parity +
     #    test_r9_ops known values).
     "ml_log_loss",
-    "dq_distribution_psi",
     "dq_distribution_js",
-    "ml_krippendorff",
     "ml_krippendorff_interval",
-    "ml_weighted_kappa",
-    "ml_kappa_from_store",
     # -- new in round 9 (unrowed, front-loaded). The eval family's last
     #    two asked-for scalars close EXACTLY (r8 verdict asks #2/#3),
     #    plus the completions the asks' shapes imply:
@@ -230,7 +277,6 @@ GATE_ORDER = [
     #    pair ranking and the heavy-hitter build's explode→count; the
     #    PMI log-free ratio algebra stays pinned in pytest parity).
     "ml_rbo_overlap",
-    "ml_ece",
     "ml_kendall_tau",
     "agg_heavy_hitters_phi",
     # -- new in round 8 (unrowed, front-loaded). The merge tier of the
@@ -555,6 +601,38 @@ assert len(GATE_ORDER) == 50, len(GATE_ORDER)
 # the same operator shape in the current gate; q itself stays fully
 # DuckDB-parity-checked in pytest (EXTRA_QUERIES, test_oracle_parity).
 WITNESSES: dict[str, list[str]] = {
+    # --- demoted in the r11 rotation (in exchange for the k-class
+    #     objective, directional KL, ordinal alpha, label MI and the
+    #     macro-F1 store read) ---
+    # PSI ≡ KL(p‖q) + KL(q‖p): the shared _drift_share_grain, G-grid
+    # share quantization, eps-fill arm and psi_ln_table run verbatim
+    # in the directional gate; the mixture form stays live as JS; the
+    # symmetrized sum stays pinned in pytest parity
+    "dq_distribution_psi": ["dq_distribution_kl", "dq_distribution_js"],
+    # the store path it pins (eval_cells_delta_sink → _batch_id
+    # deltas → summed cells) runs VERBATIM in the macro-F1 serving
+    # gate; the from-cells kappa algebra stays pinned in pytest
+    # parity + the stream==batch suite
+    "ml_kappa_from_store": ["ml_macro_f1_from_store"],
+    # the ragged-coverage construction, lcm-cleared 1/(m−1) weights,
+    # drop accounting and the three-rater gate shape run verbatim in
+    # BOTH surviving alpha gates; the nominal sum-of-squares algebra
+    # stays pinned in pytest parity incl. the α≈κ cross-check
+    "ml_krippendorff": [
+        "ml_krippendorff_interval",
+        "ml_krippendorff_ordinal",
+    ],
+    # calibration family stays gate-run by the binary + multiclass
+    # log-loss gates (same exact-integer-numerator policy), the
+    # score-grain sweep by the PR curve; the binned |acc−conf|
+    # aggregate stays pinned in pytest parity
+    "ml_ece": ["ml_log_loss", "ml_log_loss_multiclass", "ml_pr_curve"],
+    # the facts→(a,b)-cell aggregate runs verbatim in the MI gate;
+    # the ordinal-distance agreement family is gate-run by the
+    # ordinal alpha (ragged n-rater generalization); the k²-bounded
+    # marginal-cross equi join stays pinned in pytest parity + the
+    # envelope-guard tests
+    "ml_weighted_kappa": ["ml_krippendorff_ordinal", "ml_label_mi"],
     # --- demoted in the r10 rotation (in exchange for the log-quanta
     #     metric family + the agreement-suite completions) ---
     # the from-cells kappa algebra runs VERBATIM inside the store

@@ -227,9 +227,19 @@ def main(sf_dir: str) -> None:
     # language in stage 5)
     from blockchain_data_engineering_spark.operators.dq import (
         distribution_js,
+        distribution_kl,
     )
 
     split_js = distribution_js(
+        final.where(F.col("split") == "train"),
+        final.where(F.col("split") == "val"),
+        "source",
+    ).first()
+    # r11: the DIRECTIONAL companion — treating train as the
+    # reference model, how surprised is it by the val mix?
+    # (KL(val‖train), the train→serve monitoring direction; JS above
+    # says how far apart, KL says in which direction it matters)
+    split_kl = distribution_kl(
         final.where(F.col("split") == "train"),
         final.where(F.col("split") == "val"),
         "source",
@@ -326,6 +336,17 @@ def main(sf_dir: str) -> None:
     kappa = cohens_kappa(
         feats, F.col("lang"), F.col("lang_pred")
     ).first()
+    # r11: the information-theoretic companion — how much does the
+    # heuristic TELL YOU about the declared label (NMI = 1 iff the
+    # labelings are permutations; 0 iff independent), from the same
+    # (actual, predicted) cell grain kappa reads
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        label_mutual_information,
+    )
+
+    lmi = label_mutual_information(
+        feats, F.col("lang"), F.col("lang_pred")
+    ).first()
     # r10: ordinal agreement between the 0-5 quality TIER and a 0-5
     # length tier — quadratic weights score distance² on the scale,
     # where plain kappa would treat 4-vs-5 like 0-vs-5
@@ -408,6 +429,11 @@ def main(sf_dir: str) -> None:
         f"(n={kappa.n}, labels={kappa.n_labels})"
     )
     print(
+        f"lang-ID vs declared NMI: {fmt(lmi.nmi, '.3f')} "
+        f"(MI {fmt(lmi.mi, '.3f')} nats, H_decl "
+        f"{fmt(lmi.h_actual, '.3f')}, H_pred {fmt(lmi.h_predicted, '.3f')})"
+    )
+    print(
         f"quality-score ECE:      {fmt(cal.ece, '.4f')} "
         f"({cal.n_bins_used} bins over {cal.n} docs)"
     )
@@ -430,6 +456,10 @@ def main(sf_dir: str) -> None:
     print(
         f"train/val source JS:    {fmt(split_js.js, '.4f')} "
         f"(ln2 bound {math.log(2):.4f}, {split_js.n_categories} sources)"
+    )
+    print(
+        f"train/val source KL:    {fmt(split_kl.kl, '.4f')} "
+        f"(val vs train reference, directional)"
     )
     print("packing histogram (split, bucket, n_docs, tokens):")
     for r in packing.collect():

@@ -1623,3 +1623,241 @@ def test_krippendorff_interval_moment_form_matches_pairwise(ballots):
     de = 2 * (n * t2 - t1 * t1) / (n * (n - 1))
     assert abs(alpha_int - (1 - do / de)) < 1e-9
     assert alpha_int <= 1.0 + 1e-12
+
+
+@given(
+    scores=st.lists(
+        st.integers(min_value=0, max_value=200), min_size=1, max_size=300
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_log_loss_multiclass_table_matches_float(scores):
+    """The multi-class log-loss integers (r11): one table arm, the
+    one-sided clamp (only p_true = 0 is singular), T[s_max] = 0 so a
+    fully-confident correct prediction costs exactly 0."""
+    import math
+
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        log_loss_table,
+    )
+
+    s_max = 200
+    tab = log_loss_table(s_max)
+    num = sum(tab[max(1, s) - 1] for s in scores)
+    got = num / (len(scores) * 10**12)
+    ref = sum(-math.log(max(1, s) / s_max) for s in scores) / len(scores)
+    assert abs(got - ref) < 1e-9
+    assert got >= 0.0
+    if all(s == s_max for s in scores):
+        assert num == 0
+
+
+@given(
+    ref=st.lists(st.integers(min_value=0, max_value=5), min_size=1,
+                 max_size=120),
+    cur=st.lists(st.integers(min_value=0, max_value=5), min_size=1,
+                 max_size=120),
+)
+@settings(max_examples=100, deadline=None)
+def test_kl_quanta_terms_match_float_and_jeffreys(ref, cur):
+    """Directional KL over the asymmetrically-quantized shares (r11):
+    cur floored (0 stays 0), ref eps-filled; the integer terms match
+    the float KL of the SAME quantized vectors, identical multisets
+    score exactly 0, and on shared support the two directions sum to
+    the PSI integers EXACTLY (Jeffreys' identity at the quantum
+    level)."""
+    import math
+    from collections import Counter
+
+    from blockchain_data_engineering_spark.operators.dq import psi_ln_table
+
+    g = 1000
+    tab = psi_ln_table(g)
+    cx, cy = Counter(ref), Counter(cur)
+    nx, ny = len(ref), len(cur)
+    qr = lambda v: max(1, (cx.get(v, 0) * g) // nx)  # noqa: E731
+    qc = lambda v: (cy.get(v, 0) * g) // ny  # noqa: E731
+    num = sum(
+        qc(v) * (tab[qc(v) - 1] - tab[qr(v) - 1])
+        for v in set(cx) | set(cy)
+        if qc(v) > 0
+    )
+    got = num / (g * 10**12)
+    ref_kl = sum(
+        (qc(v) / g) * (math.log(qc(v)) - math.log(qr(v)))
+        for v in set(cx) | set(cy)
+        if qc(v) > 0
+    )
+    assert abs(got - ref_kl) < 1e-9
+    if sorted(ref) == sorted(cur):
+        assert num == 0
+    # Jeffreys: on shared support with no zero-flooring on either
+    # side, kl(x→y) + kl(y→x) == psi, integer-for-integer
+    if set(cx) == set(cy) and all(
+        (cx[v] * g) // nx >= 1 and (cy[v] * g) // ny >= 1 for v in cx
+    ):
+        rev = sum(
+            ((cx[v] * g) // nx)
+            * (tab[(cx[v] * g) // nx - 1] - tab[max(1, (cy[v] * g) // ny) - 1])
+            for v in cx
+        )
+        psi = sum(
+            ((cy[v] * g) // ny - (cx[v] * g) // nx)
+            * (tab[(cy[v] * g) // ny - 1] - tab[(cx[v] * g) // nx - 1])
+            for v in cx
+        )
+        assert num + rev == psi
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_label_mi_quanta_match_float(pairs):
+    """Label MI over the floor-quantized share grid (r11): the
+    integer mi/ha/hp numerators match the float MI/H functionals of
+    the SAME quantized vectors; a bijective relabeling makes
+    mi == ha == hp exactly; the below-zero slack of sub-normalized
+    floors stays within the documented k²/G bound."""
+    import math
+    from collections import Counter
+
+    from blockchain_data_engineering_spark.operators.dq import psi_ln_table
+
+    g = 1000
+    tab = psi_ln_table(g)
+    t_g = tab[g - 1]
+    n = len(pairs)
+    cell = Counter(pairs)
+    am = Counter(a for a, _ in pairs)
+    pm = Counter(p for _, p in pairs)
+    q = lambda c: (c * g) // n  # noqa: E731
+    mi_num = sum(
+        q(v) * (tab[q(v) - 1] - tab[q(am[a]) - 1] - tab[q(pm[p]) - 1] + t_g)
+        for (a, p), v in cell.items()
+        if q(v) > 0
+    )
+    ha_num = sum(q(v) * (t_g - tab[q(v) - 1]) for v in am.values() if q(v) > 0)
+    mi_ref = sum(
+        (q(v) / g)
+        * (
+            math.log(q(v))
+            - math.log(q(am[a]))
+            - math.log(q(pm[p]))
+            + math.log(g)
+        )
+        for (a, p), v in cell.items()
+        if q(v) > 0
+    )
+    ha_ref = sum(
+        (q(v) / g) * (math.log(g) - math.log(q(v)))
+        for v in am.values()
+        if q(v) > 0
+    )
+    assert abs(mi_num / (g * 10**12) - mi_ref) < 1e-9
+    assert abs(ha_num / (g * 10**12) - ha_ref) < 1e-9
+    assert ha_num >= 0  # entropy of quantized shares is term-wise ≥ 0
+    # documented slack bound: quantized MI ≥ −k²/G (floors only)
+    assert mi_num / (g * 10**12) >= -(len(cell) ** 2) / g
+    # bijection → mi == ha == hp exactly at the integer level
+    if all(a == p for a, p in cell) and len(am) == len(pm) == len(cell):
+        hp_num = sum(
+            q(v) * (t_g - tab[q(v) - 1]) for v in pm.values() if q(v) > 0
+        )
+        assert mi_num == ha_num == hp_num
+
+
+@given(
+    ballots=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),  # unit id
+            st.integers(min_value=0, max_value=4),  # ordinal tier
+        ),
+        min_size=2,
+        max_size=160,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_krippendorff_ordinal_moment_form_matches_textbook(ballots):
+    """The ordinal moment form over e_c = 2·cum_c − n_c (r11) vs the
+    textbook pairwise double-loop δ²(c,k) = (between-marginal mass −
+    endpoint halves)² — the identity that kills the k² category
+    cross, checked term-for-term: per-unit m·S2 − S1² over e equals
+    2·Σ n_uc·n_uk·(2δ)²/4... i.e. the cleared masses agree and the
+    final alphas match to float precision."""
+    import math
+    from collections import Counter, defaultdict
+
+    mr = 16
+    lcm = math.lcm(*range(1, mr))
+    units = defaultdict(Counter)
+    for u, c in ballots:
+        units[u][c] += 1
+    kept = {
+        u: cnt for u, cnt in units.items() if 2 <= sum(cnt.values()) <= mr
+    }
+    if not kept:
+        return
+    margin = Counter()
+    for cnt in kept.values():
+        margin.update(cnt)
+    n = sum(margin.values())
+    cum, s = {}, 0
+    for c in sorted(margin):
+        s += margin[c]
+        cum[c] = s
+    e = {c: 2 * cum[c] - margin[c] for c in margin}
+
+    def d4(c, k):  # (2δ)² = (e_k − e_c)²
+        return (e[k] - e[c]) ** 2
+
+    # moment identity per unit: Σ_{c≠k} n_uc·n_uk·(e_c−e_k)²
+    #   == 2·(m·S2 − S1²)
+    u_int = 0
+    for cnt in kept.values():
+        m = sum(cnt.values())
+        s1 = sum(v * e[c] for c, v in cnt.items())
+        s2 = sum(v * e[c] * e[c] for c, v in cnt.items())
+        pairwise = sum(
+            cnt[c] * cnt[k] * d4(c, k) for c in cnt for k in cnt if c != k
+        )
+        assert pairwise == 2 * (m * s2 - s1 * s1)
+        u_int += (m * s2 - s1 * s1) * (lcm // (m - 1))
+    t1 = sum(margin[c] * e[c] for c in margin)
+    t2 = sum(margin[c] * e[c] * e[c] for c in margin)
+    assert 2 * (n * t2 - t1 * t1) == sum(
+        margin[c] * margin[k] * d4(c, k)
+        for c in margin
+        for k in margin
+        if c != k
+    )
+    de_int = (n * t2 - t1 * t1) * lcm
+    if de_int == 0:
+        return
+    alpha_int = (de_int - (n - 1) * u_int) / de_int
+    # textbook float form over δ² (the /4 cancels between D_o and D_e)
+    do = sum(
+        sum(
+            cnt[c] * cnt[k] * d4(c, k) / 4
+            for c in cnt
+            for k in cnt
+            if c != k
+        )
+        / (sum(cnt.values()) - 1)
+        for cnt in kept.values()
+    ) / n
+    de = sum(
+        margin[c] * margin[k] * d4(c, k) / 4
+        for c in margin
+        for k in margin
+        if c != k
+    ) / (n * (n - 1))
+    assert abs(alpha_int - (1 - do / de)) < 1e-9
+    assert alpha_int <= 1.0 + 1e-12
