@@ -283,7 +283,9 @@ def _drift_share_grain(
     full-outer category join (a category missing on one side counts
     0 there), ONE window per side for the group totals — bounded at
     category grain, the drift operators' contract. Returns
-    ``(*keys, __r, __c, __nr, __nc)``. NULL categories are excluded
+    ``(*keys, __v, __r, __c, __nr, __nc)`` (the scalar consumers
+    prune ``__v``; :func:`distribution_drift_explain` keeps it as
+    the drill-down's category column). NULL categories are excluded
     (a NULL is no category — coalesce to a sentinel upstream to track
     NULL's share).
 
@@ -307,12 +309,14 @@ def _drift_share_grain(
         count_side(cur, "__c"), keyed + ["__v"], "full"
     ).select(
         *keyed,
+        "__v",
         F.coalesce(F.col("__r"), F.lit(0)).cast("long").alias("__r"),
         F.coalesce(F.col("__c"), F.lit(0)).cast("long").alias("__c"),
     )
     w = Window.partitionBy(*keyed)
     return cats.select(
         *keyed,
+        "__v",
         "__r",
         "__c",
         F.sum("__r").over(w).cast("long").alias("__nr"),
@@ -870,6 +874,197 @@ def distribution_kl_sql(
                / CAST({g}::HUGEINT * {_PSI_LN_SCALE} AS DOUBLE)
            END AS kl
     FROM agg
+    """
+
+
+def distribution_drift_explain(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    share_grid: int = 1000,
+) -> DataFrame:
+    """Per-CATEGORY drift drill-down on the shared grain — the rows a
+    dashboard shows when :func:`distribution_psi` /
+    :func:`distribution_kl` / :func:`distribution_drift_tvd` cross a
+    threshold and someone asks WHICH category moved: one row per
+    (keys, category) carrying the exact integer term that category
+    contributes to each scalar. The contract that makes the
+    drill-down trustworthy (pinned in tests): per group,
+    ``sum(tvd_term_num) == tvd_num``, ``sum(psi_term_num) ==
+    psi_num`` and ``sum(kl_term_num) == kl_num`` of the scalar
+    operators — the explain rows ARE the scalars, disaggregated, not
+    a parallel approximation that can disagree with the alert.
+
+    Per category c: ``n_ref_cat``/``n_cur_cat`` (exact counts),
+    ``share_delta = c/n_cur − r/n_ref`` (two IEEE divisions + one
+    subtraction — correctly rounded, engine-identical),
+    ``tvd_term_num = |r·n_cur − c·n_ref|`` (exact; sums to
+    2·n_ref·n_cur·TVD), ``psi_term_num = (q_c^ − q_r^)·(T[q_c^] −
+    T[q_r^])`` (both shares clamped to ≥ 1 quantum — PSI's
+    quantization, every term ≥ 0), and ``kl_term_num = [q_c > 0]
+    q_c·(T[q_c] − T[q_r^])`` (cur raw, ref eps-filled — KL's
+    quantization; terms CAN be negative: a category whose current
+    share trails its reference share argues AGAINST drift, and
+    hiding that would make the drill-down sum disagree with the
+    scalar). All term columns are NULL when either side of the group
+    is empty (surface, don't score — the scalar convention), and
+    DECIMAL(38,0) otherwise (serialize as strings in gate queries).
+
+    Scale shape: the shared :func:`_drift_share_grain` + three
+    BROADCAST-hash lookups of the G-row ln table — identical to the
+    scalar plans, stopping one aggregate short. Sort consumers by
+    ``psi_term_num`` DESC for the "top movers" view."""
+    tab = psi_ln_table(share_grid)
+    g = int(share_grid)
+    ln_tab = ref.sparkSession.createDataFrame(
+        [(i + 1, int(t)) for i, t in enumerate(tab)], "i long, lnv long"
+    )
+    keyed = list(keys)
+    withtot = _drift_share_grain(ref, cur, value_col, keyed)
+    both = (F.col("__nr") > 0) & (F.col("__nc") > 0)
+    q_raw = lambda cnt, tot: F.expr(  # noqa: E731
+        f"(CAST({cnt} AS DECIMAL(38,0)) * {g}) div {tot}"
+    )
+    clamp1 = lambda c: F.greatest(F.lit(1).cast("long"), c)  # noqa: E731
+    quantized = withtot.select(
+        *keyed,
+        F.col("__v"),
+        "__r",
+        "__c",
+        "__nr",
+        "__nc",
+        F.when(both, clamp1(q_raw("__r", "__nr"))).alias("__qr"),
+        F.when(both, clamp1(q_raw("__c", "__nc"))).alias("__qc"),
+        F.when(both, q_raw("__c", "__nc")).alias("__qcr"),
+    )
+    look = lambda out: F.broadcast(  # noqa: E731
+        ln_tab.select(
+            F.col("i").alias(f"__i_{out}"), F.col("lnv").alias(out)
+        )
+    )
+    quantized = (
+        quantized.join(
+            look("__lr"), F.col("__i___lr") == F.col("__qr"), "left"
+        )
+        .join(look("__lc"), F.col("__i___lc") == F.col("__qc"), "left")
+        .join(look("__lcr"), F.col("__i___lcr") == F.col("__qcr"), "left")
+    )
+    tvd_term = F.when(
+        both,
+        F.abs(
+            F.col("__r").cast("decimal(38,0)") * F.col("__nc")
+            - F.col("__c").cast("decimal(38,0)") * F.col("__nr")
+        ),
+    ).cast("decimal(38,0)")
+    psi_term = F.when(
+        both,
+        (F.col("__qc") - F.col("__qr")).cast("decimal(38,0)")
+        * (F.col("__lc") - F.col("__lr")),
+    ).cast("decimal(38,0)")
+    kl_term = F.when(
+        both,
+        F.when(
+            F.col("__qcr") > 0,
+            F.col("__qcr").cast("decimal(38,0)")
+            * (F.col("__lcr") - F.col("__lr")),
+        ).otherwise(F.lit(0).cast("decimal(38,0)")),
+    ).cast("decimal(38,0)")
+    share_delta = F.when(
+        both,
+        F.col("__c").cast("double") / F.col("__nc").cast("double")
+        - F.col("__r").cast("double") / F.col("__nr").cast("double"),
+    )
+    return quantized.select(
+        *keyed,
+        F.col("__v").alias("value"),
+        F.col("__r").alias("n_ref_cat"),
+        F.col("__c").alias("n_cur_cat"),
+        F.col("__nr").alias("n_ref"),
+        F.col("__nc").alias("n_cur"),
+        share_delta.alias("share_delta"),
+        tvd_term.alias("tvd_term_num"),
+        psi_term.alias("psi_term_num"),
+        kl_term.alias("kl_term_num"),
+    )
+
+
+def distribution_drift_explain_sql(
+    value_sql: str,
+    ref_table_sql: str,
+    cur_table_sql: str,
+    keys: Sequence[str] = (),
+    share_grid: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`distribution_drift_explain` — same
+    category grain, same three quantized terms, the SAME literal ln
+    table; term columns serialize as VARCHAR."""
+    tab = psi_ln_table(share_grid)
+    g = int(share_grid)
+    vals = ", ".join(f"({i + 1}, {t}::BIGINT)" for i, t in enumerate(tab))
+    keyed = list(keys)
+    key_nn = "".join(f" AND ({c}) IS NOT NULL" for c in keyed)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    part = f"PARTITION BY {kcols}" if keyed else "PARTITION BY 1"
+    kgrp_v = f"{kcols}, v" if keyed else "v"
+    using = f"USING ({kpre}v)" if keyed else "USING (v)"
+    return f"""
+    WITH ln_tab AS (SELECT * FROM (VALUES {vals}) AS t(i, lnv)),
+    ref_counts AS (
+      SELECT {kpre}{value_sql} AS v, CAST(count(*) AS BIGINT) AS r
+      FROM {ref_table_sql}
+      WHERE ({value_sql}) IS NOT NULL{key_nn}
+      GROUP BY {kgrp_v}
+    ),
+    cur_counts AS (
+      SELECT {kpre}{value_sql} AS v, CAST(count(*) AS BIGINT) AS c
+      FROM {cur_table_sql}
+      WHERE ({value_sql}) IS NOT NULL{key_nn}
+      GROUP BY {kgrp_v}
+    ),
+    cats AS (
+      SELECT {kpre}v, coalesce(r, 0) AS r, coalesce(c, 0) AS c
+      FROM ref_counts FULL OUTER JOIN cur_counts {using}
+    ),
+    withtot AS (
+      SELECT {kpre}v, r, c,
+             CAST(sum(r) OVER ({part}) AS BIGINT) AS nr,
+             CAST(sum(c) OVER ({part}) AS BIGINT) AS nc
+      FROM cats
+    ),
+    quantized AS (
+      SELECT {kpre}v, r, c, nr, nc,
+             CASE WHEN nr > 0 AND nc > 0 THEN
+               greatest(1, (r::HUGEINT * {g}) // nr) END AS qr,
+             CASE WHEN nr > 0 AND nc > 0 THEN
+               greatest(1, (c::HUGEINT * {g}) // nc) END AS qc,
+             CASE WHEN nr > 0 AND nc > 0 THEN
+               (c::HUGEINT * {g}) // nc END AS qcr
+      FROM withtot
+    )
+    SELECT {kpre}q.v AS value, q.r AS n_ref_cat, q.c AS n_cur_cat,
+           q.nr AS n_ref, q.nc AS n_cur,
+           CASE WHEN q.nr > 0 AND q.nc > 0 THEN
+             CAST(q.c AS DOUBLE) / CAST(q.nc AS DOUBLE)
+             - CAST(q.r AS DOUBLE) / CAST(q.nr AS DOUBLE)
+           END AS share_delta,
+           CASE WHEN q.nr > 0 AND q.nc > 0 THEN
+             CAST(abs(q.r::HUGEINT * q.nc - q.c::HUGEINT * q.nr)
+                  AS VARCHAR)
+           END AS tvd_term_num,
+           CASE WHEN q.nr > 0 AND q.nc > 0 THEN
+             CAST((q.qc - q.qr)::HUGEINT * (tc.lnv - tr.lnv) AS VARCHAR)
+           END AS psi_term_num,
+           CASE WHEN q.nr > 0 AND q.nc > 0 THEN
+             CAST(CASE WHEN q.qcr > 0
+                  THEN q.qcr * (tcr.lnv - tr.lnv)::HUGEINT
+                  ELSE 0 END AS VARCHAR)
+           END AS kl_term_num
+    FROM quantized q
+    LEFT JOIN ln_tab tr ON tr.i = q.qr
+    LEFT JOIN ln_tab tc ON tc.i = q.qc
+    LEFT JOIN ln_tab tcr ON tcr.i = q.qcr
     """
 
 

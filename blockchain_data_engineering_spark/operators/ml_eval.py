@@ -930,6 +930,250 @@ def multiclass_macro_f1_from_cells_sql(
     """
 
 
+def adjusted_rand_index(
+    df: DataFrame,
+    actual: Column,
+    predicted: Column,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Adjusted Rand index (+ the raw Rand index) between two label
+    columns per ``keys`` group — the pair-counting clustering-
+    agreement statistic (Hubert & Arabie 1985), the companion lens to
+    :func:`label_mutual_information`: MI asks "how much information",
+    ARI asks "how many PAIRS of items do the two labelings co-group
+    the same way, beyond chance" — bounded above by 1 (identical
+    partitions), ~0 for independent labelings, negative for
+    worse-than-chance. Like MI it needs no shared category space.
+    Delegates to :func:`adjusted_rand_from_cells` over the same ≤ k²
+    (actual, predicted) cell aggregate the whole agreement suite
+    reads. NULL actual/predicted rows are excluded."""
+    keyed = list(keys)
+    cells = (
+        df.where(actual.isNotNull() & predicted.isNotNull())
+        .select(*keyed, actual.alias("__a"), predicted.alias("__p"))
+        .groupBy(*keyed, "__a", "__p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return adjusted_rand_from_cells(cells, "__a", "__p", "n", keys)
+
+
+def adjusted_rand_from_cells(
+    cells_df: DataFrame,
+    actual_col: str = "actual",
+    predicted_col: str = "predicted",
+    n_col: str = "n",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """:func:`adjusted_rand_index` from PRE-AGGREGATED (actual,
+    predicted, count) cells — the fourth reader of the additive cell
+    state (kappa, macro-F1, MI; ``streaming/sketches.py`` maintains
+    it). Duplicate cells sum (per-batch deltas merge).
+
+    Definition: with pair counts ``S = Σ_ij C(n_ij,2)``,
+    ``A = Σ_i C(a_i,2)``, ``B = Σ_j C(b_j,2)``, ``T = C(n,2)``:
+    ``ARI = (S − A·B/T) / (½(A+B) − A·B/T)`` and
+    ``RI = (T + 2S − A − B)/T`` (the fraction of item pairs the two
+    labelings treat consistently — together or apart).
+
+    Exactness — EXACT, no quantization at all (unlike MI, whose
+    ln() forces the share grid): every binomial is an integer
+    (``C(x,2) = (x·(x−1)) div 2`` — the product of consecutive
+    integers is even, so the flooring div is exact), and clearing T
+    gives ``ari = (2·T·S − 2·A·B) / (T·(A+B) − 2·A·B)`` — pure
+    DECIMAL(38,0)/HUGEINT integers (T, A, B, S ≤ n², so the cross
+    terms stay inside 38 digits to n ~ 10^9), one IEEE division.
+    NULL when the denominator is 0: both labelings all-singletons or
+    both one-cluster — chance equals observation and adjustment is
+    degenerate (the standard convention). ``rand_index`` is NULL for
+    n < 2 (no pairs).
+
+    Scale shape: the cell re-aggregation (≤ k² rows per group), two
+    marginal re-aggregations, then ONE tagged-union aggregation —
+    cell rows carry (n_ij, C(n_ij,2)), marginal rows carry their
+    C(·,2) mass and a class counter — NO joins, NO windows, nothing
+    above cell grain (the leanest member of the agreement suite).
+    Returns ``n``, ``n_classes_actual``, ``n_classes_predicted``,
+    ``ari_num``/``ari_den`` (DECIMAL(38,0) — serialize as strings in
+    gate queries), ``ari`` and ``rand_index``."""
+    keyed = list(keys)
+    # no keyed joins anywhere (pure union + aggregation), so NULL
+    # keys need no exclusion here: they form their own group in both
+    # engines, as in ece/log_loss — the kendall convention applies
+    # only where sub-aggregates REJOIN on keys
+    cells = (
+        cells_df.where(
+            F.col(actual_col).isNotNull() & F.col(predicted_col).isNotNull()
+        )
+        .groupBy(
+            *keyed,
+            F.col(actual_col).alias("__a"),
+            F.col(predicted_col).alias("__p"),
+        )
+        .agg(F.sum(F.col(n_col).cast("long")).cast("long").alias("__n"))
+    )
+    pair2 = lambda c: F.expr(  # noqa: E731  C(x,2), exact: x(x−1) even
+        f"(CAST({c} AS DECIMAL(38,0)) * ({c} - 1)) div 2"
+    ).cast("decimal(38,0)")
+    by_a = cells.groupBy(*keyed, "__a").agg(
+        F.sum("__n").cast("long").alias("__m")
+    )
+    by_p = cells.groupBy(*keyed, "__p").agg(
+        F.sum("__n").cast("long").alias("__m")
+    )
+    zero_d = F.lit(0).cast("decimal(38,0)")
+    null_d = F.lit(None).cast("decimal(38,0)")
+    null_l = F.lit(None).cast("long")
+    cell_rows = cells.select(
+        *keyed,
+        F.col("__n").alias("__tn"),
+        pair2("__n").alias("__ts"),
+        null_d.alias("__ta"),
+        null_d.alias("__tb"),
+        F.lit(0).alias("__ca"),
+        F.lit(0).alias("__cp"),
+    )
+    a_rows = by_a.select(
+        *keyed,
+        null_l.alias("__tn"),
+        null_d.alias("__ts"),
+        pair2("__m").alias("__ta"),
+        null_d.alias("__tb"),
+        F.lit(1).alias("__ca"),
+        F.lit(0).alias("__cp"),
+    )
+    p_rows = by_p.select(
+        *keyed,
+        null_l.alias("__tn"),
+        null_d.alias("__ts"),
+        null_d.alias("__ta"),
+        pair2("__m").alias("__tb"),
+        F.lit(0).alias("__ca"),
+        F.lit(1).alias("__cp"),
+    )
+    agg = (
+        cell_rows.unionByName(a_rows)
+        .unionByName(p_rows)
+        .groupBy(*keyed)
+        .agg(
+            F.coalesce(F.sum("__tn"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.sum("__ca"), F.lit(0))
+            .cast("long")
+            .alias("n_classes_actual"),
+            F.coalesce(F.sum("__cp"), F.lit(0))
+            .cast("long")
+            .alias("n_classes_predicted"),
+            F.coalesce(F.sum("__ts"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__s"),
+            F.coalesce(F.sum("__ta"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__A"),
+            F.coalesce(F.sum("__tb"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__B"),
+        )
+    )
+    t = pair2("n")
+    two = F.lit(2).cast("decimal(38,0)")
+    num = (two * t * F.col("__s") - two * F.col("__A") * F.col("__B")).cast(
+        "decimal(38,0)"
+    )
+    den = (
+        t * (F.col("__A") + F.col("__B"))
+        - two * F.col("__A") * F.col("__B")
+    ).cast("decimal(38,0)")
+    ri_num = (
+        t + two * F.col("__s") - F.col("__A") - F.col("__B")
+    ).cast("decimal(38,0)")
+    return agg.select(
+        *keyed,
+        "n",
+        "n_classes_actual",
+        "n_classes_predicted",
+        num.alias("ari_num"),
+        den.alias("ari_den"),
+        F.when(
+            den != 0, num.cast("double") / den.cast("double")
+        ).alias("ari"),
+        F.when(
+            F.col("n") >= 2,
+            ri_num.cast("double") / t.cast("double"),
+        ).alias("rand_index"),
+    )
+
+
+def adjusted_rand_sql(
+    actual_sql: str,
+    predicted_sql: str,
+    table: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`adjusted_rand_index` — same cell grain,
+    same cleared-binomial integers; ``ari_num``/``ari_den`` serialize
+    as VARCHAR."""
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_ap = f"{kcols}, a, p" if keyed else "a, p"
+    kgrp_a = f"{kcols}, a" if keyed else "a"
+    kgrp_p = f"{kcols}, p" if keyed else "p"
+    p2 = lambda c: f"(({c}::HUGEINT * ({c} - 1)) // 2)"  # noqa: E731
+    return f"""
+    WITH cells AS (
+      SELECT {kpre}{actual_sql} AS a, {predicted_sql} AS p,
+             CAST(count(*) AS BIGINT) AS n
+      FROM {table}
+      WHERE ({actual_sql}) IS NOT NULL AND ({predicted_sql}) IS NOT NULL
+      GROUP BY {kgrp_ap}
+    ),
+    by_a AS (
+      SELECT {kpre}a, CAST(sum(n) AS BIGINT) AS m
+      FROM cells GROUP BY {kgrp_a}
+    ),
+    by_p AS (
+      SELECT {kpre}p, CAST(sum(n) AS BIGINT) AS m
+      FROM cells GROUP BY {kgrp_p}
+    ),
+    tagged AS (
+      SELECT {kpre}n AS tn, {p2('n')} AS ts,
+             NULL::HUGEINT AS ta, NULL::HUGEINT AS tb,
+             0 AS ca, 0 AS cp
+      FROM cells
+      UNION ALL
+      SELECT {kpre}NULL, NULL, {p2('m')}, NULL, 1, 0 FROM by_a
+      UNION ALL
+      SELECT {kpre}NULL, NULL, NULL, {p2('m')}, 0, 1 FROM by_p
+    ),
+    agg AS (
+      SELECT {kpre}
+             CAST(coalesce(sum(tn), 0) AS BIGINT) AS n,
+             CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_classes_actual,
+             CAST(coalesce(sum(cp), 0) AS BIGINT) AS n_classes_predicted,
+             coalesce(sum(ts), 0) AS s,
+             coalesce(sum(ta), 0) AS aa,
+             coalesce(sum(tb), 0) AS bb
+      FROM tagged {grp}
+    ),
+    terms AS (
+      SELECT {kpre}n, n_classes_actual, n_classes_predicted, s, aa, bb,
+             {p2('n')} AS t
+      FROM agg
+    )
+    SELECT {kpre}n, n_classes_actual, n_classes_predicted,
+           CAST(2 * t * s - 2 * aa * bb AS VARCHAR) AS ari_num,
+           CAST(t * (aa + bb) - 2 * aa * bb AS VARCHAR) AS ari_den,
+           CASE WHEN t * (aa + bb) - 2 * aa * bb <> 0 THEN
+             CAST(2 * t * s - 2 * aa * bb AS DOUBLE)
+               / CAST(t * (aa + bb) - 2 * aa * bb AS DOUBLE)
+           END AS ari,
+           CASE WHEN n >= 2 THEN
+             CAST(t + 2 * s - aa - bb AS DOUBLE) / CAST(t AS DOUBLE)
+           END AS rand_index
+    FROM terms
+    """
+
+
 def label_mutual_information(
     df: DataFrame,
     actual: Column,

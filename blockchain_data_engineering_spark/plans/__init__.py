@@ -134,9 +134,29 @@ GATE_ORDER = [
     #    surviving alpha gates (interval + ordinal); the nominal
     #    sum-of-squares algebra stays pinned in pytest parity incl.
     #    the α≈κ cross-check).
+    #    Batch 2 — the agreement/drift capstones the asks implied:
+    #    (6) ml_adjusted_rand — the pair-counting clustering-agreement
+    #    statistic over the same lang-vs-lang-ID cells; EXACT with NO
+    #    quantization at all (cleared binomials of integer counts —
+    #    the strongest exactness tier in the suite), one tagged-union
+    #    aggregation, zero joins. Displaced: ml_rbo_overlap (r9/r10-
+    #    green — the per-query ranked-list agreement family stays
+    #    gate-run by ml_kendall_tau (same two per-user rankings) and
+    #    the sweep grain by ml_pr_curve + ml_average_precision; the
+    #    literal suffix-weight arithmetic stays pinned in pytest
+    #    parity).
+    #    (7) dq_drift_explain — the per-category drill-down whose
+    #    term columns SUM to the TVD/PSI/KL scalars integer-for-
+    #    integer (pinned in pytest): the "which category moved" rows
+    #    a drift alert opens. Displaced: lake_zonemap_pruning
+    #    (r8/r9/r10-green — the metadata-grain file-layout family
+    #    stays gate-run by lake_compaction_plan; the min/max skipping
+    #    decisions stay pinned in pytest parity).
     "ml_log_loss_multiclass",
     "dq_distribution_kl",
     "ml_label_mi",
+    "ml_adjusted_rand",
+    "dq_drift_explain",
     "ml_krippendorff_ordinal",
     "ml_macro_f1_from_store",
     # -- new in round 10 (unrowed, front-loaded). The log-based metric
@@ -276,7 +296,6 @@ GATE_ORDER = [
     #    plan family stays gate-run by the BPE train loop's per-round
     #    pair ranking and the heavy-hitter build's explode→count; the
     #    PMI log-free ratio algebra stays pinned in pytest parity).
-    "ml_rbo_overlap",
     "ml_kendall_tau",
     "agg_heavy_hitters_phi",
     # -- new in round 8 (unrowed, front-loaded). The merge tier of the
@@ -335,7 +354,6 @@ GATE_ORDER = [
     "sample_weighted_priority_merged",
     "ml_average_precision",
     "agg_heavy_hitters_merged",
-    "lake_zonemap_pruning",
     # -- new in round 7 (unrowed, front-loaded). The mergeable
     #    deterministic quantile sketch (bottom-k md5-priority sample —
     #    the KMV idiom applied to rank statistics) completes the sketch
@@ -633,6 +651,20 @@ WITNESSES: dict[str, list[str]] = {
     # marginal-cross equi join stays pinned in pytest parity + the
     # envelope-guard tests
     "ml_weighted_kappa": ["ml_krippendorff_ordinal", "ml_label_mi"],
+    # the per-query ranked-list agreement family stays gate-run by
+    # Kendall's tau over the SAME two per-user rankings, the
+    # distinct-score sweep grain by the PR curve + AP; the literal
+    # suffix-weight arithmetic stays pinned in pytest parity
+    "ml_rbo_overlap": [
+        "ml_kendall_tau",
+        "ml_pr_curve",
+        "ml_average_precision",
+    ],
+    # the metadata-grain file-layout window family stays gate-run by
+    # the compaction planner; the min/max data-skipping decisions
+    # stay pinned in pytest parity (and the zone-map stats grain runs
+    # inside the compaction plan's per-file aggregates)
+    "lake_zonemap_pruning": ["lake_compaction_plan"],
     # --- demoted in the r10 rotation (in exchange for the log-quanta
     #     metric family + the agreement-suite completions) ---
     # the from-cells kappa algebra runs VERBATIM inside the store

@@ -649,3 +649,58 @@ def dq_distribution_js(spark: SparkSession, sf_dir: str) -> DataFrame:
         share_grid=_PSI_GRID,
     )
     return out.withColumn("js_num", F.col("js_num").cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# Drift drill-down (r11): the per-category rows a dashboard opens when
+# the TVD/PSI/KL scalars cross a threshold — WHICH priority moved, by
+# how much, contributing what to each statistic. Same orders parity
+# split and category grain as the scalar gates; one row per
+# (status, priority) with the exact integer term each category
+# contributes, and the contract that makes the drill-down trustworthy
+# is pinned in pytest: per group the term columns SUM to the scalar
+# gates' tvd_num/psi_num/kl_num integer-for-integer — the explain
+# rows ARE the scalars disaggregated, never a parallel approximation
+# (operators/dq.py distribution_drift_explain). Multi-row output puts
+# the full category breakdown under the value hash.
+# ---------------------------------------------------------------------------
+def _drift_explain_oracle() -> str:
+    from blockchain_data_engineering_spark.operators.dq import (
+        distribution_drift_explain_sql,
+    )
+
+    return distribution_drift_explain_sql(
+        "o_orderpriority",
+        "(SELECT * FROM orders WHERE o_orderkey % 2 = 0)",
+        "(SELECT * FROM orders WHERE o_orderkey % 2 = 1)",
+        ["o_orderstatus"],
+        share_grid=_PSI_GRID,
+    )
+
+
+@query("dq_drift_explain", oracle=_drift_explain_oracle())
+def dq_drift_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.dq import (
+        distribution_drift_explain,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = distribution_drift_explain(
+        orders.where(F.col("o_orderkey") % 2 == 0),
+        orders.where(F.col("o_orderkey") % 2 == 1),
+        "o_orderpriority",
+        keys=["o_orderstatus"],
+        share_grid=_PSI_GRID,
+    )
+    return out.select(
+        "o_orderstatus",
+        "value",
+        "n_ref_cat",
+        "n_cur_cat",
+        "n_ref",
+        "n_cur",
+        "share_delta",
+        F.col("tvd_term_num").cast("string").alias("tvd_term_num"),
+        F.col("psi_term_num").cast("string").alias("psi_term_num"),
+        F.col("kl_term_num").cast("string").alias("kl_term_num"),
+    )

@@ -2942,3 +2942,60 @@ def ml_label_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         cells,
     )
+
+
+# ---------------------------------------------------------------------------
+# Adjusted Rand index (r11): the pair-counting clustering-agreement
+# statistic over the same lang-vs-lang-ID pair as kappa/macro-F1/MI —
+# "how many PAIRS of documents do the two labelings co-group the same
+# way, beyond chance". Unlike the MI gate it needs NO quantization at
+# all: every term is a binomial of integer counts (C(x,2) = x(x−1)/2,
+# exact — consecutive integers make the flooring div exact), and
+# clearing C(n,2) leaves ari = (2TS − 2AB)/(T(A+B) − 2AB) in pure
+# DECIMAL(38,0)/HUGEINT integers — the strongest exactness tier in
+# the agreement suite. One tagged-union aggregation, zero joins
+# (operators/ml_eval.py adjusted_rand_from_cells), string-serialized.
+# ---------------------------------------------------------------------------
+def _ari_oracle() -> str:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        adjusted_rand_sql,
+    )
+
+    return adjusted_rand_sql(
+        "lang_declared", "lang_pred", f"({_langid_oracle()})"
+    )
+
+
+@query("ml_adjusted_rand", oracle=_ari_oracle())
+def ml_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        adjusted_rand_from_cells,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # pre-aggregate to the ≤ k² cell grain and persist: the from-cells
+    # flow references the cells three times (cells + two marginals in
+    # the tagged union) and an un-materialized reference would re-run
+    # the lang-ID classifier per reference (the lineage-blowup class);
+    # finalize releases the cache in-call
+    cells = (
+        docs.groupBy(
+            F.col("lang").alias("actual"),
+            TX.lang_id(F.col("text")).alias("predicted"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    out = adjusted_rand_from_cells(cells)
+    return finalize(
+        out.select(
+            "n",
+            "n_classes_actual",
+            "n_classes_predicted",
+            F.col("ari_num").cast("string").alias("ari_num"),
+            F.col("ari_den").cast("string").alias("ari_den"),
+            "ari",
+            "rand_index",
+        ),
+        cells,
+    )

@@ -341,10 +341,17 @@ def main(sf_dir: str) -> None:
     # labelings are permutations; 0 iff independent), from the same
     # (actual, predicted) cell grain kappa reads
     from blockchain_data_engineering_spark.operators.ml_eval import (
+        adjusted_rand_index,
         label_mutual_information,
     )
 
     lmi = label_mutual_information(
+        feats, F.col("lang"), F.col("lang_pred")
+    ).first()
+    # and the pair-counting lens (exact, no quantization): how many
+    # document PAIRS do the two labelings co-group the same way,
+    # beyond chance
+    lari = adjusted_rand_index(
         feats, F.col("lang"), F.col("lang_pred")
     ).first()
     # r10: ordinal agreement between the 0-5 quality TIER and a 0-5
@@ -432,6 +439,10 @@ def main(sf_dir: str) -> None:
         f"lang-ID vs declared NMI: {fmt(lmi.nmi, '.3f')} "
         f"(MI {fmt(lmi.mi, '.3f')} nats, H_decl "
         f"{fmt(lmi.h_actual, '.3f')}, H_pred {fmt(lmi.h_predicted, '.3f')})"
+    )
+    print(
+        f"lang-ID vs declared ARI: {fmt(lari.ari, '.3f')} "
+        f"(rand index {fmt(lari.rand_index, '.3f')}, exact pair counting)"
     )
     print(
         f"quality-score ECE:      {fmt(cal.ece, '.4f')} "

@@ -1861,3 +1861,50 @@ def test_krippendorff_ordinal_moment_form_matches_textbook(ballots):
     ) / (n * (n - 1))
     assert abs(alpha_int - (1 - do / de)) < 1e-9
     assert alpha_int <= 1.0 + 1e-12
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=2,
+        max_size=250,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_adjusted_rand_cleared_integers_match_textbook(pairs):
+    """The cleared-binomial ARI integers (r11): C(x,2) via the exact
+    flooring div, ari = (2TS − 2AB)/(T(A+B) − 2AB) — must match the
+    float Hubert-Arabie form wherever that is defined, equal 1 on
+    identical partitions, and stay ≤ 1 always."""
+    from collections import Counter
+
+    cell = Counter(pairs)
+    am = Counter(a for a, _ in pairs)
+    pm = Counter(p for _, p in pairs)
+    n = len(pairs)
+    c2 = lambda x: (x * (x - 1)) // 2  # noqa: E731
+    s = sum(c2(v) for v in cell.values())
+    a = sum(c2(v) for v in am.values())
+    b = sum(c2(v) for v in pm.values())
+    t = c2(n)
+    num = 2 * t * s - 2 * a * b
+    den = t * (a + b) - 2 * a * b
+    if den == 0:
+        return
+    ari_int = num / den
+    ari_ref = (s - a * b / t) / (0.5 * (a + b) - a * b / t)
+    assert abs(ari_int - ari_ref) < 1e-9
+    assert ari_int <= 1.0 + 1e-12
+    # identical partitions (relabeled): simulate by comparing the
+    # actual labels with themselves
+    s2 = sum(c2(v) for v in am.values())
+    num2 = 2 * t * s2 - 2 * a * a
+    den2 = t * (a + a) - 2 * a * a
+    if den2 != 0:
+        assert num2 == den2  # ARI == 1 exactly at the integer level
+    # rand index bounds
+    ri = (t + 2 * s - a - b) / t
+    assert -1e-12 <= ri <= 1.0 + 1e-12

@@ -611,3 +611,167 @@ def test_r11_plan_shapes(spark, sf_dir):
     p = _plan(spark, sf_dir, "ml_macro_f1_from_store")
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin Cross") == 0
+
+
+# ---------------------------------------------------------------------------
+# adjusted Rand index (batch 2)
+# ---------------------------------------------------------------------------
+def _py_ari(pairs):
+    """Textbook Hubert-Arabie ARI (float) + raw Rand index."""
+    cell = Counter(pairs)
+    am = Counter(a for a, _ in pairs)
+    pm = Counter(p for _, p in pairs)
+    n = len(pairs)
+    c2 = lambda x: x * (x - 1) // 2  # noqa: E731
+    s = sum(c2(v) for v in cell.values())
+    a = sum(c2(v) for v in am.values())
+    b = sum(c2(v) for v in pm.values())
+    t = c2(n)
+    den = 0.5 * (a + b) - a * b / t
+    ari = (s - a * b / t) / den if den else None
+    ri = (t + 2 * s - a - b) / t if t else None
+    return ari, ri
+
+
+def test_adjusted_rand_known_values(spark):
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        adjusted_rand_index,
+    )
+
+    pairs = (
+        [("x", "P")] * 30 + [("x", "Q")] * 10
+        + [("y", "Q")] * 25 + [("y", "R")] * 5
+        + [("z", "R")] * 30
+    )
+    df = spark.createDataFrame(pairs, "a string, p string")
+    out = adjusted_rand_index(df, F.col("a"), F.col("p")).collect()[0]
+    ari, ri = _py_ari(pairs)
+    assert out.n == 100
+    assert out.ari == pytest.approx(ari, abs=1e-12)
+    assert out.rand_index == pytest.approx(ri, abs=1e-12)
+    # a bijective relabeling is a PERFECT partition match: ari and
+    # rand_index are exactly 1 (integer identity num == den)
+    perm = spark.createDataFrame(
+        [("a", "A")] * 7 + [("b", "B")] * 13 + [("c", "C")] * 4,
+        "a string, p string",
+    )
+    o = adjusted_rand_index(perm, F.col("a"), F.col("p")).collect()[0]
+    assert o.ari == 1.0 and o.rand_index == 1.0
+    assert o.ari_num == o.ari_den
+    # degenerate: both labelings one cluster → chance == observation,
+    # adjustment undefined (NULL), rand index still defined (1.0)
+    const = spark.createDataFrame(
+        [("a", "A")] * 5, "a string, p string"
+    )
+    c = adjusted_rand_index(const, F.col("a"), F.col("p")).collect()[0]
+    assert c.ari is None and int(c.ari_den) == 0 and c.rand_index == 1.0
+    # empty input: one global row of zeros, NULL scalars
+    empty = spark.createDataFrame([], "a string, p string")
+    e = adjusted_rand_index(empty, F.col("a"), F.col("p")).collect()[0]
+    assert e.n == 0 and e.ari is None and e.rand_index is None
+
+
+def test_adjusted_rand_determinism_and_cells(spark):
+    import random
+
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        adjusted_rand_from_cells,
+        adjusted_rand_index,
+    )
+
+    rng = random.Random(31)
+    pairs = [
+        (f"a{rng.randrange(5)}", f"p{rng.randrange(4)}") for _ in range(700)
+    ]
+    df = spark.createDataFrame(pairs, "a string, p string")
+    x = adjusted_rand_index(df, F.col("a"), F.col("p")).collect()[0]
+    y = adjusted_rand_index(
+        df.repartition(23), F.col("a"), F.col("p")
+    ).collect()[0]
+    assert (x.ari_num, x.ari_den, x.ari, x.rand_index) == (
+        y.ari_num,
+        y.ari_den,
+        y.ari,
+        y.rand_index,
+    )
+    ari, _ = _py_ari(pairs)
+    assert x.ari == pytest.approx(ari, abs=1e-12)
+    # duplicate cells sum (per-batch deltas merge)
+    cells = spark.createDataFrame(
+        [("a", "x", 30), ("a", "x", 10), ("b", "y", 60)],
+        "actual string, predicted string, n long",
+    )
+    whole = spark.createDataFrame(
+        [("a", "x", 40), ("b", "y", 60)],
+        "actual string, predicted string, n long",
+    )
+    assert (
+        adjusted_rand_from_cells(cells).collect()
+        == adjusted_rand_from_cells(whole).collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# drift explain (batch 2): the drill-down must SUM to the scalars
+# ---------------------------------------------------------------------------
+def test_drift_explain_terms_sum_to_scalars(spark):
+    from blockchain_data_engineering_spark.operators.dq import (
+        distribution_drift_explain,
+        distribution_js,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", "g")] * 40 + [("b", "g")] * 10 + [("c", "g")] * 5,
+        "v string, k string",
+    )
+    cur = spark.createDataFrame(
+        [("a", "g")] * 20 + [("b", "g")] * 25 + [("d", "g")] * 5,
+        "v string, k string",
+    )
+    rows = distribution_drift_explain(ref, cur, "v", keys=["k"]).collect()
+    assert len(rows) == 4  # union of categories
+    t = distribution_drift_tvd(ref, cur, "v", keys=["k"]).collect()[0]
+    p = distribution_psi(ref, cur, "v", keys=["k"]).collect()[0]
+    kl = distribution_kl(ref, cur, "v", keys=["k"]).collect()[0]
+    assert sum(int(r.tvd_term_num) for r in rows) == int(t.tvd_num)
+    assert sum(int(r.psi_term_num) for r in rows) == int(p.psi_num)
+    assert sum(int(r.kl_term_num) for r in rows) == int(kl.kl_num)
+    # psi terms are individually >= 0; kl terms CAN be negative, and
+    # at least one is here (category a's current share trails ref)
+    assert all(int(r.psi_term_num) >= 0 for r in rows)
+    assert any(int(r.kl_term_num) < 0 for r in rows)
+    # share_delta is the human-readable column: sums to ~0 over the
+    # union (both sides are full distributions)
+    assert abs(sum(r.share_delta for r in rows)) < 1e-12
+    # empty side: terms surfaced as NULL, counts kept
+    empty = spark.createDataFrame([], "v string, k string")
+    er = distribution_drift_explain(ref, empty, "v", keys=["k"]).collect()
+    assert er and all(
+        r.psi_term_num is None and r.kl_term_num is None for r in er
+    )
+    # identical inputs: zero drift in every term of every category
+    same = distribution_drift_explain(ref, ref, "v", keys=["k"]).collect()
+    assert all(
+        int(r.tvd_term_num) == int(r.psi_term_num) == int(r.kl_term_num) == 0
+        for r in same
+    )
+    # and JS still reads 0 on the same identical input (family check)
+    j = distribution_js(ref, ref, "v", keys=["k"]).collect()[0]
+    assert j.js == 0.0
+
+
+def test_r11_batch2_plan_shapes(spark, sf_dir):
+    """ARI is the leanest agreement plan: union + aggregations only —
+    NO joins of any kind (assert no join operators at all); the
+    drift explain stops one aggregate short of the scalar plans and
+    keeps their bounded windows + broadcast lookups, BNLJ-free."""
+    from test_plans import _plan
+
+    p = _plan(spark, sf_dir, "ml_adjusted_rand")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" not in p  # zero joins, not even lookups
+    assert "Window" not in p
+    p = _plan(spark, sf_dir, "dq_drift_explain")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # the ln-table lookups
