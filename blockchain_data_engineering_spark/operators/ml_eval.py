@@ -1,10 +1,13 @@
 """Model-evaluation aggregates, distributed: the classification suite
 (exact AUC-ROC, PR curve + average precision + cumulative gain/lift,
-confusion matrices + macro-F1 + Matthews correlation, calibration's
-Brier score + expected calibration error + log-loss), the agreement
-suite (Cohen's kappa for two labelers, weighted kappa for ordinal
-labels, Fleiss' kappa for fixed-n rater ensembles, Krippendorff's
-alpha for ragged multi-rater coverage, Spearman/Kendall rank
+confusion matrices + macro-F1 + the per-class precision/recall/F1
+report + Matthews correlation, calibration's Brier score + expected
+calibration error — binary AND top-label/k-class — + log-loss), the
+agreement suite (Cohen's kappa for two labelers, weighted kappa for
+ordinal labels, Fleiss' kappa for fixed-n rater ensembles,
+Krippendorff's alpha for ragged multi-rater coverage + its per-unit
+disagreement drill-down, label mutual information and adjusted Rand
+for labelings without a shared category space, Spearman/Kendall rank
 correlation for two rankers over a shared item set, rank-biased
 overlap for top-weighted lists that need not share items), and the
 ranking suite (hit-rate@k + MRR, NDCG@k, reciprocal rank fusion).
@@ -930,6 +933,184 @@ def multiclass_macro_f1_from_cells_sql(
     """
 
 
+def multiclass_class_report(
+    df: DataFrame,
+    actual: Column,
+    predicted: Column,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Per-CLASS precision/recall/F1 drill-down per ``keys`` group —
+    the classification report behind :func:`multiclass_macro_f1`'s
+    scalar: when the macro-F1 gate dips, these are the rows that say
+    WHICH class is failing and HOW (precision collapse = the filter
+    over-fires into the class; recall collapse = the class leaks
+    away). Delegates to :func:`multiclass_class_report_from_cells`
+    over the same ≤ k² (actual, predicted) cell aggregate every
+    agreement/accuracy statistic reads. NULL actual/predicted rows
+    are excluded."""
+    keyed = list(keys)
+    cells = (
+        df.where(actual.isNotNull() & predicted.isNotNull())
+        .select(*keyed, actual.alias("__a"), predicted.alias("__p"))
+        .groupBy(*keyed, "__a", "__p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return multiclass_class_report_from_cells(cells, "__a", "__p", "n", keys)
+
+
+def multiclass_class_report_from_cells(
+    cells_df: DataFrame,
+    actual_col: str = "actual",
+    predicted_col: str = "predicted",
+    n_col: str = "n",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """:func:`multiclass_class_report` from PRE-AGGREGATED (actual,
+    predicted, count) cells — a per-class reader of the additive cell
+    state (``streaming/sketches.py`` maintains it; kappa, macro-F1,
+    MI and ARI are the scalar readers). Duplicate cells sum
+    (per-batch deltas merge).
+
+    One row per (keys, class) where classes are the distinct ACTUAL
+    labels (the sklearn ``labels=present-in-y_true`` convention
+    :func:`multiclass_macro_f1` documents — a label that only ever
+    appears as a prediction has no recall and no row; its mass still
+    shows up as the true classes' ``fp``). Columns: ``support``
+    (= tp+fn), ``tp``, ``fp`` (= pred_total − tp), ``fn``,
+    ``precision`` (tp/(tp+fp), NULL when the class is never
+    predicted), ``recall`` (tp/support — support ≥ 1 by
+    construction), ``f1`` (2tp/(support + pred_total)) and ``f1_num``
+    (DECIMAL(38,0) — serialize as string in gate queries).
+
+    The drill-down contract (pinned in tests): per group,
+    ``sum(f1_num) == macro_f1_num`` and ``sum(tp)/sum(support) ==
+    accuracy`` of :func:`multiclass_macro_f1_from_cells` — these rows
+    ARE the macro scalar, disaggregated, never a parallel
+    approximation that can disagree with the gate. ``f1_num`` is the
+    same floor-quantized integer ``(2·tp·10^9) div (support +
+    pred_total)`` the macro mean sums; ``precision``/``recall``/
+    ``f1`` are single IEEE divisions of exact integers (correctly
+    rounded, engine-identical).
+
+    Scale shape: identical to the macro scalar — two class-grain
+    re-aggregations + one ≤ k-row equi join — stopping one aggregate
+    short (the :func:`distribution_drift_explain` idiom applied to
+    the confusion matrix). Output grain = |classes| per group."""
+    keyed = list(keys)
+    # NULL-keyed rows excluded at entry: the per-class LEFT join
+    # matches by_actual to by_pred on `keys` and cannot match
+    # NULL = NULL (the kendall_tau keyed-join alignment convention)
+    not_null = F.col(actual_col).isNotNull() & F.col(predicted_col).isNotNull()
+    for c in keyed:
+        not_null = not_null & F.col(c).isNotNull()
+    cells = cells_df.where(not_null).select(
+        *keyed,
+        F.col(actual_col).alias("__a"),
+        F.col(predicted_col).alias("__p"),
+        F.col(n_col).cast("long").alias("n"),
+    )
+    by_actual = cells.groupBy(*keyed, "__a").agg(
+        F.sum("n").cast("long").alias("support"),
+        F.sum(F.when(F.col("__a") == F.col("__p"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+    )
+    by_pred = cells.groupBy(*keyed, "__p").agg(
+        F.sum("n").cast("long").alias("pred_total")
+    )
+    cond = by_actual["__a"] == by_pred["__p"]
+    for c in keyed:
+        cond = cond & (by_actual[c] == by_pred[c])
+    per_class = by_actual.join(by_pred, cond, "left").select(
+        *[by_actual[c] for c in keyed],
+        by_actual["__a"].alias("class"),
+        "support",
+        "tp",
+        F.coalesce(F.col("pred_total"), F.lit(0)).alias("pred_total"),
+    )
+    f1_num = F.expr(
+        f"(CAST(2 AS DECIMAL(38,0)) * tp * {_AP_SCALE})"
+        " div (support + pred_total)"
+    ).cast("decimal(38,0)")
+    return per_class.select(
+        *keyed,
+        "class",
+        "support",
+        "tp",
+        (F.col("pred_total") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("support") - F.col("tp")).cast("long").alias("fn"),
+        F.when(
+            F.col("pred_total") > 0,
+            F.col("tp").cast("double") / F.col("pred_total").cast("double"),
+        ).alias("precision"),
+        (F.col("tp").cast("double") / F.col("support").cast("double")).alias(
+            "recall"
+        ),
+        (
+            F.lit(2).cast("double")
+            * F.col("tp").cast("double")
+            / (F.col("support") + F.col("pred_total")).cast("double")
+        ).alias("f1"),
+        f1_num.alias("f1_num"),
+    )
+
+
+def multiclass_class_report_sql(
+    actual_sql: str,
+    predicted_sql: str,
+    table: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`multiclass_class_report` — same cell
+    grain, same per-class integer algebra; ``f1_num`` serializes as
+    VARCHAR."""
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    kgrp_a = f"{kcols}, a" if keyed else "a"
+    kgrp_p = f"{kcols}, p" if keyed else "p"
+    kjoin = " AND ".join(f"ba.{c} = bp.{c}" for c in keyed)
+    on = f"ba.a = bp.p{' AND ' + kjoin if keyed else ''}"
+    kpre_ba = ", ".join(f"ba.{c}" for c in keyed) + (", " if keyed else "")
+    key_nn = "".join(f" AND ({c}) IS NOT NULL" for c in keyed)
+    return f"""
+    WITH cells AS (
+      SELECT {kpre}{actual_sql} AS a, {predicted_sql} AS p,
+             count(*) AS n
+      FROM {table}
+      WHERE ({actual_sql}) IS NOT NULL AND ({predicted_sql}) IS NOT NULL
+        {key_nn}
+      GROUP BY {kgrp_a}, p
+    ),
+    by_actual AS (
+      SELECT {kpre}a, CAST(sum(n) AS BIGINT) AS support,
+             CAST(sum(CASE WHEN a = p THEN n ELSE 0 END) AS BIGINT) AS tp
+      FROM cells GROUP BY {kgrp_a}
+    ),
+    by_pred AS (
+      SELECT {kpre}p, CAST(sum(n) AS BIGINT) AS pred_total
+      FROM cells GROUP BY {kgrp_p}
+    ),
+    per_class AS (
+      SELECT {kpre_ba}ba.a AS class, ba.support, ba.tp,
+             coalesce(bp.pred_total, 0) AS pred_total
+      FROM by_actual ba LEFT JOIN by_pred bp ON {on}
+    )
+    SELECT {kpre}class, support, tp,
+           CAST(pred_total - tp AS BIGINT) AS fp,
+           CAST(support - tp AS BIGINT) AS fn,
+           CASE WHEN pred_total > 0 THEN
+             CAST(tp AS DOUBLE) / CAST(pred_total AS DOUBLE)
+           END AS precision,
+           CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) AS recall,
+           2 * CAST(tp AS DOUBLE)
+             / CAST(support + pred_total AS DOUBLE) AS f1,
+           CAST((2 * CAST(tp AS HUGEINT) * {_AP_SCALE})
+                // (support + pred_total) AS VARCHAR) AS f1_num
+    FROM per_class
+    """
+
+
 def adjusted_rand_index(
     df: DataFrame,
     actual: Column,
@@ -1125,6 +1306,85 @@ def adjusted_rand_sql(
              CAST(count(*) AS BIGINT) AS n
       FROM {table}
       WHERE ({actual_sql}) IS NOT NULL AND ({predicted_sql}) IS NOT NULL
+      GROUP BY {kgrp_ap}
+    ),
+    by_a AS (
+      SELECT {kpre}a, CAST(sum(n) AS BIGINT) AS m
+      FROM cells GROUP BY {kgrp_a}
+    ),
+    by_p AS (
+      SELECT {kpre}p, CAST(sum(n) AS BIGINT) AS m
+      FROM cells GROUP BY {kgrp_p}
+    ),
+    tagged AS (
+      SELECT {kpre}n AS tn, {p2('n')} AS ts,
+             NULL::HUGEINT AS ta, NULL::HUGEINT AS tb,
+             0 AS ca, 0 AS cp
+      FROM cells
+      UNION ALL
+      SELECT {kpre}NULL, NULL, {p2('m')}, NULL, 1, 0 FROM by_a
+      UNION ALL
+      SELECT {kpre}NULL, NULL, NULL, {p2('m')}, 0, 1 FROM by_p
+    ),
+    agg AS (
+      SELECT {kpre}
+             CAST(coalesce(sum(tn), 0) AS BIGINT) AS n,
+             CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_classes_actual,
+             CAST(coalesce(sum(cp), 0) AS BIGINT) AS n_classes_predicted,
+             coalesce(sum(ts), 0) AS s,
+             coalesce(sum(ta), 0) AS aa,
+             coalesce(sum(tb), 0) AS bb
+      FROM tagged {grp}
+    ),
+    terms AS (
+      SELECT {kpre}n, n_classes_actual, n_classes_predicted, s, aa, bb,
+             {p2('n')} AS t
+      FROM agg
+    )
+    SELECT {kpre}n, n_classes_actual, n_classes_predicted,
+           CAST(2 * t * s - 2 * aa * bb AS VARCHAR) AS ari_num,
+           CAST(t * (aa + bb) - 2 * aa * bb AS VARCHAR) AS ari_den,
+           CASE WHEN t * (aa + bb) - 2 * aa * bb <> 0 THEN
+             CAST(2 * t * s - 2 * aa * bb AS DOUBLE)
+               / CAST(t * (aa + bb) - 2 * aa * bb AS DOUBLE)
+           END AS ari,
+           CASE WHEN n >= 2 THEN
+             CAST(t + 2 * s - aa - bb AS DOUBLE) / CAST(t AS DOUBLE)
+           END AS rand_index
+    FROM terms
+    """
+
+
+def adjusted_rand_from_cells_sql(
+    cells_sql: str,
+    actual_col: str = "actual",
+    predicted_col: str = "predicted",
+    n_col: str = "n",
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`adjusted_rand_from_cells` — the oracle
+    for MAINTAINED cell stores (``streaming/sketches.py``):
+    ``cells_sql`` is a FROM-able fragment exposing (actual,
+    predicted, count) rows, possibly with duplicates (per-batch
+    deltas) — they re-aggregate exactly as the Spark store read does,
+    then the :func:`adjusted_rand_sql` algebra runs over the summed
+    cells (the ``cohens_kappa_from_cells_sql`` pattern)."""
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_ap = f"{kcols}, a, p" if keyed else "a, p"
+    kgrp_a = f"{kcols}, a" if keyed else "a"
+    kgrp_p = f"{kcols}, p" if keyed else "p"
+    key_nn = "".join(f" AND ({c}) IS NOT NULL" for c in keyed)
+    p2 = lambda c: f"(({c}::HUGEINT * ({c} - 1)) // 2)"  # noqa: E731
+    return f"""
+    WITH cells AS (
+      SELECT {kpre}{actual_col} AS a, {predicted_col} AS p,
+             CAST(sum({n_col}) AS BIGINT) AS n
+      FROM {cells_sql}
+      WHERE ({actual_col}) IS NOT NULL AND ({predicted_col}) IS NOT NULL
+        {key_nn}
       GROUP BY {kgrp_ap}
     ),
     by_a AS (
@@ -1931,6 +2191,127 @@ def ece_sql(
            END AS ece
     FROM totals
     """
+
+
+def ece_top_label(
+    df: DataFrame,
+    item_col: str,
+    class_col: str,
+    score_col: str,
+    actual_col: str,
+    s_max: int,
+    n_bins: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Top-label expected calibration error (Guo et al. 2017,
+    "On Calibration of Modern Neural Networks") per ``keys`` group —
+    the k-class calibration read :func:`ece`'s docstring prescribes:
+    from LONG-form per-(item, class) scores, take each item's argmax
+    class, then run the same exact binned |accuracy − confidence|
+    aggregate with ``label = (argmax class == actual)`` and
+    ``score_q = the argmax score``. Completes the multi-class
+    evaluation pair: :func:`log_loss_multiclass` scores the TRUE
+    class's probability; top-label ECE asks whether the confidence
+    the model ACTS on (its argmax) is honest.
+
+    Input: one row per (item, candidate class) with the integer-quanta
+    score in [0, s_max] (:func:`ece`'s ROUND-don't-truncate contract)
+    and the item's ``actual`` class (functionally dependent on the
+    item — the argmax row's value is the one read). Rows with NULL
+    item/class/score/actual or an out-of-range score are excluded
+    BEFORE the argmax (an invalid score is no candidate — dropping it
+    after would instead drop the whole item).
+
+    Determinism: the argmax breaks score ties by ``class`` ASC
+    (row_number, never rank) — with md5-derived or quantized scores
+    ties are routine, and an unordered tie-break would hash-diverge
+    between engines. Class values must order identically in Spark and
+    DuckDB (binary/ASCII class names — the module's string-order
+    convention).
+
+    Exactness: the argmax selects existing integer rows (no
+    arithmetic), then :func:`ece`'s numerator is the usual exact
+    DECIMAL(38,0) sum — no quantization beyond the caller's score
+    grid.
+
+    Scale shape: one row_number window partitioned by (keys, item) —
+    Catalyst rewrites the rn=1 filter to WindowGroupLimit, so the
+    per-item state is O(1), never a sort materialization — then the
+    ≤ n_bins aggregate. At 100 TB the window's shuffle on item is the
+    plan's only wide exchange; pre-partitioning the scores by item
+    (the natural layout for a per-item score map) makes it
+    exchange-free. Returns :func:`ece`'s columns (``n`` counts
+    ITEMS)."""
+    keyed = list(keys)
+    base = df.where(
+        F.col(item_col).isNotNull()
+        & F.col(class_col).isNotNull()
+        & F.col(actual_col).isNotNull()
+        & F.col(score_col).isNotNull()
+        & (F.col(score_col) >= 0)
+        & (F.col(score_col) <= int(s_max))
+    ).select(
+        *keyed,
+        F.col(item_col).alias("__i"),
+        F.col(class_col).alias("__c"),
+        F.col(score_col).cast("long").alias("__s"),
+        F.col(actual_col).alias("__act"),
+    )
+    w = Window.partitionBy(*keyed, "__i").orderBy(
+        F.col("__s").desc(), F.col("__c").asc()
+    )
+    top = base.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    return ece(
+        top,
+        label=F.col("__c") == F.col("__act"),
+        score_q=F.col("__s"),
+        s_max=s_max,
+        n_bins=n_bins,
+        keys=keyed,
+    )
+
+
+def ece_top_label_sql(
+    item_sql: str,
+    class_sql: str,
+    score_sql: str,
+    actual_sql: str,
+    s_max: int,
+    n_bins: int,
+    table: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`ece_top_label` — same pre-argmax
+    filters, same (score DESC, class ASC) row_number tie-break
+    (scores floored via ``CAST(floor(·) AS BIGINT)`` to match
+    Spark's truncating cast — the :func:`log_loss_sql` convention),
+    then :func:`ece_sql` over the argmax rows."""
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    part = f"PARTITION BY {kpre}i" if keyed else "PARTITION BY i"
+    # no NULL-key exclusion: like ece, this plan has no keyed joins —
+    # NULL keys form their own window partition/group identically in
+    # both engines (the kendall convention applies only where
+    # sub-aggregates REJOIN on keys)
+    top = f"""(
+      SELECT {kpre}(c = act) AS hit, s FROM (
+        SELECT {kpre}i, c, s, act,
+               row_number() OVER ({part} ORDER BY s DESC, c ASC) AS rn
+        FROM (
+          SELECT {kpre}{item_sql} AS i, {class_sql} AS c,
+                 CAST(floor({score_sql}) AS BIGINT) AS s,
+                 {actual_sql} AS act
+          FROM {table}
+          WHERE ({item_sql}) IS NOT NULL AND ({class_sql}) IS NOT NULL
+            AND ({actual_sql}) IS NOT NULL AND ({score_sql}) IS NOT NULL
+            AND ({score_sql}) >= 0 AND ({score_sql}) <= {int(s_max)}
+        ) scored
+      ) ranked WHERE rn = 1
+    )"""
+    return ece_sql("hit", "s", s_max, n_bins, top, keyed)
 
 
 def cohens_kappa(
@@ -3732,6 +4113,195 @@ def weighted_kappa_sql(
     """
 
 
+def _krippendorff_unit_state(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+    keyed: list,
+    mr: int,
+    metric: str,
+) -> tuple:
+    """The shared cells→kept-units prefix of :func:`krippendorff_alpha`
+    and :func:`krippendorff_disagreement_explain`: the (item, category)
+    cell aggregate, the m<2 / m>max_raters drop filter, and — per
+    metric — the per-unit disagreement ingredients (``__ss`` for
+    nominal, ``__s1``/``__s2`` moments for interval/ordinal, over the
+    e-transform for ordinal) plus the category-marginal aggregate.
+    Returns ``(kept_items, drops, cat_agg)``; ``kept_items`` also
+    carries ``__kc`` (distinct categories voted on the unit — free at
+    the item re-aggregation, used only by the explain reader)."""
+    not_null = F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+    for c in keyed:
+        not_null = not_null & F.col(c).isNotNull()
+    base = df.where(not_null).select(
+        *keyed,
+        F.col(item_col).alias("__i"),
+        F.col(category_col).alias("__c"),
+    )
+    cells = base.groupBy(*keyed, "__i", "__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__nuc")
+    )
+    nuc_d = F.col("__nuc").cast("decimal(38,0)")
+    cl = F.col("__c").cast("long")
+    if metric == "ordinal":
+        # the ordinal distance depends on the KEPT-unit marginals, so
+        # the drop filter must run before the per-unit moments: unit
+        # sizes first, then marginals → e_c, then moments over e_c
+        items_m = cells.groupBy(*keyed, "__i").agg(
+            F.sum("__nuc").cast("long").alias("__m")
+        )
+        drops = items_m.groupBy(*keyed).agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__m") < 2, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_units_single"),
+            F.coalesce(
+                F.sum(F.when(F.col("__m") > mr, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_units_overflow"),
+        )
+        kept_ids = items_m.where(
+            (F.col("__m") >= 2) & (F.col("__m") <= mr)
+        ).select(*keyed, "__i")
+        kept_cells = cells.join(kept_ids, keyed + ["__i"], "left_semi")
+        # ordinal categories MUST cast to integers: a failed cast
+        # yields NULL, whose cells would silently vanish from the
+        # moment sums while items_m already counted their ratings —
+        # raise loudly instead (the DuckDB twin's CAST errors on the
+        # same input, so the engines fail consistently)
+        kept_cells = kept_cells.where(
+            F.coalesce(
+                F.assert_true(
+                    cl.isNotNull(),
+                    F.concat(
+                        F.lit(
+                            "krippendorff_alpha(metric='ordinal'): "
+                            "category not castable to long: "
+                        ),
+                        F.col("__c").cast("string"),
+                    ),
+                ),
+                F.lit(True),
+            )
+        )
+        # category marginals at the INTEGER value grain, the bounded
+        # cumulative window, and the transformed value e = 2·cum − n_c
+        cats0 = kept_cells.groupBy(*keyed, cl.alias("__clv")).agg(
+            F.sum("__nuc").cast("decimal(38,0)").alias("__nc")
+        )
+        w_cum = Window.partitionBy(*keyed).orderBy("__clv")
+        cats = cats0.select(
+            *keyed,
+            "__clv",
+            "__nc",
+            (
+                F.lit(2).cast("decimal(38,0)")
+                * F.sum("__nc").over(w_cum)
+                - F.col("__nc")
+            )
+            .cast("decimal(38,0)")
+            .alias("__e"),
+        )
+        # carry e to the cells: a category-dim equi join (≤ k rows)
+        cell_e = kept_cells.select(
+            *keyed, "__i", cl.alias("__clv"), "__nuc"
+        ).join(cats.select(*keyed, "__clv", "__e"), keyed + ["__clv"])
+        kept_items = cell_e.groupBy(*keyed, "__i").agg(
+            F.sum("__nuc").cast("long").alias("__m"),
+            F.count(F.lit(1)).cast("long").alias("__kc"),
+            F.sum(nuc_d * F.col("__e")).cast("decimal(38,0)").alias("__s1"),
+            F.sum(nuc_d * F.col("__e") * F.col("__e"))
+            .cast("decimal(38,0)")
+            .alias("__s2"),
+        )
+        cat_agg = cats.groupBy(*keyed).agg(
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+            F.coalesce(F.sum(F.col("__nc") * F.col("__e")), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__t1"),
+            F.coalesce(
+                F.sum(F.col("__nc") * F.col("__e") * F.col("__e")),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("__t2"),
+        )
+    else:
+        if metric == "interval":
+            # per-unit disagreement moments over the INTEGER label
+            # values
+            items = cells.groupBy(*keyed, "__i").agg(
+                F.sum("__nuc").cast("long").alias("__m"),
+                F.count(F.lit(1)).cast("long").alias("__kc"),
+                F.sum(nuc_d * cl).cast("decimal(38,0)").alias("__s1"),
+                F.sum(nuc_d * cl * cl).cast("decimal(38,0)").alias("__s2"),
+            )
+        else:
+            items = cells.groupBy(*keyed, "__i").agg(
+                F.sum("__nuc").cast("long").alias("__m"),
+                F.count(F.lit(1)).cast("long").alias("__kc"),
+                F.sum(nuc_d * F.col("__nuc"))
+                .cast("decimal(38,0)")
+                .alias("__ss"),
+            )
+        drops = items.groupBy(*keyed).agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__m") < 2, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_units_single"),
+            F.coalesce(
+                F.sum(F.when(F.col("__m") > mr, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_units_overflow"),
+        )
+        kept_items = items.where(
+            (F.col("__m") >= 2) & (F.col("__m") <= mr)
+        )
+        kept_cells = cells.join(
+            kept_items.select(*keyed, "__i"), keyed + ["__i"], "left_semi"
+        )
+        cats = kept_cells.groupBy(*keyed, "__c").agg(
+            F.sum("__nuc").cast("decimal(38,0)").alias("__nc")
+        )
+        if metric == "interval":
+            ccl = F.col("__c").cast("long")
+            cat_agg = cats.groupBy(*keyed).agg(
+                F.count(F.lit(1)).cast("long").alias("n_categories"),
+                F.coalesce(F.sum(F.col("__nc") * ccl), F.lit(0))
+                .cast("decimal(38,0)")
+                .alias("__t1"),
+                F.coalesce(F.sum(F.col("__nc") * ccl * ccl), F.lit(0))
+                .cast("decimal(38,0)")
+                .alias("__t2"),
+            )
+        else:
+            cat_agg = cats.groupBy(*keyed).agg(
+                F.count(F.lit(1)).cast("long").alias("n_categories"),
+                F.coalesce(F.sum(F.col("__nc") * F.col("__nc")), F.lit(0))
+                .cast("decimal(38,0)")
+                .alias("__c2"),
+            )
+    return kept_items, drops, cat_agg
+
+
+def _krippendorff_du(metric: str) -> Column:
+    """The per-unit disagreement mass ``D_u`` over the
+    :func:`_krippendorff_unit_state` columns: nominal
+    ``m² − Σ_c n_uc²`` (= ordered rating pairs that disagree);
+    interval/ordinal the moment form ``m·S2 − S1²`` (= Σ over
+    unordered rating pairs of the squared value distance)."""
+    m_d = F.col("__m").cast("decimal(38,0)")
+    return (
+        (m_d * F.col("__s2") - F.col("__s1") * F.col("__s1"))
+        if metric in ("interval", "ordinal")
+        else (m_d * m_d - F.col("__ss"))
+    )
+
+
 def krippendorff_alpha(
     df: DataFrame,
     item_col: str,
@@ -3838,174 +4408,22 @@ def krippendorff_alpha(
     mr = int(max_raters)
     lcm = math.lcm(*range(1, mr))
     keyed = list(keys)
-    # NULL-keyed rows are EXCLUDED at entry (the keyed-join alignment
-    # convention, see kendall_tau): the kept-items semi join and the
-    # drops/u_agg/cat_agg recombination join on `keys`, which cannot
-    # match NULL = NULL — without this filter a NULL-keyed group
-    # survives the drops aggregate but loses its joined masses and
-    # reports a spurious all-zero row. coalesce the key upstream if
-    # NULL should be a real group.
-    not_null = F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
-    for c in keyed:
-        not_null = not_null & F.col(c).isNotNull()
-    base = df.where(not_null).select(
-        *keyed,
-        F.col(item_col).alias("__i"),
-        F.col(category_col).alias("__c"),
+    # NULL-keyed rows are EXCLUDED at entry (inside the shared unit
+    # state — the keyed-join alignment convention, see kendall_tau):
+    # the kept-items semi join and the drops/u_agg/cat_agg
+    # recombination join on `keys`, which cannot match NULL = NULL —
+    # without this filter a NULL-keyed group survives the drops
+    # aggregate but loses its joined masses and reports a spurious
+    # all-zero row. coalesce the key upstream if NULL should be a
+    # real group.
+    kept_items, drops, cat_agg = _krippendorff_unit_state(
+        df, item_col, category_col, keyed, mr, metric
     )
-    cells = base.groupBy(*keyed, "__i", "__c").agg(
-        F.count(F.lit(1)).cast("long").alias("__nuc")
-    )
-    nuc_d = F.col("__nuc").cast("decimal(38,0)")
-    cl = F.col("__c").cast("long")
-    if metric == "ordinal":
-        # the ordinal distance depends on the KEPT-unit marginals, so
-        # the drop filter must run before the per-unit moments: unit
-        # sizes first, then marginals → e_c, then moments over e_c
-        items_m = cells.groupBy(*keyed, "__i").agg(
-            F.sum("__nuc").cast("long").alias("__m")
-        )
-        drops = items_m.groupBy(*keyed).agg(
-            F.coalesce(
-                F.sum(F.when(F.col("__m") < 2, 1).otherwise(0)), F.lit(0)
-            )
-            .cast("long")
-            .alias("n_units_single"),
-            F.coalesce(
-                F.sum(F.when(F.col("__m") > mr, 1).otherwise(0)), F.lit(0)
-            )
-            .cast("long")
-            .alias("n_units_overflow"),
-        )
-        kept_ids = items_m.where(
-            (F.col("__m") >= 2) & (F.col("__m") <= mr)
-        ).select(*keyed, "__i")
-        kept_cells = cells.join(kept_ids, keyed + ["__i"], "left_semi")
-        # ordinal categories MUST cast to integers: a failed cast
-        # yields NULL, whose cells would silently vanish from the
-        # moment sums while items_m already counted their ratings —
-        # raise loudly instead (the DuckDB twin's CAST errors on the
-        # same input, so the engines fail consistently)
-        kept_cells = kept_cells.where(
-            F.coalesce(
-                F.assert_true(
-                    cl.isNotNull(),
-                    F.concat(
-                        F.lit(
-                            "krippendorff_alpha(metric='ordinal'): "
-                            "category not castable to long: "
-                        ),
-                        F.col("__c").cast("string"),
-                    ),
-                ),
-                F.lit(True),
-            )
-        )
-        # category marginals at the INTEGER value grain, the bounded
-        # cumulative window, and the transformed value e = 2·cum − n_c
-        cats0 = kept_cells.groupBy(*keyed, cl.alias("__clv")).agg(
-            F.sum("__nuc").cast("decimal(38,0)").alias("__nc")
-        )
-        w_cum = Window.partitionBy(*keyed).orderBy("__clv")
-        cats = cats0.select(
-            *keyed,
-            "__clv",
-            "__nc",
-            (
-                F.lit(2).cast("decimal(38,0)")
-                * F.sum("__nc").over(w_cum)
-                - F.col("__nc")
-            )
-            .cast("decimal(38,0)")
-            .alias("__e"),
-        )
-        # carry e to the cells: a category-dim equi join (≤ k rows)
-        cell_e = kept_cells.select(
-            *keyed, "__i", cl.alias("__clv"), "__nuc"
-        ).join(cats.select(*keyed, "__clv", "__e"), keyed + ["__clv"])
-        kept_items = cell_e.groupBy(*keyed, "__i").agg(
-            F.sum("__nuc").cast("long").alias("__m"),
-            F.sum(nuc_d * F.col("__e")).cast("decimal(38,0)").alias("__s1"),
-            F.sum(nuc_d * F.col("__e") * F.col("__e"))
-            .cast("decimal(38,0)")
-            .alias("__s2"),
-        )
-        cat_agg = cats.groupBy(*keyed).agg(
-            F.count(F.lit(1)).cast("long").alias("n_categories"),
-            F.coalesce(F.sum(F.col("__nc") * F.col("__e")), F.lit(0))
-            .cast("decimal(38,0)")
-            .alias("__t1"),
-            F.coalesce(
-                F.sum(F.col("__nc") * F.col("__e") * F.col("__e")),
-                F.lit(0),
-            )
-            .cast("decimal(38,0)")
-            .alias("__t2"),
-        )
-    else:
-        if metric == "interval":
-            # per-unit disagreement moments over the INTEGER label
-            # values
-            items = cells.groupBy(*keyed, "__i").agg(
-                F.sum("__nuc").cast("long").alias("__m"),
-                F.sum(nuc_d * cl).cast("decimal(38,0)").alias("__s1"),
-                F.sum(nuc_d * cl * cl).cast("decimal(38,0)").alias("__s2"),
-            )
-        else:
-            items = cells.groupBy(*keyed, "__i").agg(
-                F.sum("__nuc").cast("long").alias("__m"),
-                F.sum(nuc_d * F.col("__nuc"))
-                .cast("decimal(38,0)")
-                .alias("__ss"),
-            )
-        drops = items.groupBy(*keyed).agg(
-            F.coalesce(
-                F.sum(F.when(F.col("__m") < 2, 1).otherwise(0)), F.lit(0)
-            )
-            .cast("long")
-            .alias("n_units_single"),
-            F.coalesce(
-                F.sum(F.when(F.col("__m") > mr, 1).otherwise(0)), F.lit(0)
-            )
-            .cast("long")
-            .alias("n_units_overflow"),
-        )
-        kept_items = items.where(
-            (F.col("__m") >= 2) & (F.col("__m") <= mr)
-        )
-        kept_cells = cells.join(
-            kept_items.select(*keyed, "__i"), keyed + ["__i"], "left_semi"
-        )
-        cats = kept_cells.groupBy(*keyed, "__c").agg(
-            F.sum("__nuc").cast("decimal(38,0)").alias("__nc")
-        )
-        if metric == "interval":
-            ccl = F.col("__c").cast("long")
-            cat_agg = cats.groupBy(*keyed).agg(
-                F.count(F.lit(1)).cast("long").alias("n_categories"),
-                F.coalesce(F.sum(F.col("__nc") * ccl), F.lit(0))
-                .cast("decimal(38,0)")
-                .alias("__t1"),
-                F.coalesce(F.sum(F.col("__nc") * ccl * ccl), F.lit(0))
-                .cast("decimal(38,0)")
-                .alias("__t2"),
-            )
-        else:
-            cat_agg = cats.groupBy(*keyed).agg(
-                F.count(F.lit(1)).cast("long").alias("n_categories"),
-                F.coalesce(F.sum(F.col("__nc") * F.col("__nc")), F.lit(0))
-                .cast("decimal(38,0)")
-                .alias("__c2"),
-            )
     m_d = F.col("__m").cast("decimal(38,0)")
     # LCM div (m−1): exact — (m−1) ≤ max_raters−1 divides LCM by
     # construction; integral `div` keeps it in exact integer land
     wu = F.expr(f"CAST({lcm} AS BIGINT) div (__m - 1)")
-    du = (
-        (m_d * F.col("__s2") - F.col("__s1") * F.col("__s1"))
-        if metric in ("interval", "ordinal")
-        else (m_d * m_d - F.col("__ss"))
-    )
+    du = _krippendorff_du(metric)
     u_agg = kept_items.groupBy(*keyed).agg(
         F.count(F.lit(1)).cast("long").alias("n_units"),
         F.coalesce(F.sum(m_d), F.lit(0)).cast("long").alias("n_ratings"),
@@ -4053,6 +4471,198 @@ def krippendorff_alpha(
             de != 0, num.cast("double") / de.cast("double")
         ).alias("alpha"),
     )
+
+
+def krippendorff_disagreement_explain(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+    keys: Sequence[str] = (),
+    max_raters: int = 16,
+    metric: str = "nominal",
+) -> DataFrame:
+    """Per-UNIT disagreement drill-down for
+    :func:`krippendorff_alpha` — the rows an annotation dashboard
+    opens when α dips and someone asks WHICH units the raters fight
+    over (re-adjudication queues, guideline revision, rater-drift
+    triage all start from this list): one row per KEPT unit (same
+    m ≥ 2 / m ≤ max_raters drop filter as the scalar, same NULL
+    conventions) carrying the exact integer disagreement mass that
+    unit contributes to α's observed-disagreement numerator.
+
+    Columns: ``unit``, ``n_ratings`` (m_u), ``n_categories_unit``
+    (distinct categories voted on the unit), ``du_num`` — the
+    LCM-cleared weighted mass ``D_u·(LCM div (m_u−1))``
+    (DECIMAL(38,0); serialize as string in gate queries) — and
+    ``disagreement = D_u/(m_u·(m_u−1))``, one IEEE division of exact
+    integers: for ``metric="nominal"`` the fraction of rating pairs
+    on the unit that disagree (0 = unanimous, 1 = every pair
+    differs); for interval/ordinal half the mean squared pairwise
+    value distance (the ½ cancels inside α; kept here so
+    ``disagreement`` stays the per-pair average of the same ``D_u``
+    the scalar sums).
+
+    The drill-down contract (pinned in tests): per group,
+    ``LCM·DE − (n−1)·Σ du_num == alpha_num`` of
+    :func:`krippendorff_alpha` — these rows ARE the scalar's
+    observed-disagreement side, disaggregated, never a parallel
+    approximation that can disagree with the alert (the
+    :func:`distribution_drift_explain` idiom applied to the
+    agreement suite). Ordinal rows additionally depend on the GLOBAL
+    kept-unit marginals through the e-transform — a unit's ordinal
+    ``du_num`` can change when OTHER units' votes move, which is
+    faithful to the metric, not a bug.
+
+    Scale shape: the scalar's cells→items prefix, stopping before
+    the final aggregate — output grain = kept units. Sort consumers
+    by ``disagreement`` DESC (ties: unit) for the re-adjudication
+    queue."""
+    import math
+
+    if metric not in ("nominal", "interval", "ordinal"):
+        raise ValueError(
+            "metric must be 'nominal', 'interval' or 'ordinal', "
+            f"got {metric!r}"
+        )
+    if not 3 <= max_raters <= 42:
+        raise ValueError(
+            f"max_raters must be in 3..42 (lcm(1..max_raters-1) must "
+            f"fit BIGINT), got {max_raters}"
+        )
+    mr = int(max_raters)
+    lcm = math.lcm(*range(1, mr))
+    keyed = list(keys)
+    kept_items, _drops, _cat_agg = _krippendorff_unit_state(
+        df, item_col, category_col, keyed, mr, metric
+    )
+    wu = F.expr(f"CAST({lcm} AS BIGINT) div (__m - 1)")
+    du = _krippendorff_du(metric)
+    m_d = F.col("__m").cast("decimal(38,0)")
+    pairs = (m_d * (m_d - 1)).cast("decimal(38,0)")
+    return kept_items.select(
+        *keyed,
+        F.col("__i").alias("unit"),
+        F.col("__m").cast("long").alias("n_ratings"),
+        F.col("__kc").cast("long").alias("n_categories_unit"),
+        (du * wu).cast("decimal(38,0)").alias("du_num"),
+        (du.cast("double") / pairs.cast("double")).alias("disagreement"),
+    )
+
+
+def krippendorff_explain_sql(
+    item_sql: str,
+    category_sql: str,
+    table: str,
+    keys: Sequence[str] = (),
+    max_raters: int = 16,
+    metric: str = "nominal",
+) -> str:
+    """DuckDB twin of :func:`krippendorff_disagreement_explain` —
+    same cells→kept-units prefix as :func:`krippendorff_alpha_sql`,
+    same LCM-cleared per-unit mass; ``du_num`` serializes as
+    VARCHAR."""
+    import math
+
+    if metric not in ("nominal", "interval", "ordinal"):
+        raise ValueError(
+            "metric must be 'nominal', 'interval' or 'ordinal', "
+            f"got {metric!r}"
+        )
+    if not 3 <= max_raters <= 42:
+        raise ValueError(
+            f"max_raters must be in 3..42, got {max_raters}"
+        )
+    mr = int(max_raters)
+    lcm = math.lcm(*range(1, mr))
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    kgrp_ic = f"{kcols}, i, c" if keyed else "i, c"
+    kgrp_i = f"{kcols}, i" if keyed else "i"
+    key_nn = "".join(f" AND ({c}) IS NOT NULL" for c in keyed)
+    select_unit = f"""
+    SELECT {kpre}i AS unit, m AS n_ratings, kc AS n_categories_unit,
+           CAST({{du}} * ({lcm}::HUGEINT // (m - 1)) AS VARCHAR) AS du_num,
+           CAST({{du}} AS DOUBLE)
+             / CAST(m::HUGEINT * (m - 1) AS DOUBLE) AS disagreement
+    FROM kept
+    """
+    if metric == "ordinal":
+        kgrp_iclv = f"{kcols}, i, clv" if keyed else "i, clv"
+        kgrp_c = f"{kcols}, clv" if keyed else "clv"
+        using_i = f"USING ({kpre}i)" if keyed else "USING (i)"
+        using_c = f"USING ({kpre}clv)" if keyed else "USING (clv)"
+        part = f"PARTITION BY {kcols}" if keyed else "PARTITION BY 1"
+        return f"""
+    WITH cells AS (
+      SELECT {kpre}{item_sql} AS i, CAST({category_sql} AS BIGINT) AS clv,
+             CAST(count(*) AS BIGINT) AS nuc
+      FROM {table}
+      WHERE ({item_sql}) IS NOT NULL AND ({category_sql}) IS NOT NULL
+        {key_nn}
+      GROUP BY {kgrp_iclv}
+    ),
+    items_m AS (
+      SELECT {kpre}i, CAST(sum(nuc) AS BIGINT) AS m
+      FROM cells GROUP BY {kgrp_i}
+    ),
+    kept_cells AS (
+      SELECT c.* FROM cells c
+      SEMI JOIN (SELECT {kpre}i FROM items_m
+                 WHERE m >= 2 AND m <= {mr}) t {using_i}
+    ),
+    cats AS (
+      SELECT {kpre}clv, sum(nuc)::HUGEINT AS nc
+      FROM kept_cells GROUP BY {kgrp_c}
+    ),
+    cats_e AS (
+      SELECT {kpre}clv, nc,
+             2 * sum(nc) OVER ({part} ORDER BY clv) - nc AS e
+      FROM cats
+    ),
+    cell_e AS (
+      SELECT {kpre}i, nuc, e
+      FROM kept_cells JOIN cats_e {using_c}
+    ),
+    kept AS (
+      SELECT {kpre}i, CAST(sum(nuc) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS kc,
+             sum(nuc::HUGEINT * e) AS s1,
+             sum(nuc::HUGEINT * e * e) AS s2
+      FROM cell_e GROUP BY {kgrp_i}
+    )
+    {select_unit.format(du="(m::HUGEINT * s2 - s1 * s1)")}
+    """
+    if metric == "interval":
+        item_moments = (
+            "sum(nuc::HUGEINT * CAST(c AS BIGINT)) AS s1,\n"
+            "             sum(nuc::HUGEINT * CAST(c AS BIGINT)"
+            " * CAST(c AS BIGINT)) AS s2"
+        )
+        du_sql = "(m::HUGEINT * s2 - s1 * s1)"
+    else:
+        item_moments = "sum(nuc::HUGEINT * nuc) AS ss"
+        du_sql = "(m::HUGEINT * m - ss)"
+    return f"""
+    WITH cells AS (
+      SELECT {kpre}{item_sql} AS i, {category_sql} AS c,
+             CAST(count(*) AS BIGINT) AS nuc
+      FROM {table}
+      WHERE ({item_sql}) IS NOT NULL AND ({category_sql}) IS NOT NULL
+        {key_nn}
+      GROUP BY {kgrp_ic}
+    ),
+    items AS (
+      SELECT {kpre}i, CAST(sum(nuc) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS kc,
+             {item_moments}
+      FROM cells GROUP BY {kgrp_i}
+    ),
+    kept AS (
+      SELECT * FROM items WHERE m >= 2 AND m <= {mr}
+    )
+    {select_unit.format(du=du_sql)}
+    """
 
 
 def krippendorff_alpha_sql(

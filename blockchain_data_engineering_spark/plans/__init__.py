@@ -152,6 +152,40 @@ GATE_ORDER = [
     #    (r8/r9/r10-green — the metadata-grain file-layout family
     #    stays gate-run by lake_compaction_plan; the min/max skipping
     #    decisions stay pinned in pytest parity).
+    #    Batch 3 — the drill-down/serving completions: the r10/r11
+    #    scalar gates say THAT something moved; these rows say WHICH
+    #    class/unit, and the store's last scalar read gets its row.
+    #    (8) ml_class_report — per-class precision/recall/F1 rows
+    #    whose f1_num/tp SUM to the macro-F1/accuracy scalars
+    #    integer-for-integer (pinned in pytest). Displaced:
+    #    ml_log_loss (r10-green — the literal log-quanta table family
+    #    stays gate-run by ml_log_loss_multiclass, same table + clamp
+    #    convention; the binary two-arm algebra stays pinned in
+    #    pytest parity).
+    #    (9) ml_agreement_explain — the per-unit Krippendorff
+    #    disagreement drill-down (top-100 re-adjudication queue);
+    #    contract: LCM·DE − (n−1)·Σ du_num == alpha_num. Displaced:
+    #    ml_krippendorff_interval (r10-green — the moment-identity
+    #    family stays gate-run by ml_krippendorff_ordinal, which IS
+    #    the interval form over the e-transform, and the kept-unit
+    #    prefix by this explain gate; the raw-label moment algebra
+    #    stays pinned in pytest parity).
+    #    (10) ml_ece_top_label — the k-class calibration read
+    #    (argmax-class confidence vs hit rate, Guo et al. 2017).
+    #    Displaced: dq_distribution_js (r10-green — the quantized-
+    #    share drift family stays gate-run by dq_distribution_kl +
+    #    dq_drift_explain on the same grain and ln table; the 2G-grid
+    #    mixture algebra stays pinned in pytest parity).
+    #    (11) ml_ari_from_store — the cell store's pair-counting
+    #    serving path (the fourth reader). Displaced:
+    #    agg_heavy_hitters_phi (r8/r9/r10-green — the Misra–Gries
+    #    family stays gate-run by agg_heavy_hitters_merged, whose
+    #    merge replays the build; the φ-threshold scan stays pinned
+    #    in pytest parity).
+    "ml_class_report",
+    "ml_agreement_explain",
+    "ml_ece_top_label",
+    "ml_ari_from_store",
     "ml_log_loss_multiclass",
     "dq_distribution_kl",
     "ml_label_mi",
@@ -222,9 +256,6 @@ GATE_ORDER = [
     #    conditional-count grain by ml_pr_curve; the pairwise-root
     #    two-IEEE-sqrt trick stays pinned in pytest parity +
     #    test_r9_ops known values).
-    "ml_log_loss",
-    "dq_distribution_js",
-    "ml_krippendorff_interval",
     # -- new in round 9 (unrowed, front-loaded). The eval family's last
     #    two asked-for scalars close EXACTLY (r8 verdict asks #2/#3),
     #    plus the completions the asks' shapes imply:
@@ -297,7 +328,6 @@ GATE_ORDER = [
     #    pair ranking and the heavy-hitter build's explode→count; the
     #    PMI log-free ratio algebra stays pinned in pytest parity).
     "ml_kendall_tau",
-    "agg_heavy_hitters_phi",
     # -- new in round 8 (unrowed, front-loaded). The merge tier of the
     #    r7 operators moves under the official value hash, and the two
     #    remaining family gaps close:
@@ -619,6 +649,35 @@ assert len(GATE_ORDER) == 50, len(GATE_ORDER)
 # the same operator shape in the current gate; q itself stays fully
 # DuckDB-parity-checked in pytest (EXTRA_QUERIES, test_oracle_parity).
 WITNESSES: dict[str, list[str]] = {
+    # --- demoted in the r11 batch-3 rotation (in exchange for the
+    #     per-class report, the per-unit agreement drill-down,
+    #     top-label ECE and the store's ARI read) ---
+    # the literal log-quanta table family stays gate-run by the
+    # k-class gate (same log_loss_table, same one-sided eps-clamp +
+    # n_clamped convention, same broadcast-dim lookup plan); the
+    # binary two-arm (T_pos/T_neg) algebra stays pinned in pytest
+    # parity + the fractional-score twin-divergence regression
+    "ml_log_loss": ["ml_log_loss_multiclass"],
+    # the quantized-share drift family stays gate-run by the
+    # directional KL gate + the per-category drift drill-down on the
+    # SAME _drift_share_grain and psi_ln_table; the 2G-grid mixture
+    # algebra (0·ln0 on the integer side, disjoint → exactly ln 2)
+    # stays pinned in pytest parity
+    "dq_distribution_js": ["dq_distribution_kl", "dq_drift_explain"],
+    # the moment-identity family stays gate-run by the ordinal gate —
+    # which IS the interval form over the e-transform (uniform
+    # marginals ⇒ equality, pinned) — and the cells→kept-units prefix
+    # runs verbatim in the agreement-explain gate; the raw-label
+    # moment algebra stays pinned in pytest parity
+    "ml_krippendorff_interval": [
+        "ml_krippendorff_ordinal",
+        "ml_agreement_explain",
+    ],
+    # the Misra–Gries family stays gate-run by the merged-tier gate
+    # (whose oracle replays BOTH half-builds + the merge algebra);
+    # the φ = 1/(k+1) guaranteed-vs-candidate decision scan stays
+    # pinned in pytest parity
+    "agg_heavy_hitters_phi": ["agg_heavy_hitters_merged"],
     # --- demoted in the r11 rotation (in exchange for the k-class
     #     objective, directional KL, ordinal alpha, label MI and the
     #     macro-F1 store read) ---

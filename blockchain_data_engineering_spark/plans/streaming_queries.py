@@ -579,3 +579,89 @@ def ml_macro_f1_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(store, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Eval-cell store serving path, ARI read (r11): the SAME maintained
+# (actual, predicted) cell store the kappa and macro-F1 gates drive,
+# read through its pair-counting statistic — adjusted Rand
+# (eval_cells_store_ari → adjusted_rand_from_cells). Pair binomials
+# C(n,2) are NOT additive across batches — which is exactly why the
+# store maintains CELLS and derives the statistic at read time; this
+# gate pins that the summed-delta cells feed the cleared-binomial
+# algebra bit-identically (oracle replays per-half cells + store sum
+# + the adjusted_rand_from_cells_sql twin). Unlike the kappa read,
+# the ARI algebra is ONE tagged-union aggregation with zero joins —
+# no compose BNLJ to whitelist. Same real parquet _batch_id deltas,
+# same localCheckpoint + rmtree store hygiene.
+# ---------------------------------------------------------------------------
+def _ari_store_oracle() -> str:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        adjusted_rand_from_cells_sql,
+    )
+    from blockchain_data_engineering_spark.plans.parity import (
+        md5_bucket_sql,
+    )
+    from blockchain_data_engineering_spark.plans.text_queries import (
+        _langid_oracle,
+    )
+
+    parity = md5_bucket_sql("CAST(doc_id AS VARCHAR)", 2)
+    half = lambda b: f"""
+      SELECT CAST(lang_declared AS VARCHAR) AS actual,
+             CAST(lang_pred AS VARCHAR) AS predicted,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ({_langid_oracle()})
+      WHERE {parity} = {b}
+      GROUP BY 1, 2
+    """
+    store = f"({half(0)} UNION ALL {half(1)})"
+    return adjusted_rand_from_cells_sql(store)
+
+
+@query("ml_ari_from_store", oracle=_ari_store_oracle())
+def ml_ari_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from blockchain_data_engineering_spark.operators import text as TX
+    from blockchain_data_engineering_spark.streaming.sketches import (
+        eval_cells_delta_sink,
+        eval_cells_store_ari,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    facts = docs.select(
+        F.col("lang").alias("actual"),
+        TX.lang_id(F.col("text")).alias("predicted"),
+        # first-two-hex-digits md5 parity — the md5_bucket_sql twin
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("__half"),
+    )
+    store = tempfile.mkdtemp(prefix="eval_cells_store_ari_q_")
+    try:
+        sink = eval_cells_delta_sink(store, "actual", "predicted")
+        for batch_id in (0, 1):
+            sink(facts.where(F.col("__half") == batch_id), batch_id)
+        out = (
+            eval_cells_store_ari(spark, store)
+            .select(
+                "n",
+                "n_classes_actual",
+                "n_classes_predicted",
+                F.col("ari_num").cast("string").alias("ari_num"),
+                F.col("ari_den").cast("string").alias("ari_den"),
+                "ari",
+                "rand_index",
+            )
+            # sever from the store dir we delete (the crash-recovery
+            # gate's pattern) — bench/parity re-runs must not
+            # accumulate leaked temp parquet stores
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out

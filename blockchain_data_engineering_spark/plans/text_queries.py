@@ -2999,3 +2999,237 @@ def ml_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         cells,
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-class classification report (r11): the drill-down behind the
+# macro-F1 scalar — one row per (lang_declared class) with
+# support/tp/fp/fn, precision, recall, F1 and the SAME floor-quantized
+# f1_num the macro mean sums (operators/ml_eval.py
+# multiclass_class_report). The drill-down contract (pinned in
+# pytest): sum(f1_num) == macro_f1_num and sum(tp)/sum(support) ==
+# accuracy of the ml_macro_f1_from_store algebra — these rows ARE the
+# scalar gate, disaggregated; when macro-F1 dips, they say WHICH
+# class failed and WHETHER by precision (the filter over-fires into
+# the class) or recall (the class leaks away). Same lang-vs-lang-ID
+# cells as kappa/macro-F1/MI/ARI.
+# ---------------------------------------------------------------------------
+def _class_report_oracle() -> str:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        multiclass_class_report_sql,
+    )
+
+    return multiclass_class_report_sql(
+        "lang_declared", "lang_pred", f"({_langid_oracle()})"
+    )
+
+
+@query("ml_class_report", oracle=_class_report_oracle())
+def ml_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        multiclass_class_report_from_cells,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # pre-aggregate to the ≤ k² cell grain and persist: the from-cells
+    # flow references the cells twice (actual + predicted marginals)
+    # and an un-materialized reference would re-run the lang-ID
+    # classifier per reference (the lineage-blowup class); finalize
+    # releases the cache in-call
+    cells = (
+        docs.groupBy(
+            F.col("lang").alias("actual"),
+            TX.lang_id(F.col("text")).alias("predicted"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    out = multiclass_class_report_from_cells(cells)
+    return finalize(
+        out.select(
+            "class",
+            "support",
+            "tp",
+            "fp",
+            "fn",
+            "precision",
+            "recall",
+            "f1",
+            F.col("f1_num").cast("string").alias("f1_num"),
+        ),
+        cells,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-unit agreement drill-down (r11): the re-adjudication queue
+# behind the Krippendorff gates — the SAME deliberately-ragged
+# three-rater construction as ml_krippendorff (declared label on
+# every doc, full-text lang-ID on docs ≥ 60 chars, 80-char-prefix
+# lang-ID on docs ≥ 200 chars), stopped one aggregate short: one row
+# per kept unit carrying the exact LCM-cleared disagreement mass
+# du_num that unit contributes to alpha's observed-disagreement
+# numerator (operators/ml_eval.py krippendorff_disagreement_explain;
+# contract pinned in pytest: LCM·DE − (n−1)·Σ du_num == alpha_num).
+# The gate serves the top-100 most-disputed units — disagreement
+# DESC, ties by (lang, unit) so the cut is deterministic under the
+# value hash (disagreement is one IEEE division of exact integers,
+# bit-identical per engine).
+# ---------------------------------------------------------------------------
+_EXPLAIN_TOP = 100
+
+
+def _agreement_explain_oracle() -> str:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        krippendorff_explain_sql,
+    )
+
+    full_docs = (
+        "(SELECT doc_id, lang, text FROM documents"
+        f" WHERE n_chars >= {_KRIPP_FULL_MIN})"
+    )
+    prefix_docs = (
+        f"(SELECT doc_id, lang, substr(text, 1, {_FLEISS_PREFIX}) AS text"
+        f" FROM documents WHERE n_chars >= {_KRIPP_PREFIX_MIN})"
+    )
+    votes = f"""(
+      SELECT lang, doc_id AS item, lang AS cat FROM documents
+      UNION ALL
+      SELECT lang_declared AS lang, doc_id, lang_pred
+      FROM ({_langid_oracle(full_docs)})
+      UNION ALL
+      SELECT lang_declared AS lang, doc_id, lang_pred
+      FROM ({_langid_oracle(prefix_docs)})
+    )"""
+    inner = krippendorff_explain_sql(
+        "item", "cat", votes, ["lang"], max_raters=_KRIPP_MAX_RATERS
+    )
+    return f"""
+    SELECT * FROM ({inner})
+    ORDER BY disagreement DESC, lang, unit
+    LIMIT {_EXPLAIN_TOP}
+    """
+
+
+@query("ml_agreement_explain", oracle=_agreement_explain_oracle())
+def ml_agreement_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        krippendorff_disagreement_explain,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vote = lambda df_, cat: df_.select(  # noqa: E731
+        "lang", F.col("doc_id").alias("item"), cat.alias("cat")
+    )
+    votes = (
+        vote(docs, F.col("lang"))
+        .unionByName(
+            vote(
+                docs.where(F.col("n_chars") >= _KRIPP_FULL_MIN),
+                TX.lang_id(F.col("text")),
+            )
+        )
+        .unionByName(
+            vote(
+                docs.where(F.col("n_chars") >= _KRIPP_PREFIX_MIN),
+                TX.lang_id(F.substring(F.col("text"), 1, _FLEISS_PREFIX)),
+            )
+        )
+    )
+    # persist: the two lang-ID legs are the expensive part and the
+    # cells→items recombination references the union several times
+    # (the ml_krippendorff gate's note); finalize releases in-call
+    votes = votes.persist()
+    out = krippendorff_disagreement_explain(
+        votes, "item", "cat", keys=["lang"], max_raters=_KRIPP_MAX_RATERS
+    )
+    return finalize(
+        out.select(
+            "lang",
+            "unit",
+            "n_ratings",
+            "n_categories_unit",
+            F.col("du_num").cast("string").alias("du_num"),
+            "disagreement",
+        )
+        .orderBy(F.desc("disagreement"), "lang", "unit")
+        .limit(_EXPLAIN_TOP),
+        votes,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-label ECE (r11): the k-class calibration read the binary ECE
+# gate cannot express — "is the confidence the model ACTS on (its
+# argmax class) honest", Guo et al. 2017 (operators/ml_eval.py
+# ece_top_label). The candidate grid is documents × the distinct
+# declared languages (a ≤ k-row broadcast dim — the ONE audited
+# nested-loop join this gate plans), scored by the engine's portable
+# deterministic-draw idiom: md5(doc_id | class) mod (s_max+1) — for
+# the TRUE class this is exactly the ml_log_loss_multiclass scorer,
+# so the two k-class gates read the same model. The argmax breaks
+# score ties by class ASC (row_number — md5 scores collide ~k²/2/1001
+# of the time, so the tie arm is exercised under the value hash);
+# keyed by declared lang = per-true-class calibration rows. Exact
+# integer ece_num, string-serialized.
+# ---------------------------------------------------------------------------
+_ETL_SMAX = 1000
+_ETL_BINS = 10
+
+
+def _ece_top_label_oracle() -> str:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        ece_top_label_sql,
+    )
+
+    grid = (
+        "(SELECT d.doc_id, d.lang, c.cls FROM documents d"
+        " CROSS JOIN (SELECT DISTINCT lang AS cls FROM documents) c)"
+    )
+    score = (
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || cls),"
+        f" 1, 15) AS BIGINT) % {_ETL_SMAX + 1}"
+    )
+    return ece_top_label_sql(
+        "doc_id", "cls", score, "lang", _ETL_SMAX, _ETL_BINS, grid, ["lang"]
+    )
+
+
+@query("ml_ece_top_label", oracle=_ece_top_label_oracle())
+def ml_ece_top_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        ece_top_label,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    classes = docs.select(F.col("lang").alias("cls")).distinct()
+    grid = docs.select("doc_id", "lang").crossJoin(F.broadcast(classes))
+    score = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("|"),
+                        F.col("cls"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (_ETL_SMAX + 1)
+    )
+    out = ece_top_label(
+        grid.select("lang", "doc_id", "cls", score.alias("s")),
+        "doc_id",
+        "cls",
+        "s",
+        "lang",
+        s_max=_ETL_SMAX,
+        n_bins=_ETL_BINS,
+        keys=["lang"],
+    )
+    return out.withColumn("ece_num", F.col("ece_num").cast("string"))

@@ -329,3 +329,23 @@ def eval_cells_store_macro_f1(
     return multiclass_macro_f1_from_cells(
         eval_cells_store_cells(spark, store_path)
     )
+
+
+def eval_cells_store_ari(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """Adjusted Rand index (+ Rand index and the exact integer
+    numerators) of the WHOLE stream so far, from the same cell store
+    — the pair-counting clustering-agreement read
+    (``operators/ml_eval.adjusted_rand_from_cells``), the fourth
+    derivable statistic of the one maintained ≤ k²-row state (kappa,
+    macro-F1/accuracy, MI, ARI). Pair binomials are NOT additive
+    across batches, but the CELLS are — which is exactly why the
+    store maintains cells, never the statistic."""
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        adjusted_rand_from_cells,
+    )
+
+    return adjusted_rand_from_cells(
+        eval_cells_store_cells(spark, store_path)
+    )

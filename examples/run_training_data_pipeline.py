@@ -354,6 +354,18 @@ def main(sf_dir: str) -> None:
     lari = adjusted_rand_index(
         feats, F.col("lang"), F.col("lang_pred")
     ).first()
+    # r11: the per-class drill-down behind the scalars — WHICH
+    # language the heuristic fails on, and whether by precision
+    # (over-fires into the class) or recall (the class leaks away)
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        multiclass_class_report,
+    )
+
+    worst_cls = (
+        multiclass_class_report(feats, F.col("lang"), F.col("lang_pred"))
+        .orderBy(F.col("f1").asc(), F.col("class"))
+        .first()
+    )
     # r10: ordinal agreement between the 0-5 quality TIER and a 0-5
     # length tier — quadratic weights score distance² on the scale,
     # where plain kappa would treat 4-vs-5 like 0-vs-5
@@ -444,6 +456,14 @@ def main(sf_dir: str) -> None:
         f"lang-ID vs declared ARI: {fmt(lari.ari, '.3f')} "
         f"(rand index {fmt(lari.rand_index, '.3f')}, exact pair counting)"
     )
+    if worst_cls is not None:
+        print(
+            f"weakest lang-ID class:  {worst_cls['class']} "
+            f"(F1 {fmt(worst_cls.f1, '.3f')}, "
+            f"P {fmt(worst_cls.precision, '.3f')}, "
+            f"R {fmt(worst_cls.recall, '.3f')}, "
+            f"support {worst_cls.support})"
+        )
     print(
         f"quality-score ECE:      {fmt(cal.ece, '.4f')} "
         f"({cal.n_bins_used} bins over {cal.n} docs)"

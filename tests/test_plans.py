@@ -112,7 +112,12 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
                     # broadcast onto the 128-row file-stats listing —
                     # metadata grain by construction (zone-map pruning
                     # is footer-stats arithmetic, never data)
-                    "lake_zonemap_pruning"}
+                    "lake_zonemap_pruning",
+                    # r11: the top-label ECE candidate grid — documents
+                    # × the DISTINCT declared languages, a ≤ k-row
+                    # broadcast dim by construction (the per-item
+                    # class-score expansion every k-class argmax needs)
+                    "ml_ece_top_label"}
     for name in sorted(QUERIES):
         plan = _plan(spark, sf_dir, name)
         if name not in allowed_python:

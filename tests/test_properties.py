@@ -1908,3 +1908,87 @@ def test_adjusted_rand_cleared_integers_match_textbook(pairs):
     # rand index bounds
     ri = (t + 2 * s - a - b) / t
     assert -1e-12 <= ri <= 1.0 + 1e-12
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=1,
+        max_size=250,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_class_report_integers_match_textbook(pairs):
+    """The per-class report integers (r11 batch 3): tp/fp/fn/support
+    reconstruct the confusion exactly, precision/recall/F1 match the
+    sklearn formulas, and the floor-quantized f1_num loses < 1 quantum
+    per class — so the macro mean the scalar gate sums is within
+    |classes|/10^9 of the float macro-F1."""
+    from collections import Counter
+
+    cell = Counter(pairs)
+    am = Counter(a for a, _ in pairs)
+    pm = Counter(p for _, p in pairs)
+    scale = 10**9
+    f1_nums = []
+    for c in sorted(am):
+        tp = cell.get((c, c), 0)
+        support = am[c]
+        pred_total = pm.get(c, 0)
+        fp = pred_total - tp
+        fn = support - tp
+        assert fp >= 0 and fn >= 0 and tp + fn == support
+        f1_float = 2 * tp / (support + pred_total)
+        f1q = (2 * tp * scale) // (support + pred_total)
+        f1_nums.append(f1q)
+        assert 0 <= f1_float - f1q / scale < 1 / scale
+        if pred_total:
+            prec = tp / pred_total
+            rec = tp / support
+            if prec + rec:
+                assert abs(f1_float - 2 * prec * rec / (prec + rec)) < 1e-12
+    macro_float = sum(2 * cell.get((c, c), 0) / (am[c] + pm.get(c, 0))
+                      for c in am) / len(am)
+    assert abs(sum(f1_nums) / (len(am) * scale) - macro_float) < len(am) / scale
+
+
+@given(
+    ballots=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=4), min_size=2, max_size=5
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_krippendorff_per_unit_du_matches_pair_sums(ballots):
+    """The explain reader's per-unit mass D_u (r11 batch 3) equals the
+    explicit pair sums it compresses: nominal m² − Σn_c² = the count
+    of ORDERED rating pairs that disagree; interval 2·(m·S2 − S1²) =
+    Σ over ordered pairs of the squared value distance. So the
+    drill-down's `disagreement` column is exactly the per-pair
+    average the docstring claims."""
+    for votes in ballots:
+        m = len(votes)
+        from collections import Counter
+
+        cnt = Counter(votes)
+        du_nom = m * m - sum(v * v for v in cnt.values())
+        explicit_nom = sum(
+            1
+            for i in range(m)
+            for j in range(m)
+            if i != j and votes[i] != votes[j]
+        )
+        assert du_nom == explicit_nom
+        s1 = sum(votes)
+        s2 = sum(v * v for v in votes)
+        du_int = m * s2 - s1 * s1
+        explicit_int = sum(
+            (votes[i] - votes[j]) ** 2 for i in range(m) for j in range(m)
+        )
+        assert 2 * du_int == explicit_int

@@ -775,3 +775,314 @@ def test_r11_batch2_plan_shapes(spark, sf_dir):
     p = _plan(spark, sf_dir, "dq_drift_explain")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p  # the ln-table lookups
+
+
+# ---------------------------------------------------------------------------
+# per-class classification report (batch 3): the drill-down must SUM
+# to the macro scalars
+# ---------------------------------------------------------------------------
+def test_class_report_known_values(spark):
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        multiclass_class_report,
+    )
+
+    # confusion: en{en:3, fr:1}, fr{fr:2, zz:1} — 'zz' predicted-only
+    rows = (
+        [("en", "en")] * 3 + [("en", "fr")] + [("fr", "fr")] * 2
+        + [("fr", "zz")]
+    )
+    df = spark.createDataFrame(rows, "a string, p string")
+    rep = {
+        r["class"]: r
+        for r in multiclass_class_report(
+            df, F.col("a"), F.col("p")
+        ).collect()
+    }
+    # 'zz' has no actual support -> no row; its mass is fr's fp? no —
+    # zz was PREDICTED for an fr-actual row, so it is fr's fn side,
+    # and zz itself (never actual) gets no recall row
+    assert set(rep) == {"en", "fr"}
+    en, fr = rep["en"], rep["fr"]
+    assert (en.support, en.tp, en.fp, en.fn) == (4, 3, 0, 1)
+    assert (fr.support, fr.tp, fr.fp, fr.fn) == (3, 2, 1, 1)
+    assert en.precision == 1.0 and en.recall == 0.75
+    assert fr.precision == 2 / 3 and fr.recall == 2 / 3
+    assert en.f1 == 2 * 3 / (4 + 3) and fr.f1 == 2 * 2 / (3 + 3)
+    # never-predicted actual class: precision NULL, f1 = 0 via
+    # support-only denominator
+    df2 = spark.createDataFrame(
+        [("a", "b"), ("b", "b")], "a string, p string"
+    )
+    rep2 = {
+        r["class"]: r
+        for r in multiclass_class_report(
+            df2, F.col("a"), F.col("p")
+        ).collect()
+    }
+    assert rep2["a"].precision is None and rep2["a"].f1 == 0.0
+    assert rep2["a"].fp == 0 and rep2["a"].fn == 1
+
+
+def test_class_report_sums_to_macro_scalars(spark):
+    """The drill-down contract: sum(f1_num) == macro_f1_num and
+    sum(tp)/sum(support) == accuracy, integer-for-integer — the rows
+    ARE the scalar, disaggregated."""
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        multiclass_class_report,
+        multiclass_macro_f1,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    cls = ["en", "fr", "de", "es", "zz"]
+    rows = [
+        ("g%d" % (i % 3), rng.choice(cls[:4]), rng.choice(cls))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k string, a string, p string")
+    rep = multiclass_class_report(
+        df, F.col("a"), F.col("p"), keys=["k"]
+    ).collect()
+    mac = {
+        r["k"]: r
+        for r in multiclass_macro_f1(
+            df, F.col("a"), F.col("p"), keys=["k"]
+        ).collect()
+    }
+    sums = defaultdict(lambda: [0, 0, 0, 0])
+    for r in rep:
+        s = sums[r["k"]]
+        s[0] += int(r["f1_num"])
+        s[1] += r["tp"]
+        s[2] += r["support"]
+        s[3] += 1
+    for k, m in mac.items():
+        assert sums[k][0] == int(m["macro_f1_num"])
+        assert sums[k][1] / sums[k][2] == m["accuracy"]
+        assert sums[k][3] == m["n_classes"]
+
+
+def test_class_report_excludes_null_keys_and_repartition(spark):
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        multiclass_class_report_from_cells,
+    )
+
+    cells = spark.createDataFrame(
+        [(None, "a", "a", 10), ("g", "a", "a", 8), ("g", "a", "b", 2)],
+        "k string, actual string, predicted string, n long",
+    )
+    rows = multiclass_class_report_from_cells(cells, keys=["k"]).collect()
+    assert {r["k"] for r in rows} == {"g"}
+    base = rows[0]
+    for parts in (1, 7):
+        again = multiclass_class_report_from_cells(
+            cells.repartition(parts), keys=["k"]
+        ).collect()
+        assert sorted(map(tuple, again)) == [tuple(base)]
+
+
+# ---------------------------------------------------------------------------
+# top-label ECE (batch 3)
+# ---------------------------------------------------------------------------
+def _py_ece_top(items, s_max, n_bins):
+    """Pure-python top-label ECE: argmax (score desc, class asc),
+    then the binned |acc − conf| sum."""
+    binned = defaultdict(lambda: [0, 0, 0])  # nb, pos, ssum
+    for act, scores in items:
+        cls, s = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        b = min(s * n_bins // s_max, n_bins - 1)
+        binned[b][0] += 1
+        binned[b][1] += 1 if cls == act else 0
+        binned[b][2] += s
+    n = sum(v[0] for v in binned.values())
+    num = sum(abs(s_max * pos - ssum) for _, pos, ssum in binned.values())
+    return num / (n * s_max), n
+
+
+def test_ece_top_label_known_values(spark):
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        ece_top_label,
+    )
+
+    items = [
+        ("en", {"en": 900, "fr": 100}),
+        ("fr", {"en": 600, "fr": 400}),
+        ("en", {"en": 500, "fr": 500}),  # tie -> 'en' (class ASC) = hit
+        ("de", {"en": 300, "de": 300}),  # tie -> 'de' < 'en' ASC = hit
+    ]
+    rows = [
+        (i, c, s, act)
+        for i, (act, scores) in enumerate(items)
+        for c, s in scores.items()
+    ]
+    df = spark.createDataFrame(rows, "item long, cls string, s long, act string")
+    out = ece_top_label(df, "item", "cls", "s", "act", 1000, 10).collect()[0]
+    ref, n = _py_ece_top(items, 1000, 10)
+    assert out.n == n == 4
+    assert abs(out.ece - ref) < 1e-12
+    # out-of-range candidate scores are excluded BEFORE the argmax:
+    # the item keeps its best VALID candidate, not no candidate
+    df2 = spark.createDataFrame(
+        [(0, "a", 1500, "a"), (0, "b", 700, "a")],
+        "item long, cls string, s long, act string",
+    )
+    o2 = ece_top_label(df2, "item", "cls", "s", "act", 1000, 10).collect()[0]
+    assert o2.n == 1
+    # argmax fell to 'b' (the valid 700), a miss: acc 0, conf 0.7
+    assert int(o2.ece_num) == abs(1000 * 0 - 700)
+
+
+def test_ece_top_label_determinism_under_repartition(spark):
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        ece_top_label,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, c, rng.randint(0, 1000), rng.choice("abcd"))
+        for i in range(150)
+        for c in "abcd"
+    ]
+    df = spark.createDataFrame(rows, "item long, cls string, s long, act string")
+    base = ece_top_label(df, "item", "cls", "s", "act", 1000, 10).collect()
+    for parts in (1, 13):
+        again = ece_top_label(
+            df.repartition(parts), "item", "cls", "s", "act", 1000, 10
+        ).collect()
+        assert again == base
+
+
+# ---------------------------------------------------------------------------
+# per-unit Krippendorff disagreement drill-down (batch 3)
+# ---------------------------------------------------------------------------
+def test_krippendorff_explain_known_values(spark):
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        krippendorff_disagreement_explain,
+    )
+
+    # unit 1: {a,a,b} m=3 du=9-5=4 (ordered disagreeing pairs),
+    # disagreement 4/6; unit 2: {a,a} unanimous; unit 3: single
+    # (dropped); unit 4: 5 votes > max_raters=4 (dropped)
+    votes = (
+        [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "a"), (3, "a")]
+        + [(4, "a")] * 5
+    )
+    df = spark.createDataFrame(votes, "item long, cat string")
+    rows = {
+        r["unit"]: r
+        for r in krippendorff_disagreement_explain(
+            df, "item", "cat", max_raters=4
+        ).collect()
+    }
+    assert set(rows) == {1, 2}
+    lcm = math.lcm(1, 2, 3)
+    u1 = rows[1]
+    assert u1.n_ratings == 3 and u1.n_categories_unit == 2
+    assert int(u1.du_num) == 4 * (lcm // 2)
+    assert u1.disagreement == 4 / 6
+    u2 = rows[2]
+    assert int(u2.du_num) == 0 and u2.disagreement == 0.0
+    # interval: unit {0, 2} -> du = m*S2 - S1^2 = 2*4 - 4 = 4
+    # (= unordered pair squared distance (0-2)^2 = 4), /(m(m-1)) = 2
+    df2 = spark.createDataFrame([(1, 0), (1, 2)], "item long, cat long")
+    r2 = krippendorff_disagreement_explain(
+        df2, "item", "cat", max_raters=4, metric="interval"
+    ).collect()[0]
+    assert int(r2.du_num) == 4 * (lcm // 1) and r2.disagreement == 2.0
+
+
+@pytest.mark.parametrize("metric", ["nominal", "interval", "ordinal"])
+def test_krippendorff_explain_sums_to_alpha(spark, metric):
+    """The drill-down contract: alpha_den − (n_ratings − 1)·Σ du_num
+    == alpha_num, per group — the per-unit rows ARE the scalar's
+    observed-disagreement side."""
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        krippendorff_disagreement_explain,
+    )
+
+    import random
+
+    rng = random.Random(17)
+    votes = []
+    for u in range(60):
+        for _ in range(rng.choice([1, 2, 3, 4, 5])):
+            votes.append(("g%d" % (u % 2), u, rng.randint(0, 4)))
+    df = spark.createDataFrame(votes, "k string, item long, cat long")
+    al = {
+        r["k"]: r
+        for r in krippendorff_alpha(
+            df, "item", "cat", keys=["k"], max_raters=4, metric=metric
+        ).collect()
+    }
+    sums = defaultdict(int)
+    for r in krippendorff_disagreement_explain(
+        df, "item", "cat", keys=["k"], max_raters=4, metric=metric
+    ).collect():
+        sums[r["k"]] += int(r["du_num"])
+    for k, a in al.items():
+        assert int(a["alpha_den"]) - (a["n_ratings"] - 1) * sums[k] == int(
+            a["alpha_num"]
+        )
+
+
+# ---------------------------------------------------------------------------
+# store serving path: ARI read == direct ARI over the summed cells
+# ---------------------------------------------------------------------------
+def test_ari_store_read_equals_direct(spark, tmp_path):
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        adjusted_rand_from_cells,
+    )
+    from blockchain_data_engineering_spark.streaming.sketches import (
+        eval_cells_delta_sink,
+        eval_cells_store_ari,
+    )
+
+    rows = [("en", "en"), ("en", "de"), ("de", "de"), ("fr", "fr"),
+            ("fr", "en"), ("de", "de"), ("en", "en"), ("fr", "fr")]
+    df = spark.createDataFrame(rows, "a string, p string")
+    store = str(tmp_path / "cells")
+    sink = eval_cells_delta_sink(store, "a", "p")
+    sink(df.limit(3), 0)
+    sink(df.subtract(df.limit(3)), 1)
+    served = eval_cells_store_ari(spark, store).collect()[0]
+    seen = spark.read.parquet(store).groupBy("actual", "predicted").agg(
+        F.sum("n").alias("n")
+    )
+    direct = adjusted_rand_from_cells(seen).collect()[0]
+    assert served == direct
+
+
+# ---------------------------------------------------------------------------
+# plan pins for the batch-3 gates
+# ---------------------------------------------------------------------------
+def test_r11_batch3_plan_shapes(spark, sf_dir):
+    """Plan pins: the class report is the macro scalar's plan stopped
+    one aggregate short (equi joins only); the agreement explain ends
+    in TakeOrderedAndProject (top-100, never a global sort
+    materialization) with no BNLJ; top-label ECE plans EXACTLY the
+    one audited broadcast nested-loop (docs × distinct-langs dim) and
+    the argmax rides WindowGroupLimit (rank-limit pushdown, O(1)
+    per-item state); the ARI store read keeps adjusted_rand's
+    zero-join tagged-union shape — no join operator at all."""
+    from test_plans import _plan
+
+    p = _plan(spark, sf_dir, "ml_class_report")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    p = _plan(spark, sf_dir, "ml_agreement_explain")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    p = _plan(spark, sf_dir, "ml_ece_top_label")
+    # exactly ONE nested-loop node — formatted explain prints a node
+    # in the tree AND the details section, so count the tree form
+    # (the "Cross BuildRight" line), the r10 tree+detail-aware idiom
+    assert p.count("BroadcastNestedLoopJoin Cross") == 1  # the class dim
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+    p = _plan(spark, sf_dir, "ml_ari_from_store")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in p, f"ml_ari_from_store plans a {op}"
