@@ -2043,8 +2043,11 @@ def ece(
     ``label`` boolean. This is the BINARY form; for a k-class model
     the standard top-label ECE is this same bin aggregate fed
     ``label = (argmax class == actual)`` and ``score_q = the argmax
-    class's score`` — and the logarithmic objective itself has a
-    k-class entry point in :func:`log_loss_multiclass`.
+    class's score`` (:func:`ece_top_label` does exactly that) — and
+    the logarithmic objective itself has a k-class entry point in
+    :func:`log_loss_multiclass`. Bins here are FIXED-WIDTH; when
+    scores concentrate and the middle bins empty out, read
+    :func:`ece_adaptive` (equal-mass bins by rank) alongside.
 
     Exactness — EXACT, not quantized: the per-bin weight cancels,
     ``(n_b/n)·|acc_b − conf_b| = |s_max·Σ_b y − Σ_b s| / (n·s_max)``,
@@ -2312,6 +2315,192 @@ def ece_top_label_sql(
       ) ranked WHERE rn = 1
     )"""
     return ece_sql("hit", "s", s_max, n_bins, top, keyed)
+
+
+def ece_adaptive(
+    df: DataFrame,
+    label: Column,
+    score_q: Column,
+    s_max: int,
+    n_bins: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Adaptive (equal-mass-bin) expected calibration error per
+    ``keys`` group — the fixed-width-bin :func:`ece` is the model-card
+    default, but when scores concentrate (a well-trained model pushes
+    most mass to the extremes) its middle bins go empty and the
+    summary leans on a handful of over-full edge bins; the adaptive
+    variant (Nixon et al. 2019, "Measuring Calibration in Deep
+    Learning" — ACE/TACE) re-draws the bin EDGES so each bin holds
+    ~n/n_bins predictions, which keeps every |acc − conf| term
+    equally supported.
+
+    Binning is by RANK over the distinct-score grain: per group, each
+    distinct score's rows belong wholly to the bin of the score's
+    first rank — ``bin = (rows_before_this_score · n_bins) div n``.
+    Ties are NEVER split across bins (splitting would need an
+    arbitrary row order — nondeterministic across engines); with
+    heavily-tied scores, bin masses deviate from n/n_bins by the tie
+    run lengths (visible via ``n_bins_used``). With all-distinct
+    scores the bin sizes are floor-balanced (each holds ⌊n/n_bins⌋ or
+    ⌈n/n_bins⌉ rows — pinned by a Hypothesis property).
+
+    Exactness — EXACT, the :func:`ece` algebra at the adaptive bins:
+    the per-bin weight cancels, the numerator is the pure integer
+    ``Σ_b |s_max·n_pos_b − s_sum_b|`` in DECIMAL(38,0), and ``ece``
+    is one IEEE division by ``n·s_max``. The rank-based bin index is
+    an exact integer div of exact window sums.
+
+    Scale shape: ONE map-side-combinable aggregate at distinct-score
+    grain, two bounded windows over that grain (cumulative count +
+    group total — the :func:`pr_curve` idiom: |distinct scores| rows
+    per group, NEVER the facts), one ≤ n_bins re-aggregation. As with
+    ``pr_curve``, bucket raw continuous scores first: the window is
+    bounded by score quanta, not rows. Returns :func:`ece`'s columns.
+    Unlike :func:`ece` there is no ``n_bins ≤ s_max`` rule: bins are
+    drawn by mass, so sparse scores just use fewer bins (reported by
+    ``n_bins_used``)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if s_max < 1:
+        raise ValueError(f"s_max must be >= 1, got {s_max}")
+    keyed = list(keys)
+    base = df.where(
+        label.isNotNull()
+        & score_q.isNotNull()
+        & (score_q >= 0)
+        & (score_q <= int(s_max))
+    ).select(*keyed, label.alias("__y"), score_q.alias("__s"))
+    per_score = base.groupBy(*keyed, "__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+        F.sum(F.when(F.col("__y"), 1).otherwise(0))
+        .cast("long")
+        .alias("__pos"),
+        F.sum(F.col("__s").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__ssum"),
+    )
+    w_cum = Window.partitionBy(*keyed).orderBy("__s")
+    w_all = Window.partitionBy(*keyed)
+    with_bin = per_score.select(
+        *keyed,
+        "__cnt",
+        "__pos",
+        "__ssum",
+        (F.sum("__cnt").over(w_cum) - F.col("__cnt"))
+        .cast("long")
+        .alias("__cum0"),
+        F.sum("__cnt").over(w_all).cast("long").alias("__n"),
+    ).select(
+        *keyed,
+        "__cnt",
+        "__pos",
+        "__ssum",
+        F.expr(
+            f"(CAST(__cum0 AS DECIMAL(38,0)) * {int(n_bins)}) div __n"
+        )
+        .cast("long")
+        .alias("__b"),
+    )
+    binned = with_bin.groupBy(*keyed, "__b").agg(
+        F.sum("__cnt").cast("long").alias("__nb"),
+        F.sum("__pos").cast("long").alias("__posb"),
+        F.sum("__ssum").cast("decimal(38,0)").alias("__ssumb"),
+    )
+    term = F.abs(
+        F.lit(int(s_max)).cast("decimal(38,0)") * F.col("__posb")
+        - F.col("__ssumb")
+    )
+    totals = binned.select(
+        *keyed, F.col("__nb"), term.alias("__t")
+    ).groupBy(*keyed).agg(
+        F.coalesce(F.sum("__nb"), F.lit(0)).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.coalesce(F.sum("__t"), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("ece_num"),
+    )
+    den = (
+        F.col("n").cast("decimal(38,0)") * F.lit(int(s_max))
+    ).cast("decimal(38,0)")
+    return totals.select(
+        *keyed,
+        "n",
+        "n_bins_used",
+        "ece_num",
+        F.when(
+            F.col("n") > 0,
+            F.col("ece_num").cast("double") / den.cast("double"),
+        ).alias("ece"),
+    )
+
+
+def ece_adaptive_sql(
+    label_sql: str,
+    score_q_sql: str,
+    s_max: int,
+    n_bins: int,
+    table: str,
+    keys: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`ece_adaptive` — same distinct-score
+    grain, same rank-div bin edges (the ORDER BY key is unique per
+    group at this grain, so RANGE/ROWS framing differences cannot
+    bite), same exact numerator; ``ece_num`` serializes as VARCHAR."""
+    if n_bins < 1 or s_max < 1:
+        raise ValueError(
+            f"require n_bins >= 1 and s_max >= 1, got n_bins={n_bins}, "
+            f"s_max={s_max}"
+        )
+    keyed = list(keys)
+    kcols = ", ".join(keyed)
+    kpre = f"{kcols}, " if keyed else ""
+    grp = f"GROUP BY {kcols}" if keyed else ""
+    kgrp_s = f"{kcols}, s" if keyed else "s"
+    kgrp_b = f"{kcols}, b" if keyed else "b"
+    part = f"PARTITION BY {kcols}" if keyed else "PARTITION BY 1"
+    return f"""
+    WITH per_score AS (
+      SELECT {kpre}{score_q_sql} AS s,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN {label_sql} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos,
+             sum(CAST({score_q_sql} AS HUGEINT)) AS ssum
+      FROM {table}
+      WHERE ({label_sql}) IS NOT NULL AND ({score_q_sql}) IS NOT NULL
+        AND ({score_q_sql}) >= 0 AND ({score_q_sql}) <= {int(s_max)}
+      GROUP BY {kgrp_s}
+    ),
+    with_bin AS (
+      SELECT {kpre}cnt, pos, ssum,
+             (((sum(cnt) OVER ({part} ORDER BY s) - cnt)::HUGEINT
+                 * {int(n_bins)})
+               // sum(cnt) OVER ({part})) AS b
+      FROM per_score
+    ),
+    binned AS (
+      SELECT {kpre}b,
+             CAST(sum(cnt) AS BIGINT) AS nb,
+             CAST(sum(pos) AS BIGINT) AS posb,
+             sum(ssum) AS ssumb
+      FROM with_bin GROUP BY {kgrp_b}
+    ),
+    totals AS (
+      SELECT {kpre}
+             CAST(coalesce(sum(nb), 0) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_bins_used,
+             coalesce(sum(abs({int(s_max)}::HUGEINT * posb - ssumb)), 0)
+               AS ece_num
+      FROM binned {grp}
+    )
+    SELECT {kpre}n, n_bins_used,
+           CAST(ece_num AS VARCHAR) AS ece_num,
+           CASE WHEN n > 0 THEN
+             CAST(ece_num AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * {int(s_max)} AS DOUBLE)
+           END AS ece
+    FROM totals
+    """
 
 
 def cohens_kappa(

@@ -182,6 +182,18 @@ GATE_ORDER = [
     #    family stays gate-run by agg_heavy_hitters_merged, whose
     #    merge replays the build; the φ-threshold scan stays pinned
     #    in pytest parity).
+    #    (12) ml_ece_adaptive — equal-mass-bin calibration (Nixon
+    #    2019's ACE): the fixed-width ECE's bins go empty when a
+    #    trained model concentrates its scores; rank-div bin edges
+    #    over the distinct-score grain keep every |acc − conf| term
+    #    equally supported, same cancelled-weight exact numerator.
+    #    Displaced: sample_weighted_priority_merged (r8/r9/r10-green
+    #    — the mergeable bottom-k md5-priority state family stays
+    #    gate-run by agg_quantile_sketch_merged, the same
+    #    union→re-rank→re-derive-threshold merge shape with an oracle
+    #    that replays both half-builds; the Duffield-Lund-Thorup
+    #    subset-sum estimator algebra stays pinned in pytest parity).
+    "ml_ece_adaptive",
     "ml_class_report",
     "ml_agreement_explain",
     "ml_ece_top_label",
@@ -381,7 +393,6 @@ GATE_ORDER = [
     #    window family stays gate-run by events_twap and
     #    stream_sliding_window; the sweep-line semantics stay pinned
     #    in pytest parity).
-    "sample_weighted_priority_merged",
     "ml_average_precision",
     "agg_heavy_hitters_merged",
     # -- new in round 7 (unrowed, front-loaded). The mergeable
@@ -678,6 +689,12 @@ WITNESSES: dict[str, list[str]] = {
     # the φ = 1/(k+1) guaranteed-vs-candidate decision scan stays
     # pinned in pytest parity
     "agg_heavy_hitters_phi": ["agg_heavy_hitters_merged"],
+    # the mergeable bottom-k md5-priority state family stays gate-run
+    # by the quantile sketch's merged gate (same union → re-rank →
+    # re-derive-threshold merge shape, oracle replays both
+    # half-builds); the Duffield-Lund-Thorup subset-sum estimator
+    # algebra stays pinned in pytest parity
+    "sample_weighted_priority_merged": ["agg_quantile_sketch_merged"],
     # --- demoted in the r11 rotation (in exchange for the k-class
     #     objective, directional KL, ordinal alpha, label MI and the
     #     macro-F1 store read) ---

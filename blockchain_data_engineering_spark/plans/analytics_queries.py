@@ -2863,3 +2863,54 @@ def ml_log_loss_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["lang"],
     )
     return out.withColumn("ll_num", F.col("ll_num").cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# Adaptive (equal-mass-bin) ECE (r11): the fixed-width ml_ece gate's
+# bins go empty when scores concentrate, leaning the summary on a few
+# over-full edge bins; the adaptive variant (Nixon et al. 2019 —
+# ACE) re-draws bin EDGES by rank so each bin holds ~n/n_bins
+# predictions (operators/ml_eval.py ece_adaptive). Same scored orders
+# base as the Brier/ECE/log-loss family, same cancelled-weight exact
+# integer numerator — the only new machinery is the rank-div bin
+# assignment over the distinct-score grain (two bounded windows, the
+# pr_curve idiom: |distinct scores| rows per group, never the facts;
+# ties never split across bins, so the cut is deterministic under
+# the value hash). String-serialized numerator.
+# ---------------------------------------------------------------------------
+_ECE_AD_BINS = 10
+
+
+def _ece_adaptive_oracle() -> str:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        ece_adaptive_sql,
+    )
+
+    return ece_adaptive_sql(
+        _AUC_LABEL_SQL,
+        f"least({quanta_sql('o_totalprice', 2)}, {_BRIER_SMAX})",
+        _BRIER_SMAX,
+        _ECE_AD_BINS,
+        "orders",
+        ["o_orderstatus"],
+    )
+
+
+@query("ml_ece_adaptive", oracle=_ece_adaptive_oracle())
+def ml_ece_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        ece_adaptive,
+    )
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    out = ece_adaptive(
+        orders,
+        label=F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        score_q=F.least(
+            quanta(F.col("o_totalprice"), 2), F.lit(_BRIER_SMAX)
+        ),
+        s_max=_BRIER_SMAX,
+        n_bins=_ECE_AD_BINS,
+        keys=["o_orderstatus"],
+    )
+    return out.withColumn("ece_num", F.col("ece_num").cast("string"))

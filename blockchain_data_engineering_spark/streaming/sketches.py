@@ -331,6 +331,24 @@ def eval_cells_store_macro_f1(
     )
 
 
+def eval_cells_store_class_report(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """Per-class precision/recall/F1 rows of the WHOLE stream so far,
+    from the same cell store — the drill-down behind
+    :func:`eval_cells_store_macro_f1`'s scalar
+    (``operators/ml_eval.multiclass_class_report_from_cells``): when
+    the served macro-F1 dips, these rows say WHICH class failed,
+    without reprocessing the stream."""
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        multiclass_class_report_from_cells,
+    )
+
+    return multiclass_class_report_from_cells(
+        eval_cells_store_cells(spark, store_path)
+    )
+
+
 def eval_cells_store_ari(
     spark: SparkSession, store_path: str
 ) -> DataFrame:

@@ -1992,3 +1992,56 @@ def test_krippendorff_per_unit_du_matches_pair_sums(ballots):
             (votes[i] - votes[j]) ** 2 for i in range(m) for j in range(m)
         )
         assert 2 * du_int == explicit_int
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.booleans(), st.integers(min_value=0, max_value=60)),
+        min_size=1,
+        max_size=300,
+    ),
+    n_bins=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=100, deadline=None)
+def test_ece_adaptive_rank_bins_match_textbook(rows, n_bins):
+    """The adaptive-ECE integers (r11 batch 4): rank-div bin edges at
+    the distinct-score grain — ties never split, the integer numerator
+    equals the float weighted |acc − conf| sum over those bins, and
+    with all-distinct scores the bin sizes are floor-balanced
+    (⌊n/B⌋ or ⌈n/B⌉)."""
+    from collections import defaultdict
+
+    s_max = 60
+    per = defaultdict(lambda: [0, 0, 0])
+    for y, s in rows:
+        per[s][0] += 1
+        per[s][1] += 1 if y else 0
+        per[s][2] += s
+    n = len(rows)
+    cum = 0
+    bins = defaultdict(lambda: [0, 0, 0])
+    score_bin = {}
+    for s in sorted(per):
+        cnt, pos, ssum = per[s]
+        b = cum * n_bins // n
+        score_bin[s] = b
+        bins[b][0] += cnt
+        bins[b][1] += pos
+        bins[b][2] += ssum
+        cum += cnt
+    # integer numerator == float weighted |acc − conf| over the bins
+    num = sum(abs(s_max * pos - ssum) for _, pos, ssum in bins.values())
+    ref = sum(
+        (nb / n) * abs(pos / nb - ssum / (nb * s_max))
+        for nb, pos, ssum in bins.values()
+    )
+    assert abs(num / (n * s_max) - ref) < 1e-12
+    # monotone: a higher score never lands in a lower bin
+    ss = sorted(score_bin)
+    assert all(
+        score_bin[a] <= score_bin[b] for a, b in zip(ss, ss[1:])
+    )
+    # all-distinct fixture: floor-balanced bin sizes
+    if all(v[0] == 1 for v in per.values()):
+        sizes = [nb for nb, _, _ in bins.values()]
+        assert all(n // n_bins <= sz <= n // n_bins + 1 for sz in sizes)

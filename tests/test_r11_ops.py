@@ -1086,3 +1086,141 @@ def test_r11_batch3_plan_shapes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert op not in p, f"ml_ari_from_store plans a {op}"
+
+
+# ---------------------------------------------------------------------------
+# adaptive (equal-mass-bin) ECE (batch 4)
+# ---------------------------------------------------------------------------
+def _py_ece_adaptive(rows, s_max, n_bins):
+    """Pure-python rank-binned ECE at the distinct-score grain (ties
+    never split across bins)."""
+    per = defaultdict(lambda: [0, 0, 0])
+    for y, s in rows:
+        per[s][0] += 1
+        per[s][1] += 1 if y else 0
+        per[s][2] += s
+    n = len(rows)
+    cum = 0
+    bins = defaultdict(lambda: [0, 0])
+    for s in sorted(per):
+        cnt, pos, ssum = per[s]
+        b = cum * n_bins // n
+        bins[b][0] += pos
+        bins[b][1] += ssum
+        cum += cnt
+    num = sum(abs(s_max * pos - ssum) for pos, ssum in bins.values())
+    return num / (n * s_max), len(bins)
+
+
+def test_ece_adaptive_known_values(spark):
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        ece_adaptive,
+    )
+
+    # 6 rows, 2 bins: scores sorted [100,100,100,700,900,1000] — the
+    # 100-tie run holds the whole first bin (rank 0 -> bin 0, the
+    # fourth row starts bin 1); hand-checkable numerator
+    rows = [
+        (True, 100), (False, 100), (False, 100),
+        (True, 700), (True, 900), (False, 1000),
+    ]
+    df = spark.createDataFrame(rows, "y boolean, s long")
+    out = ece_adaptive(df, F.col("y"), F.col("s"), 1000, 2).collect()[0]
+    # bin0: pos=1 ssum=300 -> |1000*1-300|=700; bin1: pos=2
+    # ssum=2600 -> |2000-2600|=600; ece = 1300/6000
+    assert out.n == 6 and out.n_bins_used == 2
+    assert int(out.ece_num) == 1300 and out.ece == 1300 / 6000
+    ref, nbu = _py_ece_adaptive(rows, 1000, 2)
+    assert abs(out.ece - ref) < 1e-12 and out.n_bins_used == nbu
+    # a tie run SPANNING a bin boundary stays whole: 4 rows all score
+    # 500 with 4 bins -> one bin used
+    df2 = spark.createDataFrame([(True, 500)] * 4, "y boolean, s long")
+    o2 = ece_adaptive(df2, F.col("y"), F.col("s"), 1000, 4).collect()[0]
+    assert o2.n_bins_used == 1 and int(o2.ece_num) == abs(4000 - 2000)
+
+
+def test_ece_adaptive_vs_python_and_repartition(spark):
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        ece_adaptive,
+    )
+
+    import random
+
+    rng = random.Random(23)
+    rows = [
+        (rng.random() < 0.4,
+         rng.choice([0, 50, 50, 50, 777, 1000, rng.randint(0, 1000)]))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "y boolean, s long")
+    base = ece_adaptive(df, F.col("y"), F.col("s"), 1000, 7).collect()[0]
+    ref, nbu = _py_ece_adaptive(rows, 1000, 7)
+    assert abs(base.ece - ref) < 1e-12 and base.n_bins_used == nbu
+    for parts in (1, 17):
+        again = ece_adaptive(
+            df.repartition(parts), F.col("y"), F.col("s"), 1000, 7
+        ).collect()[0]
+        assert tuple(again) == tuple(base)
+
+
+def test_ece_adaptive_edges(spark):
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        ece_adaptive,
+    )
+
+    df = spark.createDataFrame([(True, 10)], "y boolean, s long")
+    with pytest.raises(ValueError):
+        ece_adaptive(df, F.col("y"), F.col("s"), 1000, 0)
+    # unlike ece there is NO n_bins <= s_max rule: bins are drawn by
+    # mass, so n_bins > s_max is legal (sparse scores use fewer bins)
+    o = ece_adaptive(df, F.col("y"), F.col("s"), 10, 50).collect()[0]
+    assert o.n == 1 and o.n_bins_used == 1
+    # empty input: one zero row, ece NULL (the ece convention)
+    e = ece_adaptive(
+        df.where(F.lit(False)), F.col("y"), F.col("s"), 10, 5
+    ).collect()
+    assert len(e) == 1 and e[0].n == 0 and e[0].ece is None
+
+
+def test_ece_adaptive_plan_shape(spark, sf_dir):
+    """The adaptive gate keeps the pr_curve shape: joins NOWHERE
+    (rank-div bin edges come from two windows bounded at the
+    distinct-score grain), one <= n_bins re-aggregation."""
+    from test_plans import _plan
+
+    p = _plan(spark, sf_dir, "ml_ece_adaptive")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in p, f"ml_ece_adaptive plans a {op}"
+    assert "Window" in p  # the bounded distinct-score-grain windows
+
+
+# ---------------------------------------------------------------------------
+# store serving path: per-class report read == direct from summed cells
+# ---------------------------------------------------------------------------
+def test_class_report_store_read_equals_direct(spark, tmp_path):
+    from blockchain_data_engineering_spark.operators.ml_eval import (
+        multiclass_class_report_from_cells,
+    )
+    from blockchain_data_engineering_spark.streaming.sketches import (
+        eval_cells_delta_sink,
+        eval_cells_store_class_report,
+    )
+
+    rows = [("en", "en"), ("en", "de"), ("de", "de"), ("fr", "fr"),
+            ("fr", "en"), ("de", "de"), ("en", "en"), ("fr", "fr")]
+    df = spark.createDataFrame(rows, "a string, p string")
+    store = str(tmp_path / "cells")
+    sink = eval_cells_delta_sink(store, "a", "p")
+    sink(df.limit(3), 0)
+    sink(df.subtract(df.limit(3)), 1)
+    served = sorted(
+        map(tuple, eval_cells_store_class_report(spark, store).collect())
+    )
+    seen = spark.read.parquet(store).groupBy("actual", "predicted").agg(
+        F.sum("n").alias("n")
+    )
+    direct = sorted(
+        map(tuple, multiclass_class_report_from_cells(seen).collect())
+    )
+    assert served == direct
