@@ -92,6 +92,32 @@ def lazy_plans():
         _LAZY_PLANS = False
 
 
+def round_checkpoint(df: DataFrame) -> DataFrame:
+    """Materialize one round of an iterative loop (r11).
+
+    Default: an eager ``localCheckpoint`` — the round is computed
+    exactly once (as the old ``persist()+count()`` idiom did), but the
+    next round plans against a FLAT scan that preserves the round's
+    output partitioning, instead of an InMemoryRelation tree that
+    nests one level per round and that Catalyst re-canonicalizes on
+    every later round's planning (measured on the k-core loop at
+    sf0.1: per-round cost grew 0.5 s → 2.7 s by round 3 and the final
+    aggregate paid 2.2 s of pure planning; flat rounds stay ~0.4 s).
+    Checkpoint blocks are RDD-level storage that is GC-cleaned when
+    the round's DataFrame drops — nothing registers in the catalog
+    CacheManager, so no cache outlives the call.
+
+    Under :func:`lazy_plans` the legacy ``persist()+count()`` shape is
+    kept: plan-inspection tests read the per-round join tree out of
+    the displayed InMemoryRelation, which a checkpoint's LogicalRDD
+    would hide (the inspecting test clears the session cache after)."""
+    if _LAZY_PLANS:
+        out = df.persist()
+        out.count()
+        return out
+    return df.localCheckpoint(eager=True)
+
+
 def finalize(result: DataFrame, *caches: DataFrame) -> DataFrame:
     """Eagerly ``localCheckpoint`` ``result`` (while every cache in
     ``caches`` is still live), then unpersist the caches. Returns the

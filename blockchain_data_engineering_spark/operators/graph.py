@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from blockchain_data_engineering_spark.cache import finalize
+from blockchain_data_engineering_spark.cache import finalize, round_checkpoint
 
 PR_SCALE = 10**12
 
@@ -279,31 +279,38 @@ def connected_components_pointer_jump(
     to truncate lineage.
     """
     nodes = vertices_of(edges, src, dst)
+    # repartition("a") BEFORE the distinct (r11, guide §2.4): the
+    # distinct still plans exactly one exchange (HashPartitioning(a)
+    # satisfies ClusteredDistribution(a, b)), and the cache comes out
+    # co-partitioned on the key every propagate round groups by — so
+    # each round's min-label groupBy("a") after the broadcast label
+    # join needs no exchange, removing `rounds` |und|-sized shuffles.
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .union(nodes.select(F.col("node").alias("a"), F.col("node").alias("b")))
+        .repartition("a")
         .distinct()
         .cache()
     )
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
-    prev_prop = None
     for _ in range(rounds):
+        # materialize each round with an eager localCheckpoint (r11):
+        # the propagated labels are computed exactly once either way,
+        # but the checkpoint hands the jump (which references prop
+        # TWICE) and the next round a FLAT |V|-row scan — the previous
+        # persist()+count() chain nested one InMemoryRelation per
+        # round and Catalyst re-canonicalized the whole tree on every
+        # later round's planning (the same measured pathology as the
+        # kcore loop: per-round cost grew 0.5 s -> 2.7 s by round 3
+        # at sf0.1). Checkpoint blocks are GC-cleaned when the round's
+        # DataFrame goes out of scope, so no cache accumulates.
         prop = (
             und.join(_hint(labels.withColumnRenamed("node", "b"), broadcast), "b")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("label"))
-            .persist()
         )
-        # materialize eagerly so the PREVIOUS round's cache can be
-        # released — otherwise every round pins one more |V|-row table
-        # for the session's lifetime (the accumulating-cache hazard the
-        # k-means loop also guards against). The final round's prop is
-        # released by the finalize() at return.
-        prop.count()
-        if prev_prop is not None:
-            prev_prop.unpersist()
-        prev_prop = prop
+        prop = round_checkpoint(prop)
         # jump: label ← label(label). Labels are always node ids, and
         # prop has a row for every node, so the inner join is total.
         labels = prop.join(
@@ -313,9 +320,7 @@ def connected_components_pointer_jump(
             ),
             "label",
         ).select("node", F.col("ll").alias("label"))
-    return finalize(
-        labels, und, *([prev_prop] if prev_prop is not None else [])
-    )
+    return finalize(labels, und)
 
 
 def triangle_count(
@@ -518,14 +523,40 @@ def kcore(
 
     Returns (node, degree) over the surviving subgraph.
     """
+    # repartition("a") BEFORE the distinct (r11, guide §2.4 "two
+    # operations keyed the same way can share one exchange"):
+    # HashPartitioning(a) satisfies the distinct's ClusteredDistribution
+    # (a, b) — equal (a, b) rows land together whenever equal a rows do
+    # — so the distinct still plans exactly ONE exchange, but the cache
+    # comes out co-partitioned on the key EVERY peel round aggregates
+    # and semi-joins on. The per-round degree groupBy("a") then needs
+    # no exchange at all (the semi joins are broadcast and preserve
+    # partitioning), removing `rounds` full-edge-set shuffles; per-node
+    # degree skew is the same either way (the aggregate keys on a
+    # regardless of how the cache is laid out).
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .where(F.col("a") != F.col("b"))
+        .repartition("a")
         .distinct()
-        .persist()
     )
-    alive = sym
+    # Per-round materialization (r11). materialize=True rounds use an
+    # eager localCheckpoint instead of persist()+count(): the peel is
+    # computed exactly once either way, but the checkpoint hands the
+    # next round a FLAT scan whose hash(a) partitioning is preserved,
+    # where persist() hands it a one-level-deeper InMemoryRelation
+    # tree — and Catalyst re-canonicalizes that whole nested tree on
+    # every later round's planning, measured growing 0.4 s (round 1)
+    # -> 2.7 s (round 3) -> 2.2 s final aggregate at sf0.1; flat
+    # rounds stay ~0.4 s each and the final aggregate 0.2 s. The
+    # materialize=False path keeps the legacy persist chain because
+    # its callers (plan tests) need the un-truncated per-round join
+    # plan; it still materializes each round eagerly.
+    if materialize:
+        alive = round_checkpoint(sym)
+    else:
+        alive = sym.persist()
     for _ in range(rounds):
         # persisted: keep feeds BOTH semi-joins — unpersisted, the
         # degree aggregate over the round's edge set runs twice
@@ -536,18 +567,19 @@ def kcore(
             .select("a")
             .persist()
         )
-        nxt = (
-            alive.join(_hint(keep, broadcast), "a", "left_semi")
-            .join(
-                _hint(keep.select(F.col("a").alias("b")), broadcast),
-                "b",
-                "left_semi",
-            )
-            .persist()
+        nxt = alive.join(_hint(keep, broadcast), "a", "left_semi").join(
+            _hint(keep.select(F.col("a").alias("b")), broadcast),
+            "b",
+            "left_semi",
         )
-        nxt.count()  # materialize before releasing the previous round
-        keep.unpersist()
-        alive.unpersist()
+        if materialize:
+            nxt = round_checkpoint(nxt)
+            keep.unpersist()
+        else:
+            nxt = nxt.persist()
+            nxt.count()  # materialize before releasing the previous round
+            keep.unpersist()
+            alive.unpersist()
         alive = nxt
     out = alive.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
@@ -602,6 +634,12 @@ def bfs_levels(
         visited = pieces[0]
         for p in pieces[1:]:
             visited = visited.union(p)
+        # eager localCheckpoint instead of persist() (r11): the final
+        # union references every hop's piece, so the persist chain
+        # nested one InMemoryRelation per hop for Catalyst to
+        # re-canonicalize at each later hop's planning (the kcore
+        # loop's measured pathology); flat ≤|V|-row scans keep hop
+        # planning constant and the blocks GC-clean with the frames
         nxt = (
             edges.join(
                 _hint(frontier.select(F.col("node").alias(src)), broadcast),
@@ -612,10 +650,9 @@ def bfs_levels(
             .distinct()
             .join(_hint(visited.select("node"), broadcast), "node", "left_anti")
             .select("node", F.lit(h).cast("int").alias("dist"))
-            .persist()
         )
+        nxt = round_checkpoint(nxt)
         if nxt.count() == 0:
-            nxt.unpersist()
             break
         pieces.append(nxt)
         frontier = nxt
@@ -684,6 +721,13 @@ def sssp(
                 F.lit(True).alias("__new"),
             )
         )
+        # eager localCheckpoint instead of persist()+count() (r11):
+        # computed once either way, but each round hands the next a
+        # FLAT ≤|V|-row scan instead of nesting one more
+        # InMemoryRelation for Catalyst to re-canonicalize per later
+        # round (the kcore loop's measured planning pathology);
+        # checkpoint blocks are GC-cleaned when the round's DataFrame
+        # drops, so nothing accumulates across the loop
         combined = (
             dist.select("node", "dist", F.lit(False).alias("__new"))
             .unionByName(cand)
@@ -692,10 +736,8 @@ def sssp(
                 F.min("dist").alias("dist"),
                 F.min(F.when(~F.col("__new"), F.col("dist"))).alias("__old"),
             )
-            .persist()
         )
-        caches.append(combined)
-        # the improved count doubles as the cache materialization
+        combined = round_checkpoint(combined)
         if combined.where(improved_flag).count() == 0:
             break
         dist = combined.select("node", "dist")
@@ -790,6 +832,8 @@ def earliest_arrival(
             .where(F.col("arr").isNotNull())
             .select("node", "arr", F.lit(True).alias("__new"))
         )
+        # eager localCheckpoint instead of persist()+count() (r11) —
+        # same rationale and measurement as the sssp loop above
         combined = (
             arr.select("node", "arr", F.lit(False).alias("__new"))
             .unionByName(cand)
@@ -798,9 +842,8 @@ def earliest_arrival(
                 F.min("arr").alias("arr"),
                 F.min(F.when(~F.col("__new"), F.col("arr"))).alias("__old"),
             )
-            .persist()
         )
-        caches.append(combined)
+        combined = round_checkpoint(combined)
         if combined.where(improved_flag).count() == 0:
             break
         arr = combined.select("node", "arr")

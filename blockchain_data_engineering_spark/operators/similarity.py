@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from blockchain_data_engineering_spark.cache import finalize
+from blockchain_data_engineering_spark.cache import finalize, round_checkpoint
 from blockchain_data_engineering_spark.functions.scalar import bounded_window_key
 
 QUANTA_DIGITS = 12
@@ -625,10 +625,19 @@ def kmeans_centroids_quantized(
     ).cast("long")
     # persisted: every Lloyd round references the exploded components
     # twice (assignment + mean update); released after the final
-    # centroids materialize below
-    v = vectors.select(
-        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim0", "x")
-    ).select(id_col, "dim0", q6.alias("vq")).persist()
+    # centroids materialize below. Co-partitioned on the vector id
+    # (r11, guide §2.4): the per-round argmin groupBy(id, cid), the
+    # argmin window partitionBy(id) and the mean-update join on id all
+    # key on it (the centroid joins are broadcast and preserve
+    # partitioning), so one exchange here removes three per round.
+    v = (
+        vectors.select(
+            F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim0", "x")
+        )
+        .select(id_col, "dim0", q6.alias("vq"))
+        .repartition(id_col)
+        .persist()
+    )
 
     h = F.md5(F.col(id_col).cast("string"))
     seeds = (
@@ -653,7 +662,6 @@ def kmeans_centroids_quantized(
     cent = v.join(seeds, id_col).select("cid", "dim0", F.col("vq").alias("cq"))
 
     for _ in range(iterations):
-        prev = cent if cent.is_cached else None
         diff = F.col("vq") - F.col("cq")
         d2 = (
             v.join(F.broadcast(cent), "dim0")
@@ -687,16 +695,13 @@ def kmeans_centroids_quantized(
                 ).alias("cq"),
             )
         )
-        # persist per round: the next assignment references `cent`
-        # once, but the update lineage would otherwise re-run the
-        # whole previous round twice (same 2^k hazard as the graph
-        # loops). Materialize eagerly (k·dim rows — trivial) so the
-        # previous round's cache can be released immediately instead
-        # of accumulating one pinned table per iteration.
-        cent = cent.persist()
-        cent.count()
-        if prev is not None:
-            prev.unpersist()
+        # materialize per round with an eager localCheckpoint (r11):
+        # computed once either way (k·dim rows — trivial), but the
+        # checkpoint hands the next round a FLAT scan instead of
+        # nesting one InMemoryRelation per iteration for Catalyst to
+        # re-canonicalize (the kcore loop's measured planning
+        # pathology); blocks GC-clean when the round's frame drops
+        cent = round_checkpoint(cent)
     # checkpoint BEFORE any unpersist (releasing the input cache v
     # invalidates dependent cache entries, so the persisted `cent`
     # would silently recompute from the uncached explode); finalize

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from blockchain_data_engineering_spark.cache import finalize
+from blockchain_data_engineering_spark.cache import finalize, round_checkpoint
 from blockchain_data_engineering_spark.functions.scalar import bounded_window_key
 
 # Tiny per-language stopword marker lists for the n-gram/stopword
@@ -975,9 +975,24 @@ def quality_classifier_scores(
                 F.col(id_col), F.lit(-1).alias("b"), F.lit(QC_SX).alias("xq")
             )
         )
+        # co-partition the cached feature stream on the doc key (r11,
+        # guide §2.4): the union breaks the join's partitioning, so
+        # without this every round's per-doc z groupBy AND the final
+        # scoring groupBy re-shuffled the whole feature table — one
+        # exchange here removes T+1 of them (the weight join is
+        # broadcast and preserves partitioning)
+        .repartition(id_col)
         .persist()  # read T+1 times; released by the finalize() below
     )
-    y = df.select(F.col(id_col), label.cast("int").alias("y"))
+    # co-partition the per-doc label table on the same key as fx and
+    # persist it: it feeds the error join every round plus the final
+    # projection, and with matching partitioning those joins (and the
+    # z⋈y, fx⋈e chains that inherit it) plan with no exchange at all
+    y = (
+        df.select(F.col(id_col), label.cast("int").alias("y"))
+        .repartition(id_col)
+        .persist()
+    )
     n_docs = df.count()
 
     w = None  # round 1 starts from all-zero weights ⇒ z = 0 for every doc
@@ -1001,6 +1016,11 @@ def quality_classifier_scores(
                 f"abs(zq) < {2 * QC_SW} AS g",
             )
         grad = (
+            # with fx and y both co-partitioned on the doc key, e
+            # inherits HashPartitioning(id) from the z⋈y join, so this
+            # join plans with NO exchange on either side — each
+            # round's only shuffle is the ≤257-row per-bucket gradient
+            # aggregate (r11, guide §2.4)
             fx.join(e, id_col)
             .selectExpr(
                 "b",
@@ -1024,11 +1044,13 @@ def quality_classifier_scores(
                 .withColumn("nd", F.lit(n_docs))
                 .selectExpr("b", f"wq - ({step}) AS wq")
             )
-        w_new = w_new.persist()
-        w_new.count()  # materialize: w is referenced twice next round
-        if w is not None:
-            w.unpersist()
-        w = w_new
+        # eager localCheckpoint instead of persist()+count() (r11):
+        # the ≤257-row weight table is computed once either way, but
+        # the flat scan keeps each round's planning constant instead
+        # of re-canonicalizing a per-round-deeper InMemoryRelation
+        # tree (the kcore loop's measured pathology); w is referenced
+        # twice next round and the blocks GC-clean with the frame
+        w = round_checkpoint(w_new)
 
     scored = (
         fx.join(F.broadcast(w), "b")
@@ -1044,7 +1066,7 @@ def quality_classifier_scores(
         F.col("y"),
     )
     # release the feature matrix and the final weight round with the call
-    return finalize(out, fx, w)
+    return finalize(out, fx, w, y)
 
 
 def bpe_vocab(

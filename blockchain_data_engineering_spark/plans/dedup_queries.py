@@ -543,8 +543,20 @@ def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(
             docs.select(F.col("doc_id").alias("a"), F.col("doc_id").alias("b"))
         )
+        # co-partition the cached dup graph on the propagation key
+        # (r11, guide §2.4): one |und| exchange here removes the
+        # groupBy("a") exchange from every one of the CC_ROUNDS
+        # min-label rounds below (the label join is broadcast and
+        # preserves partitioning)
+        .repartition("a")
         .persist()
     )
+    # materialize the cache BEFORE the rounds are planned: the loop
+    # below is one lazy chain with a single action at the end, and the
+    # planner only trusts (and reuses) a cache's output partitioning
+    # once the cache is materialized — unmaterialized, every round
+    # would still plan its own |und| exchange
+    und.count()
     labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
     for _ in range(CC_ROUNDS):
         labels = (
