@@ -98,6 +98,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from blockchain_data_engineering_spark.cache import finalize
+
 
 def auc_exact(
     df: DataFrame,
@@ -4327,8 +4329,33 @@ def _krippendorff_unit_state(
         F.col(item_col).alias("__i"),
         F.col(category_col).alias("__c"),
     )
-    cells = base.groupBy(*keyed, "__i", "__c").agg(
-        F.count(F.lit(1)).cast("long").alias("__nuc")
+    # Materialize the diamond nodes eagerly (r11, guide §2.4
+    # duplicated subtrees): cells feeds BOTH the unit-size aggregate
+    # and the kept-cell semi join, items/kept_cells/cats each feed two
+    # consumers, and the final drops⋈u_agg⋈cat_agg recombination
+    # expands every un-materialized reference into its own full copy
+    # of the subtree — the votes cache was being re-read ~59 times in
+    # the ordinal gate's plan (measured 3.3-4.6 s execution over 13k
+    # votes). round_checkpoint (eager, flat scan) beats a lazy
+    # persist here for the SAME reason as the iterative loops: a
+    # persisted-but-unmaterialized diamond still nests the whole
+    # subtree inside each InMemoryRelation reference and Catalyst
+    # re-canonicalizes it per reference (measured 8.6 s lazy vs 2.2 s
+    # eager for the whole ordinal build+run). Each node is
+    # ≤ (unit, category) grain — the same linear-in-corpus rows the
+    # aggregate itself already shuffles; blocks GC-clean with the
+    # frames (nothing registers in the CacheManager).
+    from blockchain_data_engineering_spark.cache import round_checkpoint
+
+    caches = []
+
+    def _share(frame):
+        return round_checkpoint(frame)
+
+    cells = _share(
+        base.groupBy(*keyed, "__i", "__c").agg(
+            F.count(F.lit(1)).cast("long").alias("__nuc")
+        )
     )
     nuc_d = F.col("__nuc").cast("decimal(38,0)")
     cl = F.col("__c").cast("long")
@@ -4336,8 +4363,10 @@ def _krippendorff_unit_state(
         # the ordinal distance depends on the KEPT-unit marginals, so
         # the drop filter must run before the per-unit moments: unit
         # sizes first, then marginals → e_c, then moments over e_c
-        items_m = cells.groupBy(*keyed, "__i").agg(
-            F.sum("__nuc").cast("long").alias("__m")
+        items_m = _share(
+            cells.groupBy(*keyed, "__i").agg(
+                F.sum("__nuc").cast("long").alias("__m")
+            )
         )
         drops = items_m.groupBy(*keyed).agg(
             F.coalesce(
@@ -4360,19 +4389,21 @@ def _krippendorff_unit_state(
         # moment sums while items_m already counted their ratings —
         # raise loudly instead (the DuckDB twin's CAST errors on the
         # same input, so the engines fail consistently)
-        kept_cells = kept_cells.where(
-            F.coalesce(
-                F.assert_true(
-                    cl.isNotNull(),
-                    F.concat(
-                        F.lit(
-                            "krippendorff_alpha(metric='ordinal'): "
-                            "category not castable to long: "
+        kept_cells = _share(
+            kept_cells.where(
+                F.coalesce(
+                    F.assert_true(
+                        cl.isNotNull(),
+                        F.concat(
+                            F.lit(
+                                "krippendorff_alpha(metric='ordinal'): "
+                                "category not castable to long: "
+                            ),
+                            F.col("__c").cast("string"),
                         ),
-                        F.col("__c").cast("string"),
                     ),
-                ),
-                F.lit(True),
+                    F.lit(True),
+                )
             )
         )
         # category marginals at the INTEGER value grain, the bounded
@@ -4381,17 +4412,19 @@ def _krippendorff_unit_state(
             F.sum("__nuc").cast("decimal(38,0)").alias("__nc")
         )
         w_cum = Window.partitionBy(*keyed).orderBy("__clv")
-        cats = cats0.select(
-            *keyed,
-            "__clv",
-            "__nc",
-            (
-                F.lit(2).cast("decimal(38,0)")
-                * F.sum("__nc").over(w_cum)
-                - F.col("__nc")
+        cats = _share(
+            cats0.select(
+                *keyed,
+                "__clv",
+                "__nc",
+                (
+                    F.lit(2).cast("decimal(38,0)")
+                    * F.sum("__nc").over(w_cum)
+                    - F.col("__nc")
+                )
+                .cast("decimal(38,0)")
+                .alias("__e"),
             )
-            .cast("decimal(38,0)")
-            .alias("__e"),
         )
         # carry e to the cells: a category-dim equi join (≤ k rows)
         cell_e = kept_cells.select(
@@ -4435,6 +4468,9 @@ def _krippendorff_unit_state(
                 .cast("decimal(38,0)")
                 .alias("__ss"),
             )
+        # items feeds the drop counts AND the kept filter (whose
+        # output feeds the semi join AND u_agg) — same diamond
+        items = _share(items)
         drops = items.groupBy(*keyed).agg(
             F.coalesce(
                 F.sum(F.when(F.col("__m") < 2, 1).otherwise(0)), F.lit(0)
@@ -4474,7 +4510,7 @@ def _krippendorff_unit_state(
                 .cast("decimal(38,0)")
                 .alias("__c2"),
             )
-    return kept_items, drops, cat_agg
+    return kept_items, drops, cat_agg, caches
 
 
 def _krippendorff_du(metric: str) -> Column:
@@ -4605,7 +4641,7 @@ def krippendorff_alpha(
     # aggregate but loses its joined masses and reports a spurious
     # all-zero row. coalesce the key upstream if NULL should be a
     # real group.
-    kept_items, drops, cat_agg = _krippendorff_unit_state(
+    kept_items, drops, cat_agg, caches = _krippendorff_unit_state(
         df, item_col, category_col, keyed, mr, metric
     )
     m_d = F.col("__m").cast("decimal(38,0)")
@@ -4643,22 +4679,28 @@ def krippendorff_alpha(
         de_core = n_d * n_d - F.coalesce(F.col("__c2"), zero_d)
     de = (de_core * lcm).cast("decimal(38,0)")
     num = (de - (n_d - 1) * u).cast("decimal(38,0)")
-    return out.select(
-        *keyed,
-        F.coalesce(F.col("n_ratings"), F.lit(0))
-        .cast("long")
-        .alias("n_ratings"),
-        F.coalesce(F.col("n_units"), F.lit(0)).cast("long").alias("n_units"),
-        "n_units_single",
-        "n_units_overflow",
-        F.coalesce(F.col("n_categories"), F.lit(0))
-        .cast("long")
-        .alias("n_categories"),
-        num.alias("alpha_num"),
-        de.alias("alpha_den"),
-        F.when(
-            de != 0, num.cast("double") / de.cast("double")
-        ).alias("alpha"),
+    # settle the shared diamond caches: ONE materialization of the
+    # group-grain result, then release (finalize defers under
+    # deferred_finalize / passes through under lazy_plans)
+    return finalize(
+        out.select(
+            *keyed,
+            F.coalesce(F.col("n_ratings"), F.lit(0))
+            .cast("long")
+            .alias("n_ratings"),
+            F.coalesce(F.col("n_units"), F.lit(0)).cast("long").alias("n_units"),
+            "n_units_single",
+            "n_units_overflow",
+            F.coalesce(F.col("n_categories"), F.lit(0))
+            .cast("long")
+            .alias("n_categories"),
+            num.alias("alpha_num"),
+            de.alias("alpha_den"),
+            F.when(
+                de != 0, num.cast("double") / de.cast("double")
+            ).alias("alpha"),
+        ),
+        *caches,
     )
 
 
@@ -4721,20 +4763,26 @@ def krippendorff_disagreement_explain(
     mr = int(max_raters)
     lcm = math.lcm(*range(1, mr))
     keyed = list(keys)
-    kept_items, _drops, _cat_agg = _krippendorff_unit_state(
+    kept_items, _drops, _cat_agg, caches = _krippendorff_unit_state(
         df, item_col, category_col, keyed, mr, metric
     )
     wu = F.expr(f"CAST({lcm} AS BIGINT) div (__m - 1)")
     du = _krippendorff_du(metric)
     m_d = F.col("__m").cast("decimal(38,0)")
     pairs = (m_d * (m_d - 1)).cast("decimal(38,0)")
-    return kept_items.select(
-        *keyed,
-        F.col("__i").alias("unit"),
-        F.col("__m").cast("long").alias("n_ratings"),
-        F.col("__kc").cast("long").alias("n_categories_unit"),
-        (du * wu).cast("decimal(38,0)").alias("du_num"),
-        (du.cast("double") / pairs.cast("double")).alias("disagreement"),
+    # settle the shared diamond caches (kept-unit-grain result — the
+    # same linear grain kept_items itself holds); finalize defers
+    # under deferred_finalize / passes through under lazy_plans
+    return finalize(
+        kept_items.select(
+            *keyed,
+            F.col("__i").alias("unit"),
+            F.col("__m").cast("long").alias("n_ratings"),
+            F.col("__kc").cast("long").alias("n_categories_unit"),
+            (du * wu).cast("decimal(38,0)").alias("du_num"),
+            (du.cast("double") / pairs.cast("double")).alias("disagreement"),
+        ),
+        *caches,
     )
 
 

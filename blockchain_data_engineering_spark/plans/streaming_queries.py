@@ -473,6 +473,11 @@ def ml_kappa_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import shutil
 
+    # persist the fact projection: both half-batch sink calls filter
+    # the SAME scan+lang_id pipeline — uncached, each delta write
+    # re-ran it (two documents scans, two lang-ID passes); cached, one
+    # pass feeds both writes (r11, guide §2.4 duplicated subtrees)
+    facts = facts.persist()
     store = tempfile.mkdtemp(prefix="eval_cells_store_q_")
     try:
         sink = eval_cells_delta_sink(store, "actual", "predicted")
@@ -493,6 +498,7 @@ def ml_kappa_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
+        facts.unpersist()
         shutil.rmtree(store, ignore_errors=True)
     return out
 
@@ -557,6 +563,11 @@ def ml_macro_f1_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 2
         ).alias("__half"),
     )
+    # persist the fact projection: both half-batch sink calls filter
+    # the SAME scan+lang_id pipeline — uncached, each delta write
+    # re-ran it (two documents scans, two lang-ID passes); cached, one
+    # pass feeds both writes (r11, guide §2.4 duplicated subtrees)
+    facts = facts.persist()
     store = tempfile.mkdtemp(prefix="eval_cells_store_f1_q_")
     try:
         sink = eval_cells_delta_sink(store, "actual", "predicted")
@@ -577,6 +588,7 @@ def ml_macro_f1_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
+        facts.unpersist()
         shutil.rmtree(store, ignore_errors=True)
     return out
 
@@ -641,6 +653,11 @@ def ml_ari_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 2
         ).alias("__half"),
     )
+    # persist the fact projection: both half-batch sink calls filter
+    # the SAME scan+lang_id pipeline — uncached, each delta write
+    # re-ran it (two documents scans, two lang-ID passes); cached, one
+    # pass feeds both writes (r11, guide §2.4 duplicated subtrees)
+    facts = facts.persist()
     store = tempfile.mkdtemp(prefix="eval_cells_store_ari_q_")
     try:
         sink = eval_cells_delta_sink(store, "actual", "predicted")
@@ -663,5 +680,6 @@ def ml_ari_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
+        facts.unpersist()
         shutil.rmtree(store, ignore_errors=True)
     return out

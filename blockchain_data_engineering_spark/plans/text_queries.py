@@ -2692,6 +2692,10 @@ def ml_krippendorff_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     scored = TX.quality_score(spread(load_table(spark, sf_dir, "documents")))
+    # persist the tier frame (r11, guide §2.4 duplicated subtrees):
+    # the three-branch vote union below reads it once per branch, and
+    # uncached each branch re-ran the whole quality-feature pipeline;
+    # finalize releases it with the call
     tiers = scored.select(
         "lang",
         "doc_id",
@@ -2707,7 +2711,7 @@ def ml_krippendorff_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(
             F.expr("n_tokens div 15"), F.lit(5).cast("long")
         ).alias("tier_tokens"),
-    )
+    ).persist()
     vote = lambda df_, cat: df_.select(  # noqa: E731
         "lang", F.col("doc_id").alias("item"), F.col(cat).alias("cat")
     )
@@ -2751,6 +2755,7 @@ def ml_krippendorff_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alpha",
         ),
         votes,
+        tiers,
     )
 
 
@@ -2811,6 +2816,10 @@ def ml_krippendorff_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     scored = TX.quality_score(spread(load_table(spark, sf_dir, "documents")))
+    # persist the tier frame (r11, guide §2.4 duplicated subtrees):
+    # the three-branch vote union below reads it once per branch, and
+    # uncached each branch re-ran the whole quality-feature pipeline;
+    # finalize releases it with the call
     tiers = scored.select(
         "lang",
         "doc_id",
@@ -2826,7 +2835,7 @@ def ml_krippendorff_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(
             F.expr("n_tokens div 15"), F.lit(5).cast("long")
         ).alias("tier_tokens"),
-    )
+    ).persist()
     vote = lambda df_, cat: df_.select(  # noqa: E731
         "lang", F.col("doc_id").alias("item"), F.col(cat).alias("cat")
     )
@@ -2871,6 +2880,7 @@ def ml_krippendorff_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alpha",
         ),
         votes,
+        tiers,
     )
 
 
