@@ -46,6 +46,7 @@ per-query ``runs`` spreads in the detail file are the signal to read.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -246,6 +247,23 @@ def main() -> None:
         timings[name] = round(dt, 3)
         all_runs[name] = [round(r, 3) for r in runs]
         raw_runs[name] = runs
+        # Post-query hygiene, OUTSIDE the timed region (r11): the
+        # iterative operators materialize rounds via localCheckpoint,
+        # whose blocks are reclaimed by the ContextCleaner only after
+        # a JVM GC notices the dropped references — and Spark's own
+        # periodic GC default is 30 min, longer than this whole sweep.
+        # Left alone, every run of every query parks its orphaned
+        # round blocks in the block manager (GBs over 50 queries),
+        # pressuring later queries' memory. Collect the Python refs,
+        # then prod the JVM so the cleaner runs now. This frees
+        # storage between measurements; it does not cache, reuse, or
+        # precompute anything across runs.
+        df = None
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         q_load1 = _load_1m()
         loads[name] = [q_load0, q_load1]
         load_samples += [q_load0, q_load1]

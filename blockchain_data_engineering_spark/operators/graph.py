@@ -880,7 +880,11 @@ def clustering_coefficient(
         .distinct()
         .persist()
     )
-    deg = (
+    # materialized (r11): deg feeds BOTH endpoint joins below AND the
+    # final readout join — un-materialized, each reference re-ran the
+    # union+aggregate over the edge cache (guide §2.4 duplicated
+    # subtrees); flat |V|-row scan, blocks GC-clean with the frame
+    deg = round_checkpoint(
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
         .groupBy("node")
@@ -913,10 +917,19 @@ def clustering_coefficient(
             "u", "v", F.explode(F.array_intersect("nbrs", "nbrs_v")).alias("w")
         )
     )
+    # ONE pass over the discovered triangles (r11): the previous
+    # three-select union referenced the un-cached `tri` once per
+    # corner, re-running the two attachment joins + intersection
+    # explode three times (guide §2.4 duplicated subtrees — the same
+    # fix as pipeline_corpus_dedup's edge-direction explode); the
+    # 3-array explode credits all three corners from a single
+    # evaluation, identical multiset of (node) rows
     credits = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("v").alias("node")))
-        .unionAll(tri.select(F.col("w").alias("node")))
+        tri.select(
+            F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias(
+                "node"
+            )
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )

@@ -1456,14 +1456,61 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = li.where(F.col("l_orderkey").isNotNull()).select(
         F.col("l_orderkey").alias("key")
     )
-    passed = bloom_prefilter(probe, "key", bits, m_bits=_BLOOM_M, k_hashes=2)
-    n_probe = probe.agg(F.count(F.lit(1)).cast("long").alias("n_probe"))
-    n_pass = passed.agg(F.count(F.lit(1)).cast("long").alias("n_pass"))
-    n_match = (
-        probe.join(F.broadcast(build), "key", "left_semi")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
+    # ONE pass over the probe side (r11, guide §2.3 "aggregate before
+    # you shuffle" / §1.2): the previous shape ran three separate
+    # fact-table scans — n_probe, the bloom_prefilter count, and the
+    # semi-join count. Here the bit tests become FLAGS (left joins
+    # against the same broadcast word table the prefilter probes, same
+    # hash family) and the exact-match test a left join against the
+    # broadcast distinct build keys (no row multiplication), so all
+    # three counts fall out of a single aggregate over one scan. The
+    # counts are definitionally identical: pass ⇔ both bits set
+    # (bloom_prefilter's conjunction), match ⇔ key ∈ build.
+    flagged = probe
+    pass_flag = None
+    for i in range(2):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("key").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") % F.lit(_BLOOM_M)
+        flagged = (
+            flagged.withColumn("__w", (h / F.lit(32)).cast("long"))
+            .withColumn(
+                "__m", F.pow(F.lit(2.0), (h % 32).cast("int")).cast("long")
+            )
+            .join(
+                F.broadcast(
+                    bits.select(
+                        F.col("word").alias("__w"),
+                        F.col("bits").alias(f"__b{i}"),
+                    )
+                ),
+                "__w",
+                "left",
+            )
+        )
+        hit = F.col(f"__b{i}").isNotNull() & (
+            F.col(f"__b{i}").bitwiseAND(F.col("__m")) != 0
+        )
+        flagged = flagged.withColumn(f"__p{i}", hit).drop("__w", "__m", f"__b{i}")
+        pass_flag = (
+            F.col(f"__p{i}") if pass_flag is None else pass_flag & F.col(f"__p{i}")
+        )
+    flagged = flagged.join(
+        F.broadcast(build.withColumn("__hit", F.lit(1))), "key", "left"
     )
-    out = n_probe.crossJoin(n_pass).crossJoin(n_match)  # three 1-row aggs
+    out = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(F.when(pass_flag, 1).otherwise(0)).cast("long").alias("n_pass"),
+        F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_match"),
+    )
     return finalize(out, bits)
 
 
