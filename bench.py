@@ -54,7 +54,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from blockchain_data_engineering_spark.plans import QUERIES
+from blockchain_data_engineering_spark.plans import EXTRA_QUERIES, QUERIES
 from blockchain_data_engineering_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -186,19 +186,39 @@ def main() -> None:
     load_start = _load_1m()
     load_samples = [load_start]
 
-    skipped_headline = [n for n in HEADLINE if n not in QUERIES]
-    if skipped_headline:
-        # a headline query rotated out of the gate without its HEADLINE
-        # entry being updated — say so instead of silently dropping the
-        # series (ADVICE r5)
+    # A headline query that rotates OUT of the gate keeps its series:
+    # it is still timed (from the demoted EXTRA registry, same plan,
+    # same methodology) and still appears under its key in the stdout
+    # ``queries`` dict — the bench contract says entries are only ever
+    # ADDED, never removed — but its seconds are EXCLUDED from the
+    # gate total ``value``, which remains the sum over the CURRENT
+    # gate set exactly as before (r11; agg_heavy_hitters_phi was the
+    # first headline query this applied to).
+    demoted_headline = [
+        n for n in HEADLINE if n not in QUERIES and n in EXTRA_QUERIES
+    ]
+    missing_headline = [
+        n for n in HEADLINE if n not in QUERIES and n not in EXTRA_QUERIES
+    ]
+    if demoted_headline:
         print(
-            f"[bench] headline queries not in gate, skipped: {skipped_headline}",
+            "[bench] headline queries demoted from gate, timed as extras "
+            f"(excluded from gate total): {demoted_headline}",
+            file=sys.stderr,
+        )
+    if missing_headline:
+        # gone from BOTH registries — say so instead of silently
+        # dropping the series (ADVICE r5)
+        print(
+            f"[bench] headline queries not registered, skipped: {missing_headline}",
             file=sys.stderr,
         )
     names = [n for n in HEADLINE if n in QUERIES]
     # include any registered query not in the headline list, so coverage
     # additions are benchmarked automatically
     names += [n for n in sorted(QUERIES) if n not in names]
+    names += demoted_headline
+    runner = {**QUERIES, **{n: EXTRA_QUERIES[n] for n in demoted_headline}}
 
     # warm up the JVM/session on a trivial action so query #1 isn't
     # charged for session startup
@@ -233,7 +253,7 @@ def main() -> None:
                 or (len(runs) < 6 and max(runs) > 2.0 * min(runs))
             ):
                 t0 = time.perf_counter()
-                df = QUERIES[name](spark, SF_DIR)
+                df = runner[name](spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
                 # queries persist intermediates (shingle sets,
@@ -267,7 +287,7 @@ def main() -> None:
         q_load1 = _load_1m()
         loads[name] = [q_load0, q_load1]
         load_samples += [q_load0, q_load1]
-        if dt == dt:
+        if dt == dt and name in QUERIES:
             total += dt
 
     # drop cached data left by the query sweep so the domain-pipeline
@@ -337,7 +357,7 @@ def main() -> None:
                 "queries": {
                     n: timings[n] for n in HEADLINE if n in timings
                 },
-                "n_queries": len(timings),
+                "n_queries": sum(1 for n in timings if n in QUERIES),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "blocks_per_sec": domain["blocks_per_sec"],
                 "load_1m_start": load_start,
