@@ -783,25 +783,34 @@ def earliest_arrival(
     deltas only reaches the same bounded fixpoint as relaxing the full
     table.
 
-    Physical plan: parallel edges are PACKED once into a sorted
-    time-array per (src, dst) pair (one up-front shuffle, persisted for
-    the loop, released on return), and a round's relaxation candidate
-    is ``array_min(filter(__ts, t -> t >= arr))`` — the first usable
-    departure. This shrinks every round's join+shuffle from
-    O(eligible EDGE rows) to O(pairs leaving the delta frontier): at
-    100 TB the raw timestamped edge list is |transfers| rows while the
-    pair table is bounded by the (much smaller) contact graph, and the
-    per-round aggregate moves only pair-grain rows. The HOF evaluates
-    interpreted, but over the delta-join output only — measured
-    cheaper than shuffling the 6× larger eligible-edge set per round.
-    The arrival table is ≤|V| rows (broadcast by default,
-    ``broadcast=False`` + src-partitioned pairs at billion-node
-    scale).
+    Physical plan (r12, guide §1.2/§4.1): the edge list is DISTINCTED
+    once at (src, dst, t) triple grain and co-partitioned on the key
+    each round's candidate aggregate groups by (``dst`` under the
+    default broadcast loop, ``src`` when the per-round join itself
+    must shuffle). A round is then one broadcast delta join + a
+    codegen ``t >= arr`` filter + ``groupBy(dst).min(t)`` — which
+    needs NO exchange at all (the cache is already hash(dst)
+    partitioned and the filter/join preserve it), so the only
+    per-round shuffle is the ≤|V|-row merged-arrival aggregate.
+    Equivalent by construction to the r11 packed-pair form
+    (``array_min(filter(ts, t -> t >= arr))`` per pair, then min over
+    pairs): min over eligible triples grouped by dst ≡ min over pairs
+    of each pair's first usable departure. The packed form paid one
+    up-front ObjectHashAggregate (per-group mutable sets + sort_array,
+    no codegen) and evaluated its HOF interpreted per joined row; on
+    the sf0.1 wallet graph the pack collapsed 600k triples into 592k
+    pairs — all cost, no reduction — and the whole operator measured
+    5.0 s packed vs 2.9 s in this shape (identical output). At scale
+    both forms scan the same time values per round; this one keeps
+    every stage whole-stage-codegen and map-side-combinable. The
+    arrival table is ≤|V| rows (broadcast by default,
+    ``broadcast=False`` + the src-co-partitioned cache at
+    billion-node scale).
     """
-    packed = (
-        edges.groupBy(src, dst)
-        .agg(F.sort_array(F.collect_set(F.col(time))).alias("__ts"))
-        .persist()
+    trips = round_checkpoint(
+        edges.select(src, dst, time)
+        .repartition(dst if broadcast else src)
+        .distinct()
     )
     improved_flag = F.col("__old").isNull() | (F.col("arr") < F.col("__old"))
     arr = (
@@ -811,15 +820,12 @@ def earliest_arrival(
         .persist()
     )
     delta = arr
-    caches = [packed, arr]
-    first_usable = F.array_min(
-        F.filter(F.col("__ts"), lambda t: t >= F.col("__a"))
-    )
+    caches = [arr]
     for _ in range(rounds):
         # one tagged-union aggregation yields merged arrivals AND the
         # improved flag together — see sssp for the shape (r5 ask #4)
         cand = (
-            packed.join(
+            trips.join(
                 _hint(
                     delta.select(
                         F.col("node").alias(src), F.col("arr").alias("__a")
@@ -828,8 +834,9 @@ def earliest_arrival(
                 ),
                 src,
             )
-            .select(F.col(dst).alias("node"), first_usable.alias("arr"))
-            .where(F.col("arr").isNotNull())
+            .where(F.col(time) >= F.col("__a"))
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.min(time).alias("arr"))
             .select("node", "arr", F.lit(True).alias("__new"))
         )
         # eager localCheckpoint instead of persist()+count() (r11) —

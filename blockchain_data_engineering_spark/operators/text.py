@@ -734,7 +734,88 @@ def _bpe_words_with_seg(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+# Vocabulary-size bound for driver-local BPE training (r12): below
+# it, the (w, wf, seg) table is collected ONCE and the merge loop runs
+# in-process; above it, the per-round distributed loop is kept. The
+# default bounds the collect at a few hundred MB of driver heap (the
+# word table is Zipf-bounded vocabulary state, not corpus rows);
+# override per session with spark.bde.bpe.localVocabMax.
+BPE_LOCAL_VOCAB_MAX = 4_000_000
+
+
+def _bpe_learn_local(
+    rows: list[tuple[int, str]], n_merges: int
+) -> list[tuple]:
+    """Driver-local replay of :func:`_bpe_learn_distributed` over the
+    collected (wf, seg) vocabulary — EXACTLY the same trajectory:
+
+    - token split: ``seg[1:-1].split(SEP2)`` ≡ the Spark
+      ``regexp_replace(^SEP|SEP$) + split(SEP2)`` (every seg is
+      SEP-framed by construction, merges preserve the frame);
+    - pair counts: sum of wf over adjacent token pairs — the same
+      multiset the distributed explode aggregates;
+    - argmax: (n desc, a asc, b asc) — Python str comparison is by
+      code point, identical to UTF8String's byte order (UTF-8
+      preserves code-point order);
+    - merge: ``str.replace`` is left-to-right non-overlapping, the
+      same scan ``F.replace`` does (the framed-delimiter encoding
+      keeps adjacent matches composable in both).
+    """
+    segs = [(seg, wf) for wf, seg in rows]
+    merges: list[tuple] = []
+    for r in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for seg, wf in segs:
+            toks = seg[1:-1].split(_BPE_SEP2)
+            for pair in zip(toks, toks[1:]):
+                counts[pair] = counts.get(pair, 0) + wf
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, a, b, int(n)))
+        old = BPE_SEP + a + _BPE_SEP2 + b + BPE_SEP
+        new = BPE_SEP + a + b + BPE_SEP
+        segs = [(s.replace(old, new), wf) for s, wf in segs]
+    return merges
+
+
 def _bpe_learn(words: DataFrame, n_merges: int) -> list[tuple]:
+    """BPE merge learning over the (w, wf, seg) vocabulary table.
+
+    The merge trajectory is inherently sequential (each round's argmax
+    feeds the next round's re-segmentation), so the distributed loop
+    pays one Spark job + one driver round-trip PER MERGE — measured as
+    the dominant cost of every bpe_* gate at sf0.1 (6 × ~0.25 s of
+    pure job/tiny-shuffle overhead; scaling ratio 0.35 at 32 cores,
+    guide §1.2). The state the loop iterates on is VOCABULARY-sized
+    (Zipf-bounded — the corpus-sized work, the word-frequency
+    collapse, already happened in ``_bpe_words_with_seg``), so below
+    ``spark.bde.bpe.localVocabMax`` (default ``BPE_LOCAL_VOCAB_MAX``)
+    the table is collected once and the loop replayed in-process by
+    :func:`_bpe_learn_local` — ONE job instead of ``n_merges``;
+    exactness is pinned by test_bpe_local_learn_matches_distributed
+    and the DuckDB oracles. Above the bound, the distributed per-round
+    loop below is kept (billion-word vocabularies never land on the
+    driver). Returns [(round, a, b, n)] either way.
+    """
+    n_vocab = words.count()  # also materializes the callers' persist
+    try:
+        limit = int(
+            words.sparkSession.conf.get(
+                "spark.bde.bpe.localVocabMax", str(BPE_LOCAL_VOCAB_MAX)
+            )
+        )
+    except Exception:
+        limit = BPE_LOCAL_VOCAB_MAX
+    if n_vocab <= limit:
+        rows = words.select("wf", "seg").collect()
+        return _bpe_learn_local([(r["wf"], r["seg"]) for r in rows], n_merges)
+    return _bpe_learn_distributed(words, n_merges)
+
+
+def _bpe_learn_distributed(words: DataFrame, n_merges: int) -> list[tuple]:
     """The sequential heart of BPE training (Sennrich et al. 2016
     §3.2): ``n_merges`` rounds of [count adjacent token pairs weighted
     by word frequency → take the most frequent (ties: lexicographic

@@ -675,9 +675,9 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallel (src, dst) edges stay DISTINCT rows (no min-t collapse):
     # which parallel edge is usable depends on the arrival time, which
     # the loop only discovers round by round
-    # raw timestamped edges: parallel (src, dst, t) duplicates are fine
-    # — the operator packs distinct times per pair in its one up-front
-    # shuffle (collect_set), which subsumes the DISTINCT here
+    # raw timestamped edges: (src, dst, t) duplicates are fine — the
+    # operator distincts the triples in its one up-front shuffle,
+    # which subsumes the DISTINCT here
     tedges = j.select(
         F.when(is_ret, s).otherwise(c).alias("src"),
         F.when(is_ret, c).otherwise(s).alias("dst"),

@@ -106,6 +106,63 @@ def test_bpe_first_merge_is_most_frequent_pair(spark):
     assert rows[0]["n_occurrences"] == 6
 
 
+def test_bpe_local_learn_matches_distributed(spark, sf_dir):
+    """r12: _bpe_learn collects the Zipf-bounded vocabulary and replays
+    the merge loop in-process when it fits (one Spark job instead of
+    one per merge). The local replay must produce the EXACT trajectory
+    of the distributed loop — counts, argmax tie-breaks, greedy
+    left-to-right replace — on adversarial inputs (ties, composable
+    adjacent merges like 'aaaa', multi-space empty tokens) and on the
+    fixture corpus."""
+    from blockchain_data_engineering_spark.catalog import load_table
+    from blockchain_data_engineering_spark.operators.text import (
+        _bpe_learn,
+        _bpe_learn_distributed,
+        _bpe_learn_local,
+        _bpe_words_with_seg,
+    )
+
+    corpora = [
+        # ties on count (ab vs cd both x2) -> lexicographic pair wins
+        [(1, "ab cd ab cd")],
+        # composable adjacent merges: 'aaaa' under (a,a) -> ['aa','aa']
+        [(1, "aaaa aaa aa"), (2, "aaaa")],
+        # double spaces yield empty tokens (single-token seg frames)
+        [(1, "xy  xy   z"), (2, "z  xy")],
+    ]
+    for rows in corpora:
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        words = _bpe_words_with_seg(df, "text").persist()
+        try:
+            dist = _bpe_learn_distributed(words, 5)
+            loc = _bpe_learn_local(
+                [(r["wf"], r["seg"]) for r in words.select("wf", "seg").collect()],
+                5,
+            )
+        finally:
+            words.unpersist()
+        assert loc == dist, (rows, loc, dist)
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = _bpe_words_with_seg(df := docs, "text").persist()
+    try:
+        dist = _bpe_learn_distributed(words, 6)
+        loc = _bpe_learn_local(
+            [(r["wf"], r["seg"]) for r in words.select("wf", "seg").collect()],
+            6,
+        )
+        # and the dispatcher: local under the default bound, forced
+        # distributed when the conf bound is 0
+        assert _bpe_learn(words, 6) == dist == loc
+        spark.conf.set("spark.bde.bpe.localVocabMax", "0")
+        try:
+            assert _bpe_learn(words, 6) == dist
+        finally:
+            spark.conf.unset("spark.bde.bpe.localVocabMax")
+    finally:
+        words.unpersist()
+
+
 def test_bpe_oracle_survives_dry_merge_rounds(spark):
     """A merge budget beyond the corpus's pair inventory runs the
     trainer dry: _bpe_learn breaks and keeps the last segmentation.
