@@ -317,10 +317,14 @@ def main() -> None:
     spread_flagged = bool(spread_queries)
 
     # full per-query detail to a file; the stdout line stays compact so
-    # a truncating log capture still yields parseable JSON
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
-    )
+    # a truncating log capture still yields parseable JSON. r12 (judge
+    # ask #2): ALSO written to a per-invocation path keyed on
+    # (cpus, sf) so a later scaling re-run at a different core count
+    # can no longer overwrite the official sweep's runs[] arrays (the
+    # r11 32-core detail was lost to exactly that).
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "bench_detail.json")
+    detail_kept = f"bench_detail_c{cpus}_sf{sf}.json"
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -347,6 +351,9 @@ def main() -> None:
             fh,
             indent=1,
         )
+    import shutil
+
+    shutil.copyfile(detail_path, os.path.join(here, detail_kept))
 
     print(
         json.dumps(
@@ -372,6 +379,14 @@ def main() -> None:
                 "load_flagged": load_flagged,
                 "spread_flagged": spread_flagged,
                 "detail": "bench_detail.json",
+                # ADVICE r11: entries in ``queries`` that are timed
+                # from the demoted-extras registry and therefore NOT
+                # part of the gate total ``value`` — machine-readable,
+                # so a series consumer can split gate from extras
+                # without reading the registries. Additions-only: the
+                # gate total and every existing key are unchanged.
+                "demoted_queries": sorted(demoted_headline),
+                "detail_kept": detail_kept,
             }
         )
     )

@@ -107,10 +107,24 @@ def round_checkpoint(df: DataFrame) -> DataFrame:
     the round's DataFrame drops — nothing registers in the catalog
     CacheManager, so no cache outlives the call.
 
+    Fault-tolerance trade (ADVICE r11): ``localCheckpoint`` severs
+    lineage onto NON-REPLICATED executor-local blocks — on a cluster,
+    losing an executor mid-query makes every downstream round of that
+    query irrecoverable (a ``persist()`` round could recompute). That
+    is the standard trade iterative Spark programs make; a distributed
+    deployment that cannot accept it should use reliable
+    ``checkpoint()`` against a checkpoint dir every few rounds instead
+    (the operators' docstrings already prescribe periodic checkpoints
+    at scale). The local-mode bench this repo drives has a single
+    "executor", so the distinction is moot there.
+
     Under :func:`lazy_plans` the legacy ``persist()+count()`` shape is
     kept: plan-inspection tests read the per-round join tree out of
     the displayed InMemoryRelation, which a checkpoint's LogicalRDD
-    would hide (the inspecting test clears the session cache after)."""
+    would hide. In that mode the persisted rounds are the INSPECTING
+    TEST's to release (``spark.catalog.clearCache()`` after) — loop
+    operators do not track them, so don't drive full executions of
+    materialize-mode loops under lazy_plans."""
     if _LAZY_PLANS:
         out = df.persist()
         out.count()

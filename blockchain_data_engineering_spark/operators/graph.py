@@ -520,6 +520,10 @@ def kcore(
     ``materialize=False`` keeps the lazy plan, which pins the final
     round's edge set until ``clearCache``; use it only to compose
     further lazy transformations that Catalyst should see through.
+    (ADVICE r11: under :func:`~..cache.lazy_plans` the
+    ``materialize=True`` rounds persist without per-round release —
+    that combination is for plan inspection only, where the inspecting
+    test clears the session cache; see ``round_checkpoint``.)
 
     Returns (node, degree) over the surviving subgraph.
     """

@@ -4347,10 +4347,11 @@ def _krippendorff_unit_state(
     # frames (nothing registers in the CacheManager).
     from blockchain_data_engineering_spark.cache import round_checkpoint
 
-    caches = []
-
-    def _share(frame):
-        return round_checkpoint(frame)
+    # round_checkpoint needs no release tracking: default mode stores
+    # checkpoint blocks that GC-clean with the frames, and under
+    # lazy_plans the persisted diamonds are the inspecting test's to
+    # clear (the documented lazy_plans contract) — so no caches list.
+    _share = round_checkpoint
 
     cells = _share(
         base.groupBy(*keyed, "__i", "__c").agg(
@@ -4510,7 +4511,7 @@ def _krippendorff_unit_state(
                 .cast("decimal(38,0)")
                 .alias("__c2"),
             )
-    return kept_items, drops, cat_agg, caches
+    return kept_items, drops, cat_agg
 
 
 def _krippendorff_du(metric: str) -> Column:
@@ -4641,7 +4642,7 @@ def krippendorff_alpha(
     # aggregate but loses its joined masses and reports a spurious
     # all-zero row. coalesce the key upstream if NULL should be a
     # real group.
-    kept_items, drops, cat_agg, caches = _krippendorff_unit_state(
+    kept_items, drops, cat_agg = _krippendorff_unit_state(
         df, item_col, category_col, keyed, mr, metric
     )
     m_d = F.col("__m").cast("decimal(38,0)")
@@ -4679,9 +4680,9 @@ def krippendorff_alpha(
         de_core = n_d * n_d - F.coalesce(F.col("__c2"), zero_d)
     de = (de_core * lcm).cast("decimal(38,0)")
     num = (de - (n_d - 1) * u).cast("decimal(38,0)")
-    # settle the shared diamond caches: ONE materialization of the
-    # group-grain result, then release (finalize defers under
-    # deferred_finalize / passes through under lazy_plans)
+    # ONE materialization of the group-grain result (the shared
+    # diamonds are checkpoint-backed, nothing to release; finalize
+    # defers under deferred_finalize / passes through under lazy_plans)
     return finalize(
         out.select(
             *keyed,
@@ -4699,8 +4700,7 @@ def krippendorff_alpha(
             F.when(
                 de != 0, num.cast("double") / de.cast("double")
             ).alias("alpha"),
-        ),
-        *caches,
+        )
     )
 
 
@@ -4763,16 +4763,17 @@ def krippendorff_disagreement_explain(
     mr = int(max_raters)
     lcm = math.lcm(*range(1, mr))
     keyed = list(keys)
-    kept_items, _drops, _cat_agg, caches = _krippendorff_unit_state(
+    kept_items, _drops, _cat_agg = _krippendorff_unit_state(
         df, item_col, category_col, keyed, mr, metric
     )
     wu = F.expr(f"CAST({lcm} AS BIGINT) div (__m - 1)")
     du = _krippendorff_du(metric)
     m_d = F.col("__m").cast("decimal(38,0)")
     pairs = (m_d * (m_d - 1)).cast("decimal(38,0)")
-    # settle the shared diamond caches (kept-unit-grain result — the
-    # same linear grain kept_items itself holds); finalize defers
-    # under deferred_finalize / passes through under lazy_plans
+    # ONE materialization of the kept-unit-grain result (the same
+    # linear grain kept_items itself holds; the shared diamonds are
+    # checkpoint-backed, nothing to release); finalize defers under
+    # deferred_finalize / passes through under lazy_plans
     return finalize(
         kept_items.select(
             *keyed,
@@ -4781,8 +4782,7 @@ def krippendorff_disagreement_explain(
             F.col("__kc").cast("long").alias("n_categories_unit"),
             (du * wu).cast("decimal(38,0)").alias("du_num"),
             (du.cast("double") / pairs.cast("double")).alias("disagreement"),
-        ),
-        *caches,
+        )
     )
 
 

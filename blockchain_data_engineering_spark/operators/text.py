@@ -64,6 +64,14 @@ def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
     5 marker words x 5k docs vs 0.2 s single-pass). Marker words
     within one list are distinct, so a token matches at most one word
     and the isin count equals the per-word filter-count sum exactly.
+
+    Precondition (ADVICE r11): ``text`` must be non-NULL — for NULL
+    the ``aggregate`` propagates NULL where the legacy per-word
+    ``size(filter(...))`` form returned −1·|words| (legacy
+    sizeOfNull). Neither is a meaningful count; every corpus this
+    engine ingests declares ``text`` non-nullable and the parity
+    fixtures pin that. ``words`` must be non-empty (``isin()`` with
+    zero args is not a valid predicate).
     """
     toks = tokens(text)
     return F.aggregate(

@@ -34,27 +34,31 @@ _EDGES_SQL = """
 """
 
 
-def _edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _edge_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct (custkey, suppkey, is_ret) edge triples — the
+    integer grain both edge materializations share. Single pass over
+    the orders⋈lineitem join: the R/non-R branches only flip the
+    (src, dst) roles, so one conditional projection + one distinct
+    replaces two filtered scans of the join and three shuffles
+    (distinct-per-branch + union-distinct ≡ distinct of the union);
+    the distinct exchange ships two ints + a bool and hashes ints
+    (r11, guide §2.3 narrower types — measured ~1.5 s -> ~1.2 s warm
+    at sf0.1). The triple maps 1:1 to (src, dst): is_ret decides
+    which side gets the 'c'/'s' prefix and the mapping is injective,
+    so the distinct sets correspond exactly."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     j = orders.join(li, orders.o_orderkey == li.l_orderkey, "inner")
-    # single pass over the join: the R/non-R branches only flip the
-    # (src, dst) roles, so one conditional projection + one distinct
-    # replaces two filtered scans of the join and three shuffles
-    # (distinct-per-branch + union-distinct ≡ distinct of the union).
-    # The distinct runs at the INTEGER (custkey, suppkey, is_ret)
-    # grain and the node strings are built AFTER it (r11, guide §2.3
-    # narrower types): the triple maps 1:1 to (src, dst) — is_ret
-    # decides which side gets the 'c'/'s' prefix and the mapping is
-    # injective — so the distinct sets correspond exactly, but the
-    # exchange ships two ints + a bool instead of two strings and the
-    # dedup hashes ints (measured ~1.5 s -> ~1.2 s warm at sf0.1).
     is_ret = F.col("l_returnflag") == "R"
-    trip = j.select(
+    return j.select(
         F.col("o_custkey").alias("__ck"),
         F.col("l_suppkey").alias("__sk"),
         is_ret.alias("__r"),
     ).distinct()
+
+
+def _edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trip = _edge_triples(spark, sf_dir)
     c = F.concat(F.lit("c"), F.col("__ck").cast("string"))
     s = F.concat(F.lit("s"), F.col("__sk").cast("string"))
     edges = trip.select(
@@ -64,6 +68,43 @@ def _edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every graph query walks the edge list several times (vertices,
     # degrees, per-iteration joins) — materialize it once; each query
     # wrapper releases it via finalize(result, edges)
+    return edges.persist()
+
+
+# Packed-long node ids (r12, guide §2.3 narrower types): customer ck
+# ↦ 2·ck, supplier sk ↦ 2·sk+1 — injective across both kinds, so the
+# packed edge set corresponds 1:1 to the string edge set. Queries
+# whose OUTPUT is invariant under any relabeling of node ids (degree
+# counts, triangle credits, distance/arrival minima — NOT min-label
+# ops like connected components, whose labels order node ids) can run
+# their whole iterative loop at long grain — every distinct, degree
+# aggregate, semi join and broadcast probe hashes/ships 8-byte longs
+# instead of ~6-char strings — and build the 'c…'/'s…' strings only
+# at the ≤|V|-row readout, where the oracle-checked output is formed.
+def _pack_c() -> F.Column:
+    return F.col("__ck") * 2
+
+
+def _pack_s() -> F.Column:
+    return F.col("__sk") * 2 + 1
+
+
+def _node_str(col: str) -> F.Column:
+    """Unpack a packed-long node id back to its 'c<ck>'/'s<sk>' form
+    (the exact strings _edges_df builds: 2k ↦ 'c<k>', 2k+1 ↦ 's<k>')."""
+    n = F.col(col)
+    half = F.expr(f"`{col}` div 2").cast("string")  # integer div: exact
+    return F.when(n % 2 == 0, F.concat(F.lit("c"), half)).otherwise(
+        F.concat(F.lit("s"), half)
+    )
+
+
+def _edges_packed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trip = _edge_triples(spark, sf_dir)
+    edges = trip.select(
+        F.when(F.col("__r"), _pack_s()).otherwise(_pack_c()).alias("src"),
+        F.when(F.col("__r"), _pack_c()).otherwise(_pack_s()).alias("dst"),
+    )
     return edges.persist()
 
 
@@ -412,8 +453,15 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
 
 @query("graph_kcore", oracle=_kcore_oracle_sql(KCORE_K, KCORE_ROUNDS))
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _edges_df(spark, sf_dir)
-    return finalize(G.kcore(edges, k=KCORE_K, rounds=KCORE_ROUNDS), edges)
+    # packed-long loop (r12): per-node degrees are invariant under any
+    # injective relabeling of node ids, so every peel round's distinct
+    # / degree aggregate / semi join runs at 8-byte-long grain; the
+    # oracle-checked strings are built over the ≤|V|-row survivor set
+    edges = _edges_packed_df(spark, sf_dir)
+    core = G.kcore(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+    return finalize(
+        core.select(_node_str("node").alias("node"), "degree"), edges
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -591,13 +639,18 @@ def graph_sssp_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     j = orders.join(li, orders.o_orderkey == li.l_orderkey, "inner")
-    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    # packed-long ids end-to-end (r12): path-cost minima are invariant
+    # under node relabeling, so the min-weight pair aggregate (the
+    # query's one |E|-sized exchange) groups/ships two longs instead
+    # of two strings, and every round's broadcast probe hashes longs;
+    # the oracle-checked 'c…'/'s…' strings form at the ≤|V|-row readout
+    cl = F.col("o_custkey") * 2
+    sl = F.col("l_suppkey") * 2 + 1
     is_ret = F.col("l_returnflag") == "R"
     wedges = (
         j.select(
-            F.when(is_ret, s).otherwise(c).alias("src"),
-            F.when(is_ret, c).otherwise(s).alias("dst"),
+            F.when(is_ret, sl).otherwise(cl).alias("src"),
+            F.when(is_ret, cl).otherwise(sl).alias("dst"),
             F.floor(F.col("l_quantity")).cast("long").alias("w"),
         )
         .groupBy("src", "dst")
@@ -607,10 +660,11 @@ def graph_sssp_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         # after: sssp() finalizes (eagerly checkpoints) its result
         .persist()
     )
-    seeds = spark.createDataFrame([("c1",), ("c2",), ("c3",)], "node string")
+    # seeds c1, c2, c3 under the packing ck ↦ 2·ck
+    seeds = spark.createDataFrame([(2,), (4,), (6,)], "node long")
     out = G.sssp(wedges, seeds, rounds=SSSP_ROUNDS)
     wedges.unpersist()
-    return out
+    return out.select(_node_str("node").alias("node"), "dist")
 
 
 # ---------------------------------------------------------------------------
@@ -669,8 +723,12 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     j = orders.join(li, orders.o_orderkey == li.l_orderkey, "inner")
-    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    # packed-long ids end-to-end (r12): earliest arrivals are invariant
+    # under node relabeling, so the operator's (src, dst, t) distinct
+    # and every round's eligibility join/aggregate run at long grain;
+    # strings form at the ≤|V|-row readout
+    cl = F.col("o_custkey") * 2
+    sl = F.col("l_suppkey") * 2 + 1
     is_ret = F.col("l_returnflag") == "R"
     # parallel (src, dst) edges stay DISTINCT rows (no min-t collapse):
     # which parallel edge is usable depends on the arrival time, which
@@ -679,17 +737,20 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operator distincts the triples in its one up-front shuffle,
     # which subsumes the DISTINCT here
     tedges = j.select(
-        F.when(is_ret, s).otherwise(c).alias("src"),
-        F.when(is_ret, c).otherwise(s).alias("dst"),
+        F.when(is_ret, sl).otherwise(cl).alias("src"),
+        F.when(is_ret, cl).otherwise(sl).alias("dst"),
         F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date"))
         .cast("long")
         .alias("t"),
     )
+    # seeds c1, c2, c3 under the packing ck ↦ 2·ck
     seeds = spark.createDataFrame(
-        [("c1", _TEMPORAL_T0), ("c2", _TEMPORAL_T0), ("c3", _TEMPORAL_T0)],
-        "node string, arr long",
+        [(2, _TEMPORAL_T0), (4, _TEMPORAL_T0), (6, _TEMPORAL_T0)],
+        "node long, arr long",
     )
-    return G.earliest_arrival(tedges, seeds, rounds=TEMPORAL_ROUNDS)
+    return G.earliest_arrival(tedges, seeds, rounds=TEMPORAL_ROUNDS).select(
+        _node_str("node").alias("node"), "arr"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -738,7 +799,16 @@ _CC_ORACLE = f"""
 
 @query("graph_clustering_coefficient", oracle=_CC_ORACLE)
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _edges_df(spark, sf_dir)
+    # packed-long kernel (r12): the degree-ordered orientation uses the
+    # node-id ORDER as a tie-break, but the output is invariant under
+    # any strict total order on ids — each triangle is discovered
+    # exactly once at its (degree, id)-lowest oriented edge and credits
+    # all three corners regardless of which order was used — so the
+    # und distinct, degree aggregate, attachment joins and credit
+    # explode all run at long grain; strings form at the |V|-row readout
+    edges = _edges_packed_df(spark, sf_dir)
     out = G.clustering_coefficient(edges)
     edges.unpersist()
-    return out
+    return out.select(
+        _node_str("node").alias("node"), "degree", "n_tri", "lcc"
+    )
