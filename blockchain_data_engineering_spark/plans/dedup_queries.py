@@ -57,10 +57,11 @@ def _table_bytes(sf_dir: str, name: str) -> int:
 def _candidate_prune(
     spark: SparkSession, sf_dir: str, sh: DataFrame, cand: DataFrame
 ) -> DataFrame:
-    """Semi-join the shingle stream down to candidate doc ids before
-    the per-doc array build — iff the corpus is big enough for the
-    prune to pay (see DEDUP_SEMIJOIN_MIN_BYTES). ``cand`` must already
-    be materialized (persisted) by the caller, so the id projection
+    """Semi-join the doc_id-keyed frame ``sh`` (the per-doc array
+    table, or any doc-grain stream) down to candidate doc ids before
+    the verify join — iff the corpus is big enough for the prune to
+    pay (see DEDUP_SEMIJOIN_MIN_BYTES). ``cand`` must already be
+    materialized (persisted) by the caller, so the id projection
     reads the cached pairs instead of re-running the LSH pipeline."""
     try:
         limit = int(
@@ -182,24 +183,31 @@ def _minhash_oracle() -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     # the exploded (doc_id, shingle) relation feeds the signature build
-    # AND the Jaccard verification — persist it once. Signatures from
-    # explode + codegen'd hash-aggregate min() (the 9-seed md5 inside a
-    # higher-order transform() is interpreted per element, measured
-    # 2-4x slower); verification from per-doc ARRAYS re-packed off the
-    # persisted shingle set (array_intersect row-locally, 3.4x faster
-    # than re-joining the exploded relation twice, whose intermediate
-    # is |pairs|x|shingles per doc| ~ 32M rows at sf0.1). The verify
-    # join is UNHINTED: statically a shuffle join (no OOM at any corpus
-    # size), AQE broadcasts it at runtime iff the array table measures
-    # small — the size-adaptive path, not a baked-in broadcast.
-    # sig is persisted because the LSH bucket self-join references it
-    # TWICE — unpersisted, the whole shingle→signature subtree (the
-    # dominant cost) is computed once per side.
-    sh = D.shingle_set(docs, k=SHINGLE_K).persist()
-    sig = D.minhash_signatures(sh, N_HASHES).persist()
+    # Signatures from explode + codegen'd hash-aggregate min() (the
+    # 9-seed md5 inside a higher-order transform() is interpreted per
+    # element, measured 2-4x slower); verification from per-doc ARRAYS
+    # built NARROWLY by shingle_array (r12, guide §2.4): the same
+    # distinct shingle set as sequence→transform→array_distinct with
+    # ZERO shuffle, where the old collect_list re-pack paid an
+    # ObjectHashAggregate + a full shuffle of the exploded shingle
+    # relation (~3M rows at sf0.1). jaccard_verify_arrays only reads
+    # the arrays as SETS (array_intersect/size are order-insensitive),
+    # so element order differing from the re-pack is immaterial —
+    # measured 5.1 -> 4.2 s on the corpus-dedup pipeline, identical
+    # output. The verify join is UNHINTED: statically a shuffle join
+    # (no OOM at any corpus size), AQE broadcasts it at runtime iff
+    # the array table measures small — the size-adaptive path, not a
+    # baked-in broadcast. sig is persisted because the LSH bucket
+    # self-join references it TWICE — unpersisted, the whole
+    # shingle→signature subtree (the dominant cost) is computed once
+    # per side; the exploded shingle set now has ONE consumer, so its
+    # r11 persist is gone with the second consumer.
+    sig = D.minhash_signatures(
+        D.shingle_set(docs, k=SHINGLE_K), N_HASHES
+    ).persist()
     cand = D.lsh_candidate_pairs(D.lsh_bands(sig, N_HASHES, BAND_SIZE))
-    arr = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
-    return finalize(D.jaccard_verify_arrays(cand, arr), sh, sig)
+    arr = D.shingle_array(docs, k=SHINGLE_K)
+    return finalize(D.jaccard_verify_arrays(cand, arr), sig)
 
 
 # ---------------------------------------------------------------------------
@@ -562,11 +570,16 @@ def _corpus_dedup_sql() -> str:
 @query("pipeline_corpus_dedup", oracle=_corpus_dedup_sql())
 def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sh = D.shingle_set(docs, k=SHINGLE_K).persist()
-    # persisted: the bucket self-join references sig twice
-    sig = D.minhash_signatures(sh, N_HASHES).persist()
+    # persisted: the bucket self-join references sig twice; the verify
+    # arrays come from the NARROW shingle_array build (r12 — same
+    # distinct set, zero shuffle, set-semantics-only consumers; see
+    # dedup_minhash_lsh for the measured rationale), so the exploded
+    # shingle set has one consumer and needs no persist
+    sig = D.minhash_signatures(
+        D.shingle_set(docs, k=SHINGLE_K), N_HASHES
+    ).persist()
     cand = D.lsh_candidate_pairs(D.lsh_bands(sig, N_HASHES, BAND_SIZE))
-    arr = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    arr = D.shingle_array(docs, k=SHINGLE_K)
     # unhinted verify join: shuffle statically, AQE-broadcast at
     # runtime when the array table is actually small (size-adaptive)
     dup = D.jaccard_verify_arrays(cand, arr).where(
@@ -628,7 +641,6 @@ def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("canonical_id"),
             (F.col("node") == F.col("label")).alias("kept"),
         ),
-        sh,
         sig,
         und,
     )
@@ -812,8 +824,9 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_batch = F.col("doc_id") % 10 == 7
     # one shingle/signature build over the whole table, split after —
     # at ingest time the index side is a persisted table, not recomputed
-    sh = D.shingle_set(docs, k=SHINGLE_K).persist()
-    sig = D.minhash_signatures(sh, N_HASHES).persist()
+    sig = D.minhash_signatures(
+        D.shingle_set(docs, k=SHINGLE_K), N_HASHES
+    ).persist()
     idx_bands = D.lsh_bands(sig.where(~is_batch), N_HASHES, BAND_SIZE)
     new_bands = D.lsh_bands(sig.where(is_batch), N_HASHES, BAND_SIZE)
     cand = (
@@ -830,13 +843,15 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    # verify arrays from the NARROW shingle_array build (r12 — same
+    # distinct set, zero shuffle; see dedup_minhash_lsh), behind the
     # scale-gated candidate prune (no-op below the corpus threshold —
     # see _candidate_prune; cand is persisted, so the id projection
-    # reads the cache)
-    arr = (
-        _candidate_prune(spark, sf_dir, sh, cand)
-        .groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("shingles"))
+    # reads the cache). The prune now runs at doc grain: one array row
+    # per doc, so at scale the semi join drops non-candidate docs
+    # before the verify join ships any array.
+    arr = _candidate_prune(
+        spark, sf_dir, D.shingle_array(docs, k=SHINGLE_K), cand
     )
     verified = D.jaccard_verify_arrays(cand, arr)
     n_cand = cand.groupBy("id_b").agg(F.count(F.lit(1)).alias("n_candidates"))
@@ -859,7 +874,6 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_dups"), F.lit(0)).alias("n_dups"),
             F.col("dup_of").isNotNull().alias("is_dup"),
         ),
-        sh,
         sig,
         cand,
     )
@@ -896,10 +910,12 @@ def _containment_oracle() -> str:
 @query("dedup_minhash_containment", oracle=_containment_oracle())
 def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sh = D.shingle_set(docs, k=SHINGLE_K).persist()
-    sig = D.minhash_signatures(sh, N_HASHES).persist()
+    # narrow shingle_array verify build (r12 — see dedup_minhash_lsh)
+    sig = D.minhash_signatures(
+        D.shingle_set(docs, k=SHINGLE_K), N_HASHES
+    ).persist()
     cand = D.lsh_candidate_pairs(D.lsh_bands(sig, N_HASHES, BAND_SIZE))
-    arr = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    arr = D.shingle_array(docs, k=SHINGLE_K)
     v = D.jaccard_verify_arrays(cand, arr).drop("jaccard")
     c_a = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
     c_b = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
@@ -916,7 +932,6 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(c_b >= 0.9, F.col("id_b"))
             .alias("contained_doc"),
         ),
-        sh,
         sig,
     )
 
