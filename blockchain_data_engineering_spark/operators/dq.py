@@ -481,6 +481,30 @@ def psi_ln_table(grid: int) -> list[int]:
     ]
 
 
+def psi_ln_lookup(tab: list[int], idx: Column) -> Column:
+    """``T[idx]`` as ONE literal-array ``get`` instead of a G-row
+    ``createDataFrame`` + broadcast-hash join per lookup (r12, guide
+    §1.2 / §2.4): the ln table is a constant of the metric, so it
+    belongs in the EXPRESSION, not in a relation — each relational
+    lookup paid a driver→JVM local-relation round-trip plus one
+    BroadcastExchange per reference, measured ~1.3 s of pure overhead
+    per from-cells gate whose data is ≤ k² rows. ``F.get`` is 0-based
+    and returns NULL for NULL / zero / negative / past-the-end
+    indices, which is EXACTLY the old left-join semantics against the
+    1-indexed table (no match ⇒ NULL term, downstream guards
+    unchanged). The DuckDB oracle twins keep their VALUES ln_tab CTEs
+    — the literal values are identical by construction.
+
+    The array is built with ONE ``F.expr`` parse, not ``F.lit(list)``:
+    the lit path converts the G elements through py4j one by one —
+    measured 0.59 s of pure DRIVER time per lookup site at G = 1000,
+    where parsing the array() text costs ~4 ms. (Driver-side
+    construction time is inside the bench's timed region, so it is as
+    real as executor time for these sub-second gates.)"""
+    arr = F.expr("array(" + ",".join(f"{int(t)}L" for t in tab) + ")")
+    return F.get(arr, idx.cast("int") - F.lit(1))
+
+
 def distribution_psi(
     ref: DataFrame,
     cur: DataFrame,
@@ -540,9 +564,6 @@ def distribution_psi(
     string in gate queries) and ``psi``."""
     tab = psi_ln_table(share_grid)
     g = int(share_grid)
-    ln_tab = ref.sparkSession.createDataFrame(
-        [(i + 1, int(t)) for i, t in enumerate(tab)], "i long, lnv long"
-    )
     keyed = list(keys)
     withtot = _drift_share_grain(ref, cur, value_col, keyed)
     q = lambda cnt, tot: F.greatest(  # noqa: E731
@@ -562,17 +583,13 @@ def distribution_psi(
             q("__c", "__nc"),
         ).alias("__qc"),
     )
-    look = lambda out: F.broadcast(  # noqa: E731
-        ln_tab.select(
-            F.col("i").alias(f"__i_{out}"), F.col("lnv").alias(out)
-        )
-    )
-    # LEFT joins: a NULL q (one side of the group empty) keeps its
-    # row with a NULL lookup, so the term stays NULL and the sum
-    # skips it — the same surface-don't-score arm as before
-    quantized = quantized.join(
-        look("__lr"), F.col("__i___lr") == F.col("__qr"), "left"
-    ).join(look("__lc"), F.col("__i___lc") == F.col("__qc"), "left")
+    # literal-array lookups (r12, psi_ln_lookup): a NULL q (one side
+    # of the group empty) yields a NULL lookup, so the term stays
+    # NULL and the sum skips it — the same surface-don't-score arm
+    # the old LEFT joins encoded
+    quantized = quantized.withColumn(
+        "__lr", psi_ln_lookup(tab, F.col("__qr"))
+    ).withColumn("__lc", psi_ln_lookup(tab, F.col("__qc")))
     term = (
         (F.col("__qc") - F.col("__qr")).cast("decimal(38,0)")
         * (F.col("__lc") - F.col("__lr"))
@@ -730,9 +747,6 @@ def distribution_kl(
     ``kl``."""
     tab = psi_ln_table(share_grid)
     g = int(share_grid)
-    ln_tab = ref.sparkSession.createDataFrame(
-        [(i + 1, int(t)) for i, t in enumerate(tab)], "i long, lnv long"
-    )
     keyed = list(keys)
     withtot = _drift_share_grain(ref, cur, value_col, keyed)
     q_raw = lambda cnt, tot: F.expr(  # noqa: E731
@@ -751,18 +765,13 @@ def distribution_kl(
         # cur side: NO clamp — zero stays zero (0·ln 0 = 0 arm)
         F.when(both, q_raw("__c", "__nc")).alias("__qc"),
     )
-    look = lambda out: F.broadcast(  # noqa: E731
-        ln_tab.select(
-            F.col("i").alias(f"__i_{out}"), F.col("lnv").alias(out)
-        )
-    )
-    # LEFT joins: q_cur = 0 finds no table row (indices start at 1) —
-    # its term is forced to 0 by the guard below; a NULL q (one side
-    # of the group empty) propagates to a NULL term, the sum skips
-    # it, and kl is NULLed by the final guard
-    quantized = quantized.join(
-        look("__lr"), F.col("__i___lr") == F.col("__qr"), "left"
-    ).join(look("__lc"), F.col("__i___lc") == F.col("__qc"), "left")
+    # literal-array lookups (r12, psi_ln_lookup): q_cur = 0 finds no
+    # table entry (1-indexed) — its term is forced to 0 by the guard
+    # below; a NULL q (one side of the group empty) propagates to a
+    # NULL term, the sum skips it, and kl is NULLed by the final guard
+    quantized = quantized.withColumn(
+        "__lr", psi_ln_lookup(tab, F.col("__qr"))
+    ).withColumn("__lc", psi_ln_lookup(tab, F.col("__qc")))
     term = F.when(
         F.col("__qr").isNotNull() & F.col("__qc").isNotNull(),
         F.when(
@@ -917,9 +926,6 @@ def distribution_drift_explain(
     ``psi_term_num`` DESC for the "top movers" view."""
     tab = psi_ln_table(share_grid)
     g = int(share_grid)
-    ln_tab = ref.sparkSession.createDataFrame(
-        [(i + 1, int(t)) for i, t in enumerate(tab)], "i long, lnv long"
-    )
     keyed = list(keys)
     withtot = _drift_share_grain(ref, cur, value_col, keyed)
     both = (F.col("__nr") > 0) & (F.col("__nc") > 0)
@@ -938,17 +944,12 @@ def distribution_drift_explain(
         F.when(both, clamp1(q_raw("__c", "__nc"))).alias("__qc"),
         F.when(both, q_raw("__c", "__nc")).alias("__qcr"),
     )
-    look = lambda out: F.broadcast(  # noqa: E731
-        ln_tab.select(
-            F.col("i").alias(f"__i_{out}"), F.col("lnv").alias(out)
-        )
-    )
+    # literal-array lookups (r12, psi_ln_lookup) — same NULL/0 arms
+    # as the old LEFT joins
     quantized = (
-        quantized.join(
-            look("__lr"), F.col("__i___lr") == F.col("__qr"), "left"
-        )
-        .join(look("__lc"), F.col("__i___lc") == F.col("__qc"), "left")
-        .join(look("__lcr"), F.col("__i___lcr") == F.col("__qcr"), "left")
+        quantized.withColumn("__lr", psi_ln_lookup(tab, F.col("__qr")))
+        .withColumn("__lc", psi_ln_lookup(tab, F.col("__qc")))
+        .withColumn("__lcr", psi_ln_lookup(tab, F.col("__qcr")))
     )
     tvd_term = F.when(
         both,
@@ -1127,10 +1128,6 @@ def distribution_js(
             f"table spans 2·share_grid), got {g}"
         )
     tab = psi_ln_table(2 * g)
-    spark = ref.sparkSession
-    ln_tab = spark.createDataFrame(
-        [(i + 1, int(t)) for i, t in enumerate(tab)], "i int, lnv long"
-    )
     keyed = list(keys)
     withtot = _drift_share_grain(ref, cur, value_col, keyed)
     q = lambda cnt, tot: F.expr(  # noqa: E731
@@ -1147,27 +1144,13 @@ def distribution_js(
             (F.col("__nr") > 0) & (F.col("__nc") > 0), q("__c", "__nc")
         ).alias("__qc"),
     )
-    look = lambda out: F.broadcast(  # noqa: E731
-        ln_tab.select(
-            F.col("i").alias(f"__i_{out}"), F.col("lnv").alias(out)
-        )
-    )
+    # literal-array lookups (r12, psi_ln_lookup) — same NULL/0 arms
+    # as the old LEFT joins (a zero index finds no entry)
     joined = (
-        quantized.join(
-            look("__t2r"),
-            F.col("__i___t2r") == (F.col("__qr") * 2).cast("int"),
-            "left",
-        )
-        .join(
-            look("__t2c"),
-            F.col("__i___t2c") == (F.col("__qc") * 2).cast("int"),
-            "left",
-        )
-        .join(
-            look("__tm"),
-            F.col("__i___tm")
-            == (F.col("__qr") + F.col("__qc")).cast("int"),
-            "left",
+        quantized.withColumn("__t2r", psi_ln_lookup(tab, F.col("__qr") * 2))
+        .withColumn("__t2c", psi_ln_lookup(tab, F.col("__qc") * 2))
+        .withColumn(
+            "__tm", psi_ln_lookup(tab, F.col("__qr") + F.col("__qc"))
         )
     )
     # a zero quantized share finds no table row (indices start at 1):

@@ -1528,6 +1528,7 @@ def label_mi_from_cells(
     from blockchain_data_engineering_spark.operators.dq import (
         _PSI_GRID_MAX,
         _PSI_LN_SCALE,
+        psi_ln_lookup,
         psi_ln_table,
     )
 
@@ -1535,10 +1536,6 @@ def label_mi_from_cells(
     tab = psi_ln_table(g)  # validates 2 <= g <= _PSI_GRID_MAX
     assert g <= _PSI_GRID_MAX
     t_g = int(tab[g - 1])  # T[G] = round(10^12·ln G) — one literal
-    spark = cells_df.sparkSession
-    ln_tab = spark.createDataFrame(
-        [(i + 1, int(t)) for i, t in enumerate(tab)], "i long, lnv long"
-    )
     keyed = list(keys)
     # NULL-keyed rows excluded at entry: marginals/totals rejoin the
     # cells on `keys` (the keyed-join alignment convention)
@@ -1563,22 +1560,16 @@ def label_mi_from_cells(
     q_of = lambda cnt: F.expr(  # noqa: E731
         f"(CAST({cnt} AS DECIMAL(38,0)) * {g}) div __nt"
     )
-    look = lambda out: F.broadcast(  # noqa: E731
-        ln_tab.select(
-            F.col("i").alias(f"__i_{out}"), F.col("lnv").alias(out)
-        )
-    )
-    # marginal grains: quantize ONCE, look the ln up ONCE, carry both
-    # to the cells via the (keys, label) equi join
+    # marginal grains: quantize ONCE, look the ln up ONCE (literal-
+    # array psi_ln_lookup, r12 — same NULL/0 arms as the old LEFT
+    # joins), carry both to the cells via the (keys, label) equi join
     def marginal(label_col: str, q_out: str, l_out: str) -> DataFrame:
         m = cells_t.groupBy(*keyed, label_col).agg(
             F.sum("__n").cast("long").alias("__nm"),
             F.max("__nt").cast("long").alias("__nt"),
         )
         m = m.select(*keyed, label_col, q_of("__nm").alias(q_out))
-        return m.join(
-            look(l_out), F.col(f"__i_{l_out}") == F.col(q_out), "left"
-        ).drop(f"__i_{l_out}")
+        return m.withColumn(l_out, psi_ln_lookup(tab, F.col(q_out)))
 
     by_a = marginal("__a", "__qa", "__la")
     by_p = marginal("__p", "__qp", "__lp")
@@ -1586,7 +1577,7 @@ def label_mi_from_cells(
         cells_t.select(*keyed, "__a", "__p", "__n", q_of("__n").alias("__q"))
         .join(by_a.select(*keyed, "__a", "__qa", "__la"), keyed + ["__a"])
         .join(by_p.select(*keyed, "__p", "__qp", "__lp"), keyed + ["__p"])
-        .join(look("__lc"), F.col("__i___lc") == F.col("__q"), "left")
+        .withColumn("__lc", psi_ln_lookup(tab, F.col("__q")))
     )
     zero_d = F.lit(0).cast("decimal(38,0)")
     null_d = F.lit(None).cast("decimal(38,0)")
@@ -3700,16 +3691,13 @@ def log_loss(
     0.5·10^-12 after the mean — documented like AP's floor bound.
 
     Scale shape: ONE map-side-combinable aggregate at CLAMPED-score
-    grain (≤ s_max − 1 rows per group — the PR-sweep grain), one
-    BROADCAST-hash lookup of an (s_max − 1)-row table carrying BOTH
-    arms (``T[i]`` and ``T[s_max − i]`` — so the y and ¬y terms ride
-    one join), one re-aggregation. The table is a tiny local
-    relation, not an inline literal array: a 1000-element array
-    literal repeated per lookup measurably taxes Catalyst on every
-    execution (measured ~2 s/run at s_max = 1000 — the optimizer
-    walks the literal mass each time), while a 1000-row broadcast
-    dim is the canonical Spark shape for a shared lookup and keeps
-    the plan tree constant-size in s_max. Returns ``n``,
+    grain (≤ s_max − 1 rows per group — the PR-sweep grain), then
+    both arms (``T[i]`` and ``T[s_max − i]``) via literal-array
+    ``get`` lookups (r12, dq.psi_ln_lookup — a SINGLE array literal
+    parsed once; the earlier "~2 s literal mass" measurement that
+    justified the broadcast dim was a per-entry expression chain,
+    and the dim itself cost a driver local-relation round-trip + a
+    BroadcastExchange per run), one re-aggregation. Returns ``n``,
     ``n_clamped``, ``ll_num`` (DECIMAL(38,0) — serialize as string
     in gate queries) and ``log_loss`` (NULL for an empty group)."""
     tab = log_loss_table(s_max)
@@ -3742,18 +3730,19 @@ def log_loss(
         .cast("long")
         .alias("__ncl"),
     )
-    # (i, −ln(i/s_max) quanta, −ln(1 − i/s_max) quanta) for the
-    # clamped grid 1..s_max−1 — both label arms in one broadcast row
-    ln_tab = df.sparkSession.createDataFrame(
-        [
-            (i, int(tab[i - 1]), int(tab[s_max - i - 1]))
-            for i in range(1, int(s_max))
-        ],
-        "__i long, __vpos long, __vneg long",
+    # −ln(i/s_max) quanta via ONE literal-array lookup per arm (r12,
+    # dq.psi_ln_lookup): __sc is pre-clamped into 1..s_max−1, so the
+    # old 1000-row broadcast-dim INNER join always matched — the
+    # lookup is a pure projection of it (a single array literal is
+    # one plan node; the ~2 s literal-mass pathology the broadcast
+    # dim replaced was a per-entry CASE chain, not this)
+    from blockchain_data_engineering_spark.operators.dq import (
+        psi_ln_lookup as _lookup,
     )
-    grain = grain.join(
-        F.broadcast(ln_tab), F.col("__sc") == F.col("__i"), "inner"
-    )
+
+    grain = grain.withColumn(
+        "__vpos", _lookup(tab, F.col("__sc"))
+    ).withColumn("__vneg", _lookup(tab, F.lit(int(s_max)) - F.col("__sc")))
     term = (
         F.col("__pos").cast("decimal(38,0)") * F.col("__vpos")
         + F.col("__neg").cast("decimal(38,0)") * F.col("__vneg")
@@ -3914,13 +3903,14 @@ def log_loss_multiclass(
         .cast("long")
         .alias("__ncl"),
     )
-    ln_tab = df.sparkSession.createDataFrame(
-        [(i, int(tab[i - 1])) for i in range(1, int(s_max) + 1)],
-        "__i long, __v long",
+    # literal-array lookup (r12, dq.psi_ln_lookup): __sc is clamped
+    # into 1..s_max, so the old broadcast-dim INNER join always
+    # matched — the lookup is a pure projection of it
+    from blockchain_data_engineering_spark.operators.dq import (
+        psi_ln_lookup as _lookup,
     )
-    grain = grain.join(
-        F.broadcast(ln_tab), F.col("__sc") == F.col("__i"), "inner"
-    )
+
+    grain = grain.withColumn("__v", _lookup(tab, F.col("__sc")))
     term = (F.col("__cnt").cast("decimal(38,0)") * F.col("__v")).cast(
         "decimal(38,0)"
     )

@@ -126,8 +126,88 @@ def graph_temporal_round(spark, which):
     )
 
 
+# ---------------------------------------------------- packed node ids --
+
+
+def graph_kcore_ids(spark, which):
+    """The edge materialization + ONE peel round. BEFORE (r11): string
+    node ids ('c…'/'s…') — the sym distinct and the per-round degree
+    aggregate hash/ship strings. AFTER (r12): packed longs (ck·2 /
+    sk·2+1) through the whole loop; the Exchange input projections
+    carry bigint where they carried string."""
+    from blockchain_data_engineering_spark.operators.graph import _hint
+    from blockchain_data_engineering_spark.plans.graph_queries import (
+        KCORE_K,
+        _edges_df,
+        _edges_packed_df,
+    )
+
+    edges = (
+        _edges_df(spark, SF_DIR)
+        if which == "before"
+        else _edges_packed_df(spark, SF_DIR)
+    )
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .repartition("a")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    keep = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") >= KCORE_K)
+        .select("a")
+        .persist()
+    )
+    nxt = sym.join(_hint(keep, True), "a", "left_semi").join(
+        _hint(keep.select(F.col("a").alias("b")), True), "b", "left_semi"
+    )
+    return nxt.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+# ------------------------------------------------- narrow verify arrays --
+
+
+def dedup_verify_arrays(spark, which):
+    """The LSH verify stage. BEFORE (r11): per-doc arrays re-packed
+    from the exploded shingle set via groupBy(doc_id).collect_list —
+    an ObjectHashAggregate + a full Exchange of the shingle relation.
+    AFTER (r12): shingle_array builds the same distinct set narrowly
+    (sequence→transform→array_distinct, zero shuffle) straight off the
+    documents scan; consumers read the arrays as sets."""
+    from blockchain_data_engineering_spark.catalog import spread
+    from blockchain_data_engineering_spark.operators import dedup as D
+    from blockchain_data_engineering_spark.plans.dedup_queries import (
+        BAND_SIZE,
+        N_HASHES,
+        SHINGLE_K,
+    )
+
+    docs = spread(load_table(spark, SF_DIR, "documents"))
+    if which == "before":
+        sh = D.shingle_set(docs, k=SHINGLE_K).persist()
+        sig = D.minhash_signatures(sh, N_HASHES).persist()
+        arr = sh.groupBy("doc_id").agg(
+            F.collect_list("shingle").alias("shingles")
+        )
+    else:
+        sig = D.minhash_signatures(
+            D.shingle_set(docs, k=SHINGLE_K), N_HASHES
+        ).persist()
+        arr = D.shingle_array(docs, k=SHINGLE_K)
+    cand = D.lsh_candidate_pairs(D.lsh_bands(sig, N_HASHES, BAND_SIZE))
+    return D.jaccard_verify_arrays(cand, arr)
+
+
 CAPTURES = {
     "graph_temporal_round": graph_temporal_round,
+    "graph_kcore_ids": graph_kcore_ids,
+    "dedup_verify_arrays": dedup_verify_arrays,
 }
 
 

@@ -433,7 +433,8 @@ def test_r10_plan_shapes(spark, sf_dir):
     p = _plan(spark, sf_dir, "ml_log_loss")
     assert "Window" not in p and "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
-    assert "BroadcastHashJoin" in p  # the ln-table lookup, broadcast
+    # r12: the ln-table lookup is a literal-array get — no join left
+    assert "BroadcastHashJoin" not in p
     p = _plan(spark, sf_dir, "dq_distribution_psi")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     p = _plan(spark, sf_dir, "dq_distribution_js")

@@ -598,7 +598,8 @@ def test_r11_plan_shapes(spark, sf_dir):
     p = _plan(spark, sf_dir, "ml_log_loss_multiclass")
     assert "Window" not in p and "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
-    assert "BroadcastHashJoin" in p  # the ln-table lookup, broadcast
+    # r12: the ln-table lookup is a literal-array get — no join left
+    assert "BroadcastHashJoin" not in p
     p = _plan(spark, sf_dir, "dq_distribution_kl")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     p = _plan(spark, sf_dir, "ml_label_mi")
@@ -774,7 +775,8 @@ def test_r11_batch2_plan_shapes(spark, sf_dir):
     assert "Window" not in p
     p = _plan(spark, sf_dir, "dq_drift_explain")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
-    assert "BroadcastHashJoin" in p  # the ln-table lookups
+    # r12: the ln-table lookups are literal-array gets — join-free
+    assert "BroadcastHashJoin" not in p
 
 
 # ---------------------------------------------------------------------------
